@@ -1,0 +1,334 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operator surface (SURVEY.md §2.1–2.3, §2.5–2.6) exercised
+  * on the driver's TPC-H-ish testdata. Every query output is fully
+  * deterministic (explicit ORDER BY on a unique key; doubles rounded) so the
+  * DuckDB oracle hash-compare is stable.
+  *
+  * Reference capabilities covered here: A1 global count
+  * (grafana/queries.yaml:1-7), A2/A3 distinct (bronze/readSampleDelta.py:67-71),
+  * A4 high-watermark max (gold/bronzeToGold2.py:38-50), A5 null counts
+  * (gold/bronzeToGold.py:216-223), A6 duplicate check (test_real_data.py:17),
+  * A7 grouped multi-agg with pct (gold/2test1.py:186-200), J1/J2 left
+  * equi-joins (gold/bronzeToGold.py:132-163), J5 scalar-subquery join
+  * (FormulaePowerBI.txt:9-19), P8 watermark filter (gold/bronzeToGold2.py:103-110),
+  * P9/P10 semi/anti membership (find_unique_employee.ipynb), P14 first-seen
+  * dedup (bronze/redPandaToDeltaLake.py:134), W1 top-N (README.md:68-78),
+  * W2 ordered export, U1 union, U2 set difference/intersection.
+  */
+object Relational {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** TPC-H Q1-shaped pricing summary: grouped multi-agg with arithmetic
+    * (A7 analog). Broad shuffle-side test: map-side partial agg + 2-key
+    * groupBy; at 100 TB this is a classic partial-agg-then-exchange plan. */
+  val q1Agg: GQuery = GQuery(
+    "q1_agg",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(avg(l_discount), 4) AS avg_disc,
+            count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** A1: global COUNT(*) — the reference's one monitoring metric. */
+  val qCount: GQuery = GQuery(
+    "a1_count_star",
+    (s, d) => li(s, d).agg(count(lit(1)).as("n")),
+    Some("SELECT count(*) AS n FROM lineitem"))
+
+  /** A2: exact distinct counts (ID.nunique analog). */
+  val qDistinctCount: GQuery = GQuery(
+    "a2_distinct_count",
+    (s, d) =>
+      li(s, d).agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_orderkey")).as("n_ord")),
+    Some("""SELECT count(DISTINCT l_suppkey) AS n_supp,
+            count(DISTINCT l_partkey) AS n_part,
+            count(DISTINCT l_orderkey) AS n_ord FROM lineitem"""))
+
+  /** A3: distinct values of a low-cardinality column. */
+  val qDistinctVals: GQuery = GQuery(
+    "a3_distinct_values",
+    (s, d) =>
+      ev(s, d).select(col("event_type")).distinct().orderBy(col("event_type")),
+    Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"))
+
+  /** A4: high-watermark max over the stream table (incremental gold load). */
+  val qWatermarkMax: GQuery = GQuery(
+    "a4_watermark_max",
+    (s, d) =>
+      ev(s, d).agg(
+        max(col("event_id")).as("max_id"),
+        max(expr("ts_ns div 1000000")).as("max_ts_ms")),
+    Some("""SELECT max(event_id) AS max_id,
+            max(epoch_ms(ts)) AS max_ts_ms FROM events"""))
+
+  /** A5: per-column null counts (join-miss detection shape). */
+  val qNullCounts: GQuery = GQuery(
+    "a5_null_counts",
+    (s, d) =>
+      ord(s, d).agg(
+        count(when(col("o_custkey").isNull, 1)).as("null_cust"),
+        count(when(col("o_totalprice").isNull, 1)).as("null_price"),
+        count(when(col("o_orderdate").isNull, 1)).as("null_date")),
+    Some("""SELECT count(CASE WHEN o_custkey IS NULL THEN 1 END) AS null_cust,
+            count(CASE WHEN o_totalprice IS NULL THEN 1 END) AS null_price,
+            count(CASE WHEN o_orderdate IS NULL THEN 1 END) AS null_date
+            FROM orders"""))
+
+  /** A6: duplicate-key check — keys occurring more than once. */
+  val qDupCheck: GQuery = GQuery(
+    "a6_dup_check",
+    (s, d) =>
+      li(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy(col("l_orderkey")),
+    Some("""SELECT l_orderkey, count(*) AS n FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1 ORDER BY l_orderkey"""))
+
+  /** A7: grouped multi-agg + derived percentage columns
+    * (gold/2test1.py:186-200 shape on the events table). */
+  val qGroupedPct: GQuery = GQuery(
+    "a7_grouped_pct",
+    (s, d) => {
+      val g = ev(s, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      g.withColumn(
+          "pct",
+          round(col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()), 1))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type, count(*) AS n,
+            round(sum(value), 2) AS total_value,
+            round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct
+            FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** J1+J2 gold-enrich shape: fact left-joins two-dim chain; dims are small
+    * → Catalyst broadcast-hash-joins both (at 100 TB: no shuffle of the
+    * fact side, only the dim broadcast). */
+  val qJoinEnrich: GQuery = GQuery(
+    "j1_join_enrich",
+    (s, d) => {
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      ord(s, d)
+        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+        .select(
+          col("o_orderkey"),
+          col("o_totalprice"),
+          col("c_name"),
+          col("n_name"),
+          col("r_name"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_totalprice, c_name, n_name, r_name
+            FROM orders
+            LEFT JOIN customer ON o_custkey = c_custkey
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+            ORDER BY o_orderkey"""))
+
+  /** J5/A10: scalar-subquery join decorrelated to join-with-aggregate —
+    * per-customer order totals (the DAX CALCULATE pattern). */
+  val qScalarSubquery: GQuery = GQuery(
+    "j5_scalar_subquery",
+    (s, d) => {
+      val perCust = ord(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+      cust(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"),
+          col("c_name"),
+          coalesce(col("total_spent"), lit(0.0)).as("total_spent"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey, c_name,
+            coalesce(t.total_spent, 0.0) AS total_spent,
+            coalesce(t.n_orders, 0) AS n_orders
+            FROM customer
+            LEFT JOIN (
+              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent,
+                     count(*) AS n_orders
+              FROM orders GROUP BY o_custkey) t ON c_custkey = t.o_custkey
+            ORDER BY c_custkey"""))
+
+  /** P9: membership filter as LEFT SEMI join (customers having orders). */
+  val qSemi: GQuery = GQuery(
+    "p9_semi_join",
+    (s, d) =>
+      cust(s, d)
+        .join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey"""))
+
+  /** P10: anti-membership as LEFT ANTI join — customers with no
+    * high-value order (non-degenerate at every sf). */
+  val qAnti: GQuery = GQuery(
+    "p10_anti_join",
+    (s, d) =>
+      cust(s, d)
+        .join(
+          ord(s, d).filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+            ORDER BY c_custkey"""))
+
+  /** P8: high-watermark incremental filter — rows newer than a literal
+    * watermark (pushed down to the parquet scan). */
+  val qWatermarkFilter: GQuery = GQuery(
+    "p8_watermark_filter",
+    (s, d) =>
+      ev(s, d)
+        // watermark literal as epoch-ns so the compare is exact at the
+        // source's ns precision (matches DuckDB's TIMESTAMP '...' compare)
+        .filter(col("ts_ns") >
+          lit(java.time.Instant.parse("2024-01-15T00:00:00Z").getEpochSecond * 1000000000L))
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id, event_type FROM events
+            WHERE ts > TIMESTAMP '2024-01-15 00:00:00' ORDER BY event_id"""))
+
+  /** P14: first-seen dedup by key, made deterministic with row_number
+    * (the reference's processed_ids set keeps the first occurrence). */
+  val qDedupFirstSeen: GQuery = GQuery(
+    "p14_dedup_first_seen",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, event_type FROM (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+              FROM events) WHERE rn = 1 ORDER BY user_id"""))
+
+  /** W1: top-N by key desc ("delete last 7 entries" selection shape). */
+  val qTopN: GQuery = GQuery(
+    "w1_top_n",
+    (s, d) =>
+      ord(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_totalprice")),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** W4: last-K per partition replay buffer (row_number over desc order). */
+  val qLastKPerKey: GQuery = GQuery(
+    "w4_last_k_per_key",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("user_id"), col("event_id"), col("rn"))
+        .orderBy(col("user_id"), col("rn"))
+    },
+    Some("""SELECT user_id, event_id, rn FROM (
+              SELECT user_id, event_id,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn <= 3 ORDER BY user_id, rn"""))
+
+  /** U1: union of homogeneous scans (pd.concat analog). */
+  val qUnion: GQuery = GQuery(
+    "u1_union",
+    (s, d) => {
+      val a = ev(s, d).filter(col("event_type") === "click")
+      val b = ev(s, d).filter(col("event_type") === "view")
+      a.unionByName(b)
+        .select(col("event_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, event_type FROM (
+              SELECT event_id, event_type FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT event_id, event_type FROM events WHERE event_type = 'view')
+            ORDER BY event_id"""))
+
+  /** U2: set difference + intersection on key sets (set(a)-set(b) analog):
+    * users who clicked but never purchased. */
+  val qSetDiff: GQuery = GQuery(
+    "u2_set_difference",
+    (s, d) => {
+      def byDay(t: String) = ev(s, d).filter(col("event_type") === t)
+        .select(col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      byDay("click").except(byDay("purchase"))
+        .orderBy(col("user_id"), col("day"))
+    },
+    Some("""SELECT * FROM (
+              SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+              FROM events WHERE event_type = 'click'
+              EXCEPT
+              SELECT DISTINCT user_id, strftime(ts, '%Y-%m-%d') AS day
+              FROM events WHERE event_type = 'purchase')
+            ORDER BY user_id, day"""))
+
+  /** W2: globally ordered export (ORDER BY key) with projection pruning —
+    * the scan should read only 3 of 6 event columns. */
+  val qOrderedExport: GQuery = GQuery(
+    "w2_ordered_export",
+    (s, d) =>
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("value"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id"""))
+
+  val all: Seq[GQuery] = Seq(
+    q1Agg, qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
+    qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
+    qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qUnion, qSetDiff,
+    qOrderedExport)
+}
