@@ -1,0 +1,181 @@
+package graft.dedup
+
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * Scale design notes:
+  *  - Exact dedup: one hash-shuffle on a 16-byte digest (not the full
+  *    text) — the canonical "group by content hash, keep min id" plan.
+  *  - MinHash LSH: per-row signature (no shuffle) → explode to
+  *    (band, bucket) keys → self-join per bucket. Bucket join replaces
+  *    the O(n²) pair space with the candidate space; band/row counts
+  *    tune recall vs cost. Signatures are computed from a cross-engine
+  *    polynomial hash so the whole pipeline is DuckDB-oracle checkable.
+  *  - SimHash: 32-bit per-doc fingerprint; near-dups = small Hamming
+  *    distance. Banded (4×8-bit) blocking gives O(n·4) candidate keys.
+  *  - Verification joins bring the two texts together only for
+  *    candidate pairs (tiny vs corpus), never the full cross product.
+  */
+object Dedup {
+
+  // ---- MinHash ----
+
+  /** Number of MinHash hash functions. */
+  val K = 8
+
+  /** Bands × rows-per-band for LSH bucketing (K = Bands * RowsPerBand). */
+  val Bands = 4
+  val RowsPerBand = 2
+
+  /** a/b coefficients of the i-th universal hash ((a*h+b) mod p),
+    * derived deterministically so SQL oracles can inline the formula. */
+  def hashA(i: Int): Long = (2654435761L * (i + 1)) % HashPrime
+  def hashB(i: Int): Long = (40503L * (i + 1) * 69069L) % HashPrime
+
+  /** Powers of two as a literal array — lambda-variable-indexable
+    * replacement for shiftleft/shiftright (whose shift arg must be a
+    * Scala Int, not a Column). */
+  private val Pow2 = lit((0 to 33).map(b => 1L << b).toArray)
+
+  /** MinHash signature (array of K longs) over word n-gram shingles —
+    * native single-pass expression (see TextHashExpressions for why:
+    * the composed-HOF form re-inlines the shingle-hash fold K times). */
+  def minhashSignature(text: Column, shingleLen: Int = 3): Column =
+    graft.expressions.TextHashExpressions.minhash_sig(
+      wordShingles(text, shingleLen),
+      (0 until K).map(hashA), (0 until K).map(hashB))
+
+  /** Composed-HOF reference implementation (kept for differential
+    * testing against the native expression). */
+  def minhashSignatureHof(text: Column, shingleLen: Int = 3): Column = {
+    val hashes = transform(wordShingles(text, shingleLen), s => polyHash(s))
+    transform(
+      sequence(lit(0), lit(K - 1)),
+      i => {
+        val a = get(lit((0 until K).map(hashA).toArray), i)
+        val b = get(lit((0 until K).map(hashB).toArray), i)
+        when(size(hashes) === 0, lit(-1L))
+          .otherwise(array_min(transform(hashes, h => (a * h + b) % HashPrime)))
+      })
+  }
+
+  /** Exact Jaccard similarity of the two texts' shingle sets. */
+  def shingleJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    val sa = array_distinct(wordShingles(a, n))
+    val sb = array_distinct(wordShingles(b, n))
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 6))
+  }
+
+  /** Token-set Jaccard (unigram variant). */
+  def tokenJaccard(a: Column, b: Column): Column = {
+    val sa = tokenSet(a)
+    val sb = tokenSet(b)
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0))
+      .otherwise(round(size(array_intersect(sa, sb)) / uni, 6))
+  }
+
+  /** Exact dedup: keep the lowest-id row per identical normalized text.
+    * Shuffles only (digest, id) — not the payload. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val fp = md5(normalizedText(col(textCol)))
+    val w = Window.partitionBy(fp).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Per-doc LSH band keys: Bands rows of (doc_id, band, bucket_key).
+    * bucket_key concatenates the band's signature slice. */
+  def lshBands(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sig = minhashSignature(col(textCol))
+    docs
+      .select(col(idCol), sig.as("sig"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(Bands - 1)),
+        b => concat_ws(":",
+          (0 until RowsPerBand).map(r =>
+            get(col("sig"), b * RowsPerBand + r)): _*))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket_key")
+  }
+
+  /** Candidate near-dup pairs from LSH banding (distinct id pairs that
+    * share at least one band bucket), verified with exact shingle
+    * Jaccard >= threshold. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val bands = lshBands(docs, textCol, idCol)
+    val l = bands.select(col("band"), col("bucket_key"), col(idCol).as("id_a"))
+    val r = bands.select(col("band"), col("bucket_key"), col(idCol).as("id_b"))
+    val candidates = l.join(r, Seq("band", "bucket_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
+    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ---- SimHash ----
+
+  /** 32-bit SimHash over whitespace tokens: bit b set iff the sum of
+    * per-token votes (+1 if token-hash bit b set, else −1) is positive.
+    * Pure Column expression (bit loop via transform over 0..31). */
+  /** Native single-pass SimHash (vote loop in one JVM pass). */
+  def simhash(text: Column): Column =
+    graft.expressions.TextHashExpressions.simhash32(tokens(text))
+
+  /** Composed-HOF reference implementation (differential testing). */
+  def simhashHof(text: Column): Column = {
+    val hs = transform(tokens(text), t => polyHash32(t))
+    val bits = transform(
+      sequence(lit(0), lit(31)),
+      b => {
+        val p = get(Pow2, b) // 2^b
+        val p2 = get(Pow2, b + 1) // 2^(b+1); bit test: h mod 2p >= p
+        when(
+          aggregate(hs, lit(0L),
+            (acc, h) => acc + when((h % p2) >= p, 1L).otherwise(-1L)) > 0,
+          p).otherwise(lit(0L))
+      })
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhash values. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dups via 4×8-bit band blocking: docs sharing any
+    * 8-bit slice are candidates; verified with Hamming distance <= maxDist. */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val withSim = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+    // byte b of sh = (sh mod 2^(8b+8)) / 2^(8b); power-of-2 fp division
+    // is exact, so floor is safe
+    val banded = withSim.select(
+      col(idCol), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => floor((col("sh") % get(Pow2, b * 8 + 8)).cast("double")
+          / get(Pow2, b * 8)).cast("long"))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "slice")
+    val l = banded.select(col("band"), col("slice"),
+      col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("slice"),
+      col(idCol).as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "slice"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDist(col("sh_a"), col("sh_b")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic activity/HR generator (S20) — the Spark
+  * re-expression of Strava_Data/strava_like_data.ipynb (cell e644dfe3):
+  * per-employee activity counts keyed by transport mode, per-sport
+  * duration/speed ranges, ~30% comment rate, fixed seed.
+  *
+  * Distributed by construction: `spark.range(n)` + pure hash-arithmetic
+  * pseudo-randoms (xxhash64 of (seed, id, salt)) — no driver loops, no
+  * rand() partition-dependence, reproducible at any parallelism. */
+object DataGen {
+
+  val Seed = 42L
+
+  /** u(id, salt) ∈ [0,1) — deterministic uniform from a 64-bit hash. */
+  private def u(id: org.apache.spark.sql.Column, salt: Int) =
+    pmod(xxhash64(lit(Seed), id, lit(salt)), lit(1000000L)).cast("double") / 1000000.0
+
+  private val sports = Seq("Course à pied", "Vélo", "Natation", "Marche")
+  private val modes = Seq(
+    "Marche/running", "Vélo/Trottinette/Autres", "Voiture/Moto",
+    "Transports en commun")
+
+  /** nEmployees HR rows with stable attributes. */
+  def hr(spark: SparkSession, nEmployees: Int = 161): DataFrame = {
+    val id = col("id").cast("int")
+    spark.range(1, nEmployees + 1L).select(
+      id.as("ID salarié"),
+      concat(lit("Nom_"), id).as("Nom"),
+      concat(lit("Prénom_"), id).as("Prénom"),
+      concat(id, lit(" rue de la Paix, Paris")).as("Adresse du domicile"),
+      element_at(typedlit(modes), (pmod(xxhash64(lit(Seed), id, lit(1)),
+        lit(modes.size)) + 1).cast("int")).as("Moyen de déplacement"),
+      date_format(date_add(lit("1970-01-01").cast("date"),
+        (u(id, 2) * 9000 + 3650).cast("int")), "yyyy-MM-dd")
+        .as("Date de naissance"),
+      date_format(date_add(lit("2015-01-01").cast("date"),
+        (u(id, 3) * 3000).cast("int")), "yyyy-MM-dd").as("Date d'embauche"),
+      round(lit(25000) + u(id, 4) * 60000, 2).as("Salaire brut"),
+      (lit(25) + (u(id, 5) * 10).cast("int")).as("Nombre de jours de CP"),
+      element_at(typedlit(Seq("Sales", "Tech", "HR", "Ops")),
+        (pmod(xxhash64(lit(Seed), id, lit(6)), lit(4)) + 1).cast("int")).as("BU"),
+      when(u(id, 7) < 0.8, "CDI").otherwise("CDD").as("Type de contrat"))
+  }
+
+  /** Sportive dimension: ~60% practice a sport. */
+  def sportive(spark: SparkSession, nEmployees: Int = 161): DataFrame = {
+    val id = col("id").cast("int")
+    spark.range(1, nEmployees + 1L).select(
+      id.as("ID salarié"),
+      when(u(id, 8) < 0.6, "Oui").otherwise("Non").as("Pratique d'un sport"))
+  }
+
+  /** Activity fact rows: employees on active transport modes log more
+    * sessions (the reference's count-by-mode rule); per-sport plausible
+    * duration and distance; 30% comments; sequential IDs. */
+  def activities(spark: SparkSession, nEmployees: Int = 161,
+      avgPerEmployee: Int = 10): DataFrame = {
+    val n = nEmployees * avgPerEmployee
+    val rid = col("id")
+    val emp = (pmod(xxhash64(lit(Seed), rid, lit(10)), lit(nEmployees.toLong))
+      + 1).cast("int")
+    val sportIdx = (pmod(xxhash64(lit(Seed), rid, lit(11)), lit(sports.size)) + 1)
+      .cast("int")
+    val sport = element_at(typedlit(sports), sportIdx)
+    val durationS = (lit(600) + (u(rid, 12) * 7200).cast("int"))
+    // speed (m/s) band per sport: run ~3, bike ~8, swim ~1.2, walk ~1.5
+    val speed = element_at(typedlit(Seq(3.0, 8.0, 1.2, 1.5)), sportIdx)
+    val start = timestamp_micros(
+      (lit(java.time.Instant.parse("2024-08-01T06:00:00Z").getEpochSecond) +
+        (u(rid, 13) * 86400 * 120).cast("long")) * 1000000L)
+    spark.range(1, n + 1L).select(
+      rid.cast("int").as("ID"),
+      emp.as("ID_salarie"),
+      start.as("Date_de_debut"),
+      sport.as("Sport_type"),
+      when(u(rid, 14) < 0.05, lit(null).cast("int"))
+        .otherwise((speed * durationS * (lit(0.8) + u(rid, 15) * 0.4)).cast("int"))
+        .as("Distance_m"),
+      (start + make_dt_interval(lit(0), lit(0), lit(0), durationS.cast("double")))
+        .as("Date_de_fin"),
+      when(u(rid, 16) < 0.3, concat(lit("Commentaire "), rid)).otherwise(null)
+        .as("Commentaire"))
+  }
+}

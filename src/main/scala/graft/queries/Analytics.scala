@@ -1,5 +1,121 @@
 package graft.queries
-import graft.GQuery
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's BI semantic layer (FormulaePowerBI.txt:1-47, SURVEY.md
+  * §2.5 A9-A12) and validation suite (§3.3 A13) re-expressed on the
+  * testdata star schema: customer ↔ employee, orders ↔ activities,
+  * c_acctbal ↔ salary. */
 object Analytics {
-  val all: Seq[GQuery] = Seq()
+
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
+  /** A9: DAX SUMMARIZE — per (customer, segment) order counts. */
+  val summarize: GQuery = GQuery(
+    "x1_dax_summarize",
+    (s, d) =>
+      ord(s, d)
+        .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("TotalLineCount"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_mktsegment, count(*) AS TotalLineCount
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey"""))
+
+  /** A10+A11: per-entity scalar (CALCULATE SUM) + qualification flags. */
+  val qualification: GQuery = GQuery(
+    "x2_dax_qualification",
+    (s, d) =>
+      ord(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("spent"))
+        .join(broadcast(cust(s, d)), Seq("c_custkey"))
+        .withColumn("QualifyVolume", col("n_orders") > 5)
+        .withColumn("QualifySegment",
+          lower(trim(col("c_mktsegment"))).isin("automobile", "machinery"))
+        .select(col("c_custkey"), col("n_orders"), col("spent"),
+          col("QualifyVolume"), col("QualifySegment"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT t.c_custkey, t.n_orders, t.spent,
+              t.n_orders > 5 AS QualifyVolume,
+              lower(trim(c_mktsegment)) IN ('automobile', 'machinery')
+                AS QualifySegment
+            FROM (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+                    round(sum(o_totalprice), 2) AS spent
+                  FROM orders GROUP BY o_custkey) t
+            JOIN customer ON t.c_custkey = customer.c_custkey
+            ORDER BY t.c_custkey"""))
+
+  /** A12: the three SUMX measures over the qualification table
+    * (constant-per-qualifier, balance-proportional, percentage bonus). */
+  val sumxMeasures: GQuery = GQuery(
+    "x3_dax_sumx_measures",
+    (s, d) => {
+      val q = ord(s, d)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .join(broadcast(cust(s, d)), Seq("c_custkey"))
+        .withColumn("qv", col("n_orders") > 5)
+        .withColumn("qs",
+          lower(trim(col("c_mktsegment"))).isin("automobile", "machinery"))
+      q.agg(
+        sum(when(col("qv"), lit(5)).otherwise(0)).as("total_points"),
+        round(sum(when(col("qv"), col("c_acctbal") * 5.0 / 251.0)
+          .otherwise(0.0)), 2).as("total_equiv"),
+        round(sum(when(col("qs"), col("c_acctbal") * 0.05).otherwise(0.0)), 2)
+          .as("total_bonus"))
+    },
+    Some("""WITH q AS (
+              SELECT t.c_custkey, t.n_orders > 5 AS qv,
+                lower(trim(c_mktsegment)) IN ('automobile','machinery') AS qs,
+                c_acctbal
+              FROM (SELECT o_custkey AS c_custkey, count(*) AS n_orders
+                    FROM orders GROUP BY o_custkey) t
+              JOIN customer ON t.c_custkey = customer.c_custkey)
+            SELECT sum(CASE WHEN qv THEN 5 ELSE 0 END) AS total_points,
+              round(sum(CASE WHEN qv THEN c_acctbal * 5.0 / 251.0 ELSE 0.0 END), 2)
+                AS total_equiv,
+              round(sum(CASE WHEN qs THEN c_acctbal * 0.05 ELSE 0.0 END), 2)
+                AS total_bonus
+            FROM q"""))
+
+  /** A13: validation report — one pass, three rules, offending ids
+    * (exploded to (rule, id) rows for stable comparison). Rules mirror
+    * sport_benefits.py: future date / negative quantity-ish / per-type
+    * range violation. */
+  val validationReport: GQuery = GQuery(
+    "x4_validation_report",
+    (s, d) => {
+      val flagged = li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_shipdate") > lit("1998-10-01").cast("timestamp")).as("f_future"),
+        (col("l_discount") > 0.08 && col("l_quantity") < 3).as("f_suspect"),
+        (col("l_returnflag") === "R" && col("l_quantity") > 45).as("f_range"))
+      val tagged = flagged
+        .select(col("l_orderkey"), col("l_linenumber"),
+          explode(array_compact(array(
+            when(col("f_future"), lit("future_dates")),
+            when(col("f_suspect"), lit("suspect_discount")),
+            when(col("f_range"), lit("range_violation"))))).as("rule"))
+      tagged.orderBy(col("rule"), col("l_orderkey"), col("l_linenumber"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, rule FROM (
+              SELECT l_orderkey, l_linenumber, 'future_dates' AS rule
+              FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-10-01 00:00:00'
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'suspect_discount'
+              FROM lineitem WHERE l_discount > 0.08 AND l_quantity < 3
+              UNION ALL
+              SELECT l_orderkey, l_linenumber, 'range_violation'
+              FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 45)
+            ORDER BY rule, l_orderkey, l_linenumber"""))
+
+  val all: Seq[GQuery] = Seq(summarize, qualification, sumxMeasures,
+    validationReport)
 }

@@ -1,5 +1,168 @@
 package graft.queries
-import graft.GQuery
+
+import graft.{GQuery, Tables}
+import graft.dedup.{Dedup => D}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators gate-checked on the documents table.
+  * The MinHash/SimHash oracles re-derive the identical integer-arithmetic
+  * pipeline in DuckDB SQL, so even the LSH candidate generation is
+  * hash-compared — not just row counts. */
 object Dedup {
-  val all: Seq[GQuery] = Seq()
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val SqlToks =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+
+  /** Shared oracle CTE: per-doc word-3-gram shingle hashes. */
+  private val SqlShingleHashes =
+    s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+        sh AS (SELECT doc_id,
+          list_transform(range(greatest(len(toks) - 2, 0)),
+            j -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(string_split(array_to_string(toks[j+1:j+3], ' '), ''),
+                c -> CAST(ord(c) AS BIGINT))),
+              (h, c) -> (h * 31 + c) % 1000000007)) AS shs
+          FROM t),
+        sig AS (SELECT doc_id,
+          list_transform(range(8), i ->
+            CASE WHEN len(shs) = 0 THEN -1
+            ELSE list_min(list_transform(shs,
+              h -> ((2654435761 * (i+1)) % 1000000007 * h
+                    + (40503 * (i+1) * 69069) % 1000000007) % 1000000007))
+            END) AS sig
+          FROM sh)"""
+
+  /** Exact dedup: content-hash groupBy, min-id survivor. */
+  val exact: GQuery = GQuery(
+    "d1_exact_dedup",
+    (s, d) =>
+      D.exactDedup(docs(s, d))
+        .select(col("doc_id"), md5(normalizedText(col("text"))).as("fp"))
+        .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+              FROM documents)
+            SELECT doc_id, fp FROM (
+              SELECT doc_id, fp,
+                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM n) WHERE rn = 1 ORDER BY doc_id"""))
+
+  /** MinHash signatures (K=8) as explicit columns. */
+  val minhashSig: GQuery = GQuery(
+    "d2_minhash_signature",
+    (s, d) => {
+      val sig = D.minhashSignature(col("text"))
+      docs(s, d)
+        .select(col("doc_id") +: (0 until D.K).map(i =>
+          get(sig, lit(i)).as(s"s$i")): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$SqlShingleHashes
+            SELECT doc_id, sig[1] AS s0, sig[2] AS s1, sig[3] AS s2,
+                   sig[4] AS s3, sig[5] AS s4, sig[6] AS s5, sig[7] AS s6,
+                   sig[8] AS s7
+            FROM sig ORDER BY doc_id"""))
+
+  /** n-gram Jaccard between adjacent doc ids (linear pair set, exercises
+    * shingle-set similarity end-to-end). */
+  val jaccardAdjacent: GQuery = GQuery(
+    "d3_jaccard_adjacent",
+    (s, d) => {
+      val a = docs(s, d).select(col("doc_id").as("id_a"), col("text").as("ta"))
+      val b = docs(s, d).select((col("doc_id") - 1).as("id_a"), col("text").as("tb"))
+      a.join(b, "id_a")
+        .select(col("id_a"),
+          D.shingleJaccard(col("ta"), col("tb")).as("jaccard3"),
+          D.tokenJaccard(col("ta"), col("tb")).as("jaccard1"))
+        .orderBy(col("id_a"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks, text FROM documents),
+            sh AS (SELECT doc_id, toks,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS s3,
+              list_distinct(toks) AS s1
+              FROM t)
+            SELECT a.doc_id AS id_a,
+              round(CASE WHEN len(list_distinct(a.s3 || b.s3)) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE)
+                     / len(list_distinct(a.s3 || b.s3)) END, 6) AS jaccard3,
+              round(CASE WHEN len(list_distinct(a.s1 || b.s1)) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s1, b.s1)) AS DOUBLE)
+                     / len(list_distinct(a.s1 || b.s1)) END, 6) AS jaccard1
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a"""))
+
+  /** Full MinHash-LSH near-dup pipeline: band bucketing → candidate
+    * pairs → exact-Jaccard verify. Oracle reproduces every stage. */
+  val minhashPairs: GQuery = GQuery(
+    "d4_minhash_lsh_pairs",
+    (s, d) => D.minhashNearDups(docs(s, d), threshold = 0.2)
+      .orderBy(col("id_a"), col("id_b")),
+    Some(s"""$SqlShingleHashes,
+            bands AS (SELECT doc_id, b AS band,
+              CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR)
+                AS bucket_key
+              FROM sig, unnest(range(4)) AS u(b)),
+            cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket_key = r.bucket_key
+              WHERE l.doc_id < r.doc_id),
+            shs2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS s3
+              FROM t)
+            SELECT id_a, id_b,
+              round(CASE WHEN len(list_distinct(a.s3 || b.s3)) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE)
+                     / len(list_distinct(a.s3 || b.s3)) END, 6) AS jaccard
+            FROM cand JOIN shs2 a ON cand.id_a = a.doc_id
+                      JOIN shs2 b ON cand.id_b = b.doc_id
+            WHERE CASE WHEN len(list_distinct(a.s3 || b.s3)) = 0 THEN 0.0
+                ELSE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE)
+                     / len(list_distinct(a.s3 || b.s3)) END >= 0.2
+            ORDER BY id_a, id_b"""))
+
+  /** 32-bit SimHash fingerprint per document. */
+  val simhashQ: GQuery = GQuery(
+    "d5_simhash",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), D.simhash(col("text")).as("sh32"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            hs AS (SELECT doc_id,
+              list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok, ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 4294967296)) AS hs
+              FROM t)
+            SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(32), b ->
+                  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT) END)),
+                    (a2, v) -> a2 + v) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                (a2, v) -> a2 + v) AS sh32
+            FROM hs ORDER BY doc_id"""))
+
+  /** SimHash near-dup pairs via 8-bit band blocking + Hamming verify —
+    * structurally checked (rows-only oracle: banding in SQL would just
+    * repeat d5; the pair semantics are covered by ScalaTest fixtures). */
+  val simhashPairs: GQuery = GQuery(
+    "d6_simhash_pairs",
+    (s, d) => D.simhashNearDups(docs(s, d), maxDist = 8)
+      .orderBy(col("id_a"), col("id_b")),
+    None)
+
+  val all: Seq[GQuery] = Seq(
+    exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs)
 }

@@ -1,5 +1,86 @@
 package graft.queries
-import graft.GQuery
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's end-to-end pipeline shapes (SURVEY.md §3) exercised
+  * deterministically on the testdata star schema, plus the multimodal
+  * binary-column plumbing a training-data pipeline needs. */
 object EtlShape {
-  val all: Seq[GQuery] = Seq()
+
+  /** §3.2 gold-enrich shape: fact ⟕ dim with FR→EN-style renames (P1),
+    * right-key drop (P2/P3 hygiene via Seq-join), type coercion (F2/F3),
+    * and a deterministic processing-date column (F5's shape; literal so
+    * the gate compare is stable). */
+  val goldEnrich: GQuery = GQuery(
+    "e1_gold_enrich_shape",
+    (s, d) => {
+      val fact = Tables.orders(s, d)
+        .withColumnRenamed("o_custkey", "employee_id")
+        .withColumn("total_price", col("o_totalprice").try_cast("double"))
+      val dim = Tables.customer(s, d)
+        .withColumnRenamed("c_custkey", "employee_id")
+        .withColumnRenamed("c_name", "employee_name")
+        .select("employee_id", "employee_name", "c_mktsegment")
+      fact
+        .join(broadcast(dim), Seq("employee_id"), "left")
+        .withColumn("gold_processing_date", lit("2026-01-01"))
+        .select(col("o_orderkey"), col("employee_id"), col("employee_name"),
+          col("c_mktsegment"), col("total_price"), col("gold_processing_date"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey AS employee_id,
+              c_name AS employee_name, c_mktsegment,
+              CAST(o_totalprice AS DOUBLE) AS total_price,
+              '2026-01-01' AS gold_processing_date
+            FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_orderkey"""))
+
+  /** Multimodal plumbing: treat document text bytes as an opaque binary
+    * payload (stand-in for image/audio), carry typed metadata, run a
+    * deterministic stub "decoder" (real decode libs are absent in this
+    * environment — SURVEY.md §7.3): byte length + pseudo width/height
+    * derived from the payload hash. The Spark-side schema/partitioning/
+    * batch shape is real; only the codec is fake. */
+  val multimodalMeta: GQuery = GQuery(
+    "m1_multimodal_decode_stub",
+    (s, d) => {
+      val payload = Tables.documents(s, d)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"),
+          col("source"))
+      payload.select(
+        col("doc_id"), col("source"),
+        octet_length(col("payload")).as("n_bytes"),
+        // stub codec: dims from the byte-length hash (deterministic)
+        (pmod(octet_length(col("payload")) * 2654435761L, lit(1920L)) + 1)
+          .as("width"),
+        (pmod(octet_length(col("payload")) * 40503L, lit(1080L)) + 1)
+          .as("height"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id, source, strlen(text) AS n_bytes,
+              (strlen(text) * 2654435761) % 1920 + 1 AS width,
+              (strlen(text) * 40503) % 1080 + 1 AS height
+            FROM documents ORDER BY doc_id"""))
+
+  /** S11 raw-parquet escape hatch + U1: per-file scan union with a
+    * provenance column, deterministic order. */
+  val unionScan: GQuery = GQuery(
+    "s11_multi_scan_union",
+    (s, d) => {
+      val a = Tables.nation(s, d).withColumn("src", lit("nation"))
+        .select(col("n_nationkey").as("key"), col("n_name").as("name"), col("src"))
+      val b = Tables.region(s, d).withColumn("src", lit("region"))
+        .select(col("r_regionkey").as("key"), col("r_name").as("name"), col("src"))
+      a.unionByName(b).orderBy(col("src"), col("key"))
+    },
+    Some("""SELECT * FROM (
+              SELECT n_nationkey AS key, n_name AS name, 'nation' AS src
+              FROM nation
+              UNION ALL
+              SELECT r_regionkey, r_name, 'region' FROM region)
+            ORDER BY src, key"""))
+
+  val all: Seq[GQuery] = Seq(goldEnrich, multimodalMeta, unionScan)
 }

@@ -1,5 +1,151 @@
 package graft.queries
-import graft.GQuery
+
+import graft.{GQuery, Tables}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, gate-checked on
+  * the documents table. Shared cross-engine primitive: the polynomial
+  * rolling hash (see TextFunctions.polyHash ↔ the list_reduce fold in
+  * the oracles). */
 object Text {
-  val all: Seq[GQuery] = Seq()
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** DuckDB fragment: whitespace tokens of lowercased text. */
+  private val SqlToks =
+    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+
+  val tokenStats: GQuery = GQuery(
+    "t1_token_stats",
+    (s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          tokenCount(col("text")).as("n_tokens"),
+          size(tokenSet(col("text"))).as("n_distinct"),
+          tokenCountBpe(col("text")).as("n_bpe"),
+          round(meanTokenLen(col("text")), 4).as("mean_tok_len"))
+        .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+            len($SqlToks) AS n_tokens,
+            len(list_distinct($SqlToks)) AS n_distinct,
+            len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_bpe,
+            round(CASE WHEN len($SqlToks) = 0 THEN 0.0
+              ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform($SqlToks, t -> CAST(length(t) AS BIGINT))),
+                     (a, b) -> a + b) AS DOUBLE) / len($SqlToks) END, 4)
+              AS mean_tok_len
+            FROM documents ORDER BY doc_id"""))
+
+  val quality: GQuery = GQuery(
+    "t2_quality_score",
+    (s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
+          round(punctRatio(col("text")), 4).as("punct_ratio"),
+          round(alphaRatio(col("text")), 4).as("alpha_ratio"),
+          qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (
+              SELECT doc_id, text, $SqlToks AS toks,
+                CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
+            SELECT doc_id,
+            round(CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE CAST(len(list_filter(toks, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','are','was',
+                 'for','on','with','as','by','at','it','this','that'], x)))
+                AS DOUBLE) / len(toks) END, 4) AS stopword_ratio,
+            round(CASE WHEN n_chars = 0 THEN 0.0
+              ELSE (n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                / n_chars END, 4) AS punct_ratio,
+            round(CASE WHEN n_chars = 0 THEN 0.0
+              ELSE (n_chars - length(regexp_replace(lower(text), '[a-z ]', '', 'g')))
+                / n_chars END, 4) AS alpha_ratio,
+            round(
+              least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+              + (CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE (n_chars - length(regexp_replace(lower(text), '[a-z ]', '', 'g')))
+                   / n_chars END) * 0.3
+              + (1.0 - CASE WHEN n_chars = 0 THEN 0.0
+                 ELSE (n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+                   / n_chars END) * 0.2
+              + (CASE WHEN len(toks) = 0 THEN 0.0
+                 ELSE CAST(len(list_filter(toks, x -> list_contains(
+                  ['the','a','an','and','or','of','to','in','is','are','was',
+                   'for','on','with','as','by','at','it','this','that'], x)))
+                  AS DOUBLE) / len(toks) END) * 0.2, 4) AS quality
+            FROM t ORDER BY doc_id"""))
+
+  val langIdQ: GQuery = GQuery(
+    "t3_lang_id",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, list_distinct($SqlToks) AS ts
+              FROM documents),
+            sc AS (SELECT doc_id,
+              len(list_intersect(ts, ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+              len(list_intersect(ts, ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+              len(list_intersect(ts, ['el','la','los','las','y','de','que','es','en','por'])) AS s_es,
+              len(list_intersect(ts, ['der','die','das','und','ist','von','mit','den','nicht','ein'])) AS s_de
+              FROM t),
+            mx AS (SELECT *, greatest(s_en, s_fr, s_es, s_de) AS m FROM sc)
+            SELECT doc_id,
+              CASE WHEN m = 0 THEN 'unknown'
+                   WHEN s_en = m THEN 'en' WHEN s_fr = m THEN 'fr'
+                   WHEN s_es = m THEN 'es' ELSE 'de' END AS lang_guess
+            FROM mx ORDER BY doc_id"""))
+
+  val fingerprintQ: GQuery = GQuery(
+    "t4_fingerprint",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+          md5(normalizedText(col("text"))).as("fp_md5"))
+        .orderBy(col("doc_id")),
+    Some("""WITH n AS (SELECT doc_id,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+              FROM documents)
+            SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(norm, ''),
+                  c -> CAST(ord(c) AS BIGINT))),
+                (h, c) -> (h * 31 + c) % 1000000007) AS fp,
+              md5(norm) AS fp_md5
+            FROM n ORDER BY doc_id"""))
+
+  /** Word-3-gram shingling, the substrate of MinHash: count + first
+    * shingle + its polynomial hash. */
+  val shinglesQ: GQuery = GQuery(
+    "t5_shingles",
+    (s, d) =>
+      docs(s, d)
+        .select(
+          col("doc_id"),
+          size(wordShingles(col("text"), 3)).as("n_shingles"),
+          get(wordShingles(col("text"), 3), lit(0)).as("first_shingle"),
+          get(transform(wordShingles(col("text"), 3), sh => polyHash(sh)), lit(0))
+            .as("first_shingle_hash"))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            sh AS (SELECT doc_id,
+              list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' ')) AS shingles
+              FROM t)
+            SELECT doc_id, len(shingles) AS n_shingles,
+              shingles[1] AS first_shingle,
+              CASE WHEN len(shingles) = 0 THEN NULL
+                ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(shingles[1], ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007) END AS first_shingle_hash
+            FROM sh ORDER BY doc_id"""))
+
+  val all: Seq[GQuery] = Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ)
 }

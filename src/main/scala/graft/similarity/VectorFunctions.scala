@@ -1,0 +1,116 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (array<float>).
+  *
+  * Two paths, as a 100 TB pipeline needs:
+  *  - brute-force exact top-k: broadcast the (small) query set against
+  *    the corpus — one pass, no shuffle of the corpus, exact results.
+  *  - LSH-bucketed ANN: sign-random-projection code per vector (row-local),
+  *    then candidate generation joins only within buckets. The hyperplanes
+  *    are pseudo-random but fully deterministic (integer-arithmetic
+  *    coefficients) so results are reproducible and oracle-checkable.
+  *
+  * All math in double precision with left-to-right fold order, matching
+  * DuckDB's list_cosine_similarity for exact cross-engine comparison.
+  */
+object VectorFunctions {
+
+  /** Dot product of two equal-length numeric arrays (double fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0, lit(0.0)).otherwise(d / n)
+  }
+
+  /** Deterministic pseudo-random hyperplane coefficient in [-1, 1]:
+    * plane j, dimension i. Integer arithmetic only (SQL-reproducible). */
+  def planeCoef(j: Column, i: Column, dim: Int): Column =
+    (((lit(2654435761L) * (j * dim + i + 1)) % 1000000007L) % 2001L - 1000L)
+      .cast("double") / 1000.0
+
+  private val Pow2 = lit((0 to 33).map(b => 1L << b).toArray)
+
+  /** Sign-random-projection LSH code with `planes` bits: bit j is set
+    * iff dot(v, hyperplane_j) > 0. */
+  def lshCode(v: Column, planes: Int, dim: Int): Column =
+    aggregate(
+      transform(
+        sequence(lit(0), lit(planes - 1)),
+        j => {
+          val proj = aggregate(
+            zip_with(v, sequence(lit(0), lit(dim - 1)),
+              (x, i) => x.cast("double") * planeCoef(j, i, dim)),
+            lit(0.0), (acc, x) => acc + x)
+          when(proj > 0, get(Pow2, j)).otherwise(lit(0L))
+        }),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Exact brute-force top-k neighbors for each query vector.
+    * The query set is broadcast; corpus is scanned once. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      // ranking key rounded so rank order is identical across engines
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** ANN via LSH buckets: candidates share the full code (exact-bucket
+    * variant); each candidate verified with exact cosine. Recall trades
+    * off with `planes`; at scale the bucket join replaces the O(n·q)
+    * scan with per-bucket joins. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int,
+      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val code = (c: Column) => lshCode(c, planes, dim)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      code(col(vecCol)).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      code(col(vecCol)).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH blocking:
+    * same-bucket pairs with cosine >= threshold. */
+  def cosineNearDups(corpus: DataFrame, threshold: Double, planes: Int,
+      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withCode = corpus.select(col(idCol), col(vecCol),
+      lshCode(col(vecCol), planes, dim).as("bucket"))
+    val l = withCode.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val r = withCode.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    l.join(r, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.etl.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** CDC ingest as Structured Streaming (SURVEY.md §3.1 / §2.7):
+  * envelope decode (S4) → insert-only filter (P11) → µs-epoch decode (F1)
+  * → processing metadata (F5) → transactional parquet sink (S5/S8) with
+  * checkpointing, plus a CSV mirror via foreachBatch (S12).
+  *
+  * Source abstraction: the runtime image carries no Kafka connector, so
+  * the stream arrives as a raw `value: string` column from any source —
+  * file stream here (tests drive it with JSON-lines drops), and the
+  * identical pipeline binds to `readStream.format("kafka")` where that
+  * connector exists (the reference's own prototype:
+  * bronze/consume_data2.py:24-30).
+  *
+  * Semantics vs the reference (documented divergences, SURVEY.md §2.7):
+  *  - ST1/ST2 count-based flush + 5s idle flush → ProcessingTime trigger
+  *    (≤ trigger-interval latency subsumes the idle-flush requirement).
+  *  - ST4 at-least-once + in-memory dedup set → checkpointed exactly-once
+  *    (strictly stronger; dropDuplicates("ID") still applied in-batch).
+  */
+object BronzeIngest {
+
+  /** Decode raw Debezium-envelope JSON values into activity rows. */
+  def decode(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value"), Schemas.debeziumEnvelope).as("env"))
+      .filter(col("env.payload.op") === "c" &&
+        col("env.payload.after").isNotNull)
+      .select(col("env.payload.after.*"))
+      .withColumn("Date_de_debut", timestamp_micros(col("Date_de_debut")))
+      .withColumn("Date_de_fin", timestamp_micros(col("Date_de_fin")))
+      .withColumn("processing_timestamp", current_timestamp())
+
+  /** File-based raw stream: each dropped file = a batch of JSON lines. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .option("maxFilesPerTrigger", 10) // bounded micro-batches (ST1 analog)
+      .load(dir)
+      .withColumnRenamed("value", "value")
+
+  /** Start the bronze ingest: parquet main sink + optional CSV mirror,
+    * both written transactionally per micro-batch. */
+  def start(raw: DataFrame, bronzePath: String, checkpoint: String,
+      csvMirror: Option[String] = None,
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery = {
+    val decoded = decode(raw)
+    decoded.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val deduped = batch.dropDuplicates("ID")
+        deduped.persist()
+        deduped.write.mode("append").parquet(bronzePath)
+        csvMirror.foreach { p =>
+          deduped.write.mode("append").option("header", "true").csv(p)
+        }
+        deduped.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Batch replay of a backlog directory (S2/S3: bounded read from
+    * "earliest"), same decode path. */
+  def batchReplay(spark: SparkSession, dir: String): DataFrame =
+    decode(spark.read.format("text").load(dir))
+}
+
+/** Incremental bronze→gold propagation as a stream (ST7 "proper"
+  * variant): stream new bronze files, enrich each micro-batch with the
+  * broadcast dims, append to gold. */
+object GoldStream {
+  def start(spark: SparkSession, bronzePath: String, sportive: DataFrame,
+      hr: DataFrame, goldPath: String, checkpoint: String): StreamingQuery = {
+    val bronze = spark.readStream
+      .schema(Schemas.activity.add("processing_timestamp",
+        org.apache.spark.sql.types.TimestampType))
+      .parquet(bronzePath)
+    val sp = sportive.withColumnRenamed("ID salarié", "ID_salarie")
+    val h = hr.withColumnRenamed("ID salarié", "ID_salarie")
+    bronze
+      .join(broadcast(sp), Seq("ID_salarie"), "left")
+      .join(broadcast(h), Seq("ID_salarie"), "left")
+      .withColumn("gold_processing_timestamp", current_timestamp())
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", goldPath)
+      .start()
+  }
+}
+
+/** Event-time windowed aggregation with watermarking (ST8 — absent in
+  * the reference, provided as the Spark-native capability a scaled
+  * deployment needs): per event-type counts over tumbling windows,
+  * late data bounded by the watermark. */
+object WindowedStats {
+  def eventTypeCounts(events: DataFrame, window_ : String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+}

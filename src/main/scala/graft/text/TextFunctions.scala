@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, n-gram shingling, quality scoring, language-ID
+  * heuristics, and deterministic document fingerprinting.
+  *
+  * Everything here is a pure Column expression (higher-order array
+  * functions, no UDFs) so it stays inside Catalyst, distributes
+  * embarrassingly (per-row, no shuffle), and scales linearly to 100 TB:
+  * the only shuffles in the downstream dedup pipelines come from the
+  * groupBy/join stages, never from these row-local transforms.
+  *
+  * The base hash is a polynomial rolling hash mod 2^61-ish prime chosen
+  * to be exactly reproducible in ANSI SQL (DuckDB oracle parity):
+  * h = fold(chars)(h*31 + codepoint) % 1e9+7.
+  */
+object TextFunctions {
+
+  val HashPrime = 1000000007L
+
+  /** Whitespace tokens of lowercased text, empty strings dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
+
+  /** Distinct sorted token set (for set-similarity measures). */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary token count: words + punctuation marks as
+    * separate tokens (`\w+|[^\w\s]`), the standard pre-tokenizer shape. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  /** Word n-gram shingles joined with single spaces ("a b c" style). */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    when(size(t) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(t) - n),
+        j => concat_ws(" ", slice(t, j + 1, lit(n)))))
+  }
+
+  /** Character n-grams of the normalized (lower, collapsed-space) text. */
+  def charNgrams(text: Column, n: Int): Column = {
+    val s = regexp_replace(lower(trim(text)), "\\s+", " ")
+    when(length(s) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), length(s) - n),
+        j => substring(s, j + 1, lit(n))))
+  }
+
+  /** Deterministic polynomial rolling hash of a string, mod 1e9+7 —
+    * cross-engine reproducible (same fold in DuckDB via list_reduce).
+    * Used as the base hash for fingerprints, MinHash, and SimHash so the
+    * whole dedup pipeline is oracle-checkable. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31L + c) % HashPrime)
+
+  /** 32-bit variant (mod 2^32) — full-width bits for SimHash voting. */
+  def polyHash32(s: Column): Column =
+    aggregate(
+      transform(split(s, ""), c => ascii(c).cast("long")),
+      lit(0L),
+      (h, c) => (h * 31L + c) % 4294967296L)
+
+  /** Document fingerprint: rolling hash over the normalized text
+    * (lowercase, punctuation stripped, whitespace collapsed) — stable
+    * under formatting noise, exact under content change. Native
+    * expression kernel (same fold as [[polyHash]]). */
+  def fingerprint(text: Column): Column =
+    graft.expressions.TextHashExpressions.poly_hash(normalizedText(text))
+
+  /** Canonical text form for near-exact comparison. */
+  def normalizedText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  // ---- quality scoring (length / punctuation / stopword ratios) ----
+
+  val EnStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "by", "at", "it", "this", "that")
+
+  /** Fraction of tokens that are (English) stopwords; 0 for empty docs. */
+  def stopwordRatio(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      size(filter(t, x => x.isin(EnStopwords: _*))).cast("double") / size(t))
+  }
+
+  /** Fraction of characters that are punctuation. */
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[\\p{Punct}]", "")))
+        .cast("double") / length(text))
+
+  /** Fraction of characters that are ASCII letters or spaces. */
+  def alphaRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(lower(text), "[a-z ]", "")))
+        .cast("double") / length(text))
+
+  /** Mean token length (0 for empty). */
+  def meanTokenLen(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) === 0, lit(0.0)).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / size(t))
+  }
+
+  /** Composite document-quality score in [0,1] — linear mix of coverage
+    * signals (kept linear so the score is exactly cross-engine
+    * reproducible; no transcendental functions). */
+  def qualityScore(text: Column): Column =
+    round(
+      least(tokenCount(text).cast("double") / 100.0, lit(1.0)) * 0.3
+        + alphaRatio(text) * 0.3
+        + (lit(1.0) - punctRatio(text)) * 0.2
+        + stopwordRatio(text) * 0.2,
+      4)
+
+  // ---- language ID (marker-token heuristic) ----
+
+  /** Public-knowledge high-frequency marker words per language. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "que", "pour"),
+    "es" -> Seq("el", "la", "los", "las", "y", "de", "que", "es", "en", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"))
+
+  /** Marker-hit count for one language's marker set. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(tokenSet(text), lit(markers.toArray)))
+
+  /** Heuristic language guess: argmax of marker hits, first-listed wins
+    * ties, "unknown" when nothing matches. */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = greatest(scores.map(_._2): _*)
+    // foldRight nests first-listed language outermost → it wins ties
+    scores.foldRight(lit("unknown"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+}

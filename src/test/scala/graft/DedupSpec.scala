@@ -1,0 +1,81 @@
+package graft
+
+import graft.dedup.{Dedup => D}
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Dedup + text ops on planted fixtures: exact dupes, near-dupes with
+  * known Jaccard, native-vs-HOF hash implementations differential. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog!"), // exact dup after norm
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (6L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per normalized text") {
+    val kept = D.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L, 6L))) // 2 and 5 removed
+  }
+
+  test("minhash native expression == composed-HOF implementation") {
+    val both = docs.select(
+      D.minhashSignature(col("text")).as("native"),
+      D.minhashSignatureHof(col("text")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+    // empty text → all -1 sentinel
+    val empty = docs.filter(col("doc_id") === 6)
+      .select(D.minhashSignature(col("text"))).head.getSeq[Long](0)
+    assert(empty.forall(_ == -1L))
+  }
+
+  test("simhash native == HOF, and near-dup texts are close in Hamming") {
+    val both = docs.select(col("doc_id"), D.simhash(col("text")).as("n"),
+      D.simhashHof(col("text")).as("h"))
+    assert(both.filter(col("n") =!= col("h")).isEmpty)
+    val m = both.select(col("doc_id"), col("n")).as[(Long, Long)]
+      .collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(1L), m(3L)) < ham(m(1L), m(4L))) // near-dup closer than unrelated
+    assert(ham(m(1L), m(5L)) == 0) // identical text → identical simhash
+  }
+
+  test("minhash LSH finds the planted near-dup pairs") {
+    val pairs = D.minhashNearDups(docs, threshold = 0.2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 5L))) // exact dup pair
+    assert(pairs.contains((1L, 2L))) // normalized-identical tokens differ only by '!'
+    // unrelated doc 4 pairs with nothing
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("shingle jaccard: hand-computed value") {
+    // doc1 vs doc3: 9 tokens each → 7 shingles; lazy→sleepy changes the
+    // last two shingles → inter=5, union=9
+    val j = docs.filter(col("doc_id") === 1)
+      .crossJoin(docs.filter(col("doc_id") === 3).select(col("text").as("t2")))
+      .select(D.shingleJaccard(col("text"), col("t2"))).head.getDouble(0)
+    assert(j == 0.555556)
+  }
+
+  test("fingerprint is normalization-stable, discriminative") {
+    val fps = docs.select(col("doc_id"), fingerprint(col("text"))).as[(Long, Long)]
+      .collect().toMap
+    assert(fps(1L) == fps(2L) && fps(1L) == fps(5L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("langId marker heuristic") {
+    val got = Seq(
+      "the cat and the dog of the house",
+      "le chat et la maison de la ville est grande",
+      "der hund und die katze ist nicht hier",
+      "xyzzy plugh").toDF("text")
+      .select(langId(col("text"))).as[String].collect()
+    assert(got.sameElements(Array("en", "fr", "de", "unknown")))
+  }
+}
