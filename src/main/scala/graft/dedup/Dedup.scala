@@ -107,9 +107,25 @@ object Dedup {
       .withColumnRenamed("col", "bucket_key")
   }
 
+  /** Per-doc distinct shingle sets, computed once. Pair queries join
+    * THIS (the set rides through the shuffle materialized) instead of
+    * re-shingling the text per candidate pair — at scale the shingle
+    * computation is O(corpus), never O(candidates). */
+  def shingleSets(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+      array_distinct(wordShingles(col(textCol), n)).as("s3"))
+
+  /** Jaccard from two precomputed distinct-set columns. */
+  def setJaccard(sa: Column, sb: Column): Column = {
+    val inter = size(array_intersect(sa, sb)).cast("double")
+    val uni = size(array_union(sa, sb)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(round(inter / uni, 6))
+  }
+
   /** Candidate near-dup pairs from LSH banding (distinct id pairs that
     * share at least one band bucket), verified with exact shingle
-    * Jaccard >= threshold. */
+    * Jaccard >= threshold against the precomputed shingle sets. */
   def minhashNearDups(docs: DataFrame, threshold: Double = 0.5,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val bands = lshBands(docs, textCol, idCol)
@@ -118,10 +134,11 @@ object Dedup {
     val candidates = l.join(r, Seq("band", "bucket_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
-    val ta = docs.select(col(idCol).as("id_a"), col(textCol).as("text_a"))
-    val tb = docs.select(col(idCol).as("id_b"), col(textCol).as("text_b"))
-    candidates.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("jaccard", shingleJaccard(col("text_a"), col("text_b")))
+    val sets = shingleSets(docs, textCol, idCol)
+    val sa = sets.select(col(idCol).as("id_a"), col("s3").as("sa"))
+    val sb = sets.select(col(idCol).as("id_b"), col("s3").as("sb"))
+    candidates.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("jaccard", setJaccard(col("sa"), col("sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -175,7 +192,9 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hammingDist(col("sh_a"), col("sh_b")).as("dist"))
-      .distinct()
+      // filter BEFORE distinct: hot buckets (skewed corpora collide a
+      // lot on 8-bit slices) otherwise shuffle the full candidate set
       .filter(col("dist") <= maxDist)
+      .distinct()
   }
 }

@@ -92,18 +92,20 @@ object Analytics {
   val validationReport: GQuery = GQuery(
     "x4_validation_report",
     (s, d) => {
-      val flagged = li(s, d).select(
-        col("l_orderkey"), col("l_linenumber"),
-        (col("l_shipdate") > lit("1998-10-01").cast("timestamp")).as("f_future"),
-        (col("l_discount") > 0.08 && col("l_quantity") < 3).as("f_suspect"),
-        (col("l_returnflag") === "R" && col("l_quantity") > 45).as("f_range"))
-      val tagged = flagged
-        .select(col("l_orderkey"), col("l_linenumber"),
-          explode(array_compact(array(
-            when(col("f_future"), lit("future_dates")),
-            when(col("f_suspect"), lit("suspect_discount")),
-            when(col("f_range"), lit("range_violation"))))).as("rule"))
-      tagged.orderBy(col("rule"), col("l_orderkey"), col("l_linenumber"))
+      // union of pushdown-able filters: each branch's predicate reaches
+      // the parquet scan (vs explode-over-flags, which reads every row)
+      def rule(pred: org.apache.spark.sql.Column, name: String) =
+        li(s, d).filter(pred).select(col("l_orderkey"), col("l_linenumber"),
+          lit(name).as("rule"))
+      rule(col("l_shipdate") > lit("1998-10-01").cast("timestamp"),
+        "future_dates")
+        .unionByName(rule(
+          col("l_discount") > 0.08 && col("l_quantity") < 3,
+          "suspect_discount"))
+        .unionByName(rule(
+          col("l_returnflag") === "R" && col("l_quantity") > 45,
+          "range_violation"))
+        .orderBy(col("rule"), col("l_orderkey"), col("l_linenumber"))
     },
     Some("""SELECT l_orderkey, l_linenumber, rule FROM (
               SELECT l_orderkey, l_linenumber, 'future_dates' AS rule

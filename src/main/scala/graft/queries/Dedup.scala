@@ -73,12 +73,18 @@ object Dedup {
   val jaccardAdjacent: GQuery = GQuery(
     "d3_jaccard_adjacent",
     (s, d) => {
-      val a = docs(s, d).select(col("doc_id").as("id_a"), col("text").as("ta"))
-      val b = docs(s, d).select((col("doc_id") - 1).as("id_a"), col("text").as("tb"))
+      // sets computed once per doc, joined (never re-shingled per pair)
+      val sets = docs(s, d).select(col("doc_id"),
+        array_distinct(wordShingles(col("text"), 3)).as("s3"),
+        tokenSet(col("text")).as("s1"))
+      val a = sets.select(col("doc_id").as("id_a"),
+        col("s3").as("s3a"), col("s1").as("s1a"))
+      val b = sets.select((col("doc_id") - 1).as("id_a"),
+        col("s3").as("s3b"), col("s1").as("s1b"))
       a.join(b, "id_a")
         .select(col("id_a"),
-          D.shingleJaccard(col("ta"), col("tb")).as("jaccard3"),
-          D.tokenJaccard(col("ta"), col("tb")).as("jaccard1"))
+          D.setJaccard(col("s3a"), col("s3b")).as("jaccard3"),
+          D.setJaccard(col("s1a"), col("s1b")).as("jaccard1"))
         .orderBy(col("id_a"))
     },
     Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks, text FROM documents),
@@ -155,11 +161,13 @@ object Dedup {
             FROM hs ORDER BY doc_id"""))
 
   /** SimHash near-dup pairs via 8-bit band blocking + Hamming verify —
-    * structurally checked (rows-only oracle: banding in SQL would just
+    * maxDist=3 is the sound parameterization for 4 bands of a 32-bit
+    * hash (pigeonhole: ≤3 flipped bits guarantee one clean band).
+    * Structurally checked (rows-only oracle: banding in SQL would just
     * repeat d5; the pair semantics are covered by ScalaTest fixtures). */
   val simhashPairs: GQuery = GQuery(
     "d6_simhash_pairs",
-    (s, d) => D.simhashNearDups(docs(s, d), maxDist = 8)
+    (s, d) => D.simhashNearDups(docs(s, d), maxDist = 3)
       .orderBy(col("id_a"), col("id_b")),
     None)
 

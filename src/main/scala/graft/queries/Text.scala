@@ -130,8 +130,10 @@ object Text {
           col("doc_id"),
           size(wordShingles(col("text"), 3)).as("n_shingles"),
           get(wordShingles(col("text"), 3), lit(0)).as("first_shingle"),
-          get(transform(wordShingles(col("text"), 3), sh => polyHash(sh)), lit(0))
-            .as("first_shingle_hash"))
+          // hash only the first shingle (hashing all ~300 then taking
+          // element 0 costs 300× more)
+          graft.expressions.TextHashExpressions.poly_hash(
+            get(wordShingles(col("text"), 3), lit(0))).as("first_shingle_hash"))
         .orderBy(col("doc_id")),
     Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
             sh AS (SELECT doc_id,

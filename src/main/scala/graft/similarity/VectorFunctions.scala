@@ -28,8 +28,13 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0 when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0 when either vector has zero norm. Native
+    * single-pass kernel ([[cosineHof]] is the composed reference form —
+    * same sequential fold order, bit-identical). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.TextKernelExpressions.cosine_sim(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = {
     val d = dot(a, b)
     val n = norm(a) * norm(b)
     when(n === 0, lit(0.0)).otherwise(d / n)
@@ -44,8 +49,12 @@ object VectorFunctions {
   private val Pow2 = lit((0 to 33).map(b => 1L << b).toArray)
 
   /** Sign-random-projection LSH code with `planes` bits: bit j is set
-    * iff dot(v, hyperplane_j) > 0. */
+    * iff dot(v, hyperplane_j) > 0. Native kernel; [[lshCodeHof]] is the
+    * composed reference form. */
   def lshCode(v: Column, planes: Int, dim: Int): Column =
+    graft.expressions.TextKernelExpressions.lsh_code(v, planes, dim)
+
+  def lshCodeHof(v: Column, planes: Int, dim: Int): Column =
     aggregate(
       transform(
         sequence(lit(0), lit(planes - 1)),

@@ -21,8 +21,12 @@ object TextFunctions {
 
   val HashPrime = 1000000007L
 
-  /** Whitespace tokens of lowercased text, empty strings dropped. */
+  /** Whitespace tokens of lowercased text, empty strings dropped.
+    * Native kernel; [[tokensHof]] is the composed reference form. */
   def tokens(text: Column): Column =
+    graft.expressions.TextKernelExpressions.tokenize(text)
+
+  def tokensHof(text: Column): Column =
     filter(split(lower(trim(text)), "\\s+"), t => t =!= "")
 
   /** Distinct sorted token set (for set-similarity measures). */
@@ -36,9 +40,13 @@ object TextFunctions {
   def tokenCountBpe(text: Column): Column =
     size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
 
-  /** Word n-gram shingles joined with single spaces ("a b c" style). */
-  def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
+  /** Word n-gram shingles joined with single spaces ("a b c" style).
+    * Native kernel; [[wordShinglesHof]] is the composed reference form. */
+  def wordShingles(text: Column, n: Int): Column =
+    graft.expressions.TextKernelExpressions.word_shingles(text, n)
+
+  def wordShinglesHof(text: Column, n: Int): Column = {
+    val t = tokensHof(text)
     when(size(t) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(0), size(t) - n),

@@ -1,0 +1,51 @@
+package graft
+
+import graft.similarity.VectorFunctions
+import graft.text.TextFunctions._
+import org.apache.spark.sql.functions._
+
+/** Differential tests: every native kernel expression must be
+  * bit-identical to its composed-HOF reference form on real data. */
+class KernelSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sf)
+  lazy val embs = Tables.embeddings(spark, sf)
+
+  test("tokenize kernel == HOF on all documents") {
+    val diff = docs.select(tokens(col("text")).as("a"),
+      tokensHof(col("text")).as("b")).filter(col("a") =!= col("b"))
+    assert(diff.isEmpty)
+    // whitespace edge cases
+    import spark.implicits._
+    val edge = Seq("  a\tb\nc  ", "", "   ", "ONE two\rTHREE").toDF("text")
+    assert(edge.select(tokens(col("text")).as("a"),
+      tokensHof(col("text")).as("b")).filter(col("a") =!= col("b")).isEmpty)
+  }
+
+  test("word-shingles kernel == HOF on all documents") {
+    val diff = docs.select(wordShingles(col("text"), 3).as("a"),
+      wordShinglesHof(col("text"), 3).as("b")).filter(col("a") =!= col("b"))
+    assert(diff.isEmpty)
+  }
+
+  test("cosine kernel == HOF on embedding pairs (bit-identical)") {
+    val a = embs.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = embs.filter(col("vec_id").between(30, 60))
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.crossJoin(b)
+    val diff = pairs.select(
+      VectorFunctions.cosine(col("va"), col("vb")).as("n"),
+      VectorFunctions.cosineHof(col("va"), col("vb")).as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(diff.isEmpty)
+  }
+
+  test("lsh-code kernel == HOF on all embeddings (bit-identical)") {
+    val diff = embs.select(
+      VectorFunctions.lshCode(col("embedding"), 8, 64).as("n"),
+      VectorFunctions.lshCodeHof(col("embedding"), 8, 64).as("h"))
+      .filter(col("n") =!= col("h"))
+    assert(diff.isEmpty)
+  }
+}
