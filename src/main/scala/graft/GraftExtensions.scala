@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Engine extension surface: inject the graft native expressions into a
+  * session's SQL function registry via the standard extensions hook —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+    def info(name: String) =
+      new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    e.injectFunction((FunctionIdentifier("graft_poly_hash"),
+      info("graft_poly_hash"),
+      (exprs: Seq[Expression]) => expressions.PolyHashExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_simhash32"),
+      info("graft_simhash32"),
+      (exprs: Seq[Expression]) =>
+        expressions.SimHash32Expr(expressions.TokenizeExpr(exprs.head))))
+    e.injectFunction((FunctionIdentifier("graft_tokenize"),
+      info("graft_tokenize"),
+      (exprs: Seq[Expression]) => expressions.TokenizeExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine"),
+      (exprs: Seq[Expression]) =>
+        expressions.CosineSimExpr(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("graft_lang_id"),
+      info("graft_lang_id"),
+      (exprs: Seq[Expression]) => expressions.LangIdExpr(exprs.head,
+        text.TextFunctions.LangMarkers)))
+  }
+}
+
+/** Canonical session factory for the engine: UTC, AQE, right-sized
+  * shuffle partitions, graft extensions pre-registered. */
+object GraftSession {
+  def builder(master: String = "local[*]",
+      shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+}

@@ -1,0 +1,105 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.types._
+
+/** Marker-based language ID as one kernel: distinct tokens intersected
+  * with each language's marker set, argmax with first-listed priority,
+  * "unknown" when no marker hits. Replaces 4 tokenize+intersect
+  * pipelines + an argmax when-chain that Catalyst re-inlines per
+  * comparison (~12 tokenizations/row → 1). Semantics locked to the
+  * t3_lang_id DuckDB oracle. */
+case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+
+  @transient private lazy val markerSets: Array[(UTF8String, Set[String])] =
+    markers.map { case (l, ms) => (UTF8String.fromString(l), ms.toSet) }.toArray
+  @transient private lazy val unknown = UTF8String.fromString("unknown")
+
+  override def nullSafeEval(v: Any): Any = {
+    val toks = TextKernels.tokenize(v.asInstanceOf[UTF8String]).toSet
+    var bestIdx = -1
+    var bestScore = 0
+    var i = 0
+    while (i < markerSets.length) {
+      var score = 0
+      val ms = markerSets(i)._2
+      toks.foreach(t => if (ms.contains(t)) score += 1)
+      // strict '>' keeps the first-listed language on ties
+      if (score > bestScore) { bestScore = score; bestIdx = i }
+      i += 1
+    }
+    if (bestIdx < 0) unknown else markerSets(bestIdx)._1
+  }
+  override def prettyName: String = "graft_lang_id"
+  override protected def withNewChildInternal(c: Expression): LangIdExpr =
+    copy(child = c)
+}
+
+/** One-pass text statistics struct:
+  * (n_tokens, n_distinct, sum_token_len, n_stopword_tokens,
+  *  n_chars, n_punct_chars, n_nonalpha_chars).
+  * The quality/ratio queries project fields off a single evaluation
+  * instead of re-tokenizing per output column. Character classes match
+  * the HOF forms: punct = ASCII \p{Punct}; alpha = [a-z ] of the
+  * lowercased text. */
+case class TextStatsExpr(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_nonalpha", IntegerType, nullable = false)))
+
+  @transient private lazy val stopSet = stopwords.toSet
+
+  override def nullSafeEval(v: Any): Any = {
+    val s = v.asInstanceOf[UTF8String].toString
+    val toks = TextKernels.tokenize(UTF8String.fromString(s))
+    var sumLen = 0L
+    var nStop = 0
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      sumLen += toks(i).length
+      if (stopSet.contains(toks(i))) nStop += 1
+      distinct.add(toks(i))
+      i += 1
+    }
+    // character classes over the original string (codepoint count
+    // parity with Spark length(): UTF-16 units for BMP text)
+    var nPunct = 0
+    var nNonAlpha = 0
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      if (c >= '!' && c <= '~' &&
+        !Character.isLetterOrDigit(c)) nPunct += 1
+      val lc = Character.toLowerCase(c)
+      if (!((lc >= 'a' && lc <= 'z') || lc == ' ')) nNonAlpha += 1
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(
+      toks.length, distinct.size, sumLen, nStop, s.length, nPunct, nNonAlpha)
+  }
+  override def prettyName: String = "graft_text_stats"
+  override protected def withNewChildInternal(c: Expression): TextStatsExpr =
+    copy(child = c)
+}
+
+object TextStatsExpressions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  import graft.text.TextFunctions
+
+  def lang_id(text: Column): Column =
+    column(LangIdExpr(expression(text), TextFunctions.LangMarkers))
+  def text_stats(text: Column): Column =
+    column(TextStatsExpr(expression(text), TextFunctions.EnStopwords))
+}

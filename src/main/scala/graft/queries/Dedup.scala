@@ -162,14 +162,39 @@ object Dedup {
 
   /** SimHash near-dup pairs via 8-bit band blocking + Hamming verify —
     * maxDist=3 is the sound parameterization for 4 bands of a 32-bit
-    * hash (pigeonhole: ≤3 flipped bits guarantee one clean band).
-    * Structurally checked (rows-only oracle: banding in SQL would just
-    * repeat d5; the pair semantics are covered by ScalaTest fixtures). */
+    * hash (pigeonhole: ≤3 flipped bits guarantee one clean band). */
   val simhashPairs: GQuery = GQuery(
     "d6_simhash_pairs",
     (s, d) => D.simhashNearDups(docs(s, d), maxDist = 3)
       .orderBy(col("id_a"), col("id_b")),
-    None)
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            hs AS (SELECT doc_id,
+              list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok, ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 4294967296)) AS hs
+              FROM t),
+            sh AS (SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(32), b ->
+                  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT) END)),
+                    (a2, v) -> a2 + v) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                (a2, v) -> a2 + v) AS sh
+              FROM hs),
+            banded AS (SELECT doc_id, sh, b AS band,
+              (sh >> (b*8)) & 255 AS slice
+              FROM sh, unnest(range(4)) AS u(b))
+            SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              bit_count(xor(l.sh, r.sh)) AS dist
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.slice = r.slice AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sh, r.sh)) <= 3
+            ORDER BY id_a, id_b"""))
 
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs)

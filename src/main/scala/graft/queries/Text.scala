@@ -19,15 +19,19 @@ object Text {
 
   val tokenStats: GQuery = GQuery(
     "t1_token_stats",
-    (s, d) =>
+    (s, d) => {
+      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
       docs(s, d)
         .select(
           col("doc_id"),
-          tokenCount(col("text")).as("n_tokens"),
-          size(tokenSet(col("text"))).as("n_distinct"),
+          st.getField("n_tokens").as("n_tokens"),
+          st.getField("n_distinct").as("n_distinct"),
           tokenCountBpe(col("text")).as("n_bpe"),
-          round(meanTokenLen(col("text")), 4).as("mean_tok_len"))
-        .orderBy(col("doc_id")),
+          round(when(st.getField("n_tokens") === 0, 0.0)
+            .otherwise(st.getField("sum_token_len").cast("double")
+              / st.getField("n_tokens")), 4).as("mean_tok_len"))
+        .orderBy(col("doc_id"))
+    },
     Some(s"""SELECT doc_id,
             len($SqlToks) AS n_tokens,
             len(list_distinct($SqlToks)) AS n_distinct,
@@ -41,15 +45,30 @@ object Text {
 
   val quality: GQuery = GQuery(
     "t2_quality_score",
-    (s, d) =>
+    (s, d) => {
+      // all ratios projected off ONE text-stats evaluation; the integer
+      // arithmetic below reproduces the HOF/oracle double math exactly
+      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+      val nTok = st.getField("n_tokens")
+      val nChars = st.getField("n_chars")
+      val stop = when(nTok === 0, lit(0.0))
+        .otherwise(st.getField("n_stop").cast("double") / nTok)
+      val punct = when(nChars === 0, lit(0.0))
+        .otherwise(st.getField("n_punct").cast("double") / nChars)
+      val alpha = when(nChars === 0, lit(0.0))
+        .otherwise((nChars - st.getField("n_nonalpha")).cast("double") / nChars)
       docs(s, d)
         .select(
           col("doc_id"),
-          round(stopwordRatio(col("text")), 4).as("stopword_ratio"),
-          round(punctRatio(col("text")), 4).as("punct_ratio"),
-          round(alphaRatio(col("text")), 4).as("alpha_ratio"),
-          qualityScore(col("text")).as("quality"))
-        .orderBy(col("doc_id")),
+          round(stop, 4).as("stopword_ratio"),
+          round(punct, 4).as("punct_ratio"),
+          round(alpha, 4).as("alpha_ratio"),
+          round(
+            least(nTok.cast("double") / 100.0, lit(1.0)) * 0.3
+              + alpha * 0.3 + (lit(1.0) - punct) * 0.2 + stop * 0.2,
+            4).as("quality"))
+        .orderBy(col("doc_id"))
+    },
     Some(s"""WITH t AS (
               SELECT doc_id, text, $SqlToks AS toks,
                 CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
@@ -84,7 +103,9 @@ object Text {
     "t3_lang_id",
     (s, d) =>
       docs(s, d)
-        .select(col("doc_id"), langId(col("text")).as("lang_guess"))
+        .select(col("doc_id"),
+          graft.expressions.TextStatsExpressions.lang_id(col("text"))
+            .as("lang_guess"))
         .orderBy(col("doc_id")),
     Some(s"""WITH t AS (SELECT doc_id, list_distinct($SqlToks) AS ts
               FROM documents),

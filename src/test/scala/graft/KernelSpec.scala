@@ -41,6 +41,31 @@ class KernelSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("lang-id kernel == HOF on all documents") {
+    val diff = docs.select(
+      graft.expressions.TextStatsExpressions.lang_id(col("text")).as("a"),
+      langId(col("text")).as("b")).filter(col("a") =!= col("b"))
+    assert(diff.isEmpty)
+  }
+
+  test("text-stats kernel reproduces the HOF ratios on all documents") {
+    val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+    val diff = docs.select(
+      (st.getField("n_tokens") === tokenCount(col("text"))).as("c1"),
+      (when(st.getField("n_tokens") === 0, 0.0)
+        .otherwise(st.getField("n_stop").cast("double")
+          / st.getField("n_tokens")) === stopwordRatio(col("text"))).as("c2"),
+      (when(st.getField("n_chars") === 0, 0.0)
+        .otherwise(st.getField("n_punct").cast("double")
+          / st.getField("n_chars")) === punctRatio(col("text"))).as("c3"),
+      (when(st.getField("n_chars") === 0, 0.0)
+        .otherwise((st.getField("n_chars") - st.getField("n_nonalpha"))
+          .cast("double") / st.getField("n_chars"))
+        === alphaRatio(col("text"))).as("c4"))
+      .filter(!col("c1") || !col("c2") || !col("c3") || !col("c4"))
+    assert(diff.isEmpty)
+  }
+
   test("lsh-code kernel == HOF on all embeddings (bit-identical)") {
     val diff = embs.select(
       VectorFunctions.lshCode(col("embedding"), 8, 64).as("n"),

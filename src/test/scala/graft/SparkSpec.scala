@@ -11,13 +11,10 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-tests")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // GraftSession builder so the extension-injected functions are live
+    // in every suite (getOrCreate reuses one session per JVM)
+    val s = GraftSession.builder("local[4]", shufflePartitions = 4)
+      .appName("graft-tests").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
