@@ -63,6 +63,18 @@ object Relational {
     (s, d) => li(s, d).agg(count(lit(1)).as("n")),
     Some("SELECT count(*) AS n FROM lineitem"))
 
+  /** A2b: approximate distinct via HLL sketch (the 100 TB path for A2 —
+    * one pass, bounded memory, mergeable partials). No oracle: DuckDB's
+    * HLL is a different implementation; plausibility asserted in
+    * RelationalPropsSpec (error < 5% vs exact). */
+  val qApproxDistinct: GQuery = GQuery(
+    "a2b_approx_distinct",
+    (s, d) =>
+      li(s, d).agg(
+        approx_count_distinct(col("l_partkey")).as("approx_part"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supp")),
+    None)
+
   /** A2: exact distinct counts (ID.nunique analog). */
   val qDistinctCount: GQuery = GQuery(
     "a2_distinct_count",
@@ -326,9 +338,35 @@ object Relational {
         .orderBy(col("event_id")),
     Some("""SELECT event_id, user_id, value FROM events ORDER BY event_id"""))
 
+  /** As-of join (beyond the reference): for each purchase, the latest
+    * click by the same user at-or-before it — graft.operators.AsOfJoin
+    * (union + one window = one shuffle) vs DuckDB's native ASOF JOIN. */
+  val qAsof: GQuery = GQuery(
+    "j6_asof_join",
+    (s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+      graft.operators.AsOfJoin
+        .asofJoin(purchases, clicks, key = "user_id", ts = "ts_ns",
+          rightTiebreak = "event_id", rightCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_ts").as("click_ts_ns"),
+          col("asof_event_id").as("click_event_id"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id,
+              epoch_ns(c.ts) AS click_ts_ns, c.event_id AS click_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id"""))
+
   val all: Seq[GQuery] = Seq(
     q1Agg, qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qUnion, qSetDiff,
-    qOrderedExport)
+    qOrderedExport, qAsof, qApproxDistinct)
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{AsOfJoin, SkewJoin}
+import org.apache.spark.sql.functions._
+
+/** Operator-level specs: as-of join semantics, salted skew join
+  * equivalence, bucketed co-located join (shuffle elimination proof). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join: latest right row at-or-before each left row") {
+    val trades = Seq((1L, "A", 100L), (2L, "A", 205L), (3L, "B", 50L))
+      .toDF("trade_id", "sym", "t")
+    val quotes = Seq(
+      (10L, "A", 90L), (11L, "A", 100L), (12L, "A", 210L),
+      (13L, "B", 60L)).toDF("quote_id", "sym", "t")
+    val got = AsOfJoin.asofJoin(trades, quotes, "sym", "t",
+      rightTiebreak = "quote_id", rightCols = Seq("quote_id"))
+      .select($"trade_id", $"asof_quote_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got(1L).contains(11L)) // equal ts matches (<=)
+    assert(got(2L).contains(11L)) // 210 > 205 excluded
+    assert(got(3L).isEmpty) // only future quote for B
+  }
+
+  test("as-of tie on right ts: highest tiebreak wins deterministically") {
+    val l = Seq((1L, "A", 100L)).toDF("lid", "k", "t")
+    val r = Seq((7L, "A", 90L), (9L, "A", 90L), (8L, "A", 90L))
+      .toDF("rid", "k", "t")
+    val got = AsOfJoin.asofJoin(l, r, "k", "t", "rid", Seq("rid"))
+      .select($"asof_rid").as[Long].head()
+    assert(got == 9L)
+  }
+
+  test("salted join == plain join on skewed data") {
+    // 90% of rows share one key (the skew case)
+    val fact = spark.range(10000).select(
+      when($"id" % 10 === 0, $"id" % 7).otherwise(lit(42L)).as("k"),
+      $"id".as("v"))
+    val dim = spark.range(50).select($"id".as("k"), ($"id" * 2).as("w"))
+    val plain = fact.join(dim, "k").agg(sum($"v" + $"w")).head.getLong(0)
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 8)
+      .agg(sum($"v" + $"w")).head.getLong(0)
+    assert(plain == salted)
+    assert(SkewJoin.saltedCount(fact, "k", 8)
+      .agg(sum("n")).head.getLong(0) == 10000L)
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    // default warehouse dir (spark-warehouse/, gitignored); tables
+    // dropped in finally
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_cust")
+    Tables.orders(spark, sf).write.bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("b_orders")
+    Tables.customer(spark, sf).withColumnRenamed("c_custkey", "o_custkey")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_cust")
+    // disable auto-broadcast so the join would otherwise shuffle
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_orders").join(spark.table("b_cust"), "o_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(joined.count() == Tables.orders(spark, sf).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_cust")
+    }
+  }
+}

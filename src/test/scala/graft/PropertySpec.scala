@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.{RefUdfs, ScalarFunctions => F}
+import graft.expressions.TextKernels
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests (SURVEY.md §5 plan): totality and invariants of the
+  * scalar/text kernels — driver-side where the function is pure JVM,
+  * one vectorized Spark pass for the Column forms. ScalaCheck
+  * generators driven directly (no scalatestplus bridge in the offline
+  * cache) with a fixed seed for reproducibility. */
+class PropertySpec extends AnyFunSuite {
+
+  /** 300 deterministic samples of a generator. */
+  private def forAll[A](gen: Gen[A])(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    (1 to 300).foreach { i =>
+      gen.apply(Gen.Parameters.default.withSize(i % 100), seed)
+        .foreach(f)
+      seed = seed.next
+    }
+  }
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb)) { case (a, b) => f(a, b) }
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  test("py3g/%.3g formatting is total and 3-significant") {
+    forAll(Gen.chooseNum(0.001, 9.99e6)) { (v: Double) =>
+      val s = RefUdfs.py3g(v)
+      assert(s.nonEmpty)
+      val digits = s.takeWhile(_ != 'e').filter(_.isDigit).dropWhile(_ == '0')
+      assert(digits.length <= 3) // never more than 3 significant digits
+    }
+    assert(RefUdfs.formatDistance(Some(0.0)) == "0 m")
+  }
+
+  test("french duration is total and uses plural only above 1") {
+    forAll(Gen.chooseNum(0L, 10_000_000L)) { (s: Long) =>
+      val out = RefUdfs.frenchDuration(s)
+      assert(out.nonEmpty)
+      if (s < 60) assert(out == "quelques secondes")
+      else assert(
+        !"(?<!\\d)1 (jours|heures|minutes)".r.unanchored.matches(out),
+        s"bare '1' with plural unit in: $out")
+    }
+  }
+
+  test("tokenize kernel: no empties, lowercase, order-preserving") {
+    forAll(Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.const(" "),
+      Gen.const("\t"), Gen.const("\n"))).map(_.mkString)) { (s: String) =>
+      val toks = TextKernels.tokenize(UTF8String.fromString(s))
+      assert(toks.forall(t => t.nonEmpty && t == t.toLowerCase))
+      // idempotent on its own output
+      val re = TextKernels.tokenize(UTF8String.fromString(toks.mkString(" ")))
+      assert(re.sameElements(toks))
+    }
+  }
+
+  test("polynomial hash: deterministic, in range, order-sensitive") {
+    val mod = 1000000007L
+    def h(s: String) = {
+      var acc = 0L
+      s.codePoints().forEach(cp => acc = (acc * 31 + cp) % mod)
+      acc
+    }
+    forAll2(Gen.alphaNumStr, Gen.alphaNumStr) { (a: String, b: String) =>
+      assert(h(a) >= 0 && h(a) < mod)
+      assert(h(a) == h(a))
+      whenever(a != b && a.length == b.length && a.nonEmpty) {
+        // (not a theorem, but collisions at these lengths would signal
+        // a broken fold; alphaNum strings ≤ ~30 chars)
+        assert(h(a + b) != h(b + a) || (a + b) == (b + a))
+      }
+    }
+  }
+
+  test("commuteLong flag is monotone in distance") {
+    lazy val spark = SparkSpec.session
+    import spark.implicits._
+    val dists = (0 to 60 by 5).map(_.toDouble)
+    val rows = for (m <- Seq("Marche/running", "Vélo/Trottinette/Autres",
+      "Voiture/Moto"); d <- dists) yield (m, d)
+    val got = rows.toDF("mode", "dist")
+      .select($"mode", $"dist", F.commuteLong($"mode", $"dist").as("f"))
+      .as[(String, Double, Boolean)].collect()
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_._2).map(_._3)
+      // once true, stays true as distance grows
+      assert(!sorted.zip(sorted.tail).exists { case (a, b) => a && !b })
+    }
+  }
+
+  test("approx_count_distinct within 5% of exact on lineitem") {
+    lazy val spark = SparkSpec.session
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("a"),
+      countDistinct(col("l_partkey")).as("e")).head
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05)
+  }
+}
