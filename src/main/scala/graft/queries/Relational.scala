@@ -344,21 +344,26 @@ object Relational {
   val qAsof: GQuery = GQuery(
     "j6_asof_join",
     (s, d) => {
-      val e = ev(s, d)
+      // µs timestamps on both sides: DuckDB floors parquet ns → µs on
+      // read, so the as-of comparison and output use the same precision
+      val e = ev(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       val purchases = e.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts_ns"))
+        .select(col("event_id"), col("user_id"), col("ts_us"))
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), col("ts_ns"))
+        .select(col("event_id"), col("user_id"), col("ts_us"))
       graft.operators.AsOfJoin
-        .asofJoin(purchases, clicks, key = "user_id", ts = "ts_ns",
+        .asofJoin(purchases, clicks, key = "user_id", ts = "ts_us",
           rightTiebreak = "event_id", rightCols = Seq("event_id"))
         .select(col("event_id"), col("user_id"),
-          col("asof_ts").as("click_ts_ns"),
-          col("asof_event_id").as("click_event_id"))
+          // -1 sentinel for no-match: a nullable int64 turns into
+          // lossy float64 in pandas-style comparators
+          coalesce(col("asof_ts"), lit(-1L)).as("click_ts_us"),
+          coalesce(col("asof_event_id"), lit(-1L)).as("click_event_id"))
         .orderBy(col("event_id"))
     },
     Some("""SELECT p.event_id, p.user_id,
-              epoch_ns(c.ts) AS click_ts_ns, c.event_id AS click_event_id
+              coalesce(epoch_us(c.ts), -1) AS click_ts_us,
+              coalesce(c.event_id, -1) AS click_event_id
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
             ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
               ON p.user_id = c.user_id AND p.ts >= c.ts

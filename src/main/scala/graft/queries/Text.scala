@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import graft.text.TextFunctions._
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines, gate-checked on
@@ -46,58 +46,71 @@ object Text {
   val quality: GQuery = GQuery(
     "t2_quality_score",
     (s, d) => {
-      // all ratios projected off ONE text-stats evaluation; the integer
-      // arithmetic below reproduces the HOF/oracle double math exactly
+      // All ratios projected off ONE text-stats evaluation, rounded via
+      // EXACT integer arithmetic: round_half_up(P/Q)·1e-4 computed as
+      // floor((2·P·1e4 + Q)/(2Q))/1e4. Double-round of a float sum sits
+      // on .00005 boundaries differently per engine (observed once in
+      // 5000 docs at sf0.1); integer rationals cannot.
       val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
-      val nTok = st.getField("n_tokens")
-      val nChars = st.getField("n_chars")
-      val stop = when(nTok === 0, lit(0.0))
-        .otherwise(st.getField("n_stop").cast("double") / nTok)
-      val punct = when(nChars === 0, lit(0.0))
-        .otherwise(st.getField("n_punct").cast("double") / nChars)
-      val alpha = when(nChars === 0, lit(0.0))
-        .otherwise((nChars - st.getField("n_nonalpha")).cast("double") / nChars)
+      val nTok = st.getField("n_tokens").cast("long")
+      val nChars = st.getField("n_chars").cast("long")
+      val nStop = st.getField("n_stop").cast("long")
+      val nPunct = st.getField("n_punct").cast("long")
+      val nAlpha = (nChars - st.getField("n_nonalpha")).cast("long")
+      def r4(p: Column, q: Column): Column =
+        when(q === 0, lit(0.0)).otherwise(
+          floor((p * 20000L + q) / (q * 2L)).cast("long").cast("double") / 10000.0)
+      // quality = 3·min(nt,100)·nc·nt/1000·nc·nt + ... over the common
+      // denominator 1000·nc·nt  →  P = 10·N, Q = nc·nt
+      val qN = least(nTok, lit(100L)) * nChars * nTok * 3L +
+        nAlpha * nTok * 300L + (nChars - nPunct) * nTok * 200L +
+        nStop * nChars * 200L
+      // token-less or empty docs are junk by definition: quality 0
+      val quality =
+        when(nTok === 0 || nChars === 0, lit(0.0))
+          .otherwise(
+            floor((qN * 20L + nChars * nTok) / (nChars * nTok * 2L))
+              .cast("long").cast("double") / 10000.0)
       docs(s, d)
         .select(
           col("doc_id"),
-          round(stop, 4).as("stopword_ratio"),
-          round(punct, 4).as("punct_ratio"),
-          round(alpha, 4).as("alpha_ratio"),
-          round(
-            least(nTok.cast("double") / 100.0, lit(1.0)) * 0.3
-              + alpha * 0.3 + (lit(1.0) - punct) * 0.2 + stop * 0.2,
-            4).as("quality"))
+          r4(nStop, nTok).as("stopword_ratio"),
+          r4(nPunct, nChars).as("punct_ratio"),
+          r4(nAlpha, nChars).as("alpha_ratio"),
+          quality.as("quality"))
         .orderBy(col("doc_id"))
     },
     Some(s"""WITH t AS (
               SELECT doc_id, text, $SqlToks AS toks,
-                CAST(length(text) AS DOUBLE) AS n_chars FROM documents)
-            SELECT doc_id,
-            round(CASE WHEN len(toks) = 0 THEN 0.0
-              ELSE CAST(len(list_filter(toks, x -> list_contains(
+                CAST(length(text) AS BIGINT) AS nc FROM documents),
+            c AS (SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS nt, nc,
+              CAST(len(list_filter(toks, x -> list_contains(
                 ['the','a','an','and','or','of','to','in','is','are','was',
                  'for','on','with','as','by','at','it','this','that'], x)))
-                AS DOUBLE) / len(toks) END, 4) AS stopword_ratio,
-            round(CASE WHEN n_chars = 0 THEN 0.0
-              ELSE (n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-                / n_chars END, 4) AS punct_ratio,
-            round(CASE WHEN n_chars = 0 THEN 0.0
-              ELSE (n_chars - length(regexp_replace(lower(text), '[a-z ]', '', 'g')))
-                / n_chars END, 4) AS alpha_ratio,
-            round(
-              least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
-              + (CASE WHEN n_chars = 0 THEN 0.0
-                 ELSE (n_chars - length(regexp_replace(lower(text), '[a-z ]', '', 'g')))
-                   / n_chars END) * 0.3
-              + (1.0 - CASE WHEN n_chars = 0 THEN 0.0
-                 ELSE (n_chars - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-                   / n_chars END) * 0.2
-              + (CASE WHEN len(toks) = 0 THEN 0.0
-                 ELSE CAST(len(list_filter(toks, x -> list_contains(
-                  ['the','a','an','and','or','of','to','in','is','are','was',
-                   'for','on','with','as','by','at','it','this','that'], x)))
-                  AS DOUBLE) / len(toks) END) * 0.2, 4) AS quality
-            FROM t ORDER BY doc_id"""))
+                AS BIGINT) AS ns,
+              nc - CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+                AS BIGINT) AS np,
+              nc - CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                AS BIGINT) AS n_nonalpha
+              FROM t)
+            SELECT doc_id,
+              CASE WHEN nt = 0 THEN 0.0
+                ELSE ((ns * 20000 + nt) // (nt * 2)) / 10000.0 END
+                AS stopword_ratio,
+              CASE WHEN nc = 0 THEN 0.0
+                ELSE ((np * 20000 + nc) // (nc * 2)) / 10000.0 END
+                AS punct_ratio,
+              CASE WHEN nc = 0 THEN 0.0
+                ELSE (((nc - n_nonalpha) * 20000 + nc) // (nc * 2)) / 10000.0 END
+                AS alpha_ratio,
+              CASE WHEN nt = 0 OR nc = 0 THEN 0.0
+                ELSE (((least(nt, 100) * nc * nt * 3
+                        + (nc - n_nonalpha) * nt * 300
+                        + (nc - np) * nt * 200
+                        + ns * nc * 200) * 20 + nc * nt) // (nc * nt * 2))
+                     / 10000.0 END AS quality
+            FROM c ORDER BY doc_id"""))
 
   val langIdQ: GQuery = GQuery(
     "t3_lang_id",
