@@ -22,6 +22,7 @@ object Catalog {
     queries.Relational.all ++
       queries.Scalars.all ++
       queries.Analytics.all ++
+      queries.Advanced.all ++
       queries.Text.all ++
       queries.Dedup.all ++
       queries.Similarity.all ++

@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators beyond the reference that a complete analytics engine (and
+  * a training-data pipeline's reporting layer) needs: sessionization,
+  * exact percentiles, rollup, pivot, range join. All oracle-checked. */
+object Advanced {
+
+  private def ev(s: SparkSession, d: String) =
+    Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
+
+  /** Event sessionization: gap > 30 min starts a new session; per
+    * (user, session) counts and bounds. lag + running sum — one shuffle. */
+  val sessionize: GQuery = GQuery(
+    "w6_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      ev(s, d)
+        .withColumn("new_session",
+          when(col("ts_us") - lag(col("ts_us"), 1).over(byUser) > gapUs ||
+            lag(col("ts_us"), 1).over(byUser).isNull, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_session")).over(
+            byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH g AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                       > 30 * 60 * 1000000
+                     OR lag(epoch_us(ts)) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+            sid AS (SELECT user_id, ts_us,
+              sum(new_session) OVER (PARTITION BY user_id
+                ORDER BY ts_us, event_id
+                ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+              min(ts_us) AS start_us, max(ts_us) AS end_us
+            FROM sid GROUP BY user_id, session_id
+            ORDER BY user_id, session_id"""))
+
+  /** Exact interpolated percentiles (type-7 quantiles) per group,
+    * computed over integer cents: quarter-fraction interpolation
+    * between integers is fp-exact under either a+(b−a)f or
+    * a(1−f)+bf, so both engines produce the identical double (the
+    * double-valued variant flipped a cent at a round boundary). */
+  val percentiles: GQuery = GQuery(
+    "a8_percentiles",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .withColumn("cents",
+          round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (expr("percentile(cents, 0.25)") / 100.0).as("p25"),
+          (expr("percentile(cents, 0.5)") / 100.0).as("p50"),
+          (expr("percentile(cents, 0.75)") / 100.0).as("p75"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)
+                / 100.0 AS p25,
+              quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5)
+                / 100.0 AS p50,
+              quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75)
+                / 100.0 AS p75
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** Rollup: subtotals + grand total over (status, priority). */
+  val rollupQ: GQuery = GQuery(
+    "a9_rollup",
+    (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy(col("status"), col("priority")),
+    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority"""))
+
+  /** Pivot: per-user event-type counts as columns. */
+  val pivot: GQuery = GQuery(
+    "a10_pivot",
+    (s, d) => {
+      val types = Seq("click", "view", "purchase", "signup", "error")
+      val p = ev(s, d).groupBy(col("user_id"))
+        .pivot("event_type", types).count()
+      types.foldLeft(p) { (df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L)))
+      }.orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+            FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Range join: clicks within the hour before each purchase, counted
+    * per purchase — bucketed equi-join (operators/RangeJoin), not a
+    * quadratic per-key filter. */
+  val rangeJoin: GQuery = GQuery(
+    "j7_range_join",
+    (s, d) => {
+      val e = ev(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("c_ts"),
+          col("event_id").as("c_id"))
+      val matched = graft.operators.RangeJoin
+        .bucketedRangeJoin(purchases, clicks, key = "user_id",
+          leftTs = "ts_us", rightTs = "c_ts", window = 3600L * 1000000,
+          rightCols = Seq("c_id"))
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n_clicks"))
+      purchases.join(matched, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT p.event_id, p.user_id,
+              count(c.event_id) AS n_clicks
+            FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'purchase') p
+            LEFT JOIN (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+                  FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id
+              AND c.ts_us >= p.ts_us - CAST(3600 AS BIGINT) * 1000000
+              AND c.ts_us <= p.ts_us
+            GROUP BY p.event_id, p.user_id
+            ORDER BY p.event_id"""))
+
+  val all: Seq[GQuery] = Seq(sessionize, percentiles, rollupQ, pivot, rangeJoin)
+}

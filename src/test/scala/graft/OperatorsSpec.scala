@@ -32,6 +32,21 @@ class OperatorsSpec extends SparkSpec {
     assert(got == 9L)
   }
 
+  test("bucketed range join == naive range predicate") {
+    val left = spark.range(200).select(($"id" % 5).as("k"),
+      ($"id" * 37 % 1000).as("lt"), $"id".as("lid"))
+    val right = spark.range(300).select(($"id" % 5).as("k"),
+      ($"id" * 53 % 1000).as("rt"), $"id".as("rid"))
+    val w = 100L
+    val bucketed = graft.operators.RangeJoin
+      .bucketedRangeJoin(left, right, "k", "lt", "rt", w, Seq("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val naive = left.join(right, Seq("k"))
+      .filter($"rt" >= $"lt" - w && $"rt" <= $"lt")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of rows share one key (the skew case)
     val fact = spark.range(10000).select(
