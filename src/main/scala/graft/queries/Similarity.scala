@@ -128,5 +128,66 @@ object Similarity {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
-  val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK)
+  /** Shared oracle CTEs for the IVF path: centroids = vec_id < 16 (a
+    * deterministic stand-in for trained centroids — the quantizer is
+    * pluggable; the plan shape is what's under test), assignment =
+    * argmax cosine with id tiebreak. */
+  private val SqlIvf =
+    s"""WITH c AS (SELECT vec_id AS centroid_id, embedding AS cv
+          FROM embeddings WHERE vec_id < 16),
+        asg AS (
+          SELECT vec_id, centroid_id, sim FROM (
+            SELECT e.vec_id, c.centroid_id,
+              round(${sqlCosine("e.embedding", "c.cv")}, 6) AS sim,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY round(${sqlCosine("e.embedding", "c.cv")}, 6) DESC,
+                         c.centroid_id) AS rn
+            FROM embeddings e, c) WHERE rn = 1)"""
+
+  /** IVF coarse assignment (nearest centroid per vector). */
+  val ivfAssignQ: GQuery = GQuery(
+    "v5_ivf_assign",
+    (s, d) => {
+      val e = emb(s, d)
+      ivfAssign(e, e.filter(col("vec_id") < 16))
+        .orderBy(col("vec_id"))
+    },
+    Some(s"""$SqlIvf
+            SELECT vec_id, centroid_id, sim FROM asg ORDER BY vec_id"""))
+
+  /** IVF ANN top-5 with nprobe=2 for queries vec_id < 5. */
+  val ivfTopKQ: GQuery = GQuery(
+    "v6_ivf_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      ivfTopK(e, e.filter(col("vec_id") < 5), e.filter(col("vec_id") < 16),
+        k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""$SqlIvf,
+            probes AS (
+              SELECT query_id, qv, centroid_id FROM (
+                SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+                  row_number() OVER (PARTITION BY q.vec_id
+                    ORDER BY round(${sqlCosine("q.embedding", "c.cv")}, 6) DESC,
+                             c.centroid_id) AS rn
+                FROM embeddings q, c WHERE q.vec_id < 5) WHERE rn <= 2),
+            cand AS (
+              SELECT p.query_id, p.qv, a.vec_id AS neighbor_id, e.embedding AS nv
+              FROM probes p
+              JOIN asg a ON a.centroid_id = p.centroid_id
+              JOIN embeddings e ON e.vec_id = a.vec_id
+              WHERE a.vec_id != p.query_id)
+            SELECT query_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY round(${sqlCosine("qv", "nv")}, 6) DESC, neighbor_id)
+                AS rank,
+              neighbor_id,
+              round(${sqlCosine("qv", "nv")}, 6) AS sim
+            FROM cand
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
+
+  val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
+    ivfAssignQ, ivfTopKQ)
 }

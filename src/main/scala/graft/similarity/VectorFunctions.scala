@@ -106,6 +106,54 @@ object VectorFunctions {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF-style coarse assignment: nearest (max-cosine) centroid per
+    * vector, deterministic tiebreak on centroid id. Centroids are a
+    * small DataFrame (broadcast); assignment is a broadcast join +
+    * windowed argmax — the corpus never shuffles. */
+  def ivfAssign(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    corpus.crossJoin(broadcast(c))
+      .withColumn("sim", round(cosine(col(vecCol), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"), col("sim"))
+  }
+
+  /** IVF search: queries probe their `nprobe` closest centroids and
+    * rank only vectors assigned to those lists — the classic
+    * coarse-quantizer ANN trade (recall vs scanned fraction ≈
+    * nprobe/nlist). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(c))
+      .withColumn("csim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
+        "neighbor_id")
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking:
     * same-bucket pairs with cosine >= threshold. */
   def cosineNearDups(corpus: DataFrame, threshold: Double, planes: Int,
