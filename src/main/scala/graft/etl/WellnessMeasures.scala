@@ -69,15 +69,20 @@ object SlackFormatter {
     "V" -> "🚴", "C" -> "🏃", "N" -> "🏊", "M" -> "🚶")
 
   /** Build the per-activity message column (insert-only rows assumed
-    * pre-filtered by the caller — P11). */
+    * pre-filtered by the caller — P11). Distance uses the
+    * reference-exact python-%.3g UDF: Java's format_string("%.3g")
+    * keeps trailing zeros ("1.50 km" vs the reference's "1.5 km"). */
   def messages(activities: DataFrame): DataFrame = {
+    val pyFmt = org.apache.spark.sql.functions.udf(
+      (m: java.lang.Double) =>
+        graft.functions.RefUdfs.formatDistance(Option(m).map(_.doubleValue)))
     val dur = elapsedSeconds(col("Date_de_debut"), col("Date_de_fin"))
     activities.withColumn("slack_message",
       activityMessage(
         codeLookup(col("Sport_type"), sportEmojis, "🏃"),
         col("ID_salarie"),
         codeLookup(col("Sport_type"), sportNames, "activité sportive"),
-        when(col("Distance_m") > 0, formatDistance(col("Distance_m"))),
+        when(col("Distance_m") > 0, pyFmt(col("Distance_m").cast("double"))),
         frenchDuration(dur),
         col("Commentaire")))
   }
@@ -95,9 +100,25 @@ object SlackFormatter {
 
   /** Side-effect boundary (S19): console implementation for tests;
     * a real Slack client would implement the same trait. */
-  trait MessageSink { def post(message: String): Unit }
+  trait MessageSink extends Serializable { def post(message: String): Unit }
   final class CollectingSink extends MessageSink {
     val posted = scala.collection.mutable.ArrayBuffer.empty[String]
     def post(message: String): Unit = posted += message
+  }
+
+  /** Streaming side-effect sink (S19 proper): one sink instance per
+    * partition per epoch, messages posted as rows arrive —
+    * `messages(df).writeStream.foreach(new SlackForeachWriter(mk))`.
+    * The factory runs on executors, so the client is constructed where
+    * it is used (never serialized live connections). */
+  final class SlackForeachWriter(mkSink: () => MessageSink)
+      extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+    @transient private var sink: MessageSink = _
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      sink = mkSink(); true
+    }
+    override def process(row: org.apache.spark.sql.Row): Unit =
+      sink.post(row.getAs[String]("slack_message"))
+    override def close(errorOrNull: Throwable): Unit = ()
   }
 }
