@@ -146,7 +146,10 @@ object VectorFunctions {
         "neighbor_id")
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned, "centroid_id")
+    // probes = queries × nprobe (tiny); broadcast it into the
+    // corpus-sized assignment join (planner can't see that through the
+    // upstream window, so the hint is explicit)
+    broadcast(probes).join(assigned, "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
       .withColumn("rank", row_number().over(rankW))
