@@ -75,6 +75,42 @@ object Relational {
         approx_count_distinct(col("l_suppkey")).as("approx_supp")),
     None)
 
+  /** A2c: bottom-k (KMV) distinct sketch — custom
+    * TypedImperativeAggregate with a deterministic hash, so the ENTIRE
+    * sketch (not just its estimate) is oracle-checkable: per group we
+    * compare hash count, min/max/sum of the kept hashes, and the
+    * (k−1)·p/h_k estimate. */
+  val qBottomKSketch: GQuery = GQuery(
+    "a2c_bottomk_sketch",
+    (s, d) => {
+      val sk = graft.expressions.BottomKSketch
+        .bottomk_sketch(col("l_partkey"), 16).as("sk")
+      li(s, d)
+        .groupBy(col("l_returnflag")).agg(sk)
+        .select(
+          col("l_returnflag"),
+          size(col("sk.hashes")).as("n_hashes"),
+          array_min(col("sk.hashes")).as("h_min"),
+          array_max(col("sk.hashes")).as("h_max"),
+          aggregate(col("sk.hashes"), lit(0L), (a, b) => a + b).as("h_sum"),
+          col("sk.estimate").as("estimate"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH h AS (
+              SELECT DISTINCT l_returnflag,
+                (654435747 * l_partkey + (CAST(40503 AS BIGINT) * 69069) % 1000000007)
+                  % 1000000007 AS hv
+              FROM lineitem),
+            r AS (SELECT l_returnflag, hv,
+              row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
+              FROM h)
+            SELECT l_returnflag, count(*) AS n_hashes,
+              min(hv) AS h_min, max(hv) AS h_max, sum(hv) AS h_sum,
+              CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
+                   ELSE 15.0 * 1000000007 / max(hv) END AS estimate
+            FROM r WHERE rn <= 16
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** A2: exact distinct counts (ID.nunique analog). */
   val qDistinctCount: GQuery = GQuery(
     "a2_distinct_count",
@@ -373,5 +409,5 @@ object Relational {
     q1Agg, qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qUnion, qSetDiff,
-    qOrderedExport, qAsof, qApproxDistinct)
+    qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch)
 }

@@ -32,6 +32,23 @@ class OperatorsSpec extends SparkSpec {
     assert(got == 9L)
   }
 
+  test("bottom-k sketch: partition-invariant, exact under k, sane over k") {
+    import graft.expressions.BottomKSketch.bottomk_sketch
+    val df = spark.range(10000).select(($"id" % 437).as("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.agg(bottomk_sketch($"v", 16).as("sk"))
+        .select($"sk.estimate", $"sk.hashes").head
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13)) // different merge tree
+    assert(a.getDouble(0) == b.getDouble(0))
+    assert(a.getSeq[Long](1) == b.getSeq[Long](1))
+    // 437 distinct values, k=16 → estimate within 35% (KMV std err ~1/√(k−2))
+    assert(math.abs(a.getDouble(0) - 437) / 437 < 0.35)
+    // under k: sketch is exact
+    val small = spark.range(9).select(($"id" % 7).as("v"))
+    assert(run(small).getDouble(0) == 7.0)
+  }
+
   test("bucketed range join == naive range predicate") {
     val left = spark.range(200).select(($"id" % 5).as("k"),
       ($"id" * 37 % 1000).as("lt"), $"id".as("lid"))
