@@ -70,6 +70,26 @@ object BronzeIngest {
     * "earliest"), same decode path. */
   def batchReplay(spark: SparkSession, dir: String): DataFrame =
     decode(spark.read.format("text").load(dir))
+
+  /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with
+    * checkpointed watermark state — strictly stronger than the
+    * reference's in-memory processed_ids set (lost on restart,
+    * bronze/redPandaToDeltaLake.py:134). State is bounded by the
+    * event-time watermark, so it cannot grow without bound at 100 TB
+    * ingest rates. */
+  def startDeduped(raw: DataFrame, bronzePath: String, checkpoint: String,
+      watermark: String = "1 hour",
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
+    decode(raw)
+      .withWatermark("Date_de_debut", watermark)
+      .dropDuplicatesWithinWatermark("ID")
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .format("parquet")
+      .option("path", bronzePath)
+      .start()
 }
 
 /** Incremental bronze→gold propagation as a stream (ST7 "proper"

@@ -51,6 +51,31 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(bronze).count() == 4)
   }
 
+  test("ST4: watermarked dedup state survives query restarts") {
+    val dir = Files.createTempDirectory("graft_st4").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    // batch 1: IDs 1,2
+    Files.write(java.nio.file.Paths.get(s"$in/b1.json"),
+      Seq(envelope(1), envelope(2)).mkString("\n").getBytes)
+    val q1 = BronzeIngest.startDeduped(
+      BronzeIngest.fileSource(spark, in), s"$dir/out", s"$dir/ck",
+      trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+    // batch 2 AFTER restart: duplicate ID 2 (same event time) + new ID 3
+    // — the reference's in-memory set would have forgotten ID 2 here
+    Files.write(java.nio.file.Paths.get(s"$in/b2.json"),
+      Seq(envelope(2), envelope(3)).mkString("\n").getBytes)
+    val q2 = BronzeIngest.startDeduped(
+      BronzeIngest.fileSource(spark, in), s"$dir/out", s"$dir/ck",
+      trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val ids = spark.read.parquet(s"$dir/out")
+      .select("ID").as[Int](org.apache.spark.sql.Encoders.scalaInt)
+      .collect().sorted
+    assert(ids.sameElements(Array(1, 2, 3))) // ID 2 not duplicated
+  }
+
   test("batch replay decodes the same backlog (S2/S3 semantics)") {
     val dir = Files.createTempDirectory("graft_replay").toString
     Files.write(java.nio.file.Paths.get(s"$dir/all.json"),
