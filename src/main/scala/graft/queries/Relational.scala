@@ -364,6 +364,28 @@ object Relational {
               FROM events WHERE event_type = 'purchase')
             ORDER BY user_id, day"""))
 
+  /** P13: row lookup by multi-predicate (the (Nom, Prénom) filter shape,
+    * google_map/gmap_commute.py:332-337). */
+  val qRowLookup: GQuery = GQuery(
+    "p13_row_lookup",
+    (s, d) =>
+      cust(s, d)
+        .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 9000)
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+            WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000
+            ORDER BY c_custkey"""))
+
+  /** W3: head/limit display slice (deterministic order). */
+  val qHead: GQuery = GQuery(
+    "w3_head",
+    (s, d) =>
+      ord(s, d).orderBy(col("o_orderkey")).limit(10)
+        .select(col("o_orderkey"), col("o_orderstatus")),
+    Some("""SELECT o_orderkey, o_orderstatus FROM orders
+            ORDER BY o_orderkey LIMIT 10"""))
+
   /** W2: globally ordered export (ORDER BY key) with projection pruning —
     * the scan should read only 3 of 6 event columns. */
   val qOrderedExport: GQuery = GQuery(
@@ -409,5 +431,5 @@ object Relational {
     q1Agg, qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qUnion, qSetDiff,
-    qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch)
+    qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qRowLookup, qHead)
 }
