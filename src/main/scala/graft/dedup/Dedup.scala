@@ -82,13 +82,20 @@ object Dedup {
   }
 
   /** Exact dedup: keep the lowest-id row per identical normalized text.
-    * Shuffles only (digest, id) — not the payload. */
+    * Shuffles only (digest, id) — not the payload. The fingerprint is
+    * materialized ONCE as a column (normalizedText is two regexp passes
+    * over the full document — consumers wanting the digest should take
+    * it via keepFpAs rather than recompute it). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val fp = md5(normalizedText(col(textCol)))
-    val w = Window.partitionBy(fp).orderBy(col(idCol))
-    docs.withColumn("_rn", row_number().over(w))
+      idCol: String = "doc_id", keepFpAs: Option[String] = None): DataFrame = {
+    val withFp = docs.withColumn("_fp", md5(normalizedText(col(textCol))))
+    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
+    val kept = withFp.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
+    keepFpAs match {
+      case Some(n) => kept.withColumnRenamed("_fp", n)
+      case None    => kept.drop("_fp")
+    }
   }
 
   /** Per-doc LSH band keys: Bands rows of (doc_id, band, bucket_key).
@@ -171,30 +178,57 @@ object Dedup {
   /** Hamming distance between two simhash values. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dups via 4×8-bit band blocking: docs sharing any
-    * 8-bit slice are candidates; verified with Hamming distance <= maxDist. */
+  /** SimHash near-dups via 4×8-bit band blocking over DISTINCT
+    * fingerprints.
+    *
+    * Row-level banding explodes on low-diversity corpora: duplicate
+    * fingerprints pile into hot 8-bit slice buckets and the candidate
+    * pair space grows quadratically in ROWS inside each bucket (the
+    * round-1 scale-killer). Instead: (1) band the distinct 32-bit
+    * fingerprints — the bucket join is bounded by O(distinct²) per
+    * slice and distinct ≤ 2³² however large the corpus; (2) verify
+    * Hamming distance on value pairs; (3) expand verified value pairs
+    * back to id pairs, which is output-proportional by definition;
+    * (4) equal-fingerprint id pairs (dist 0) come straight from a
+    * per-fingerprint self-join, also output-proportional.
+    *
+    * For maxDist <= 3 the output is IDENTICAL to row-level banding:
+    * 3 flipped bits cannot touch all four disjoint 8-bit slices
+    * (pigeonhole), so any pair within the Hamming bound shares a slice. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
     val withSim = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
     // byte b of sh = (sh mod 2^(8b+8)) / 2^(8b); power-of-2 fp division
     // is exact, so floor is safe
-    val banded = withSim.select(
-      col(idCol), col("sh"),
+    val banded = withSim.select(col("sh")).distinct().select(
+      col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => floor((col("sh") % get(Pow2, b * 8 + 8)).cast("double")
           / get(Pow2, b * 8)).cast("long"))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "slice")
-    val l = banded.select(col("band"), col("slice"),
-      col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("slice"),
-      col(idCol).as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "slice"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+    val l = banded.select(col("band"), col("slice"), col("sh").as("sh_a"))
+    val r = banded.select(col("band"), col("slice"), col("sh").as("sh_b"))
+    val valPairs = l.join(r, Seq("band", "slice"))
+      .filter(col("sh_a") < col("sh_b"))
+      .select(col("sh_a"), col("sh_b"),
         hammingDist(col("sh_a"), col("sh_b")).as("dist"))
-      // filter BEFORE distinct: hot buckets (skewed corpora collide a
-      // lot on 8-bit slices) otherwise shuffle the full candidate set
+      // filter BEFORE distinct: only verified value pairs get shuffled
       .filter(col("dist") <= maxDist)
       .distinct()
+    // (3) cross-fingerprint expansion — ids belong to exactly one sh,
+    // so no distinct needed
+    val ia = withSim.select(col("sh").as("sh_a"), col(idCol).as("ia"))
+    val ib = withSim.select(col("sh").as("sh_b"), col(idCol).as("ib"))
+    val crossPairs = valPairs.join(ia, "sh_a").join(ib, "sh_b")
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    // (4) equal-fingerprint pairs (dist 0)
+    val ga = withSim.select(col("sh"), col(idCol).as("id_a"))
+    val gb = withSim.select(col("sh"), col(idCol).as("id_b"))
+    val equalPairs = ga.join(gb, Seq("sh")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        lit(0).cast("int").as("dist"))
+    crossPairs.unionByName(equalPairs)
   }
 }

@@ -80,11 +80,22 @@ object Multimodal {
     * bytes-per-partition heuristics (row count ≪ bytes). Repartition to
     * a target of ~`targetMB` of payload per task before decode — at
     * 100 TB this is the difference between 10k balanced tasks and a few
-    * straggler tasks OOMing on skewed shards. */
+    * straggler tasks OOMing on skewed shards.
+    *
+    * Sizing comes from Catalyst plan statistics — for file-backed
+    * frames that is the FileIndex's on-disk byte total, already listed
+    * at planning time: NO data scan, no Spark job. (The previous
+    * version ran sum(octet_length(payload)) first — an extra full read
+    * of every blob at 100 TB.) The payload scan survives only as the
+    * fallback for frames whose statistics are the unknown-size
+    * placeholder (no file lineage and no CBO stats). */
   def repartitionForBlobs(df: DataFrame, payloadCol: String,
       targetMB: Int = 128): DataFrame = {
-    val totalBytes = df.agg(sum(octet_length(col(payloadCol))))
-      .head.getLong(0).max(1L)
+    val statBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val credible = statBytes > 0 && statBytes < BigInt(1L << 50) // < 1 PiB
+    val totalBytes =
+      if (credible) statBytes.toLong
+      else df.agg(sum(octet_length(col(payloadCol)))).head.getLong(0).max(1L)
     val parts = math.max(1, (totalBytes / (targetMB.toLong * 1024 * 1024)).toInt)
     df.repartition(parts)
   }

@@ -42,9 +42,9 @@ object Advanced {
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
             sid AS (SELECT user_id, ts_us,
-              sum(new_session) OVER (PARTITION BY user_id
+              CAST(sum(new_session) OVER (PARTITION BY user_id
                 ORDER BY ts_us, event_id
-                ROWS UNBOUNDED PRECEDING) AS session_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
               FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
               min(ts_us) AS start_us, max(ts_us) AS end_us
@@ -84,15 +84,15 @@ object Advanced {
       Tables.orders(s, d)
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
-          round(sum(col("o_totalprice")), 2).as("revenue"))
+          Exact.moneySum(col("o_totalprice")).as("revenue"))
         .select(
           coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
           coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
           col("n"), col("revenue"))
         .orderBy(col("status"), col("priority")),
-    Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+    Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
               coalesce(o_orderpriority, 'ALL') AS priority,
-              count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+              count(*) AS n, ${Exact.moneySumSql("o_totalprice")} AS revenue
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY status, priority"""))
 
@@ -107,12 +107,14 @@ object Advanced {
         df.withColumn(t, coalesce(col(t), lit(0L)))
       }.orderBy(col("user_id"))
     },
+    // CAST AS BIGINT: DuckDB integer sum() is HUGEINT, which the
+    // driver's pandas hasher materializes as float64 vs Spark's int64
     Some("""SELECT user_id,
-              sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-              sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-              sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-              sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-              sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+              CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+              CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+              CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+              CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
             FROM events GROUP BY user_id ORDER BY user_id"""))
 
   /** Range join: clicks within the hour before each purchase, counted

@@ -34,7 +34,7 @@ object Analytics {
       ord(s, d)
         .groupBy(col("o_custkey").as("c_custkey"))
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(col("o_totalprice")), 2).as("spent"))
+          Exact.moneySum(col("o_totalprice")).as("spent"))
         .join(broadcast(cust(s, d)), Seq("c_custkey"))
         .withColumn("QualifyVolume", col("n_orders") > 5)
         .withColumn("QualifySegment",
@@ -42,12 +42,12 @@ object Analytics {
         .select(col("c_custkey"), col("n_orders"), col("spent"),
           col("QualifyVolume"), col("QualifySegment"))
         .orderBy(col("c_custkey")),
-    Some("""SELECT t.c_custkey, t.n_orders, t.spent,
+    Some(s"""SELECT t.c_custkey, t.n_orders, t.spent,
               t.n_orders > 5 AS QualifyVolume,
               lower(trim(c_mktsegment)) IN ('automobile', 'machinery')
                 AS QualifySegment
             FROM (SELECT o_custkey AS c_custkey, count(*) AS n_orders,
-                    round(sum(o_totalprice), 2) AS spent
+                    ${Exact.moneySumSql("o_totalprice")} AS spent
                   FROM orders GROUP BY o_custkey) t
             JOIN customer ON t.c_custkey = customer.c_custkey
             ORDER BY t.c_custkey"""))
@@ -64,26 +64,36 @@ object Analytics {
         .withColumn("qv", col("n_orders") > 5)
         .withColumn("qs",
           lower(trim(col("c_mktsegment"))).isin("automobile", "machinery"))
+        .withColumn("acct_cents", Exact.cents(col("c_acctbal")))
+      // integer-cents hardening (round-1 x3 hash fail was exactly this
+      // boundary class): equiv = Σ acct·5/251 → exact rational p/25100
+      // dollars; bonus = Σ acct·0.05 → p/10000. Sum exact BIGINT
+      // numerators, round once with integer arithmetic at the end.
       q.agg(
-        sum(when(col("qv"), lit(5)).otherwise(0)).as("total_points"),
-        round(sum(when(col("qv"), col("c_acctbal") * 5.0 / 251.0)
-          .otherwise(0.0)), 2).as("total_equiv"),
-        round(sum(when(col("qs"), col("c_acctbal") * 0.05).otherwise(0.0)), 2)
-          .as("total_bonus"))
+        sum(when(col("qv"), lit(5L)).otherwise(0L)).as("total_points"),
+        sum(when(col("qv"), col("acct_cents") * 5).otherwise(0L)).as("equiv_p"),
+        sum(when(col("qs"), col("acct_cents") * 5).otherwise(0L)).as("bonus_p"))
+        .select(
+          col("total_points"),
+          (Exact.roundDiv(col("equiv_p"), lit(251L)) / 100.0).as("total_equiv"),
+          (Exact.roundDiv(col("bonus_p"), lit(100L)) / 100.0).as("total_bonus"))
     },
-    Some("""WITH q AS (
+    Some(s"""WITH q AS (
               SELECT t.c_custkey, t.n_orders > 5 AS qv,
                 lower(trim(c_mktsegment)) IN ('automobile','machinery') AS qs,
-                c_acctbal
+                ${Exact.centsSql("c_acctbal")} AS acct_cents
               FROM (SELECT o_custkey AS c_custkey, count(*) AS n_orders
                     FROM orders GROUP BY o_custkey) t
-              JOIN customer ON t.c_custkey = customer.c_custkey)
-            SELECT sum(CASE WHEN qv THEN 5 ELSE 0 END) AS total_points,
-              round(sum(CASE WHEN qv THEN c_acctbal * 5.0 / 251.0 ELSE 0.0 END), 2)
-                AS total_equiv,
-              round(sum(CASE WHEN qs THEN c_acctbal * 0.05 ELSE 0.0 END), 2)
-                AS total_bonus
-            FROM q"""))
+              JOIN customer ON t.c_custkey = customer.c_custkey),
+            s AS (SELECT
+              CAST(sum(CASE WHEN qv THEN 5 ELSE 0 END) AS BIGINT) AS total_points,
+              CAST(sum(CASE WHEN qv THEN acct_cents * 5 ELSE 0 END) AS BIGINT) AS equiv_p,
+              CAST(sum(CASE WHEN qs THEN acct_cents * 5 ELSE 0 END) AS BIGINT) AS bonus_p
+              FROM q)
+            SELECT total_points,
+              ${Exact.roundDivSql("equiv_p", "251")} / 100.0 AS total_equiv,
+              ${Exact.roundDivSql("bonus_p", "100")} / 100.0 AS total_bonus
+            FROM s"""))
 
   /** A13: validation report — one pass, three rules, offending ids
     * (exploded to (rule, id) rows for stable comparison). Rules mirror

@@ -40,8 +40,8 @@ object Dedup {
   val exact: GQuery = GQuery(
     "d1_exact_dedup",
     (s, d) =>
-      D.exactDedup(docs(s, d))
-        .select(col("doc_id"), md5(normalizedText(col("text"))).as("fp"))
+      D.exactDedup(docs(s, d), keepFpAs = Some("fp"))
+        .select(col("doc_id"), col("fp"))
         .orderBy(col("doc_id")),
     Some("""WITH n AS (SELECT doc_id,
               md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -36,23 +36,43 @@ object Relational {
     (s, d) =>
       li(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        // integer-cents on every money column: qty/price are exact
+        // 2-decimal doubles; disc_price is an exact rational in 10^-4
+        // dollar units (price_cents · (100 − disc_pct)); avg_disc an
+        // exact rational pct_sum/(100·n) rounded to 4 decimals.
+        .withColumn("qty_c", Exact.cents(col("l_quantity")))
+        .withColumn("price_c", Exact.cents(col("l_extendedprice")))
+        .withColumn("disc_p", Exact.cents(col("l_discount")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-            .as("sum_disc_price"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          (sum(col("qty_c")) / 100.0).as("sum_qty"),
+          (sum(col("price_c")) / 100.0).as("sum_base_price"),
+          sum(col("price_c") * (lit(100L) - col("disc_p"))).as("disc_q"),
+          sum(col("disc_p")).as("disc_sum"),
           count(lit(1)).as("count_order"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("sum_qty"), col("sum_base_price"),
+          (Exact.roundDiv(col("disc_q"), lit(100L)) / 100.0).as("sum_disc_price"),
+          (Exact.roundDiv(col("disc_sum") * 100, col("count_order")) / 10000.0)
+            .as("avg_disc"),
+          col("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
-    Some("""SELECT l_returnflag, l_linestatus,
-            round(sum(l_quantity), 2) AS sum_qty,
-            round(sum(l_extendedprice), 2) AS sum_base_price,
-            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-            round(avg(l_discount), 4) AS avg_disc,
-            count(*) AS count_order
+    Some(s"""WITH t AS (SELECT l_returnflag, l_linestatus,
+              ${Exact.centsSql("l_quantity")} AS qty_c,
+              ${Exact.centsSql("l_extendedprice")} AS price_c,
+              ${Exact.centsSql("l_discount")} AS disc_p
             FROM lineitem
-            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+            SELECT l_returnflag, l_linestatus,
+            sum(qty_c) / 100.0 AS sum_qty,
+            sum(price_c) / 100.0 AS sum_base_price,
+            ${Exact.roundDivSqlPos("sum(price_c * (100 - disc_p))", "100")}
+              / 100.0 AS sum_disc_price,
+            ${Exact.roundDivSqlPos("sum(disc_p) * 100", "count(*)")}
+              / 10000.0 AS avg_disc,
+            count(*) AS count_order
+            FROM t
             GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus""")
   )
@@ -64,16 +84,27 @@ object Relational {
     Some("SELECT count(*) AS n FROM lineitem"))
 
   /** A2b: approximate distinct via HLL sketch (the 100 TB path for A2 —
-    * one pass, bounded memory, mergeable partials). No oracle: DuckDB's
-    * HLL is a different implementation; plausibility asserted in
-    * RelationalPropsSpec (error < 5% vs exact). */
+    * one pass, bounded memory, mergeable partials). The raw estimate is
+    * engine-specific, so the oracle contract is: exact counts must
+    * match AND the HLL estimate (rsd=0.02) must land within 5% of
+    * exact, emitted as booleans the oracle expects to be true. */
   val qApproxDistinct: GQuery = GQuery(
     "a2b_approx_distinct",
     (s, d) =>
       li(s, d).agg(
-        approx_count_distinct(col("l_partkey")).as("approx_part"),
-        approx_count_distinct(col("l_suppkey")).as("approx_supp")),
-    None)
+        countDistinct(col("l_partkey")).as("n_part"),
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_suppkey"), 0.02).as("asup"))
+        .select(col("n_part"), col("n_supp"),
+          (abs(col("ap") - col("n_part")) * 100 <= col("n_part") * 5)
+            .as("part_within_5pct"),
+          (abs(col("asup") - col("n_supp")) * 100 <= col("n_supp") * 5)
+            .as("supp_within_5pct")),
+    Some("""SELECT count(DISTINCT l_partkey) AS n_part,
+            count(DISTINCT l_suppkey) AS n_supp,
+            true AS part_within_5pct, true AS supp_within_5pct
+            FROM lineitem"""))
 
   /** A2c: bottom-k (KMV) distinct sketch — custom
     * TypedImperativeAggregate with a deterministic hash, so the ENTIRE
@@ -105,7 +136,8 @@ object Relational {
               row_number() OVER (PARTITION BY l_returnflag ORDER BY hv) AS rn
               FROM h)
             SELECT l_returnflag, count(*) AS n_hashes,
-              min(hv) AS h_min, max(hv) AS h_max, sum(hv) AS h_sum,
+              min(hv) AS h_min, max(hv) AS h_max,
+              CAST(sum(hv) AS BIGINT) AS h_sum,
               CASE WHEN count(*) < 16 THEN CAST(count(*) AS DOUBLE)
                    ELSE 15.0 * 1000000007 / max(hv) END AS estimate
             FROM r WHERE rn <= 16
@@ -172,15 +204,19 @@ object Relational {
     (s, d) => {
       val g = ev(s, d)
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-      g.withColumn(
-          "pct",
-          round(col("n") * lit(100.0) / sum(col("n")).over(Window.partitionBy()), 1))
+        .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
+      // pct as exact rational n·100/total rounded to 1 decimal in
+      // integer arithmetic (n·1000/total, half-up) — immune to the
+      // double-division boundary class
+      g.withColumn("total_n", sum(col("n")).over(Window.partitionBy()))
+        .select(col("event_type"), col("n"), col("total_value"),
+          (Exact.roundDiv(col("n") * 1000, col("total_n")) / 10.0).as("pct"))
         .orderBy(col("event_type"))
     },
-    Some("""SELECT event_type, count(*) AS n,
-            round(sum(value), 2) AS total_value,
-            round(count(*) * 100.0 / sum(count(*)) OVER (), 1) AS pct
+    Some(s"""SELECT event_type, count(*) AS n,
+            ${Exact.moneySumSql("value")} AS total_value,
+            ${Exact.roundDivSqlPos("count(*) * 1000", "sum(count(*)) OVER ()")}
+              / 10.0 AS pct
             FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** J1+J2 gold-enrich shape: fact left-joins two-dim chain; dims are small
@@ -217,7 +253,7 @@ object Relational {
     (s, d) => {
       val perCust = ord(s, d)
         .groupBy(col("o_custkey"))
-        .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),
+        .agg(Exact.moneySum(col("o_totalprice")).as("total_spent"),
           count(lit(1)).as("n_orders"))
       cust(s, d)
         .join(perCust, col("c_custkey") === col("o_custkey"), "left")
@@ -228,12 +264,12 @@ object Relational {
           coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy(col("c_custkey"))
     },
-    Some("""SELECT c_custkey, c_name,
+    Some(s"""SELECT c_custkey, c_name,
             coalesce(t.total_spent, 0.0) AS total_spent,
             coalesce(t.n_orders, 0) AS n_orders
             FROM customer
             LEFT JOIN (
-              SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent,
+              SELECT o_custkey, ${Exact.moneySumSql("o_totalprice")} AS total_spent,
                      count(*) AS n_orders
               FROM orders GROUP BY o_custkey) t ON c_custkey = t.o_custkey
             ORDER BY c_custkey"""))

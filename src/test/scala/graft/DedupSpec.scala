@@ -53,6 +53,30 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("simhash near-dups on a skewed corpus == brute-force all-pairs") {
+    // hot-bucket stress: 3 distinct texts × 20 copies each (duplicate
+    // fingerprints pile into the same 8-bit slices) + near-dup variants
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "completely different content about spark engines")
+    val skewed = (0 until 60).map(i => (i.toLong, base(i % 3))) ++ Seq(
+      (60L, "the quick brown fox jumps over the sleepy dog"),
+      (61L, "pack my box with five dozen liquor jugs tomorrow"))
+    val df = skewed.toDF("doc_id", "text")
+    val got = D.simhashNearDups(df, maxDist = 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    // brute force: every pair within Hamming 3, no blocking at all
+    val sh = df.select(col("doc_id"), D.simhash(col("text")).as("sh"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+    assert(want.size >= 3 * 20 * 19 / 2) // the dup groups alone
+  }
+
   test("shingle jaccard: hand-computed value") {
     // doc1 vs doc3: 9 tokens each → 7 shingles; lazy→sleepy changes the
     // last two shingles → inter=5, union=9

@@ -42,6 +42,21 @@ def cmp_frames(name, a: pd.DataFrame, b: pd.DataFrame):
     a, b = canon(a), canon(b)
     for c in a.columns:
         xa, xb = a[c], b[c]
+        # The driver's value-hash is dtype-sensitive: DuckDB HUGEINT sums
+        # materialize as float64 in pandas while Spark emits int64, and
+        # value-equal frames then hash-differ (all four round-1 driver
+        # fails). Flag any int-vs-float kind mismatch as a hard FAIL
+        # before the tolerance compare can mask it.
+        ka = "f" if pd.api.types.is_float_dtype(xa) else (
+            "i" if pd.api.types.is_integer_dtype(xa) else "o")
+        kb = "f" if pd.api.types.is_float_dtype(xb) else (
+            "i" if pd.api.types.is_integer_dtype(xb) else "o")
+        if {ka, kb} == {"i", "f"}:
+            issues.append(
+                f"col {c}: dtype kind mismatch spark={xa.dtype} duck={xb.dtype} "
+                f"(driver hash would differ — CAST the oracle side)"
+            )
+            continue
         if pd.api.types.is_float_dtype(xa) or pd.api.types.is_float_dtype(xb):
             xa = pd.to_numeric(xa, errors="coerce").astype(float)
             xb = pd.to_numeric(xb, errors="coerce").astype(float)
