@@ -2,7 +2,7 @@ package graft.expressions
 
 import graft.text.TextFunctions.HashPrime
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -33,10 +33,17 @@ private object HashKernels {
 
 /** Polynomial rolling hash mod 1e9+7 (document fingerprint kernel). */
 case class PolyHashExpr(child: Expression, mod: Long = HashPrime)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any =
-    HashKernels.polyHash(v.asInstanceOf[UTF8String], mod)
+  def kernel(v: UTF8String): Long = HashKernels.polyHash(v, mod)
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[UTF8String])
+  // codegen = a direct call to the compiled kernel (no interpreted-eval
+  // dispatch, no InternalRow materialization): the expression stays
+  // inside the whole-stage span at full speed
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("polyHash", this, classOf[PolyHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override def prettyName: String = "graft_poly_hash"
   override protected def withNewChildInternal(c: Expression): PolyHashExpr =
     copy(child = c)
@@ -45,11 +52,10 @@ case class PolyHashExpr(child: Expression, mod: Long = HashPrime)
 /** MinHash signature over an array<string> of shingles: K affine-permuted
   * minima of the polynomial shingle hashes; [-1]*K for empty input. */
 case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(as.length == bs.length && as.nonEmpty)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): ArrayData = {
     val k = as.length
     val mins = Array.fill(k)(-1L)
     if (arr.numElements() > 0) {
@@ -68,6 +74,11 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
     }
     new GenericArrayData(mins)
   }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSigExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override def prettyName: String = "graft_minhash_sig"
   override protected def withNewChildInternal(c: Expression): MinHashSigExpr =
     copy(child = c)
@@ -76,10 +87,9 @@ case class MinHashSigExpr(child: Expression, as: Seq[Long], bs: Seq[Long])
 /** 32-bit SimHash over an array<string> of tokens: majority vote per bit
   * of the 32-bit polynomial token hashes. */
 case class SimHash32Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): Long = {
     val votes = new Array[Int](32)
     var i = 0
     while (i < arr.numElements()) {
@@ -95,6 +105,11 @@ case class SimHash32Expr(child: Expression)
     var b = 0
     while (b < 32) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhash32", this, classOf[SimHash32Expr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
   override def prettyName: String = "graft_simhash32"
   override protected def withNewChildInternal(c: Expression): SimHash32Expr =

@@ -1,7 +1,7 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -36,11 +36,17 @@ object TextKernels {
 
 /** lower+trim+whitespace-split tokens as one kernel. */
 case class TokenizeExpr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextKernels.tokenize(v.asInstanceOf[UTF8String])
-      .map(UTF8String.fromString(_)))
+  def kernel(v: UTF8String): ArrayData =
+    new GenericArrayData(TextKernels.tokenize(v).map(UTF8String.fromString(_)))
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[UTF8String])
+  // direct compiled-kernel call: keeps the whole-stage span, skips the
+  // interpreted-eval dispatch CodegenFallback would emit
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenize", this, classOf[TokenizeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override def prettyName: String = "graft_tokenize"
   override protected def withNewChildInternal(c: Expression): TokenizeExpr =
     copy(child = c)
@@ -48,11 +54,11 @@ case class TokenizeExpr(child: Expression)
 
 /** Word n-gram shingles ("a b c") of the tokenized text, one pass. */
 case class WordShinglesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   require(n >= 1)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val toks = TextKernels.tokenize(v.asInstanceOf[UTF8String])
+  def kernel(v: UTF8String): ArrayData = {
+    val toks = TextKernels.tokenize(v)
     if (toks.length < n) new GenericArrayData(Array.empty[Any])
     else {
       val out = new Array[Any](toks.length - n + 1)
@@ -67,6 +73,11 @@ case class WordShinglesExpr(child: Expression, n: Int)
       new GenericArrayData(out)
     }
   }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingles", this, classOf[WordShinglesExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   override def prettyName: String = "graft_word_shingles"
   override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
     copy(child = c)
@@ -76,10 +87,9 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * integer-arithmetic hyperplane projections (sequential double fold per
   * plane — bit-exact vs the HOF form and the SQL oracle). */
 case class LshCodeExpr(child: Expression, planes: Int, dim: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+  def kernel(arr: ArrayData): Long = {
     val vec = new Array[Double](dim)
     var i = 0
     while (i < dim) { vec(i) = numAt(arr, i); i += 1 }
@@ -99,6 +109,11 @@ case class LshCodeExpr(child: Expression, planes: Int, dim: Int)
     }
     code
   }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lshCode", this, classOf[LshCodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
   private def numAt(arr: ArrayData, i: Int): Double =
     child.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => arr.getFloat(i).toDouble
@@ -117,11 +132,9 @@ case class LshCodeExpr(child: Expression, planes: Int, dim: Int)
   * in index order, matching the HOF/oracle bit-for-bit); 0.0 when either
   * norm is zero. */
 case class CosineSimExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  def kernel(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     val at = elemType(left)
     val bt = elemType(right)
@@ -134,6 +147,12 @@ case class CosineSimExpr(left: Expression, right: Expression)
     }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) 0.0 else dot / denom
+  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    kernel(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cosine", this, classOf[CosineSimExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
   }
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType

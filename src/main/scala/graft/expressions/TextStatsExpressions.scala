@@ -1,7 +1,8 @@
 package graft.expressions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.types._
@@ -13,15 +14,15 @@ import org.apache.spark.sql.types._
   * comparison (~12 tokenizations/row → 1). Semantics locked to the
   * t3_lang_id DuckDB oracle. */
 case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StringType
 
   @transient private lazy val markerSets: Array[(UTF8String, Set[String])] =
     markers.map { case (l, ms) => (UTF8String.fromString(l), ms.toSet) }.toArray
   @transient private lazy val unknown = UTF8String.fromString("unknown")
 
-  override def nullSafeEval(v: Any): Any = {
-    val toks = TextKernels.tokenize(v.asInstanceOf[UTF8String]).toSet
+  def kernel(v: UTF8String): UTF8String = {
+    val toks = TextKernels.tokenize(v).toSet
     var bestIdx = -1
     var bestScore = 0
     var i = 0
@@ -34,6 +35,12 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
       i += 1
     }
     if (bestIdx < 0) unknown else markerSets(bestIdx)._1
+  }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[UTF8String])
+  // direct compiled-kernel call — no interpreted-eval dispatch
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langId", this, classOf[LangIdExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
   override def prettyName: String = "graft_lang_id"
   override protected def withNewChildInternal(c: Expression): LangIdExpr =
@@ -48,7 +55,7 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
   * the HOF forms: punct = ASCII \p{Punct}; alpha = [a-z ] of the
   * lowercased text. */
 case class TextStatsExpr(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens", IntegerType, nullable = false),
     StructField("n_distinct", IntegerType, nullable = false),
@@ -60,9 +67,9 @@ case class TextStatsExpr(child: Expression, stopwords: Seq[String])
 
   @transient private lazy val stopSet = stopwords.toSet
 
-  override def nullSafeEval(v: Any): Any = {
-    val s = v.asInstanceOf[UTF8String].toString
-    val toks = TextKernels.tokenize(UTF8String.fromString(s))
+  def kernel(v: UTF8String): InternalRow = {
+    val s = v.toString
+    val toks = TextKernels.tokenize(v)
     var sumLen = 0L
     var nStop = 0
     val distinct = new java.util.HashSet[String]()
@@ -86,8 +93,13 @@ case class TextStatsExpr(child: Expression, stopwords: Seq[String])
       if (!((lc >= 'a' && lc <= 'z') || lc == ' ')) nNonAlpha += 1
       j += 1
     }
-    org.apache.spark.sql.catalyst.InternalRow(
+    InternalRow(
       toks.length, distinct.size, sumLen, nStop, s.length, nPunct, nNonAlpha)
+  }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("textStats", this, classOf[TextStatsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
   }
   override def prettyName: String = "graft_text_stats"
   override protected def withNewChildInternal(c: Expression): TextStatsExpr =

@@ -73,4 +73,36 @@ class KernelSpec extends SparkSpec {
       .filter(col("n") =!= col("h"))
     assert(diff.isEmpty)
   }
+
+  test("every kernel expression is codegen'd — no fallback dispatch") {
+    // CODEGEN_ONLY + fallback=false turn any codegen failure into a
+    // thrown error instead of a silent interpreted fallback
+    import graft.expressions.{TextHashExpressions => H, TextStatsExpressions => T}
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val df = docs
+        .join(embs, col("doc_id") === col("vec_id"))
+        .select(
+          tokens(col("text")).as("tk"),
+          wordShingles(col("text"), 3).as("sh"),
+          H.poly_hash(col("text")).as("ph"),
+          H.simhash32(tokens(col("text"))).as("sim"),
+          H.minhash_sig(wordShingles(col("text"), 3),
+            Seq(2L, 3L), Seq(5L, 7L)).as("mh"),
+          T.lang_id(col("text")).as("lid"),
+          T.text_stats(col("text")).as("st"),
+          VectorFunctions.cosine(col("embedding"), col("embedding")).as("cos"),
+          VectorFunctions.lshCode(col("embedding"), 8, 64).as("lsh"))
+      assert(df.collect().nonEmpty)
+      // the generated Java must call the compiled kernels directly
+      val code = org.apache.spark.sql.execution.debug
+        .codegenString(df.queryExecution.executedPlan)
+      assert(code.contains(".kernel("), "expected direct kernel calls in codegen")
+      assert(!code.contains("Found 0 WholeStageCodegen subtrees"))
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
