@@ -46,14 +46,20 @@ object WellnessMeasures {
       .withColumn("Prime_Sportive", primeSportive(col("`Moyen de déplacement`")))
       .withColumn("Commute_long",
         commuteLong(col("`Moyen de déplacement`"), col("Distance_km_typical")))
-    val total = flagged.count().max(1L)
+    // workforce total folded in via a window over the (tiny) grouped
+    // result — one pass over the input, no separate count() job
+    // recomputing the flag pipeline
     flagged
       .groupBy(col("`Moyen de déplacement`"))
       .agg(
         sum(col("Prime_Sportive").cast("int")).as("n_prime"),
         sum(col("Commute_long").cast("int")).as("n_long"),
         count(lit(1)).as("n_employees"))
-      .withColumn("pct_of_workforce", round(col("n_employees") * 100.0 / total, 1))
+      .withColumn("total_n", sum(col("n_employees"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+      .withColumn("pct_of_workforce",
+        round(col("n_employees") * 100.0 / greatest(col("total_n"), lit(1L)), 1))
+      .drop("total_n")
   }
 }
 

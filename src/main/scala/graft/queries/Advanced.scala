@@ -77,6 +77,36 @@ object Advanced {
                 / 100.0 AS p75
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** A8 scale path: approx_percentile (GK sketch — one pass, bounded
+    * memory, mergeable partials; the 100 TB replacement for the exact
+    * sort-based percentile). The sketch value is engine- and
+    * merge-order-specific, so the oracle contract mirrors a2b: exact
+    * per-group percentiles (cross-engine-exact over integer cents) plus
+    * booleans asserting the sketch landed within 1% of exact. */
+  val approxPercentiles: GQuery = GQuery(
+    "a8b_approx_percentiles",
+    (s, d) => {
+      val base = Tables.lineitem(s, d)
+        .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          (expr("percentile(cents, 0.25)") / 100.0).as("p25"),
+          (expr("percentile(cents, 0.75)") / 100.0).as("p75"),
+          (expr("approx_percentile(cents, 0.25, 10000)") / 100.0).as("a25"),
+          (expr("approx_percentile(cents, 0.75, 10000)") / 100.0).as("a75"))
+      base.select(col("l_returnflag"), col("p25"), col("p75"),
+          (abs(col("a25") - col("p25")) * 100 <= col("p25")).as("p25_within_1pct"),
+          (abs(col("a75") - col("p75")) * 100 <= col("p75")).as("p75_within_1pct"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""SELECT l_returnflag,
+              quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)
+                / 100.0 AS p25,
+              quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75)
+                / 100.0 AS p75,
+              true AS p25_within_1pct, true AS p75_within_1pct
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   /** Rollup: subtotals + grand total over (status, priority). */
   val rollupQ: GQuery = GQuery(
     "a9_rollup",
@@ -95,6 +125,30 @@ object Advanced {
               count(*) AS n, ${Exact.moneySumSql("o_totalprice")} AS revenue
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
             ORDER BY status, priority"""))
+
+  /** Cube: all 2^2 grouping sets over (status, priority), completing the
+    * multi-dimensional agg family beside a9's rollup. grouping_id
+    * disambiguates aggregation NULLs from data NULLs (same bit encoding
+    * in Spark and DuckDB: first listed column = MSB). */
+  val cubeQ: GQuery = GQuery(
+    "a11_cube",
+    (s, d) =>
+      Tables.orders(s, d)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          Exact.moneySum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy(col("gid"), col("status"), col("priority")),
+    Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+              count(*) AS n, ${Exact.moneySumSql("o_totalprice")} AS revenue
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY gid, status, priority"""))
 
   /** Pivot: per-user event-type counts as columns. */
   val pivot: GQuery = GQuery(
@@ -151,5 +205,6 @@ object Advanced {
             GROUP BY p.event_id, p.user_id
             ORDER BY p.event_id"""))
 
-  val all: Seq[GQuery] = Seq(sessionize, percentiles, rollupQ, pivot, rangeJoin)
+  val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
+    rollupQ, cubeQ, pivot, rangeJoin)
 }

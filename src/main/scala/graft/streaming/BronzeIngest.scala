@@ -36,6 +36,34 @@ object BronzeIngest {
       .withColumn("Date_de_fin", timestamp_micros(col("Date_de_fin")))
       .withColumn("processing_timestamp", current_timestamp())
 
+  /** True when the spark-sql-kafka connector is on the classpath. The
+    * offline runtime image carries no Kafka jar, so this gates both the
+    * binding and its integration spec. */
+  def kafkaAvailable: Boolean =
+    try {
+      Class.forName("org.apache.spark.sql.kafka010.KafkaSourceProvider")
+      true
+    } catch { case _: ClassNotFoundException => false }
+
+  /** Kafka raw stream — the binding the reference's own prototype uses
+    * (bronze/consume_data2.py:24-30): value bytes cast to the same
+    * `value: string` column the decode path consumes, so the ENTIRE
+    * bronze pipeline below is source-agnostic. Constructible only when
+    * the connector jar is present (see [[kafkaAvailable]]); tests drive
+    * the identical pipeline through [[fileSource]] otherwise. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+      topic: String, startingOffsets: String = "earliest"): DataFrame = {
+    require(kafkaAvailable,
+      "spark-sql-kafka connector not on classpath; use fileSource instead")
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+      .load()
+      .select(col("value").cast("string").as("value"))
+  }
+
   /** File-based raw stream: each dropped file = a batch of JSON lines. */
   def fileSource(spark: SparkSession, dir: String): DataFrame =
     spark.readStream

@@ -62,4 +62,27 @@ class GoldEnrichSpec extends SparkSpec {
     assert(m.getDouble(1) == 500.0) // 25100 * 5 / 251
     assert(m.getDouble(2) == 1255.0) // 25100 * 0.05 (commute qualifies)
   }
+
+  test("commute report: per-mode flags + workforce pct in one job") {
+    import spark.implicits._
+    val commute = Seq(
+      ("Marche/running", 2.0), ("Marche/running", 12.0),
+      ("Voiture/Moto", 30.0), ("Voiture/Moto", 5.0),
+      ("Vélo/Trottinette/Autres", 4.0))
+      .toDF("Moyen de déplacement", "Distance_km_typical")
+    val rep = WellnessMeasures.commuteReport(commute)
+      .orderBy(col("Moyen de déplacement")).collect()
+    val byMode = rep.map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // marche: 2 employees = 40% of 5; both prime-eligible
+    assert(byMode("Marche/running")._1 == 2)
+    assert(byMode("Marche/running")._3 == 2)
+    assert(byMode("Marche/running")._4 == 40.0)
+    // car: no prime, 40%
+    assert(byMode("Voiture/Moto")._1 == 0)
+    assert(byMode("Voiture/Moto")._4 == 40.0)
+    assert(byMode("Vélo/Trottinette/Autres")._4 == 20.0)
+    // pct column covers the whole workforce
+    assert(math.abs(rep.map(_.getDouble(4)).sum - 100.0) < 0.2)
+  }
 }

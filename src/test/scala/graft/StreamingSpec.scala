@@ -92,4 +92,25 @@ class StreamingSpec extends SparkSpec {
     val total = agg.agg(sum("n")).head.getLong(0)
     assert(total == events.count())
   }
+
+  test("S1: kafka binding is jar-gated (integration when present, clean skip when not)") {
+    import graft.streaming.BronzeIngest
+    if (BronzeIngest.kafkaAvailable) {
+      // connector present: the source must construct as a streaming
+      // frame with the pipeline's `value: string` contract (no broker
+      // needed — construction is lazy)
+      val src = BronzeIngest.kafkaSource(spark, "localhost:9092", "activity")
+      assert(src.isStreaming)
+      assert(src.schema.fieldNames.sameElements(Array("value")))
+      assert(src.schema.head.dataType ==
+        org.apache.spark.sql.types.StringType)
+    } else {
+      // offline image: the binding must refuse loudly, not fail deep in
+      // Spark's source resolution
+      val e = intercept[IllegalArgumentException] {
+        BronzeIngest.kafkaSource(spark, "localhost:9092", "activity")
+      }
+      assert(e.getMessage.contains("kafka"))
+    }
+  }
 }
