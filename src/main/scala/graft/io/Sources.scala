@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Source/sink surface (SURVEY.md §2.1).
   *
@@ -12,7 +12,7 @@ import org.apache.spark.sql.types.StructType
   *    (S5-S11 semantics).
   *  - Kafka → the streaming module's source abstraction (raw value
   *    column; file-backed here, format("kafka") where available).
-  *  - XLSX → [[XlsxSource]] stub + preconverted fixtures (S16).
+  *  - XLSX → [[XlsxSource]]: JDK-only zip+StAX reader, no POI (S16).
   */
 object CsvSources {
 
@@ -120,23 +120,163 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     }
 }
 
-/** S16 XLSX source: no POI in the offline image, so real .xlsx decoding
-  * is unavailable. The engine API exists; fixtures arrive preconverted
-  * (CSV/parquet) and `readConverted` binds them with the XLSX schema
-  * contract. A POI-based implementation drops into `readXlsx`. */
+/** S16 XLSX source (reference: gold/bronzeToGold.py:88-113 reads the HR
+  * workbook with pandas/openpyxl). XLSX is a zip of XML parts, so the
+  * reader below needs only the JDK: java.util.zip + StAX. Scope matches
+  * the reference's usage — sheet 1, header row, shared/inline strings,
+  * numbers, booleans; no formula evaluation (cached formula values are
+  * read). Dimension tables like HR are small by nature, so the workbook
+  * is parsed driver-side and parallelized; a 100 TB fact feed would
+  * never arrive as .xlsx. */
 object XlsxSource {
   def readConverted(spark: SparkSession, path: String,
       schema: StructType): DataFrame =
     spark.read.schema(schema).option("header", "true").csv(path)
 
-  def readXlsx(spark: SparkSession, path: String): DataFrame =
-    throw new UnsupportedOperationException(
-      "XLSX decoding needs Apache POI on the classpath (absent in the " +
-        "offline image); use readConverted with preconverted fixtures")
+  /** Read sheet 1 with a header row; every column is string-typed (the
+    * cast belongs to the schema-owning caller — see the overload). */
+  def readXlsx(spark: SparkSession, path: String): DataFrame = {
+    val rows = parseSheet(path)
+    require(rows.nonEmpty, s"empty worksheet in $path")
+    val header = rows.head.map(h => Option(h).getOrElse("").trim)
+    val width = header.length
+    val data = rows.tail.map { r =>
+      org.apache.spark.sql.Row.fromSeq(r.padTo(width, null).take(width).toSeq)
+    }
+    val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(data.toSeq), schema)
+  }
+
+  /** Read + cast to the given schema by column name (HR contract). */
+  def readXlsx(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val raw = readXlsx(spark, path)
+    raw.select(schema.fields.toSeq.map(f =>
+      col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+  }
+
+  /** All cells of sheet 1 as text, row-major, sparse cells = null. */
+  private def parseSheet(path: String): Array[Array[String]] = {
+    val zip = new java.util.zip.ZipFile(path)
+    try {
+      val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
+        .map(e => parseSharedStrings(zip.getInputStream(e)))
+        .getOrElse(Array.empty[String])
+      val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
+        .orElse {
+          import scala.jdk.CollectionConverters._
+          zip.entries().asScala.find(e =>
+            e.getName.startsWith("xl/worksheets/") && e.getName.endsWith(".xml"))
+        }
+        .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
+      parseSheetXml(zip.getInputStream(sheetEntry), shared)
+    } finally zip.close()
+  }
+
+  /** sharedStrings.xml: one entry per <si>, rich-text runs concatenated. */
+  private def parseSharedStrings(in: java.io.InputStream): Array[String] = {
+    val r = javax.xml.stream.XMLInputFactory.newInstance()
+      .createXMLStreamReader(in)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inT = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => sb.clear()
+            case "t"  => inT = true
+            case _    =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
+          sb.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t"  => inT = false
+            case "si" => out += sb.toString
+            case _    =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    out.toArray
+  }
+
+  /** sheetData: rows of <c r="A1" t="s|str|inlineStr|b|n"><v>…</v></c>. */
+  private def parseSheetXml(in: java.io.InputStream,
+      shared: Array[String]): Array[Array[String]] = {
+    val r = javax.xml.stream.XMLInputFactory.newInstance()
+      .createXMLStreamReader(in)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    var row: scala.collection.mutable.ArrayBuffer[String] = null
+    var cellCol = 0
+    var cellType = ""
+    var inV = false
+    val v = new StringBuilder
+    def put(text: String): Unit = {
+      while (row.length <= cellCol) row += null
+      row(cellCol) = text
+    }
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "row" =>
+              row = scala.collection.mutable.ArrayBuffer.empty[String]
+              cellCol = -1
+            case "c" =>
+              // column from the letters prefix of r="BC12"; absent ref →
+              // next column (the spec allows omitting it)
+              val ref = Option(r.getAttributeValue(null, "r"))
+              cellCol = ref.map(colIndex).getOrElse(cellCol + 1)
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            case "v" | "t" => inV = true; v.clear()
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV =>
+          v.append(r.getText)
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "v" =>
+              inV = false
+              put(cellType match {
+                case "s" => shared(v.toString.trim.toInt)
+                case "b" => if (v.toString.trim == "1") "true" else "false"
+                case _   => v.toString
+              })
+            case "t" =>
+              inV = false
+              if (cellType == "inlineStr") put(v.toString)
+            case "row" => rows += row.toArray
+            case _ =>
+          }
+        case _ =>
+      }
+    }
+    r.close()
+    rows.toArray
+  }
+
+  /** "BC12" → 0-based column index of "BC". */
+  private def colIndex(ref: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      acc = acc * 26 + (ref.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
 }
 
-/** S17/S18 JDBC source/sink wrappers (connection options injected; no
-  * driver jars in the offline image, so exercised only structurally). */
+/** S17/S18 JDBC source/sink wrappers (connection options injected).
+  * Exercised end-to-end in IoSpec against the embedded Derby engine that
+  * ships with Spark — the same code path binds to Postgres/MySQL when
+  * the driver jar is present (reference:
+  * spark_consumer/spark_consumer.py:25-32). */
 object Jdbc {
   def read(spark: SparkSession, url: String, table: String,
       props: Map[String, String] = Map.empty): DataFrame = {
@@ -145,10 +285,27 @@ object Jdbc {
     props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
   }
 
+  /** Partitioned parallel read — the 100 TB path: one connection per
+    * partition, the predicate range split on a numeric column so the
+    * warehouse does the filtering. A single-connection read of a large
+    * table is a driver-side bottleneck by construction. */
+  def readPartitioned(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, props: Map[String, String] = Map.empty): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound).option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+    props.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load()
+  }
+
   /** Bulk insert with batching (the reference's method='multi'). */
   def append(df: DataFrame, url: String, table: String,
-      batchSize: Int = 1000): Unit =
-    df.write.format("jdbc").mode("append")
+      batchSize: Int = 1000, props: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.format("jdbc").mode("append")
       .option("url", url).option("dbtable", table)
-      .option("batchsize", batchSize).save()
+      .option("batchsize", batchSize)
+    props.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }.save()
+  }
 }

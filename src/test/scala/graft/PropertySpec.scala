@@ -103,4 +103,53 @@ class PropertySpec extends AnyFunSuite {
     val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(a - e) / e < 0.05)
   }
+
+  test("moneySum is exact on planted half-cent boundary values") {
+    // the round-1 x3 failure class: fp summation order flips the cent at
+    // a .xx5 boundary. 0.05 and 0.15 are not representable doubles, and
+    // sums of many of them land within one ulp of a half-cent — the
+    // exact case where round(sum(double),2) is engine-dependent.
+    lazy val spark = SparkSpec.session
+    import spark.implicits._
+    val planted = Seq.fill(1000)(Seq(0.05, 0.15, 0.25, 1.005 - 0.005))
+      .flatten ++ Seq(0.01, 0.02, 0.04) // break the symmetry
+    val df = planted.toDF("v").repartition(7) // force partial-agg merges
+    val got = df.agg(queries.Exact.moneySum($"v").as("s")).head.getDouble(0)
+    val wantCents = planted.map(v => math.round(v * 100)).sum
+    assert(got == wantCents / 100.0) // exact double equality
+  }
+
+  test("moneySum == BigDecimal ground truth on random 2-decimal values") {
+    lazy val spark = SparkSpec.session
+    import spark.implicits._
+    val gen = Gen.chooseNum(-999999L, 999999L) // cents, ±$10k
+    val cents = scala.collection.mutable.ArrayBuffer.empty[Long]
+    forAll(gen)(c => cents += c)
+    val vals = cents.map(c => c.toDouble / 100.0).toSeq
+    val df = vals.toDF("v").repartition(5)
+    val got = df.agg(queries.Exact.moneySum($"v").as("s")).head.getDouble(0)
+    val want = (BigDecimal(cents.sum) / 100).toDouble
+    assert(got == want)
+  }
+
+  test("roundDiv matches BigDecimal HALF_UP on random rationals, any sign") {
+    lazy val spark = SparkSpec.session
+    import spark.implicits._
+    val pairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    forAll2(Gen.chooseNum(-1000000000L, 1000000000L),
+      Gen.chooseNum(1L, 100000L))((p, q) => pairs += ((p, q)))
+    // include exact half-way points of both signs
+    pairs ++= Seq((5L, 10L), (-5L, 10L), (15L, 10L), (-15L, 10L),
+      (251L, 502L), (-251L, 502L), (Long.MaxValue / 4, 3L))
+    val df = pairs.toSeq.toDF("p", "q")
+    val got = df.select($"p", $"q",
+      queries.Exact.roundDiv($"p", $"q").as("r")).as[(Long, Long, Long)]
+      .collect()
+    got.foreach { case (p, q, r) =>
+      val want = BigDecimal(p)
+        .bigDecimal.divide(java.math.BigDecimal.valueOf(q), 0,
+          java.math.RoundingMode.HALF_UP).longValueExact()
+      assert(r == want, s"roundDiv($p, $q) = $r, want $want")
+    }
+  }
 }
