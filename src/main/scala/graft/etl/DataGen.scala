@@ -85,4 +85,59 @@ object DataGen {
       when(u(rid, 16) < 0.3, concat(lit("Commentaire "), rid)).otherwise(null)
         .as("Commentaire"))
   }
+
+  // ---------------------------------------------------------------------
+  // Deterministic image fixtures (multimodal gate m2_image_decode)
+  // ---------------------------------------------------------------------
+
+  /** Expected properties of [[imageBytes]] for a given id — shared by the
+    * Spark generator, the m2 oracle SQL, and MultimodalSpec. */
+  def imageWidth(id: Long): Int = 16 + ((id * 7) % 48).toInt
+  def imageHeight(id: Long): Int = 16 + ((id * 13) % 48).toInt
+  def imageFormat(id: Long): String = if (id % 3 == 0) "bmp" else "png"
+  /** dHash of the generated pattern: solid gray (even id) compares equal
+    * everywhere → 0; strictly-increasing horizontal gradient (odd id) →
+    * every adjacent-pixel comparison true → all 64 bits set = -1. Block
+    * averaging preserves both (means of disjoint consecutive strictly-
+    * increasing column groups are strictly increasing). */
+  def imagePhash(id: Long): Long = if (id % 2 == 0) 0L else -1L
+
+  /** Encode a real PNG/BMP via `javax.imageio` with dimensions, format
+    * and dHash that are pure functions of `id` — so a SQL oracle can
+    * state the expected decode output arithmetically. */
+  def imageBytes(id: Long): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val w = imageWidth(id); val h = imageHeight(id)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val lum =
+          if (id % 2 == 0) 128
+          else math.round(255.0 * x / (w - 1)).toInt
+        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, imageFormat(id), baos)
+    baos.toByteArray
+  }
+
+  /** Fixture table: one real encoded image per id, alongside the
+    * expected decode results (what a correctness gate compares against).
+    * The encode UDF is generator-only code, never a query hot path. */
+  def imageAssets(spark: SparkSession, n: Int = 64): DataFrame = {
+    val enc = udf((id: Long) => imageBytes(id))
+    val id = col("id")
+    spark.range(0, n.toLong).select(
+      id.as("asset_id"),
+      enc(id).as("payload"),
+      (lit(16) + (id * 7) % 48).cast("int").as("expected_width"),
+      (lit(16) + (id * 13) % 48).cast("int").as("expected_height"),
+      when(id % 3 === 0, "bmp").otherwise("png").as("expected_format"),
+      when(id % 2 === 0, 0L).otherwise(-1L).as("expected_phash"))
+  }
 }

@@ -11,12 +11,12 @@ import org.apache.spark.sql.types._
   * initialized once per task, not per row (the Scala analogue of
   * `mapInPandas` batch processing).
   *
-  * The codec itself is STUBBED (no image/audio libraries in this
-  * environment): [[StubCodec]] derives deterministic pseudo-metadata and
-  * features from the payload bytes. The Spark-side contract — schema,
-  * partition-batched execution, feature vector shape, and the
-  * repartition sizing for 100 TB blob scans — is real and tested;
-  * swapping StubCodec for a JNI/JavaCV decoder changes no plan shape. */
+  * Images are decoded for real via [[ImageIoCodec]] (`javax.imageio` is
+  * JDK-built-in: PNG/JPEG/BMP/GIF): header-parsed dimensions + format,
+  * downsampled-grayscale feature vector, 64-bit dHash perceptual hash.
+  * Audio/video codecs are absent from the JDK, so [[StubCodec]] remains
+  * for those payloads only — deterministic pseudo-metadata from the
+  * bytes, with the real partition-batched plumbing around it. */
 object Multimodal {
 
   /** Decoded-asset schema appended to the carrier columns. */
@@ -24,19 +24,24 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
-    StructField("format", StringType, nullable = false)))
+    StructField("format", StringType, nullable = false),
+    StructField("phash", LongType, nullable = false)))
 
-  /** Per-asset feature vector length (stub "embedding"). */
+  /** Per-asset feature vector length (4×4 grayscale grid for images). */
   val FeatureDim = 16
 
   trait Codec extends Serializable {
+    /** (n_bytes, width, height, format) — header-only where possible. */
     def decodeMeta(payload: Array[Byte]): (Int, Int, Int, String)
     def features(payload: Array[Byte]): Array[Float]
+    /** 64-bit perceptual hash (dHash for images). */
+    def phash(payload: Array[Byte]): Long
   }
 
-  /** Deterministic fake codec: dimensions and features are pure
-    * functions of the bytes (so tests and oracles are stable). A real
-    * implementation decodes headers / samples frames here. */
+  /** Deterministic fake codec for payloads the JDK cannot decode
+    * (audio/video): dimensions and features are pure functions of the
+    * bytes (so tests and oracles are stable). Swapping in a JNI/JavaCV
+    * decoder changes no plan shape. */
   object StubCodec extends Codec {
     def decodeMeta(payload: Array[Byte]): (Int, Int, Int, String) = {
       val n = payload.length
@@ -54,13 +59,112 @@ object Multimodal {
       }
       out
     }
+    def phash(payload: Array[Byte]): Long = {
+      // FNV-1a over the bytes: deterministic stand-in, not perceptual.
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < payload.length) {
+        h ^= (payload(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      h
+    }
+  }
+
+  /** Real image codec over `javax.imageio` (JDK-only — same offline
+    * posture as the XLSX reader in io/Sources.scala).
+    *
+    *  - `decodeMeta` parses ONLY the header: `ImageReader.getWidth/
+    *    getHeight(0)` read dimensions without decoding pixel data, so a
+    *    100 TB metadata sweep never pays full-decode CPU.
+    *  - `features` = 4×4 block-mean grayscale grid (BT.601 luma),
+    *    a tiny real embedding for similarity blocking.
+    *  - `phash` = canonical 64-bit dHash: downsample to 9×8 grayscale by
+    *    block mean, bit(y,x) = 1 iff g(x+1,y) > g(x,y). Row-major bits.
+    *
+    * Readers are created per call (ImageIO reader instances are not
+    * thread-safe); the in-memory cache flag is set once per JVM. */
+  object ImageIoCodec extends Codec {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayInputStream
+    import javax.imageio.ImageIO
+
+    // avoid ImageIO's disk-backed stream cache in executor threads
+    ImageIO.setUseCache(false)
+
+    def decodeMeta(payload: Array[Byte]): (Int, Int, Int, String) = {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "unrecognized image format")
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          (payload.length, r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase)
+        } finally r.dispose()
+      } finally iis.close()
+    }
+
+    private def decode(payload: Array[Byte]): BufferedImage = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      img
+    }
+
+    /** tw×th block-mean grayscale grid in [0,255], row-major. */
+    private def grayGrid(img: BufferedImage, tw: Int, th: Int): Array[Double] = {
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Double](tw * th)
+      var ty = 0
+      while (ty < th) {
+        val y0 = ty * h / th; val y1 = math.max((ty + 1) * h / th, y0 + 1)
+        var tx = 0
+        while (tx < tw) {
+          val x0 = tx * w / tw; val x1 = math.max((tx + 1) * w / tw, x0 + 1)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000.0
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          out(ty * tw + tx) = if (n == 0) 0.0 else sum / n
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
+    def features(payload: Array[Byte]): Array[Float] =
+      grayGrid(decode(payload), 4, 4).map(v => (v / 255.0).toFloat)
+
+    def phash(payload: Array[Byte]): Long = {
+      val g = grayGrid(decode(payload), 9, 8)
+      var bits = 0L
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          if (g(y * 9 + x + 1) > g(y * 9 + x)) bits |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      bits
+    }
   }
 
   /** Attach decoded metadata + feature vector to a DataFrame with a
     * binary `payloadCol`. Partition-batched: the codec is bound once per
     * partition iterator (mapPartitions), rows stream through. */
   def decodeAndFeaturize(df: DataFrame, payloadCol: String,
-      codec: Codec = StubCodec): DataFrame = {
+      codec: Codec = ImageIoCodec): DataFrame = {
     val inSchema = df.schema
     val outSchema = StructType(inSchema.fields ++ metaSchema.fields :+
       StructField("features", ArrayType(FloatType, containsNull = false)))
@@ -71,7 +175,8 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val (n, w, h, fmt) = codec.decodeMeta(payload)
-        Row.fromSeq(r.toSeq ++ Seq(n, w, h, fmt, codec.features(payload).toSeq))
+        Row.fromSeq(r.toSeq ++ Seq(n, w, h, fmt, codec.phash(payload),
+          codec.features(payload).toSeq))
       }
     }
   }

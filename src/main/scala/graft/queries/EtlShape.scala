@@ -37,12 +37,13 @@ object EtlShape {
             FROM orders LEFT JOIN customer ON o_custkey = c_custkey
             ORDER BY o_orderkey"""))
 
-  /** Multimodal plumbing: treat document text bytes as an opaque binary
-    * payload (stand-in for image/audio), carry typed metadata, run a
-    * deterministic stub "decoder" (real decode libs are absent in this
-    * environment — SURVEY.md §7.3): byte length + pseudo width/height
-    * derived from the payload hash. The Spark-side schema/partitioning/
-    * batch shape is real; only the codec is fake. */
+  /** Multimodal plumbing (audio/video-shaped): treat document text bytes
+    * as an opaque binary payload, carry typed metadata, run the
+    * deterministic stub "decoder" (StubCodec — retained for payload
+    * kinds the JDK cannot decode; images get the real ImageIO path in
+    * m2 below): byte length + pseudo width/height derived from the
+    * payload hash. The Spark-side schema/partitioning/batch shape is
+    * real; only this codec is fake. */
   val multimodalMeta: GQuery = GQuery(
     "m1_multimodal_decode_stub",
     (s, d) => {
@@ -64,6 +65,39 @@ object EtlShape {
               (strlen(text) * 40503) % 1080 + 1 AS height
             FROM documents ORDER BY doc_id"""))
 
+  /** REAL image decode (javax.imageio, JDK-only): deterministic PNG/BMP
+    * fixtures are encoded per doc_id (DataGen.imageBytes — dimensions,
+    * format and dHash are pure functions of the id), then decoded
+    * through the partition-batched [[graft.multimodal.Multimodal]]
+    * pipeline with [[graft.multimodal.Multimodal.ImageIoCodec]]:
+    * header-parsed width/height/format + 64-bit dHash over a 9×8
+    * block-mean grayscale grid. The oracle states the expected decode
+    * output arithmetically — any header-parse or hash defect breaks the
+    * row hash. */
+  val imageDecode: GQuery = GQuery(
+    "m2_image_decode",
+    (s, d) => {
+      val enc = udf((id: Long) => graft.etl.DataGen.imageBytes(id))
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("payload", enc(col("doc_id")))
+      graft.multimodal.Multimodal
+        .decodeAndFeaturize(assets, "payload",
+          graft.multimodal.Multimodal.ImageIoCodec)
+        .select(col("doc_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("format"), col("phash"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS width,
+              CAST(16 + (doc_id * 13) % 48 AS BIGINT) AS height,
+              CASE WHEN doc_id % 3 = 0 THEN 'bmp' ELSE 'png' END AS format,
+              CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE -1 END AS BIGINT)
+                AS phash
+            FROM documents ORDER BY doc_id"""))
+
   /** S11 raw-parquet escape hatch + U1: per-file scan union with a
     * provenance column, deterministic order. */
   val unionScan: GQuery = GQuery(
@@ -82,5 +116,5 @@ object EtlShape {
               SELECT r_regionkey, r_name, 'region' FROM region)
             ORDER BY src, key"""))
 
-  val all: Seq[GQuery] = Seq(goldEnrich, multimodalMeta, unionScan)
+  val all: Seq[GQuery] = Seq(goldEnrich, multimodalMeta, imageDecode, unionScan)
 }

@@ -15,18 +15,64 @@ class MultimodalSpec extends SparkSpec {
     .select(col("asset_id"), col("s").cast("binary").as("payload"))
 
   test("decodeAndFeaturize appends meta + features with the right schema") {
-    val out = Multimodal.decodeAndFeaturize(assets, "payload")
+    val out = Multimodal.decodeAndFeaturize(assets, "payload",
+      Multimodal.StubCodec)
     assert(out.columns.toSeq ==
       Seq("asset_id", "payload", "n_bytes", "width", "height", "format",
-        "features"))
+        "phash", "features"))
     val r = out.filter(col("asset_id") === 1).head
     assert(r.getAs[Int]("n_bytes") == "small payload".length)
     assert(r.getAs[scala.collection.Seq[Float]]("features").length ==
       Multimodal.FeatureDim)
     // deterministic: run twice, same output
-    val again = Multimodal.decodeAndFeaturize(assets, "payload")
+    val again = Multimodal.decodeAndFeaturize(assets, "payload",
+      Multimodal.StubCodec)
       .filter(col("asset_id") === 1).head
     assert(r.getAs[Int]("width") == again.getAs[Int]("width"))
+    assert(r.getAs[Long]("phash") == again.getAs[Long]("phash"))
+  }
+
+  test("ImageIoCodec decodes a real PNG payload: header dims, format, dHash") {
+    import graft.etl.DataGen
+    // odd id → png + horizontal gradient (dHash all ones); even → solid
+    val png = DataGen.imageBytes(5L)
+    assert(png.length > 8 &&
+      (png(1) & 0xff) == 'P' && (png(2) & 0xff) == 'N' && (png(3) & 0xff) == 'G',
+      "fixture must be a real PNG byte stream")
+    val (n, w, h, fmt) = Multimodal.ImageIoCodec.decodeMeta(png)
+    assert(n == png.length)
+    assert(w == DataGen.imageWidth(5L) && h == DataGen.imageHeight(5L))
+    assert(fmt == "png")
+    assert(Multimodal.ImageIoCodec.phash(png) == -1L) // gradient → all bits
+    val feats = Multimodal.ImageIoCodec.features(png)
+    assert(feats.length == Multimodal.FeatureDim)
+    // gradient: left-column blocks darker than right-column blocks
+    assert(feats(0) < feats(3) && feats(12) < feats(15))
+  }
+
+  test("ImageIoCodec decodes BMP and solid images; stub stays for A/V") {
+    import graft.etl.DataGen
+    val bmp = DataGen.imageBytes(6L) // even → solid gray, id%3==0 → bmp
+    val (_, w, h, fmt) = Multimodal.ImageIoCodec.decodeMeta(bmp)
+    assert(w == DataGen.imageWidth(6L) && h == DataGen.imageHeight(6L))
+    assert(fmt == "bmp")
+    assert(Multimodal.ImageIoCodec.phash(bmp) == 0L) // solid → no gradient bits
+    // non-image payloads must fail loudly, not fabricate metadata
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoCodec.decodeMeta("not an image".getBytes)
+    }
+  }
+
+  test("imageAssets fixture: decoded values equal the stored expectations") {
+    import graft.etl.DataGen
+    val fx = DataGen.imageAssets(spark, n = 24)
+    val decoded = Multimodal.decodeAndFeaturize(fx, "payload")
+    val bad = decoded.filter(
+      col("width") =!= col("expected_width") ||
+        col("height") =!= col("expected_height") ||
+        col("format") =!= col("expected_format") ||
+        col("phash") =!= col("expected_phash"))
+    assert(bad.isEmpty, "every fixture image must decode to its expectations")
   }
 
   test("repartitionForBlobs yields a bounded partition count") {
