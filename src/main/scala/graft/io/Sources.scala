@@ -57,13 +57,20 @@ object CsvSources {
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }
 
-/** Delta-semantics table on plain parquet: transactional-enough append/
-  * overwrite via a version manifest, plus the reference's health-check/
-  * repair behavior (S10, gold/bronzeToGold.py:17-42).
+/** Delta-semantics table on plain parquet: a delta-log-lite commit
+  * protocol (S5-S10 semantics, reference gold/bronzeToGold.py:17-42).
+  *
+  * Layout: immutable parquet segment dirs (`seg-<nano>/`) plus ONE
+  * manifest file naming the committed snapshot's segments. Every write
+  * lands in a FRESH segment, then the manifest is swapped in with an
+  * atomic rename — so a concurrent reader resolves either the old or the
+  * new snapshot, never a partial one (old segments are never mutated and
+  * only reclaimed by an explicit [[vacuum]], the Delta VACUUM analogue).
   *
   * Scale note: the manifest is O(commits), data files are plain parquet —
   * readers prune partitions/columns exactly as any parquet scan; at real
-  * deployment Delta/Iceberg replace this class behind the same calls. */
+  * deployment Delta/Iceberg replace this class behind the same calls
+  * (object stores swap the rename for a putIfAbsent/conditional-put). */
 final class ManagedParquetTable(spark: SparkSession, path: String) {
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
@@ -71,19 +78,54 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
 
   def exists: Boolean = Files.exists(manifest)
 
-  def append(df: DataFrame): Unit = write(df, "append")
-  def overwrite(df: DataFrame): Unit = write(df, "overwrite")
+  /** Committed snapshot: (version, segment dir names). */
+  private def snapshot(): Option[(Long, Seq[String])] =
+    if (!Files.exists(manifest)) None
+    else {
+      val s = Files.readString(manifest)
+      val ver = """"version":(\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toLong).getOrElse(0L)
+      val segs = """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+          .stripSuffix("\"")).filter(_.nonEmpty))
+        .getOrElse(Seq.empty)
+      Some((ver, segs))
+    }
 
-  /** S7: append tolerating evolving schemas (mergeSchema on read). */
-  private def write(df: DataFrame, mode: String): Unit = {
-    df.write.mode(mode).parquet(s"$path/data")
+  /** Atomically publish a new snapshot (write-temp + rename). */
+  private def commit(segments: Seq[String], mode: String): Unit = {
     Files.createDirectories(Paths.get(path))
-    Files.writeString(manifest,
-      s"""{"version":${System.nanoTime()},"mode":"$mode"}""")
+    val ver = snapshot().map(_._1 + 1).getOrElse(1L)
+    val json = s"""{"version":$ver,"mode":"$mode","segments":[""" +
+      segments.map("\"" + _ + "\"").mkString(",") + "]}"
+    val tmp = Paths.get(path, s"_graft_manifest.tmp.${System.nanoTime()}")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def read(): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(s"$path/data")
+  /** Write df into a fresh immutable segment dir; return its name. */
+  private def writeSegment(df: DataFrame): String = {
+    val seg = s"seg-${System.nanoTime()}"
+    df.write.mode("overwrite").parquet(s"$path/$seg")
+    seg
+  }
+
+  /** S7: append tolerating evolving schemas (mergeSchema on read). */
+  def append(df: DataFrame): Unit = {
+    val seg = writeSegment(df)
+    commit(snapshot().map(_._2).getOrElse(Seq.empty) :+ seg, "append")
+  }
+
+  def overwrite(df: DataFrame): Unit =
+    commit(Seq(writeSegment(df)), "overwrite")
+
+  def read(): DataFrame = {
+    val segs = snapshot().map(_._2).getOrElse(Seq.empty)
+    require(segs.nonEmpty, s"no committed snapshot at $path")
+    spark.read.option("mergeSchema", "true")
+      .parquet(segs.map(s => s"$path/$s"): _*)
+  }
 
   /** S10: healthy = manifest present, readable, non-empty. */
   def isHealthy: Boolean =
@@ -97,20 +139,29 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** W1's DELETE-last-N shape: rewrite without the victim keys (the
-    * Delta `DELETE WHERE ID IN (...)` equivalent on plain parquet). */
-  def deleteWhere(condition: org.apache.spark.sql.Column): Unit = {
-    val remaining = read().filter(!condition)
-    val tmp = path + ".rewrite"
-    remaining.write.mode("overwrite").parquet(s"$tmp/data")
-    val target = Paths.get(path, "data")
-    // atomic-enough swap for a local table; object stores use a commit
-    // protocol here
-    deleteRecursively(target)
-    Files.move(Paths.get(tmp, "data"), target)
-    deleteRecursively(Paths.get(tmp))
-    Files.writeString(manifest,
-      s"""{"version":${System.nanoTime()},"mode":"delete"}""")
+  /** W1's DELETE-last-N shape: rewrite the survivors into a fresh
+    * segment and commit (the Delta `DELETE WHERE` equivalent). The scan
+    * reads the old snapshot's immutable segments while writing the new
+    * one, so concurrent readers stay consistent throughout. */
+  def deleteWhere(condition: org.apache.spark.sql.Column): Unit =
+    commit(Seq(writeSegment(read().filter(!condition))), "delete")
+
+  /** Reclaim segments no committed snapshot references and whose
+    * write-stamp is older than `graceMs` (readers that resolved a
+    * pre-overwrite snapshot within the grace window keep their files). */
+  def vacuum(graceMs: Long = 15 * 60 * 1000L): Unit = {
+    val live = snapshot().map(_._2).getOrElse(Seq.empty).toSet
+    val cutoff = System.nanoTime() - graceMs * 1000000L
+    val dir = Paths.get(path)
+    if (Files.isDirectory(dir)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(dir).iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("seg-"))
+        .filterNot(p => live(p.getFileName.toString))
+        .filter(p => p.getFileName.toString.stripPrefix("seg-")
+          .takeWhile(_.isDigit).toLongOption.exists(_ < cutoff))
+        .toList.foreach(deleteRecursively)
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -157,6 +208,17 @@ object XlsxSource {
       col(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
   }
 
+  /** Hardened StAX factory for untrusted workbook XML: DTDs and external
+    * entities off → no XXE (local-file read / SSRF) and no entity-
+    * expansion bombs at ingest. */
+  private def secureFactory(): javax.xml.stream.XMLInputFactory = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(
+      javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
   /** All cells of sheet 1 as text, row-major, sparse cells = null. */
   private def parseSheet(path: String): Array[Array[String]] = {
     val zip = new java.util.zip.ZipFile(path)
@@ -164,6 +226,9 @@ object XlsxSource {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zip.getInputStream(e)))
         .getOrElse(Array.empty[String])
+      val dateStyles = Option(zip.getEntry("xl/styles.xml"))
+        .map(e => parseStyles(zip.getInputStream(e)))
+        .getOrElse(Array.empty[Boolean])
       val sheetEntry = Option(zip.getEntry("xl/worksheets/sheet1.xml"))
         .orElse {
           import scala.jdk.CollectionConverters._
@@ -171,14 +236,13 @@ object XlsxSource {
             e.getName.startsWith("xl/worksheets/") && e.getName.endsWith(".xml"))
         }
         .getOrElse(throw new IllegalArgumentException(s"no worksheet in $path"))
-      parseSheetXml(zip.getInputStream(sheetEntry), shared)
+      parseSheetXml(zip.getInputStream(sheetEntry), shared, dateStyles)
     } finally zip.close()
   }
 
   /** sharedStrings.xml: one entry per <si>, rich-text runs concatenated. */
   private def parseSharedStrings(in: java.io.InputStream): Array[String] = {
-    val r = javax.xml.stream.XMLInputFactory.newInstance()
-      .createXMLStreamReader(in)
+    val r = secureFactory().createXMLStreamReader(in)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var inT = false
@@ -205,15 +269,79 @@ object XlsxSource {
     out.toArray
   }
 
-  /** sheetData: rows of <c r="A1" t="s|str|inlineStr|b|n"><v>…</v></c>. */
-  private def parseSheetXml(in: java.io.InputStream,
-      shared: Array[String]): Array[Array[String]] = {
-    val r = javax.xml.stream.XMLInputFactory.newInstance()
-      .createXMLStreamReader(in)
+  /** xl/styles.xml → per-cellXf "is a date/time format" flags, indexed by
+    * the cell's s= attribute. Builtin date numFmtIds (ECMA-376 §18.8.30)
+    * plus custom formatCodes matched by a date-token heuristic. */
+  private def parseStyles(in: java.io.InputStream): Array[Boolean] = {
+    val builtinDate = ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+    val r = secureFactory().createXMLStreamReader(in)
+    val customDate = scala.collection.mutable.Set.empty[Int]
+    val xfs = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    var inCellXfs = false
+    while (r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(-1)
+              val code = Option(r.getAttributeValue(null, "formatCode"))
+                .getOrElse("")
+              if (isDateFormatCode(code)) customDate += id
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              val id = Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+              xfs += (builtinDate(id) || customDate(id))
+            case _ =>
+          }
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+          if (r.getLocalName == "cellXfs") inCellXfs = false
+        case _ =>
+      }
+    }
+    r.close()
+    xfs.toArray
+  }
+
+  /** Date-token heuristic on a custom format code: strip quoted literals
+    * and [..] blocks (colors, locale, elapsed markers), then any y/m/d/h
+    * token marks a date/time format. Number formats (0.00, #,##0 $, 0%,
+    * 0.00E+00, General) contain none of these. */
+  private def isDateFormatCode(code: String): Boolean =
+    code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+      .exists(c => c == 'y' || c == 'm' || c == 'd' || c == 'h' ||
+        c == 'Y' || c == 'M' || c == 'D' || c == 'H')
+
+  /** Excel serial-number date/time → ISO-8601 string (what the typed
+    * schema overload's DateType/TimestampType casts expect). 1900 date
+    * system, base 1899-12-30 (openpyxl's convention; the phantom
+    * 1900-02-29 affects only serials < 61, prehistoric for real data).
+    * Whole serials → yyyy-MM-dd; fractional → yyyy-MM-dd HH:mm:ss. */
+  private def serialToIso(raw: String): String = {
+    val d = raw.trim.toDouble
+    val days = math.floor(d).toLong
+    val secs = math.round((d - days) * 86400.0)
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+    if (secs == 0L) date.toString
+    else if (secs >= 86400L) date.plusDays(1).toString
+    else date.atStartOfDay.plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
+  /** sheetData: rows of <c r="A1" s="3" t="s|str|inlineStr|b|n"><v>…</v></c>.
+    * Numeric cells whose style is a date format are converted from Excel
+    * serials to ISO strings; inline rich-text runs are concatenated
+    * across <r><t>…</t></r> and emitted once per cell at </is>. */
+  private def parseSheetXml(in: java.io.InputStream, shared: Array[String],
+      dateStyles: Array[Boolean]): Array[Array[String]] = {
+    val r = secureFactory().createXMLStreamReader(in)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
     var row: scala.collection.mutable.ArrayBuffer[String] = null
     var cellCol = 0
     var cellType = ""
+    var cellDate = false
     var inV = false
     val v = new StringBuilder
     def put(text: String): Unit = {
@@ -233,7 +361,11 @@ object XlsxSource {
               val ref = Option(r.getAttributeValue(null, "r"))
               cellCol = ref.map(colIndex).getOrElse(cellCol + 1)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
-            case "v" | "t" => inV = true; v.clear()
+              cellDate = Option(r.getAttributeValue(null, "s"))
+                .map(_.toInt).exists(i =>
+                  i >= 0 && i < dateStyles.length && dateStyles(i))
+              v.clear() // one accumulator per cell (multi-run inlineStr)
+            case "v" | "t" => inV = true
             case _ =>
           }
         case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV =>
@@ -245,10 +377,14 @@ object XlsxSource {
               put(cellType match {
                 case "s" => shared(v.toString.trim.toInt)
                 case "b" => if (v.toString.trim == "1") "true" else "false"
-                case _   => v.toString
+                case _ if cellDate && cellType == "n" =>
+                  try serialToIso(v.toString)
+                  catch { case _: NumberFormatException => v.toString }
+                case _ => v.toString
               })
             case "t" =>
-              inV = false
+              inV = false // accumulate; inlineStr cells emit at </is>
+            case "is" =>
               if (cellType == "inlineStr") put(v.toString)
             case "row" => rows += row.toArray
             case _ =>

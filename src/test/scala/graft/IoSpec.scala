@@ -47,6 +47,37 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("managed parquet table: overwrite never exposes partial state " +
+    "to concurrent readers; vacuum reclaims dead segments") {
+    val tblPath = tmp("mpt_conc") + "/tbl"
+    val t = new ManagedParquetTable(spark, tblPath)
+    def versionDf(v: Int) =
+      spark.range(100).selectExpr("id", s"$v AS ver")
+    t.overwrite(versionDf(0))
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val rows = t.read().groupBy("ver").count().collect()
+          // snapshot isolation: exactly one version, complete (100 rows)
+          if (rows.length != 1 || rows(0).getLong(1) != 100L)
+            failures.add(s"inconsistent snapshot: ${rows.mkString(",")}")
+        } catch { case e: Throwable => failures.add(s"read failed: $e") }
+      }
+    })
+    reader.start()
+    (1 to 8).foreach(v => t.overwrite(versionDf(v)))
+    stop.set(true); reader.join(30000)
+    assert(failures.isEmpty, failures.toString)
+    // 9 overwrites → 8 dead segments; grace 0 reclaims them all
+    t.vacuum(graceMs = 0)
+    val segs = java.nio.file.Files.list(java.nio.file.Paths.get(tblPath))
+      .filter(p => p.getFileName.toString.startsWith("seg-")).count()
+    assert(segs == 1, s"vacuum left $segs segments")
+    assert(t.read().count() == 100) // live snapshot untouched
+  }
+
   test("S16: XLSX contract binds preconverted fixtures with the HR schema") {
     val d = tmp("xlsx")
     Files.writeString(Paths.get(s"$d/rh.csv"),
@@ -114,6 +145,69 @@ class IoSpec extends SparkSpec {
       StructType(Seq(StructField("ID salarié", IntegerType),
         StructField("Salaire brut", DoubleType))))
     assert(typed.agg(sum(col("`Salaire brut`"))).head.getDouble(0) == 112000.5)
+    f.delete()
+  }
+
+  test("S16: XLSX date serials via styles.xml -> ISO strings + typed casts") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    import org.apache.spark.sql.types.{DateType, TimestampType, StringType}
+    val f = Files.createTempFile("graft_dates", ".xlsx").toFile
+    val z = new ZipOutputStream(new java.io.FileOutputStream(f))
+    def part(name: String, xml: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(xml.getBytes("UTF-8")); z.closeEntry()
+    }
+    // styles: xf 0 = General; xf 1 = builtin date (14); xf 2 = custom
+    // date code (164 dd/mm/yyyy); xf 3 = custom currency (165 — NOT a date)
+    part("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="2">
+        |<numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/>
+        |<numFmt numFmtId="165" formatCode="#,##0.00&quot;m&quot;"/>
+        |</numFmts>
+        |<cellXfs count="4">
+        |<xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/>
+        |<xf numFmtId="164" applyNumberFormat="1"/><xf numFmtId="165"/>
+        |</cellXfs></styleSheet>""".stripMargin)
+    // serials: 32874 = 1990-01-01; 45234.5 = 2023-11-04 12:00:00
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>Naissance</t></is></c><c r="B1" t="inlineStr"><is><t>Embauche</t></is></c><c r="C1" t="inlineStr"><is><r><t>Mon</t></r><r><t>tant</t></r></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>32874</v></c><c r="B2" s="2"><v>45234.5</v></c><c r="C2" s="3"><v>1234.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.close()
+
+    val raw = XlsxSource.readXlsx(spark, f.getAbsolutePath)
+    // multi-run inlineStr header concatenated (not last-run-wins)
+    assert(raw.columns.toSeq == Seq("Naissance", "Embauche", "Montant"))
+    val r0 = raw.head
+    assert(r0.getString(0) == "1990-01-01")          // builtin numFmt 14
+    assert(r0.getString(1) == "2023-11-04 12:00:00") // custom date code
+    assert(r0.getString(2) == "1234.5")              // currency NOT converted
+    // typed overload: date/timestamp casts must succeed, not null out
+    val typed = XlsxSource.readXlsx(spark, f.getAbsolutePath,
+      StructType(Seq(StructField("Naissance", DateType),
+        StructField("Embauche", TimestampType),
+        StructField("Montant", StringType))))
+    val t0 = typed.head
+    assert(t0.getDate(0).toString == "1990-01-01")
+    assert(t0.getTimestamp(1).toString.startsWith("2023-11-04 12:00:00"))
+    f.delete()
+  }
+
+  test("S16: workbook XML with a DTD is rejected (XXE hardening)") {
+    import java.util.zip.{ZipEntry, ZipOutputStream}
+    val f = Files.createTempFile("graft_xxe", ".xlsx").toFile
+    val z = new ZipOutputStream(new java.io.FileOutputStream(f))
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(
+      """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>&e;</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin.getBytes("UTF-8"))
+    z.closeEntry(); z.close()
+    intercept[Exception] { XlsxSource.readXlsx(spark, f.getAbsolutePath) }
     f.delete()
   }
 
