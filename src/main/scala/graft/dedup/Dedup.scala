@@ -88,13 +88,22 @@ object Dedup {
     * it via keepFpAs rather than recompute it). */
   def exactDedup(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", keepFpAs: Option[String] = None): DataFrame = {
-    val withFp = docs.withColumn("_fp", md5(normalizedText(col(textCol))))
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
-    val kept = withFp.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    // collision-proof working names: an input frame may legitimately
+    // carry columns named _fp/_rn; suffix until unique
+    val existing = docs.columns.toSet
+    keepFpAs.foreach(n => require(!existing(n),
+      s"keepFpAs column '$n' already exists in the input frame"))
+    def fresh(base: String): String =
+      Iterator.from(0).map(i => if (i == 0) base else s"$base$i")
+        .find(!existing(_)).get
+    val fp = fresh("_fp"); val rn = fresh("_rn")
+    val withFp = docs.withColumn(fp, md5(normalizedText(col(textCol))))
+    val w = Window.partitionBy(col(fp)).orderBy(col(idCol))
+    val kept = withFp.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
     keepFpAs match {
-      case Some(n) => kept.withColumnRenamed("_fp", n)
-      case None    => kept.drop("_fp")
+      case Some(n) => kept.withColumnRenamed(fp, n)
+      case None    => kept.drop(fp)
     }
   }
 
@@ -194,11 +203,20 @@ object Dedup {
     *
     * For maxDist <= 3 the output is IDENTICAL to row-level banding:
     * 3 flipped bits cannot touch all four disjoint 8-bit slices
-    * (pigeonhole), so any pair within the Hamming bound shares a slice. */
+    * (pigeonhole), so any pair within the Hamming bound shares a slice.
+    * maxDist > 3 is REJECTED (require below): with 4 bands the recall
+    * guarantee stops at 3 flipped bits, and silently-reduced recall is
+    * worse than a loud error.
+    *
+    * The (id, simhash) projection feeds five plan branches (distinct
+    * banding, two expansion sides, two equal-pair sides); it is
+    * persisted so the tokenize+simhash pass over the full corpus runs
+    * once, not five times. */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
     val withSim = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // byte b of sh = (sh mod 2^(8b+8)) / 2^(8b); power-of-2 fp division
     // is exact, so floor is safe
     val banded = withSim.select(col("sh")).distinct().select(

@@ -46,17 +46,18 @@ object WellnessMeasures {
       .withColumn("Prime_Sportive", primeSportive(col("`Moyen de déplacement`")))
       .withColumn("Commute_long",
         commuteLong(col("`Moyen de déplacement`"), col("Distance_km_typical")))
-    // workforce total folded in via a window over the (tiny) grouped
-    // result — one pass over the input, no separate count() job
-    // recomputing the flag pipeline
-    flagged
+    // workforce total folded in via a broadcast cross join of the 1-row
+    // agg over the (tiny) grouped result — one pass over the input, no
+    // separate count() job recomputing the flag pipeline, and no
+    // single-partition global WindowExec
+    val grouped = flagged
       .groupBy(col("`Moyen de déplacement`"))
       .agg(
         sum(col("Prime_Sportive").cast("int")).as("n_prime"),
         sum(col("Commute_long").cast("int")).as("n_long"),
         count(lit(1)).as("n_employees"))
-      .withColumn("total_n", sum(col("n_employees"))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy()))
+    val total = grouped.agg(sum(col("n_employees")).as("total_n"))
+    grouped.crossJoin(broadcast(total))
       .withColumn("pct_of_workforce",
         round(col("n_employees") * 100.0 / greatest(col("total_n"), lit(1L)), 1))
       .drop("total_n")

@@ -205,6 +205,35 @@ object Advanced {
             GROUP BY p.event_id, p.user_id
             ORDER BY p.event_id"""))
 
+  /** Salted skew join (operators/SkewJoin) under the oracle gate: a
+    * deliberately 90%-hot key (9 of 10 events land on key 1) joined to
+    * the customer dim through (key, salt) so the hot key's rows spread
+    * across 8 partitions instead of one straggler task. The grouped
+    * result is salt-invariant, so the oracle is the plain SQL join. */
+  val skewJoin: GQuery = GQuery(
+    "j8_skew_join",
+    (s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("skew_key",
+          when(col("user_id") % 10 < 9, 1L)
+            .otherwise(col("user_id") % 100 + 1))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").cast("long").as("skew_key"), col("c_name"))
+      graft.operators.SkewJoin.saltedJoin(e, dim, "skew_key", salts = 8)
+        .groupBy(col("skew_key"), col("c_name"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("value_cents"))
+        .orderBy(col("skew_key"))
+    },
+    Some("""SELECT skew_key, c_name, count(*) AS n,
+              CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                AS value_cents
+            FROM (SELECT CASE WHEN user_id % 10 < 9 THEN 1
+                              ELSE user_id % 100 + 1 END AS skew_key, value
+                  FROM events) e
+            JOIN customer ON skew_key = c_custkey
+            GROUP BY skew_key, c_name ORDER BY skew_key"""))
+
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
-    rollupQ, cubeQ, pivot, rangeJoin)
+    rollupQ, cubeQ, pivot, rangeJoin, skewJoin)
 }

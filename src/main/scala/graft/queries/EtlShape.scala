@@ -98,6 +98,102 @@ object EtlShape {
                 AS phash
             FROM documents ORDER BY doc_id"""))
 
+  // --- E2: end-to-end ingest replay fixture -------------------------------
+
+  /** Deterministic Debezium-envelope JSONL backlog: inserts, updates
+    * (filtered by P11), and tombstones, with planted nulls. Written
+    * idempotently to a stable absolute path so the DuckDB oracle can
+    * read the SAME bytes via read_json. */
+  private val replayFixtureFile: String = {
+    val base = sys.env.getOrElse("GRAFT_FIXTURE_DIR",
+      "/root/repo/target/fixtures")
+    s"$base/e2_replay/backlog.jsonl"
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private lazy val replayFixtureDir: String = {
+    val sports = Seq("Course à pied", "Vélo", "Natation", "Marche")
+    val baseUs = 1722470400000000L // 2024-08-01T00:00:00Z in epoch-µs
+    val lines = (1 to 240).map { i =>
+      if (i % 17 == 0) """{"payload": {"op": "d", "after": null}}"""
+      else {
+        val op = if (i % 10 == 0) "u" else "c"
+        val dist = if (i % 7 == 0) "null" else (i * 100).toString
+        val comment =
+          if (i % 3 == 0) "null" else jsonStr(s"Commentaire n°$i")
+        s"""{"payload": {"op": "$op", "after": {"ID": $i,""" +
+          s""" "ID_salarie": ${i % 100 + 1},""" +
+          s""" "Date_de_debut": ${baseUs + i * 3600000000L},""" +
+          s""" "Sport_type": ${jsonStr(sports((i - 1) % 4))},""" +
+          s""" "Distance_m": $dist,""" +
+          s""" "Date_de_fin": ${baseUs + i * 3600000000L + 5400000000L},""" +
+          s""" "Commentaire": $comment}}}"""
+      }
+    }
+    val f = java.nio.file.Paths.get(replayFixtureFile)
+    java.nio.file.Files.createDirectories(f.getParent)
+    java.nio.file.Files.write(f,
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    f.getParent.toString
+  }
+
+  /** E2: the whole bronze path under one oracle gate — bounded backlog
+    * replay (S2/S3) → Debezium decode + insert-only filter (S4/P11) →
+    * µs-epoch timestamps (F1) → broadcast dim enrich (J1). The oracle
+    * parses the identical JSONL in DuckDB and replays the same
+    * semantics in SQL. processing_timestamp (F5) is dropped — wall
+    * clock is untestable by construction; e1 gates its deterministic
+    * analog. */
+  val ingestReplay: GQuery = GQuery(
+    "e2_ingest_replay",
+    (s, d) => {
+      val decoded = graft.streaming.BronzeIngest.batchReplay(s, replayFixtureDir)
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").cast("int").as("ID_salarie"),
+          col("c_name"), col("c_mktsegment"))
+      decoded.drop("processing_timestamp")
+        .join(broadcast(dim), Seq("ID_salarie"), "left")
+        .select(
+          col("ID").cast("long").as("id"),
+          col("ID_salarie").cast("long").as("employee_id"),
+          // calendar-rendered (not raw timestamps): pandas materializes
+          // Spark parquet ns-unit vs DuckDB µs-unit int64 and hash-differs
+          date_format(col("Date_de_debut"), "yyyy-MM-dd HH:mm:ss")
+            .as("start_ts"),
+          date_format(col("Date_de_fin"), "yyyy-MM-dd HH:mm:ss")
+            .as("end_ts"),
+          col("Sport_type").as("sport_type"),
+          coalesce(col("Distance_m").cast("long"), lit(-1L)).as("distance_m"),
+          coalesce(col("Commentaire"), lit("")).as("comment"),
+          col("c_name"), col("c_mktsegment"))
+        .orderBy(col("id"))
+    },
+    Some(s"""SELECT CAST(payload.after.ID AS BIGINT) AS id,
+              CAST(payload.after.ID_salarie AS BIGINT) AS employee_id,
+              strftime(make_timestamp(payload.after.Date_de_debut),
+                '%Y-%m-%d %H:%M:%S') AS start_ts,
+              strftime(make_timestamp(payload.after.Date_de_fin),
+                '%Y-%m-%d %H:%M:%S') AS end_ts,
+              payload.after.Sport_type AS sport_type,
+              coalesce(CAST(payload.after.Distance_m AS BIGINT), -1)
+                AS distance_m,
+              coalesce(payload.after.Commentaire, '') AS comment,
+              c.c_name, c.c_mktsegment
+            FROM read_json('$replayFixtureFile',
+              columns={payload: 'STRUCT(op VARCHAR, after STRUCT(
+                ID BIGINT, ID_salarie BIGINT, Date_de_debut BIGINT,
+                Sport_type VARCHAR, Distance_m BIGINT, Date_de_fin BIGINT,
+                Commentaire VARCHAR))'}) j
+            LEFT JOIN customer c ON payload.after.ID_salarie = c.c_custkey
+            WHERE payload.op = 'c' AND payload.after IS NOT NULL
+            ORDER BY id"""))
+
   /** S11 raw-parquet escape hatch + U1: per-file scan union with a
     * provenance column, deterministic order. */
   val unionScan: GQuery = GQuery(
@@ -116,5 +212,6 @@ object EtlShape {
               SELECT r_regionkey, r_name, 'region' FROM region)
             ORDER BY src, key"""))
 
-  val all: Seq[GQuery] = Seq(goldEnrich, multimodalMeta, imageDecode, unionScan)
+  val all: Seq[GQuery] =
+    Seq(goldEnrich, multimodalMeta, imageDecode, ingestReplay, unionScan)
 }

@@ -35,8 +35,20 @@ object Exact {
 
   /** Σ of a 2-decimal double column, exact: Σcents / 100.0. The final
     * division is a single double op on an exact integer — identical in
-    * every IEEE engine. Replaces round(sum(c), 2). */
+    * every IEEE engine. Replaces round(sum(c), 2).
+    *
+    * Headroom bound: the BIGINT accumulator holds |Σcents| < 2⁶³ ≈
+    * 9.2e18. At ~1e7 cents/row (TPC-H price magnitudes) that is ~9e11
+    * rows per GROUP; derived products like price×(100−disc) at ~1e9 per
+    * row bound a group at ~9e9 rows. Within the gate scales by 5+ orders
+    * of magnitude; for groups beyond it use [[moneySumBig]]. */
   def moneySum(c: Column): Column = sum(cents(c)) / 100.0
+
+  /** Overflow-proof variant: decimal(38,0) accumulator (≈1e38 headroom —
+    * unreachable by any physical row count). ~2× slower than the BIGINT
+    * path, so it is the documented escape hatch, not the default. */
+  def moneySumBig(c: Column): Column =
+    (sum(cents(c).cast("decimal(38,0)")) / 100.0).cast("double")
 
   /** DuckDB fragment equivalent to [[cents]]. */
   def centsSql(v: String): String = s"CAST(round(($v) * 100) AS BIGINT)"

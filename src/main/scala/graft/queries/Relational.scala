@@ -207,8 +207,11 @@ object Relational {
         .agg(count(lit(1)).as("n"), Exact.moneySum(col("value")).as("total_value"))
       // pct as exact rational n·100/total rounded to 1 decimal in
       // integer arithmetic (n·1000/total, half-up) — immune to the
-      // double-division boundary class
-      g.withColumn("total_n", sum(col("n")).over(Window.partitionBy()))
+      // double-division boundary class. Total folded in via a broadcast
+      // cross join of the 1-row agg, not a global window (a
+      // single-partition WindowExec over the grouped result).
+      val total = g.agg(sum(col("n")).as("total_n"))
+      g.crossJoin(broadcast(total))
         .select(col("event_type"), col("n"), col("total_value"),
           (Exact.roundDiv(col("n") * 1000, col("total_n")) / 10.0).as("pct"))
         .orderBy(col("event_type"))

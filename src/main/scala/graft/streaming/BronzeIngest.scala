@@ -70,7 +70,6 @@ object BronzeIngest {
       .format("text")
       .option("maxFilesPerTrigger", 10) // bounded micro-batches (ST1 analog)
       .load(dir)
-      .withColumnRenamed("value", "value")
 
   /** Start the bronze ingest: parquet main sink + optional CSV mirror,
     * both written transactionally per micro-batch. */
