@@ -183,5 +183,39 @@ object Text {
                   (h, c) -> (h * 31 + c) % 1000000007) END AS first_shingle_hash
             FROM sh ORDER BY doc_id"""))
 
-  val all: Seq[GQuery] = Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ)
+  /** REAL learned-merges BPE (expressions/BpeExpressions): the oracle
+    * replays the identical merge list as nested SQL replace() calls over
+    * a "(sym)(sym)" state encoding — one replace per rule is exactly
+    * exhaustive BPE application because a merged symbol never recreates
+    * its own pattern (see BpeTokenCount scaladoc). The heuristic
+    * pre-tokenizer count (t1's n_bpe) rides along for comparison. */
+  val bpeTokens: GQuery = {
+    val init = "regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', " +
+      "'', 'g'), '(.)', '(\\1)', 'g')"
+    val folded = graft.expressions.BpeExpressions.FixtureMerges
+      .foldLeft(init) { case (acc, (a, b)) =>
+        s"replace($acc, '($a)($b)', '($a$b)')"
+      }
+    GQuery(
+      "t6_bpe_tokens",
+      (s, d) =>
+        docs(s, d)
+          .select(
+            col("doc_id"),
+            graft.expressions.BpeExpressions
+              .bpe_token_count(bpeNormalize(col("text")))
+              .cast("long").as("n_bpe_real"),
+            tokenCountBpe(col("text")).cast("long").as("n_pretok"))
+          .orderBy(col("doc_id")),
+      Some(s"""WITH st AS (SELECT doc_id, text, $folded AS enc FROM documents)
+            SELECT doc_id,
+              CAST(length(enc) - length(replace(enc, '(', '')) AS BIGINT)
+                AS n_bpe_real,
+              CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+                AS n_pretok
+            FROM st ORDER BY doc_id"""))
+  }
+
+  val all: Seq[GQuery] =
+    Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens)
 }

@@ -90,6 +90,12 @@ object TextFunctions {
   def normalizedText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Normalization contract for the learned-merges BPE kernel: lowercase,
+    * restricted to [a-z0-9 ] so every symbol is one ASCII char (engine-
+    * independent splitting, unambiguous SQL-oracle encoding). */
+  def bpeNormalize(text: Column): Column =
+    regexp_replace(lower(text), "[^a-z0-9 ]", "")
+
   // ---- quality scoring (length / punctuation / stopword ratios) ----
 
   val EnStopwords: Seq[String] = Seq(

@@ -74,6 +74,32 @@ class KernelSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("learned-merges BPE kernel: hand-computed goldens") {
+    import graft.expressions.BpeExpressions
+    import spark.implicits._
+    // FixtureMerges order: th, the, in, an, and, ... (see BpeExpressions)
+    val cases = Seq(
+      ("the", 1),     // t+h -> th; th+e -> the
+      ("in", 1),      // i+n
+      ("and", 1),     // a+n -> an; an+d -> and
+      ("the and", 2), // [the][ ][and] -> the+' ' word-final merge -> [the ][and]
+      ("sting", 2),   // i+n -> in; in+g -> ing; s+t -> st => [st][ing]
+      ("zq", 2),      // no rule applies
+      ("", 0))
+    val got = cases.toDF("text", "expected")
+      .select(col("expected"),
+        BpeExpressions.bpe_token_count(col("text")).as("got"))
+      .filter(col("expected") =!= col("got"))
+    assert(got.isEmpty, got.collect().mkString(","))
+  }
+
+  test("BPE merges file parsing (GPT-2 merges.txt format)") {
+    import graft.expressions.BpeExpressions
+    val parsed = BpeExpressions.mergesFromLines(Iterator(
+      "# version: fixture", "t h", "th e", "", "e  ")) // 'e'+' ' word-final
+    assert(parsed == Seq("t" -> "h", "th" -> "e", "e" -> " "))
+  }
+
   test("every kernel expression is codegen'd — no fallback dispatch") {
     // CODEGEN_ONLY + fallback=false turn any codegen failure into a
     // thrown error instead of a silent interpreted fallback
@@ -92,6 +118,7 @@ class KernelSpec extends SparkSpec {
             Seq(2L, 3L), Seq(5L, 7L)).as("mh"),
           T.lang_id(col("text")).as("lid"),
           T.text_stats(col("text")).as("st"),
+          graft.expressions.BpeExpressions.bpe_token_count(col("text")).as("bpe"),
           VectorFunctions.cosine(col("embedding"), col("embedding")).as("cos"),
           VectorFunctions.lshCode(col("embedding"), 8, 64).as("lsh"))
       assert(df.collect().nonEmpty)
