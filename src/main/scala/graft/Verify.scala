@@ -22,8 +22,16 @@ object Verify {
       .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        // coalesce(1) keeps the driver-facing output a single tidy file,
+        // but it also collapses the FINAL stage to one task — at the
+        // local sf1 validation tier some outputs are 100M+ rows, so
+        // GRAFT_VERIFY_PARALLEL=1 writes them multi-file instead (the
+        // comparators sort, so file layout is irrelevant to them)
+        val out = fn(spark, sfDir)
+        val shaped =
+          if (sys.env.contains("GRAFT_VERIFY_PARALLEL")) out
+          else out.coalesce(1)
+        shaped.write.mode("overwrite").parquet(s"$outDir/$name")
         System.err.println(
           f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
