@@ -159,6 +159,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ---- Near-dup clusters (the consumer of pair lists) ----
+
+  /** Connected components over an undirected pair list — hash-min label
+    * propagation, the standard distributed algorithm: every vertex
+    * starts labeled with its own id; each round every vertex takes the
+    * min of its own and its neighbors' labels; fixpoint = per-component
+    * min id. Converges in O(component diameter) rounds — near-dup
+    * clusters are dense and shallow (duplicates of one source document),
+    * so 3-5 rounds is typical at any corpus size.
+    *
+    * Scale shape: each round is one join edges⋈labels + one groupBy min
+    * — both shuffle on vertex id, both map-side-combinable. No driver-
+    * side graph state; labels/edges are persisted DataFrames and the
+    * only driver value per round is the converged? count. This is the
+    * missing last stage of d4/d6 (pair enumeration → dedup clusters →
+    * min-id survivors) — at 100 TB the pair list never needs
+    * materializing to storage, it flows straight into this.
+    *
+    * @return (id, label) — label = min id of the component. Vertices
+    *         appearing in `pairs` only; callers left-join singletons. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(MEMORY_AND_DISK)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .persist(MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    require(converged,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds the bound — raise maxIter)")
+    labels
+  }
+
+  /** Survivor selection over a clustered corpus: keep the min-id doc of
+    * every near-dup cluster (singletons keep themselves). */
+  def dedupByClusters(docs: DataFrame, clusters: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      clusters.select(col("id").as(idCol), col("label")), Seq(idCol), "left")
+      .filter(col("label").isNull || col("label") === col(idCol))
+      .drop("label")
+
   // ---- SimHash ----
 
   /** 32-bit SimHash over whitespace tokens: bit b set iff the sum of

@@ -7,9 +7,11 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * The runtime image carries no Delta/Kafka/POI jars (verified against
   * /opt/spark/jars), so:
-  *  - Delta tables → [[ManagedParquetTable]]: parquet + a tiny commit
-  *    manifest giving append/overwrite atomicity and a health check
-  *    (S5-S11 semantics).
+  *  - Delta tables → [[ManagedParquetTable]]: parquet + a versioned
+  *    commit manifest giving append/overwrite atomicity and a health
+  *    check (S5-S11 semantics), with every commit mirrored as a
+  *    Delta-protocol `_delta_log` entry so real Delta readers can
+  *    resolve the same snapshots.
   *  - Kafka → the streaming module's source abstraction (raw value
   *    column; file-backed here, format("kafka") where available).
   *  - XLSX → [[XlsxSource]]: JDK-only zip+StAX reader, no POI (S16).
@@ -115,10 +117,18 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   def append(df: DataFrame): Unit = {
     val seg = writeSegment(df)
     commit(snapshot().map(_._2).getOrElse(Seq.empty) :+ seg, "append")
+    mirrorDeltaLog("append", added = segmentFiles(seg), removed = Nil,
+      schemaJson = df.schema.json)
   }
 
-  def overwrite(df: DataFrame): Unit =
-    commit(Seq(writeSegment(df)), "overwrite")
+  def overwrite(df: DataFrame): Unit = {
+    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val seg = writeSegment(df)
+    commit(Seq(seg), "overwrite")
+    mirrorDeltaLog("overwrite", added = segmentFiles(seg),
+      removed = prev.flatMap(segmentFiles).map(_._1),
+      schemaJson = df.schema.json)
+  }
 
   def read(): DataFrame = {
     val segs = snapshot().map(_._2).getOrElse(Seq.empty)
@@ -143,8 +153,77 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * segment and commit (the Delta `DELETE WHERE` equivalent). The scan
     * reads the old snapshot's immutable segments while writing the new
     * one, so concurrent readers stay consistent throughout. */
-  def deleteWhere(condition: org.apache.spark.sql.Column): Unit =
-    commit(Seq(writeSegment(read().filter(!condition))), "delete")
+  def deleteWhere(condition: org.apache.spark.sql.Column): Unit = {
+    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val survivors = read().filter(!condition)
+    val seg = writeSegment(survivors)
+    commit(Seq(seg), "delete")
+    mirrorDeltaLog("delete", added = segmentFiles(seg),
+      removed = prev.flatMap(segmentFiles).map(_._1),
+      schemaJson = survivors.schema.json)
+  }
+
+  // ---- Delta-protocol commit mirror -------------------------------------
+
+  /** Every commit is mirrored as a Delta-protocol transaction-log entry
+    * under `_delta_log/` (ECMA-404 JSON actions per the public Delta
+    * protocol: protocol + metaData at version 0, add/remove per commit,
+    * relative data-file paths) — so a real Delta reader pointed at the
+    * table root resolves the same snapshots this class serves. The
+    * runtime image carries no delta jar (verified), so conformance is
+    * asserted structurally in IoSpec rather than via a reader round-trip:
+    * contiguous versions, every live file added exactly once, overwrites
+    * remove the full prior snapshot. */
+  private def deltaLogDir = Paths.get(path, "_delta_log")
+
+  /** (relative path, size bytes) of a segment's parquet data files. */
+  private def segmentFiles(seg: String): Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val segDir = Paths.get(path, seg)
+    if (!Files.isDirectory(segDir)) Seq.empty
+    else Files.list(segDir).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .map(p => (s"$seg/${p.getFileName}", Files.size(p)))
+      .toSeq.sortBy(_._1)
+  }
+
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def mirrorDeltaLog(mode: String, added: Seq[(String, Long)],
+      removed: Seq[String], schemaJson: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.createDirectories(deltaLogDir)
+    val version = Files.list(deltaLogDir).iterator().asScala
+      .count(_.getFileName.toString.matches("\\d{20}\\.json"))
+    val now = System.currentTimeMillis()
+    val sb = new StringBuilder
+    if (version == 0) {
+      sb ++= s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}\n"""
+      sb ++= s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jsonEsc(schemaJson)}",""" +
+        s""""partitionColumns":[],"configuration":{},""" +
+        s""""createdTime":$now}}\n"""
+    }
+    sb ++= s"""{"commitInfo":{"timestamp":$now,"operation":"${mode.toUpperCase}"}}\n"""
+    removed.foreach { f =>
+      sb ++= s"""{"remove":{"path":"${jsonEsc(f)}","deletionTimestamp":$now,""" +
+        s""""dataChange":true}}\n"""
+    }
+    added.foreach { case (f, size) =>
+      sb ++= s"""{"add":{"path":"${jsonEsc(f)}","partitionValues":{},""" +
+        s""""size":$size,"modificationTime":$now,"dataChange":true}}\n"""
+    }
+    val tmp = deltaLogDir.resolve(s".tmp.$now.${System.nanoTime()}")
+    Files.writeString(tmp, sb.toString)
+    Files.move(tmp, deltaLogDir.resolve(f"$version%020d.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
 
   /** Reclaim segments no committed snapshot references and whose
     * write-stamp is older than `graceMs` (readers that resolved a

@@ -196,6 +196,54 @@ object Dedup {
             WHERE bit_count(xor(l.sh, r.sh)) <= 3
             ORDER BY id_a, id_b"""))
 
+  /** Near-dup clusters end-to-end: the d4 MinHash-LSH pair pipeline fed
+    * into hash-min connected components, singletons keeping their own
+    * id — the full "pair enumeration → dedup clusters" path a 100 TB
+    * dedup run executes. The oracle replays the entire chain: the d4
+    * pair SQL verbatim as CTEs, then component minima via a recursive
+    * reachability CTE (set-semantics UNION terminates it). */
+  val dedupClusters: GQuery = GQuery(
+    "d7_dedup_clusters",
+    (s, d) => {
+      val pairs = D.minhashNearDups(docs(s, d), threshold = 0.2)
+      val comp = D.connectedComponents(pairs, "id_a", "id_b")
+      docs(s, d).select(col("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""${SqlShingleHashes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            bands AS (SELECT doc_id, b AS band,
+              CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR)
+                AS bucket_key
+              FROM sig, unnest(range(4)) AS u(b)),
+            cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket_key = r.bucket_key
+              WHERE l.doc_id < r.doc_id),
+            shs2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS s3
+              FROM t),
+            pairs AS (SELECT id_a, id_b
+              FROM cand JOIN shs2 a ON cand.id_a = a.doc_id
+                        JOIN shs2 b ON cand.id_b = b.doc_id
+              WHERE CASE WHEN len(list_distinct(a.s3 || b.s3)) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE)
+                       / len(list_distinct(a.s3 || b.s3)) END >= 0.2),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+            SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+            ORDER BY d.doc_id"""))
+
   val all: Seq[GQuery] = Seq(
-    exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs)
+    exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
+    dedupClusters)
 }

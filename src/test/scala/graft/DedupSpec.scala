@@ -22,6 +22,30 @@ class DedupSpec extends SparkSpec {
     assert(kept.sameElements(Array(1L, 3L, 4L, 6L))) // 2 and 5 removed
   }
 
+  test("connected components: chains, triangles, multi-round convergence") {
+    // components: {1..6} (a 6-long path — forces several hash-min
+    // rounds), {10,11,12} (triangle), {20,21}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (21L, 20L)).toDF("id_a", "id_b")
+    val comp = D.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 6L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(comp(20L) == 20L && comp(21L) == 20L)
+    assert(comp.size == 11) // only vertices present in the pair list
+  }
+
+  test("dedupByClusters keeps min-id survivors + singletons") {
+    val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
+      .withColumn("payload", col("doc_id") * 2)
+    val clusters = Seq((1L, 1L), (2L, 1L), (4L, 4L)).toDF("id", "label")
+    val kept = D.dedupByClusters(corpus, clusters)
+      .select("doc_id").as[Long].collect().sorted
+    // 2 dropped (clustered under 1); 3 and 9 are singletons; 4 self-labeled
+    assert(kept.sameElements(Array(1L, 3L, 4L, 9L)))
+  }
+
   test("minhash native expression == composed-HOF implementation") {
     val both = docs.select(
       D.minhashSignature(col("text")).as("native"),

@@ -78,6 +78,48 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == 100) // live snapshot untouched
   }
 
+  test("managed parquet table mirrors a Delta-protocol _delta_log") {
+    val tblPath = tmp("mpt_delta") + "/tbl"
+    val t = new ManagedParquetTable(spark, tblPath)
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((3, "c")).toDF("id", "v"))
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))
+    val logDir = java.nio.file.Paths.get(tblPath, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val versions = java.nio.file.Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq.sorted
+    assert(versions == Seq("00000000000000000000.json",
+      "00000000000000000001.json", "00000000000000000002.json"))
+    def actions(v: String): Seq[String] =
+      java.nio.file.Files.readString(logDir.resolve(v)).linesIterator.toSeq
+    val v0 = actions(versions.head)
+    assert(v0.exists(_.contains("\"protocol\"")) &&
+      v0.exists(_.contains("\"metaData\"")) &&
+      v0.exists(_.contains("\"schemaString\"")))
+    // overwrite removes the full prior snapshot and adds the new files
+    val v2 = actions(versions(2))
+    assert(v2.count(_.contains("\"remove\"")) >= 2) // both appended segments
+    assert(v2.exists(_.contains("\"add\"")))
+    // add/remove paths are table-relative and every log line parses as JSON
+    val all = versions.flatMap(actions)
+    all.foreach { l =>
+      assert(!l.contains(tblPath), s"absolute path leaked into log: $l")
+      // cheap JSON sanity: parseable by Spark's JSON reader
+    }
+    val parsed = spark.read.json(
+      spark.createDataset(all)(org.apache.spark.sql.Encoders.STRING))
+    assert(parsed.count() == all.length &&
+      !parsed.columns.contains("_corrupt_record"))
+    // live adds (minus removes) == the files the manifest snapshot serves
+    val added = all.filter(_.contains("\"add\"")).flatMap(
+      "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
+    val removed = all.filter(_.contains("\"remove\"")).flatMap(
+      "\"path\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
+    val live = added.toSet -- removed.toSet
+    val served = t.read().inputFiles.map(_.split("/").takeRight(2).mkString("/")).toSet
+    assert(live == served, s"log live set $live != served $served")
+  }
+
   test("S16: XLSX contract binds preconverted fixtures with the HR schema") {
     val d = tmp("xlsx")
     Files.writeString(Paths.get(s"$d/rh.csv"),
