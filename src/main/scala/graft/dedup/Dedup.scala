@@ -182,33 +182,38 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // pairs is typically an expensive pipeline (LSH + verify): persist it
+    // so building the two edge directions runs it once, not twice
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .persist(MEMORY_AND_DISK)
+    val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(MEMORY_AND_DISK)
+    var backing: DataFrame = null // persisted frame backing `labels`
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels
+      // one joined frame serves BOTH the convergence check and the next
+      // labels (a projection over the same cached partitions)
+      val joined = labels
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
         .persist(MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") < col("old")).count()
-      labels.unpersist()
-      labels = next
+      val changed = joined.filter(col("nlabel") < col("label")).count()
+      if (backing != null) backing.unpersist() else labels.unpersist()
+      backing = joined
+      labels = joined.select(col("id"),
+        least(col("label"), coalesce(col("nlabel"), col("label")))
+          .as("label"))
       converged = changed == 0
       it += 1
     }
-    edges.unpersist()
+    p.unpersist(); edges.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds the bound — raise maxIter)")

@@ -216,6 +216,88 @@ object Text {
             FROM st ORDER BY doc_id"""))
   }
 
+  /** Token-bounded overlapping chunking (context-window prep): chunk 32,
+    * overlap 8 → stride 24. The oracle re-derives every chunk's text via
+    * list slicing, so boundary arithmetic (short last chunks, short
+    * docs, empty docs) is hash-checked, not just counted. */
+  val chunking: GQuery = GQuery(
+    "t7_chunking",
+    (s, d) =>
+      chunkDocuments(
+        docs(s, d).select(col("doc_id"), col("text")), "text",
+        chunkTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk_text"), col("n_chunk_tokens").cast("long")
+            .as("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx")),
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            n AS (SELECT doc_id, toks,
+              CASE WHEN len(toks) = 0 THEN 0
+                ELSE greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)
+              END AS n_chunks FROM t),
+            c AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_idx
+              FROM n, unnest(range(n_chunks)) AS u(i))
+            SELECT doc_id, chunk_idx,
+              array_to_string(toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')
+                AS chunk_text,
+              CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT)
+                AS n_chunk_tokens
+            FROM c ORDER BY doc_id, chunk_idx"""))
+
+  /** Composite corpus curation — the end-to-end training-data shape in
+    * ONE query plan: quality/language gate (t2/t3 kernels) → exact-dedup
+    * survivors (d1) → chunking (t7) → per-doc chunk stats. Exercises
+    * kernel composition + window dedup + explode in a single plan the
+    * optimizer must fuse; the oracle replays the identical chain. */
+  val corpusCuration: GQuery = GQuery(
+    "c1_corpus_curation",
+    (s, d) => {
+      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+      val lang = graft.expressions.TextStatsExpressions.lang_id(col("text"))
+      val filtered = docs(s, d)
+        .withColumn("_nt", st.getField("n_tokens"))
+        .filter(lang === "en" && col("_nt") >= lit(20))
+      val surviving = graft.dedup.Dedup
+        .exactDedup(filtered, "text", "doc_id")
+      chunkDocuments(surviving.select(col("doc_id"), col("text")), "text",
+        chunkTokens = 32, overlap = 8)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens").cast("long")).as("total_chunk_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+            langed AS (SELECT doc_id, text, toks FROM (
+              SELECT doc_id, text, toks,
+                len(list_intersect(list_distinct(toks),
+                  ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+                len(list_intersect(list_distinct(toks),
+                  ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+                len(list_intersect(list_distinct(toks),
+                  ['el','la','los','las','y','de','que','es','en','por'])) AS s_es,
+                len(list_intersect(list_distinct(toks),
+                  ['der','die','das','und','ist','von','mit','den','nicht','ein'])) AS s_de
+              FROM t0)
+              WHERE greatest(s_en, s_fr, s_es, s_de) > 0
+                AND s_en = greatest(s_en, s_fr, s_es, s_de)
+                AND len(toks) >= 20),
+            survivors AS (SELECT doc_id, toks FROM (
+              SELECT doc_id, toks, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+              FROM langed) WHERE rn = 1),
+            n AS (SELECT doc_id, toks,
+              greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)
+                AS n_chunks FROM survivors),
+            c AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_idx
+              FROM n, unnest(range(n_chunks)) AS u(i))
+            SELECT doc_id, count(*) AS n_chunks,
+              CAST(sum(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) ) AS BIGINT)
+                AS total_chunk_tokens
+            FROM c GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[GQuery] =
-    Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens)
+    Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
+      chunking, corpusCuration)
 }

@@ -96,6 +96,44 @@ object TextFunctions {
   def bpeNormalize(text: Column): Column =
     regexp_replace(lower(text), "[^a-z0-9 ]", "")
 
+  // ---- document chunking (context-window preparation) ----
+
+  /** Split documents into token-bounded overlapping chunks — the
+    * standard context-window preparation step of a training-data
+    * pipeline. Chunk i covers tokens [i·stride, i·stride + chunkTokens)
+    * with stride = chunkTokens − overlap; every token is covered, the
+    * last chunk may be short, empty docs yield zero chunks.
+    *
+    * Pure Column implementation (tokenize kernel → sequence/slice/
+    * explode): per-row, no shuffle, linear to 100 TB. Output columns:
+    * input columns + (chunk_idx, chunk_text, n_chunk_tokens), one row
+    * per chunk. */
+  def chunkDocuments(docs: org.apache.spark.sql.DataFrame, textCol: String,
+      chunkTokens: Int = 128, overlap: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(chunkTokens > overlap && overlap >= 0,
+      s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val stride = chunkTokens - overlap
+    val toks = tokens(col(textCol))
+    // stride-starts covering all tokens: ceil((size − overlap)/stride),
+    // min 1 for non-empty docs (values < 2^31 are exact in the double)
+    val nChunks = when(size(toks) === 0, lit(0))
+      .otherwise(greatest(
+        ceil((size(toks) - overlap).cast("double") / stride).cast("int"),
+        lit(1)))
+    docs
+      .withColumn("_toks", toks)
+      // sequence(0, -1) yields [0, -1] (descending step inference), so
+      // empty docs need an explicit empty array → explode drops the row
+      .withColumn("chunk_idx",
+        explode(when(nChunks === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), nChunks - 1))))
+      .withColumn("_chunk",
+        slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkTokens)))
+      .withColumn("chunk_text", concat_ws(" ", col("_chunk")))
+      .withColumn("n_chunk_tokens", size(col("_chunk")))
+      .drop("_toks", "_chunk")
+  }
+
   // ---- quality scoring (length / punctuation / stopword ratios) ----
 
   val EnStopwords: Seq[String] = Seq(

@@ -36,6 +36,26 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 11) // only vertices present in the pair list
   }
 
+  test("chunkDocuments: boundaries, overlap, short docs, empty docs") {
+    import graft.text.TextFunctions
+    val corpus = Seq(
+      (1L, (1 to 56).map(i => s"w$i").mkString(" ")), // 56 toks → 2 chunks @ (32,8)
+      (2L, (1 to 57).map(i => s"w$i").mkString(" ")), // 57 → 3 (short tail)
+      (3L, "just three tokens"),                      // 1 short chunk
+      (4L, "")).toDF("doc_id", "text")                // 0 chunks
+    val out = TextFunctions.chunkDocuments(corpus, "text", 32, 8)
+      .select("doc_id", "chunk_idx", "n_chunk_tokens")
+      .as[(Long, Int, Int)].collect().sorted
+    assert(out.toSeq == Seq(
+      (1L, 0, 32), (1L, 1, 32),           // [0,32) [24,56)
+      (2L, 0, 32), (2L, 1, 32), (2L, 2, 9), // [48,57) short tail
+      (3L, 0, 3)))
+    // every token covered, consecutive chunks overlap by exactly 8
+    val texts = TextFunctions.chunkDocuments(corpus.filter(col("doc_id") === 1),
+      "text", 32, 8).select("chunk_text").as[String].collect()
+    assert(texts(0).endsWith("w32") && texts(1).startsWith("w25"))
+  }
+
   test("dedupByClusters keeps min-id survivors + singletons") {
     val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
       .withColumn("payload", col("doc_id") * 2)
