@@ -229,6 +229,33 @@ object Dedup {
       .filter(col("label").isNull || col("label") === col(idCol))
       .drop("label")
 
+  /** Benchmark decontamination: drop every training doc that shares at
+    * least one word-n-gram with the benchmark corpus (the standard
+    * eval-leakage guard of a training-data pipeline; cf. reference
+    * README's curation framing — this is the op the reference's
+    * dedup stage would need at pre-training scale).
+    *
+    * Scale shape: the benchmark side is tiny (eval sets are KBs–MBs),
+    * so its distinct shingles BROADCAST; the train side is scanned
+    * once exploded for the semi-join probe (map-side, no train
+    * shuffle) producing only the contaminated-id set, which is again
+    * small → broadcast anti-join back onto train. The 100 TB corpus
+    * is never shuffled. Docs shorter than n tokens have no shingles
+    * and are always kept. */
+  def decontaminate(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val benchShingles = bench
+      .select(explode(array_distinct(wordShingles(col(textCol), n))).as("_sh"))
+      .distinct()
+    val contaminated = train
+      .select(col(idCol), explode(array_distinct(
+        wordShingles(col(textCol), n))).as("_sh"))
+      .join(broadcast(benchShingles), Seq("_sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 32-bit SimHash over whitespace tokens: bit b set iff the sum of

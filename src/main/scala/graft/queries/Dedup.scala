@@ -243,7 +243,36 @@ object Dedup {
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY d.doc_id"""))
 
+  /** Benchmark decontamination: training docs surviving the eval-leakage
+    * guard (no shared word-3-gram with the benchmark slice). Benchmark =
+    * doc_id % 97 == 0 — a deterministic ~1% slice standing in for an
+    * eval set; the oracle replays shingling + overlap join + anti-join
+    * over the identical split. */
+  val decontaminateQ: GQuery = GQuery(
+    "d8_decontaminate",
+    (s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.filter(col("doc_id") % 97 === 0)
+      val train = dd.filter(col("doc_id") % 97 =!= 0)
+      D.decontaminate(train, bench)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS shs
+              FROM t),
+            bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh
+                      WHERE doc_id % 97 = 0),
+            cont AS (SELECT DISTINCT doc_id FROM
+                (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 97 <> 0) x
+                JOIN bench USING (s))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 97 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM cont)
+            ORDER BY doc_id"""))
+
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
-    dedupClusters)
+    dedupClusters, decontaminateQ)
 }

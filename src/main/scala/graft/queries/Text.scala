@@ -297,7 +297,55 @@ object Text {
                 AS total_chunk_tokens
             FROM c GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** Deterministic stratified sampling — training-data mixing by
+    * language at per-stratum rates (en 15%, fr 40%, es 65%, de 90%,
+    * unknown 100%), decided by content fingerprint % 1000 so the cut
+    * is reproducible across engines and re-sharding. The oracle
+    * replays lang-id (t3), fingerprint (t4), and the rate CASE. */
+  val stratifiedSampleQ: GQuery = GQuery(
+    "p15_stratified_sample",
+    (s, d) => {
+      val lang = graft.expressions.TextStatsExpressions.lang_id(col("text"))
+      val withCols = docs(s, d)
+        .withColumn("lang", lang)
+        .withColumn("fp", fingerprint(col("text")))
+      graft.operators.Sampling.stratifiedSample(
+        withCols, col("lang"), col("fp"),
+        Map("en" -> 150, "fr" -> 400, "es" -> 650, "de" -> 900),
+        defaultRate = 1000)
+        .select(col("doc_id"), col("lang"),
+          pmod(col("fp"), lit(1000)).as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, list_distinct($SqlToks) AS ts,
+              trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                   ' +', ' ', 'g')) AS norm
+              FROM documents),
+            sc AS (SELECT doc_id, norm,
+              len(list_intersect(ts, ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+              len(list_intersect(ts, ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+              len(list_intersect(ts, ['el','la','los','las','y','de','que','es','en','por'])) AS s_es,
+              len(list_intersect(ts, ['der','die','das','und','ist','von','mit','den','nicht','ein'])) AS s_de
+              FROM t),
+            lg AS (SELECT doc_id, norm,
+              CASE WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+                   WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+                   WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+                   WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+                   ELSE 'de' END AS lang
+              FROM sc),
+            fp AS (SELECT doc_id, lang,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(norm, ''),
+                  c -> CAST(ord(c) AS BIGINT))),
+                (h, c) -> (h * 31 + c) % 1000000007) % 1000 AS bucket
+              FROM lg)
+            SELECT doc_id, lang, bucket FROM fp
+            WHERE bucket < CASE lang WHEN 'en' THEN 150 WHEN 'fr' THEN 400
+              WHEN 'es' THEN 650 WHEN 'de' THEN 900 ELSE 1000 END
+            ORDER BY doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
-      chunking, corpusCuration)
+      chunking, corpusCuration, stratifiedSampleQ)
 }

@@ -56,6 +56,20 @@ class DedupSpec extends SparkSpec {
     assert(texts(0).endsWith("w32") && texts(1).startsWith("w25"))
   }
 
+  test("decontaminate drops any-shingle overlap, keeps short/clean docs") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),   // shares "quick brown fox"
+      (2L, "completely unrelated training text here"),
+      (3L, "tiny doc"),                          // < 3 tokens → no shingles
+      (4L, "another clean document with no leak")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "benchmark asks about the quick brown fox riddle"))
+      .toDF("doc_id", "text")
+    val kept = D.decontaminate(train, bench)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L, 4L))
+  }
+
   test("dedupByClusters keeps min-id survivors + singletons") {
     val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
       .withColumn("payload", col("doc_id") * 2)

@@ -102,4 +102,29 @@ class OperatorsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_cust")
     }
   }
+
+  test("stratified sample: deterministic, partition-invariant, rate-monotone") {
+    import graft.operators.Sampling
+    val df = (1L to 2000L).toDF("id")
+      .withColumn("stratum", when(col("id") % 2 === 0, "a").otherwise("b"))
+      .withColumn("h", pmod(col("id") * 2654435761L, lit(1000000007L)))
+    def ids(rates: Map[String, Int], parts: Int): Seq[Long] =
+      Sampling.stratifiedSample(df.repartition(parts), col("stratum"),
+        col("h"), rates, defaultRate = 0)
+        .select("id").as[Long].collect().sorted.toSeq
+    val r1 = ids(Map("a" -> 100, "b" -> 500), 4)
+    // identical decisions regardless of physical partitioning
+    assert(r1 == ids(Map("a" -> 100, "b" -> 500), 13))
+    // raising a rate only ADDS rows (incremental top-up property)
+    val r2 = ids(Map("a" -> 300, "b" -> 500), 4)
+    assert(r1.toSet.subsetOf(r2.toSet) && r2.size > r1.size)
+    // boundary rates
+    assert(ids(Map("a" -> 0, "b" -> 0), 4).isEmpty)
+    assert(ids(Map("a" -> 1000, "b" -> 1000), 4).size == 2000)
+    // stratum with no rate entry falls to defaultRate(0) → only "a" kept
+    val onlyA = Sampling.stratifiedSample(df, col("stratum"), col("h"),
+      Map("a" -> 1000), defaultRate = 0)
+    assert(onlyA.select("stratum").distinct().as[String].collect()
+      .toSeq == Seq("a"))
+  }
 }
