@@ -188,6 +188,56 @@ object Similarity {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** Affine uint8 quantization: exact integer code checks (sum over all
+    * 64 codes + extreme-code count) beside round-6 min/max and a
+    * reconstruction-error boolean with scale-wide margin (true error is
+    * ≤ scale/2, so the compare sits far from any float boundary). */
+  val quantizeQ: GQuery = GQuery(
+    "v7_quantize",
+    (s, d) => {
+      val q = quantizeU8(col("embedding"))
+      emb(s, d)
+        .withColumn("_q", q)
+        .withColumn("_dv", transform(col("embedding"), x => x.cast("double")))
+        .select(col("vec_id"),
+          round(col("_q.vmin"), 6).as("vmin"),
+          round(col("_q.vmax"), 6).as("vmax"),
+          aggregate(col("_q.codes"), lit(0L),
+            (a, c) => a + c.cast("long")).as("code_sum"),
+          size(filter(col("_q.codes"),
+            c => c === 0 || c === 255)).cast("long").as("n_extreme"),
+          forall(
+            zip_with(dequantizeU8(col("_q")), col("_dv"),
+              (r, x) => abs(r - x) <=
+                (col("_q.vmax") - col("_q.vmin")) / 255.0 + 1e-12),
+            b => b).as("reconstruct_ok"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+              FROM e),
+            q AS (SELECT vec_id, v, mn, mx,
+              CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x ->
+                CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
+              END AS codes
+              FROM m)
+            SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(codes, c -> CAST(c AS BIGINT))),
+                (a, b) -> a + b) AS BIGINT) AS code_sum,
+              CAST(len(list_filter(codes, c -> c = 0 OR c = 255)) AS BIGINT)
+                AS n_extreme,
+              CASE WHEN mx = mn THEN TRUE ELSE
+                list_reduce(list_prepend(TRUE,
+                  list_transform(range(64), i ->
+                    abs((mn + CAST(codes[i+1] AS DOUBLE) * (mx - mn) / 255.0)
+                        - v[i+1]) <= (mx - mn) / 255.0 + 1e-12)),
+                  (a, b) -> a AND b) END AS reconstruct_ok
+            FROM q ORDER BY vec_id"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
-    ivfAssignQ, ivfTopKQ)
+    ivfAssignQ, ivfTopKQ, quantizeQ)
 }

@@ -345,7 +345,49 @@ object Text {
               WHEN 'es' THEN 650 WHEN 'de' THEN 900 ELSE 1000 END
             ORDER BY doc_id"""))
 
+  /** Sequence packing over the t7 chunk stream: 8 shards (doc_id % 8),
+    * capacity-64 concat-and-split, per-chunk (seq_id, seq_offset)
+    * assignment. The oracle replays chunking + the same shard window
+    * with integer div/mod — every boundary straddle is hash-checked. */
+  val sequencePackingQ: GQuery = GQuery(
+    "c2_sequence_packing",
+    (s, d) => {
+      val chunks = chunkDocuments(
+        docs(s, d).select(col("doc_id"), col("text")), "text",
+        chunkTokens = 32, overlap = 8)
+        .withColumn("shard", col("doc_id") % 8)
+      graft.operators.Packing.packSequences(
+        chunks, "n_chunk_tokens", col("shard"),
+        Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("shard"), col("seq_id"),
+          col("seq_offset").cast("long").as("seq_offset"),
+          col("n_chunk_tokens").cast("long").as("n_chunk_tokens"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            n AS (SELECT doc_id, toks,
+              CASE WHEN len(toks) = 0 THEN 0
+                ELSE greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)
+              END AS n_chunks FROM t),
+            c AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_idx
+              FROM n, unnest(range(n_chunks)) AS u(i)),
+            ch AS (SELECT doc_id, chunk_idx,
+              CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n
+              FROM c),
+            w AS (SELECT doc_id, chunk_idx, doc_id % 8 AS shard, n,
+              sum(n) OVER (PARTITION BY doc_id % 8
+                ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                AS cum_excl
+              FROM ch)
+            SELECT doc_id, chunk_idx, shard,
+              CAST(cum_excl // 64 AS BIGINT) AS seq_id,
+              CAST(cum_excl % 64 AS BIGINT) AS seq_offset,
+              n AS n_chunk_tokens
+            FROM w ORDER BY doc_id, chunk_idx"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
-      chunking, corpusCuration, stratifiedSampleQ)
+      chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ)
 }

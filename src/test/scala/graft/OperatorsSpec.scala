@@ -103,6 +103,31 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("packSequences: straddle assignment, per-shard independence, stats") {
+    import graft.operators.Packing
+    // one shard; chunk token counts 30,30,30 with capacity 64:
+    // cum_excl 0,30,60 → seqs 0,0,0(offset 60, straddles into seq 1)
+    val chunks = Seq(
+      (0L, 0L, 30L), (0L, 1L, 30L), (0L, 2L, 30L), (0L, 3L, 30L),
+      (1L, 0L, 100L), (1L, 1L, 10L)) // shard 1: big chunk spans seqs 0-1
+      .toDF("doc_id", "chunk_idx", "n")
+      .withColumn("shard", col("doc_id") % 8)
+    val packed = Packing.packSequences(chunks, "n", col("shard"),
+      Seq(col("doc_id"), col("chunk_idx")), 64)
+      .select("doc_id", "chunk_idx", "seq_id", "seq_offset")
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(packed == Seq(
+      (0L, 0L, 0L, 0L), (0L, 1L, 0L, 30L), (0L, 2L, 0L, 60L),
+      (0L, 3L, 1L, 26L),
+      (1L, 0L, 0L, 0L), (1L, 1L, 1L, 36L))) // shards pack independently
+    val stats = Packing.sequenceStats(
+      Packing.packSequences(chunks, "n", col("shard"),
+        Seq(col("doc_id"), col("chunk_idx")), 64), "n", col("shard"))
+      .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(stats == Seq((0L, 0L, 3L, 90L), (0L, 1L, 1L, 30L),
+      (1L, 0L, 1L, 100L), (1L, 1L, 1L, 10L)))
+  }
+
   test("stratified sample: deterministic, partition-invariant, rate-monotone") {
     import graft.operators.Sampling
     val df = (1L to 2000L).toDF("id")

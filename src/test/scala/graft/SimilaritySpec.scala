@@ -47,4 +47,28 @@ class SimilaritySpec extends SparkSpec {
     assert(withCode.map(_._2).distinct.length > 1) // codes spread
     assert(withCode.forall { case (_, b) => b >= 0 && b < 256 })
   }
+
+  test("quantizeU8 round-trip: codes in range, error <= scale/2, constants") {
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.5f, 1.0f, -1.0f)),
+      (2L, Array(0.25f, 0.25f, 0.25f, 0.25f)), // constant → all-zero codes
+      (3L, Array(-0.1f, 0.9f, 0.3f, 0.0f))).toDF("vec_id", "embedding")
+    val q = quantizeU8($"embedding")
+    val rows = vecs.select($"vec_id", q.as("q"),
+      dequantizeU8(q).as("r"),
+      transform($"embedding", x => x.cast("double")).as("dv"))
+      .select($"vec_id", $"q.codes", $"q.vmin", $"q.vmax", $"r", $"dv")
+      .as[(Long, Seq[Int], Double, Double, Seq[Double], Seq[Double])]
+      .collect().sortBy(_._1)
+    val (_, c1, mn1, mx1, r1, dv1) = rows(0)
+    assert(c1 == Seq(128, 191, 255, 0) && mn1 == -1.0 && mx1 == 1.0)
+    val scale1 = (mx1 - mn1) / 255.0
+    assert(r1.zip(dv1).forall { case (r, x) => math.abs(r - x) <= scale1 / 2 + 1e-12 })
+    val (_, c2, _, _, r2, _) = rows(1)
+    assert(c2 == Seq(0, 0, 0, 0) && r2.forall(_ == 0.25f.toDouble))
+    val (_, c3, _, _, r3, dv3) = rows(2)
+    assert(c3.forall(c => c >= 0 && c <= 255) && c3.max == 255 && c3.min == 0)
+    val scale3 = 1.0 / 255.0
+    assert(r3.zip(dv3).forall { case (r, x) => math.abs(r - x) <= scale3 / 2 + 1e-9 })
+  }
 }
