@@ -387,7 +387,50 @@ object Text {
               n AS n_chunk_tokens
             FROM w ORDER BY doc_id, chunk_idx"""))
 
+  /** Top-5 tf·idf terms per doc with rational idf (exact integers end
+    * to end — see TextFunctions.tfIdfTopK). The oracle replays the
+    * identical tf/df/N arithmetic. */
+  val tfIdfQ: GQuery = GQuery(
+    "t8_tfidf",
+    (s, d) =>
+      graft.text.TextFunctions.tfIdfTopK(
+        docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id",
+        k = 5)
+        .select(col("doc_id"), col("rank").cast("long").as("rank"),
+          col("term"), col("tf"), col("df"), col("score"))
+        .orderBy(col("doc_id"), col("rank")),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS term
+              FROM documents),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t
+              GROUP BY 1),
+            n AS (SELECT count(*) AS nd FROM documents),
+            sc AS (SELECT doc_id, term, tf, df,
+              CAST(tf * ((nd * 1000000) // df) AS BIGINT) AS score
+              FROM tf JOIN df USING (term), n),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, term) AS rank FROM sc)
+            SELECT doc_id, rank, term, tf, df, score FROM r
+            WHERE rank <= 5 ORDER BY doc_id, rank"""))
+
+  /** Corpus vocabulary top-100 by occurrences (the vocab-build step
+    * before tokenizer training). */
+  val vocabQ: GQuery = GQuery(
+    "t9_vocab",
+    (s, d) =>
+      graft.text.TextFunctions.vocabulary(
+        docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id",
+        topN = 100)
+        .orderBy(col("n_occur").desc, col("term")),
+    Some(s"""WITH t AS (SELECT doc_id, unnest($SqlToks) AS term
+              FROM documents)
+            SELECT term, count(*) AS n_occur,
+              count(DISTINCT doc_id) AS df
+            FROM t GROUP BY term
+            ORDER BY n_occur DESC, term LIMIT 100"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
-      chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ)
+      chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ,
+      tfIdfQ, vocabQ)
 }

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines:
@@ -132,6 +133,56 @@ object TextFunctions {
       .withColumn("chunk_text", concat_ws(" ", col("_chunk")))
       .withColumn("n_chunk_tokens", size(col("_chunk")))
       .drop("_toks", "_chunk")
+  }
+
+  // ---- term salience (tf-idf) and vocabulary ----
+
+  /** Top-k salient terms per document by tf·idf, with a RATIONAL idf:
+    * idf = (N · idfScale) div df — a monotone transform of N/df kept in
+    * exact integer arithmetic so rankings are bit-identical across
+    * engines (float ln() differs in the last ulp between libms, which
+    * is enough to flip a rank at scale). Ties break on term asc.
+    *
+    * Scale shape: explode → two keyed aggregations (map-side partials),
+    * doc-frequency joined back on term (AQE broadcasts it while the
+    * vocabulary fits; at web-corpus vocab sizes it degrades to a
+    * shuffle join on term, which is the correct plan), corpus size N
+    * folded in via a broadcast cross join — the corpus itself is
+    * never collected or re-scanned. */
+  def tfIdfTopK(docs: DataFrame, textCol: String, idCol: String,
+      k: Int, idfScale: Long = 1000000L): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df derived FROM tf (its rows are exactly the distinct (doc, term)
+    // pairs): the explode+partial-agg subplan is shared, so ReuseExchange
+    // tokenizes the corpus once instead of twice
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("_nd"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * expr(s"(_nd * $idfScale) div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
+  /** Corpus vocabulary: top-n terms by total occurrences (ties on term
+    * asc), with document frequency — the vocab-build step before
+    * tokenizer training. */
+  def vocabulary(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(tokens(col(textCol))).as("term"))
+    terms.groupBy(col("term"))
+      .agg(count(lit(1)).as("n_occur"),
+        count_distinct(col(idCol)).as("df"))
+      .orderBy(col("n_occur").desc, col("term"))
+      .limit(topN)
   }
 
   // ---- quality scoring (length / punctuation / stopword ratios) ----

@@ -70,6 +70,24 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("tfIdfTopK ranks rare terms above common, ties on term asc") {
+    val corpus = Seq(
+      (1L, "apple apple banana common common common"),
+      (2L, "banana cherry common common"),
+      (3L, "common cherry")).toDF("doc_id", "text")
+    val top = tfIdfTopK(corpus, "text", "doc_id", k = 2)
+      .select("doc_id", "rank", "term")
+      .as[(Long, Int, String)].collect().sorted.toSeq
+    // doc1: apple tf=2·df=1 → 6e6 beats common tf=3·df=3 → 3e6;
+    // doc2: banana/cherry tie at 1.5e6 → term asc picks banana
+    assert(top == Seq((1L, 1, "apple"), (1L, 2, "common"),
+      (2L, 1, "common"), (2L, 2, "banana"),
+      (3L, 1, "cherry"), (3L, 2, "common")))
+    val vocab = vocabulary(corpus, "text", "doc_id", 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(vocab == Seq(("common", 6L, 3L), ("apple", 2L, 1L)))
+  }
+
   test("dedupByClusters keeps min-id survivors + singletons") {
     val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
       .withColumn("payload", col("doc_id") * 2)
