@@ -429,8 +429,53 @@ object Text {
             FROM t GROUP BY term
             ORDER BY n_occur DESC, term LIMIT 100"""))
 
+  /** PII redaction. The synthetic corpus carries no PII, so the gate
+    * deterministically APPENDS doc-keyed email/phone/IP strings on both
+    * sides first — redaction then runs over 5k real-text rows with
+    * planted matches, and the full redacted text is hash-compared. */
+  val redactQ: GQuery = GQuery(
+    "t10_redact",
+    (s, d) => {
+      import graft.text.TextFunctions.{redactPii, piiCounts}
+      val aug = docs(s, d).withColumn("t",
+        concat(col("text"), lit(" reach user"),
+          col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567 or 10.0.0."),
+          pmod(col("doc_id"), lit(256)).cast("string")))
+      val c = piiCounts(col("t"))
+      aug.select(col("doc_id"), redactPii(col("t")).as("red"),
+          c.getField("n_email").cast("long").as("n_email"),
+          c.getField("n_ssn").cast("long").as("n_ssn"),
+          c.getField("n_phone").cast("long").as("n_phone"),
+          c.getField("n_ip").cast("long").as("n_ip"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH aug AS (SELECT doc_id,
+              text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 or 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) AS t
+              FROM documents)
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                AS red,
+              CAST(len(regexp_extract_all(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+                AS n_email,
+              CAST(len(regexp_extract_all(t,
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+              CAST(len(regexp_extract_all(t,
+                '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b')) AS BIGINT) AS n_phone,
+              CAST(len(regexp_extract_all(t,
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT)
+                AS n_ip
+            FROM aug ORDER BY doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ,
-      tfIdfQ, vocabQ)
+      tfIdfQ, vocabQ, redactQ)
 }

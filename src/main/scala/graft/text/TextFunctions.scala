@@ -135,6 +135,34 @@ object TextFunctions {
       .drop("_toks", "_chunk")
   }
 
+  // ---- PII redaction ----
+
+  /** (name, pattern, replacement) triples, applied in order. Patterns
+    * stay in the common Java-regex ∩ RE2 subset (classes, bounded
+    * repeats, \b ASCII word boundary — no lookaround, no backrefs) so
+    * the same strings redact identically in Spark and in RE2-based
+    * engines. SSN (3-2-4) and phone (3-3-4) shapes are disjoint;
+    * counts are per-category over the pre-redaction text. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "<SSN>"),
+    ("phone", "\\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\\b", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Scrub emails / SSNs / phone numbers / IPv4s, in that order. Pure
+    * per-row projection — codegen'd regexp_replace chain, no shuffle. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (t, (_, p, r)) =>
+      regexp_replace(t, p, r)
+    }
+
+  /** Per-category match counts over the ORIGINAL text, as a struct of
+    * n_email / n_ssn / n_phone / n_ip. */
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (n, p, _) =>
+      size(regexp_extract_all(text, lit(p), lit(0))).as(s"n_$n")
+    }: _*)
+
   // ---- term salience (tf-idf) and vocabulary ----
 
   /** Top-k salient terms per document by tf·idf, with a RATIONAL idf:

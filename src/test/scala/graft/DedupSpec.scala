@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
     assert(vocab == Seq(("common", 6L, 3L), ("apple", 2L, 1L)))
   }
 
+  test("redactPii scrubs all categories, counts match, clean text unchanged") {
+    val rows = Seq(
+      (1L, "mail a.b+c@ex-corp.io and 555-123-4567 then 192.168.0.1 done"),
+      (2L, "ssn 123-45-6789 stays distinct from phone 555 123 4567"),
+      (3L, "no pii here at all"),
+      (4L, "two mails x@y.com y@z.org")).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), redactPii(col("text")).as("r"),
+      piiCounts(col("text")).as("c"))
+      .select(col("doc_id"), col("r"), col("c.n_email"), col("c.n_ssn"),
+        col("c.n_phone"), col("c.n_ip"))
+      .as[(Long, String, Int, Int, Int, Int)].collect().sortBy(_._1)
+    assert(out(0)._2 == "mail <EMAIL> and <PHONE> then <IP> done")
+    assert((out(0)._3, out(0)._4, out(0)._5, out(0)._6) == ((1, 0, 1, 1)))
+    assert(out(1)._2 == "ssn <SSN> stays distinct from phone <PHONE>")
+    assert(out(2)._2 == "no pii here at all")
+    assert(out(3)._2 == "two mails <EMAIL> <EMAIL>" && out(3)._3 == 2)
+  }
+
   test("dedupByClusters keeps min-id survivors + singletons") {
     val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
       .withColumn("payload", col("doc_id") * 2)
