@@ -229,6 +229,27 @@ object Dedup {
       .filter(col("label").isNull || col("label") === col(idCol))
       .drop("label")
 
+  /** Incremental (delta) dedup — the daily-ingest path: dedup an
+    * incoming batch against an existing fingerprint INDEX without ever
+    * re-reading corpus text. Survivors are batch rows that (a) are the
+    * min-id row for their fingerprint within the batch and (b) have a
+    * fingerprint absent from the index. Returns survivors with the
+    * fingerprint kept as `fpCol`, ready to append to the index.
+    *
+    * Scale shape: the index carries ONLY 16-byte digests (a 100 TB /
+    * ~10B-doc corpus indexes in ~a few hundred GB); the anti-join
+    * shuffles (digest, id) on both sides — never document payloads.
+    * Bucket the stored index by `fpCol` to make the nightly run a
+    * co-located join with no index-side shuffle at all. */
+  def incrementalDedup(index: DataFrame, batch: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      fpCol: String = "fp"): DataFrame = {
+    require(index.columns.contains(fpCol),
+      s"index must carry a '$fpCol' fingerprint column")
+    val deduped = exactDedup(batch, textCol, idCol, keepFpAs = Some(fpCol))
+    deduped.join(index.select(col(fpCol)), Seq(fpCol), "left_anti")
+  }
+
   /** Benchmark decontamination: drop every training doc that shares at
     * least one word-n-gram with the benchmark corpus (the standard
     * eval-leakage guard of a training-data pipeline; cf. reference

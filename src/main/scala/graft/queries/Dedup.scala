@@ -272,7 +272,33 @@ object Dedup {
               AND doc_id NOT IN (SELECT doc_id FROM cont)
             ORDER BY doc_id"""))
 
+  /** Incremental dedup: odd-id docs arrive as a batch against an index
+    * of even-id fingerprints — survivors must be batch-internal winners
+    * AND absent from the index. The oracle replays the d1 fingerprint,
+    * the batch window, and the anti-join. */
+  val incrementalQ: GQuery = GQuery(
+    "d9_incremental_dedup",
+    (s, d) => {
+      val dd = docs(s, d)
+      val index = D.exactDedup(dd.filter(col("doc_id") % 2 === 0),
+        keepFpAs = Some("fp")).select(col("fp"))
+      val batch = dd.filter(col("doc_id") % 2 === 1)
+      D.incrementalDedup(index, batch)
+        .select(col("doc_id"), col("fp")).orderBy(col("doc_id"))
+    },
+    Some("""WITH n AS (SELECT doc_id,
+              md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+              FROM documents),
+            idx AS (SELECT DISTINCT fp FROM n WHERE doc_id % 2 = 0),
+            batch AS (SELECT doc_id, fp FROM n WHERE doc_id % 2 = 1),
+            w AS (SELECT doc_id, fp, row_number() OVER (
+              PARTITION BY fp ORDER BY doc_id) AS rn FROM batch)
+            SELECT doc_id, fp FROM w
+            WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)
+            ORDER BY doc_id"""))
+
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
-    dedupClusters, decontaminateQ)
+    dedupClusters, decontaminateQ, incrementalQ)
 }

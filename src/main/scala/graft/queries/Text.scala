@@ -474,8 +474,35 @@ object Text {
                 AS n_ip
             FROM aug ORDER BY doc_id"""))
 
+  /** Bigram repetition (boilerplate) stats, exact integers only. */
+  val repetitionQ: GQuery = GQuery(
+    "t11_repetition",
+    (s, d) =>
+      graft.text.TextFunctions.bigramRepetition(
+        docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id")
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            bg AS (SELECT doc_id, array_to_string(toks[j+1:j+2], ' ') AS b
+              FROM t, unnest(range(greatest(len(toks) - 1, 0))) AS u(j)),
+            c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+            d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+              count(*) AS n_distinct_bigrams, max(c) AS top_count
+              FROM c GROUP BY 1),
+            tb AS (SELECT c.doc_id, min(b) AS top_bigram
+              FROM c JOIN d ON c.doc_id = d.doc_id AND c.c = d.top_count
+              GROUP BY 1)
+            SELECT doc.doc_id,
+              coalesce(n_bigrams, 0) AS n_bigrams,
+              coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+              coalesce(top_count, 0) AS top_count,
+              coalesce(top_bigram, '') AS top_bigram
+            FROM documents doc
+            LEFT JOIN d ON doc.doc_id = d.doc_id
+            LEFT JOIN tb ON doc.doc_id = tb.doc_id
+            ORDER BY doc.doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ,
-      tfIdfQ, vocabQ, redactQ)
+      tfIdfQ, vocabQ, redactQ, repetitionQ)
 }

@@ -135,6 +135,37 @@ object TextFunctions {
       .drop("_toks", "_chunk")
   }
 
+  // ---- repetition / boilerplate scoring ----
+
+  /** Per-doc bigram repetition stats — the Gopher-style boilerplate
+    * signal (a high top-bigram share flags templated/spun text). All
+    * outputs are exact integers (ratios left to the caller) so the
+    * stats are bit-identical across engines. top_bigram ties break
+    * lexicographically; docs under 2 tokens report zeros/''.
+    * Two keyed aggregations (doc,bigram) → (doc): map-side partials,
+    * payload never wider than one bigram string. */
+  def bigramRepetition(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val bg = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), 2)).as("bg"))
+    val counts = bg.groupBy(col(idCol), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col(idCol))
+    val agg = counts.withColumn("top_c", max(col("c")).over(w))
+      .groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_count"),
+        min(when(col("c") === col("top_c"), col("bg"))).as("top_bigram"))
+    docs.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_distinct_bigrams"), lit(0L))
+          .as("n_distinct_bigrams"),
+        coalesce(col("top_count"), lit(0L)).as("top_count"),
+        coalesce(col("top_bigram"), lit("")).as("top_bigram"))
+  }
+
   // ---- PII redaction ----
 
   /** (name, pattern, replacement) triples, applied in order. Patterns

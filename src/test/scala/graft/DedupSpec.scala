@@ -106,6 +106,34 @@ class DedupSpec extends SparkSpec {
     assert(out(3)._2 == "two mails <EMAIL> <EMAIL>" && out(3)._3 == 2)
   }
 
+  test("incrementalDedup: batch winners absent from index survive") {
+    val index = Seq("known text one", "known text two").toDF("text")
+      .select(org.apache.spark.sql.functions.md5(
+        normalizedText(col("text"))).as("fp"))
+    val batch = Seq(
+      (11L, "known text one"),     // already indexed → dropped
+      (13L, "fresh text alpha"),   // new → survives
+      (15L, "fresh text alpha"),   // batch-internal dup of 13 → dropped
+      (17L, "fresh text beta")).toDF("doc_id", "text")
+    val out = D.incrementalDedup(index, batch)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(13L, 17L))
+  }
+
+  test("bigramRepetition: top bigram, ties lexicographic, short docs zero") {
+    val corpus = Seq(
+      (1L, "buy now buy now buy now totally organic"), // "buy now" x3
+      (2L, "a b a b c"), // "a b" x2 beats others
+      (3L, "one"),       // no bigrams
+      (4L, "x y y x")).toDF("doc_id", "text") // "x y"=1 "y y"=1 "y x"=1 tie → min
+    val out = bigramRepetition(corpus, "text", "doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, 7L, 4L, 3L, "buy now")))
+    assert(out(1) == ((2L, 4L, 3L, 2L, "a b")))
+    assert(out(2) == ((3L, 0L, 0L, 0L, "")))
+    assert(out(3) == ((4L, 3L, 3L, 1L, "x y")))
+  }
+
   test("dedupByClusters keeps min-id survivors + singletons") {
     val corpus = Seq(1L, 2L, 3L, 4L, 9L).toDF("doc_id")
       .withColumn("payload", col("doc_id") * 2)
