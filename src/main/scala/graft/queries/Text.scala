@@ -43,6 +43,46 @@ object Text {
               AS mean_tok_len
             FROM documents ORDER BY doc_id"""))
 
+  /** Exact integer quality millis (quality × 10⁴ as BIGINT) from the
+    * five text-stats counters — the single formula behind t2's quality
+    * column and t12's curriculum key. */
+  private def qualityMilli(nTok: Column, nChars: Column, nStop: Column,
+      nPunct: Column, nAlpha: Column): Column = {
+    val qN = least(nTok, lit(100L)) * nChars * nTok * 3L +
+      nAlpha * nTok * 300L + (nChars - nPunct) * nTok * 200L +
+      nStop * nChars * 200L
+    when(nTok === 0 || nChars === 0, lit(0L))
+      .otherwise(
+        floor((qN * 20L + nChars * nTok) / (nChars * nTok * 2L))
+          .cast("long"))
+  }
+
+  /** The t2 quality-milli SQL fragment over the CTE columns nt/nc/ns/
+    * np/n_nonalpha (see t2's oracle). */
+  private val SqlQualityMilli =
+    """CASE WHEN nt = 0 OR nc = 0 THEN 0
+       ELSE ((least(nt, 100) * nc * nt * 3
+              + (nc - n_nonalpha) * nt * 300
+              + (nc - np) * nt * 200
+              + ns * nc * 200) * 20 + nc * nt) // (nc * nt * 2) END"""
+
+  /** The t2 stats CTE (nt/nc/ns/np/n_nonalpha per doc). */
+  private val SqlQualityStats =
+    s"""WITH t AS (
+          SELECT doc_id, text, $SqlToks AS toks,
+            CAST(length(text) AS BIGINT) AS nc FROM documents),
+        c AS (SELECT doc_id,
+          CAST(len(toks) AS BIGINT) AS nt, nc,
+          CAST(len(list_filter(toks, x -> list_contains(
+            ['the','a','an','and','or','of','to','in','is','are','was',
+             'for','on','with','as','by','at','it','this','that'], x)))
+            AS BIGINT) AS ns,
+          nc - CAST(length(regexp_replace(text, '[[:punct:]]', '', 'g'))
+            AS BIGINT) AS np,
+          nc - CAST(length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+            AS BIGINT) AS n_nonalpha
+          FROM t)"""
+
   val quality: GQuery = GQuery(
     "t2_quality_score",
     (s, d) => {
@@ -61,16 +101,11 @@ object Text {
         when(q === 0, lit(0.0)).otherwise(
           floor((p * 20000L + q) / (q * 2L)).cast("long").cast("double") / 10000.0)
       // quality = 3·min(nt,100)·nc·nt/1000·nc·nt + ... over the common
-      // denominator 1000·nc·nt  →  P = 10·N, Q = nc·nt
-      val qN = least(nTok, lit(100L)) * nChars * nTok * 3L +
-        nAlpha * nTok * 300L + (nChars - nPunct) * nTok * 200L +
-        nStop * nChars * 200L
+      // denominator 1000·nc·nt → exact integer millis (shared helper);
       // token-less or empty docs are junk by definition: quality 0
       val quality =
-        when(nTok === 0 || nChars === 0, lit(0.0))
-          .otherwise(
-            floor((qN * 20L + nChars * nTok) / (nChars * nTok * 2L))
-              .cast("long").cast("double") / 10000.0)
+        qualityMilli(nTok, nChars, nStop, nPunct, nAlpha)
+          .cast("double") / 10000.0
       docs(s, d)
         .select(
           col("doc_id"),
@@ -501,8 +536,67 @@ object Text {
             LEFT JOIN tb ON doc.doc_id = tb.doc_id
             ORDER BY doc.doc_id"""))
 
+  /** Mixture composition report: docs + tokens per (source, lang) with
+    * exact per-mille token share (integer-rational rounding, no float
+    * division) — the bookkeeping view behind every mixing decision.
+    * The corpus total folds in via crossJoin(broadcast(re-agg of the
+    * grouped frame)), so the corpus is scanned once and the share math
+    * runs on a handful of grouped rows. */
+  val mixtureQ: GQuery = GQuery(
+    "a12_mixture",
+    (s, d) => {
+      val g = docs(s, d).groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(tokenCount(col("text"))).as("n_tokens"))
+      val total = g.agg(sum(col("n_tokens")).as("_tot"))
+      g.crossJoin(broadcast(total))
+        .withColumn("share_pm",
+          Exact.roundDiv(col("n_tokens") * 1000, col("_tot")))
+        .drop("_tot")
+        .orderBy(col("source"), col("lang"))
+    },
+    Some(s"""WITH g AS (SELECT source, lang, count(*) AS n_docs,
+              CAST(sum(len($SqlToks)) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source, lang),
+            t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot FROM g)
+            SELECT source, lang, n_docs, n_tokens,
+              CAST(${Exact.roundDivSqlPos("n_tokens * 1000", "tot")}
+                AS BIGINT) AS share_pm
+            FROM g, t ORDER BY source, lang"""))
+
+  /** Curriculum buckets: exact global quality rank WITHOUT a global
+    * sort (histogram-offset decomposition — see operators/Ranking) and
+    * equal-frequency decile assignment in integer arithmetic. The
+    * oracle computes the same rank with a plain global row_number. */
+  val curriculumQ: GQuery = GQuery(
+    "t12_curriculum",
+    (s, d) => {
+      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+      val nTok = st.getField("n_tokens").cast("long")
+      val nChars = st.getField("n_chars").cast("long")
+      val nStop = st.getField("n_stop").cast("long")
+      val nPunct = st.getField("n_punct").cast("long")
+      val nAlpha = (nChars - st.getField("n_nonalpha")).cast("long")
+      val base = docs(s, d).select(col("doc_id"),
+        qualityMilli(nTok, nChars, nStop, nPunct, nAlpha).as("quality_m"))
+      graft.operators.Ranking.curriculumBuckets(base, "quality_m", "doc_id",
+        nBuckets = 10)
+        .select(col("doc_id"), col("quality_m"), col("global_rank"),
+          col("bucket").cast("long").as("bucket"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$SqlQualityStats,
+            q AS (SELECT doc_id, CAST($SqlQualityMilli AS BIGINT)
+              AS quality_m FROM c),
+            r AS (SELECT doc_id, quality_m, row_number() OVER (
+              ORDER BY quality_m, doc_id) AS global_rank FROM q),
+            n AS (SELECT count(*) AS nn FROM documents)
+            SELECT doc_id, quality_m, global_rank,
+              CAST(((global_rank - 1) * 10) // nn + 1 AS BIGINT) AS bucket
+            FROM r, n ORDER BY doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ,
-      tfIdfQ, vocabQ, redactQ, repetitionQ)
+      tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ, curriculumQ)
 }

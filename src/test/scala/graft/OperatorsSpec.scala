@@ -103,6 +103,24 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("globalRankByCoarseKey == naive global row_number; buckets balanced") {
+    import graft.operators.Ranking
+    import org.apache.spark.sql.expressions.Window
+    // skewed coarse key (many ties) + unique fine key
+    val df = (1L to 997L).toDF("id")
+      .withColumn("score", pmod(col("id") * col("id"), lit(17)))
+    val got = Ranking.globalRankByCoarseKey(df, "score", "id")
+      .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    val want = df.withColumn("r",
+      row_number().over(Window.orderBy(col("score"), col("id"))).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(got == want)
+    val buckets = Ranking.curriculumBuckets(df, "score", "id", 10)
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(buckets.keySet == (1L to 10L).toSet)
+    assert(buckets.values.forall(c => c == 99L || c == 100L)) // 997/10
+  }
+
   test("packSequences: straddle assignment, per-shard independence, stats") {
     import graft.operators.Packing
     // one shard; chunk token counts 30,30,30 with capacity 64:
