@@ -103,6 +103,74 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("chunk/pack invariants on a seeded random corpus") {
+    import graft.text.TextFunctions
+    import graft.operators.Packing
+    val rnd = new scala.util.Random(20260812L)
+    val corpus = (1L to 200L).map { id =>
+      val n = rnd.nextInt(90) // 0..89 tokens
+      (id, (1 to n).map(i => s"t${rnd.nextInt(50)}_$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val chunked = TextFunctions.chunkDocuments(corpus, "text", 24, 6)
+    val rows = chunked
+      .select("doc_id", "chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Long, Int, String, Int)].collect().sortBy(r => (r._1, r._2))
+    val toksByDoc = corpus.as[(Long, String)].collect().toMap
+      .map { case (k, v) => k -> v.split("\\s+").filter(_.nonEmpty).toSeq }
+    // every chunk is exactly the stride-window slice; concatenating the
+    // non-overlapped tails reconstructs the document
+    rows.groupBy(_._1).foreach { case (id, ch) =>
+      val toks = toksByDoc(id)
+      ch.foreach { case (_, idx, text, n) =>
+        val want = toks.slice(idx * 18, idx * 18 + 24)
+        assert(text.split(" ").filter(_.nonEmpty).toSeq == want && n == want.size)
+      }
+      val rebuilt = ch.sortBy(_._2).zipWithIndex.flatMap { case ((_, _, t, _), i) =>
+        val ts = t.split(" ").filter(_.nonEmpty).toSeq
+        if (i == 0) ts else ts.drop(6)
+      }
+      assert(rebuilt.toSeq == toks)
+    }
+    // packing invariants: offset in [0, cap); recomputed cumulative sum
+    // equals seq_id*cap + seq_offset at every chunk
+    val packed = Packing.packSequences(
+      chunked.withColumn("shard", col("doc_id") % 4), "n_chunk_tokens",
+      col("shard"), Seq(col("doc_id"), col("chunk_idx")), 32)
+      .select("shard", "doc_id", "chunk_idx", "n_chunk_tokens", "seq_id",
+        "seq_offset")
+      .as[(Long, Long, Int, Int, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    packed.groupBy(_._1).foreach { case (_, ch) =>
+      var cum = 0L
+      ch.foreach { case (_, _, _, n, seqId, off) =>
+        assert(off >= 0 && off < 32)
+        assert(cum == seqId * 32 + off)
+        cum += n
+      }
+    }
+  }
+
+  test("quantizeU8 bounds on random vectors") {
+    import graft.similarity.VectorFunctions._
+    val rnd = new scala.util.Random(7L)
+    val vecs = (1L to 300L).map { id =>
+      (id, Array.fill(16)((rnd.nextFloat() - 0.5f) * rnd.nextInt(100)))
+    }.toDF("vec_id", "embedding")
+    val q = quantizeU8($"embedding")
+    val rows = vecs.select(q.getField("codes").as("c"),
+      q.getField("vmin").as("mn"), q.getField("vmax").as("mx"),
+      dequantizeU8(q).as("r"),
+      transform($"embedding", x => x.cast("double")).as("dv"))
+      .as[(Seq[Int], Double, Double, Seq[Double], Seq[Double])].collect()
+    rows.foreach { case (codes, mn, mx, rec, dv) =>
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      val scale = (mx - mn) / 255.0
+      rec.zip(dv).foreach { case (r, x) =>
+        assert(math.abs(r - x) <= scale / 2 + 1e-9)
+      }
+    }
+  }
+
   test("globalRankByCoarseKey == naive global row_number; buckets balanced") {
     import graft.operators.Ranking
     import org.apache.spark.sql.expressions.Window
