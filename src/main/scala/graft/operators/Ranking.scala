@@ -44,6 +44,29 @@ object Ranking {
       .drop("_offset")
   }
 
+  /** Exact global INCLUSIVE prefix sum of `valueCol` in (coarse, fine)
+    * order, same decomposition as [[globalRankByCoarseKey]]: per-group
+    * value totals make a bounded histogram whose running sum gives each
+    * group's offset; a distributed window partitioned by the coarse key
+    * finishes the within-group cumsum. Powers budgeted selection
+    * ("take the best docs until N tokens") without a global sort. */
+  def globalPrefixSum(df: DataFrame, coarse: String, fine: String,
+      valueCol: String, as: String = "cum_value"): DataFrame = {
+    val hist = df.groupBy(col(coarse))
+      .agg(sum(col(valueCol).cast("long")).as("_vsum"))
+    val wOff = Window.orderBy(col(coarse))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hist
+      .withColumn("_voff", coalesce(sum(col("_vsum")).over(wOff), lit(0L)))
+      .drop("_vsum")
+    val wIn = Window.partitionBy(col(coarse)).orderBy(col(fine))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(broadcast(offsets), Seq(coarse))
+      .withColumn(as,
+        col("_voff") + sum(col(valueCol).cast("long")).over(wIn))
+      .drop("_voff")
+  }
+
   /** Equal-frequency bucket assignment on top of
     * [[globalRankByCoarseKey]]: bucket = ((rank−1)·n) div N + 1 —
     * integer quantile arithmetic (NOT SQL ntile: ntile places all

@@ -595,8 +595,48 @@ object Text {
               CAST(((global_rank - 1) * 10) // nn + 1 AS BIGINT) AS bucket
             FROM r, n ORDER BY doc_id"""))
 
+  /** Token-budget selection: take the highest-quality docs until 60%
+    * of the corpus token mass is reached — the "best docs under a
+    * budget" curation step, built on the sort-free global prefix sum
+    * (operators/Ranking.globalPrefixSum; quality negated so the
+    * bounded-cardinality coarse key sorts descending). Budget compare
+    * stays in integers (cum·10 ≤ total·6). */
+  val budgetSelectQ: GQuery = GQuery(
+    "c3_budget_select",
+    (s, d) => {
+      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+      val nTok = st.getField("n_tokens").cast("long")
+      val nChars = st.getField("n_chars").cast("long")
+      val nStop = st.getField("n_stop").cast("long")
+      val nPunct = st.getField("n_punct").cast("long")
+      val nAlpha = (nChars - st.getField("n_nonalpha")).cast("long")
+      val base = docs(s, d).select(col("doc_id"),
+        qualityMilli(nTok, nChars, nStop, nPunct, nAlpha).as("quality_m"),
+        nTok.as("n_tokens"))
+        .withColumn("_neg_q", -col("quality_m"))
+      val withCum = graft.operators.Ranking.globalPrefixSum(
+        base, "_neg_q", "doc_id", "n_tokens", as = "cum_tokens")
+      val total = base.agg(sum(col("n_tokens")).as("_tot"))
+      withCum.crossJoin(broadcast(total))
+        .filter(col("cum_tokens") * 10 <= col("_tot") * 6)
+        .select(col("doc_id"), col("quality_m"), col("n_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""$SqlQualityStats,
+            q AS (SELECT doc_id, CAST($SqlQualityMilli AS BIGINT)
+              AS quality_m, nt AS n_tokens FROM c),
+            w AS (SELECT doc_id, quality_m, n_tokens,
+              CAST(sum(n_tokens) OVER (ORDER BY quality_m DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens FROM q),
+            tt AS (SELECT CAST(sum(nt) AS BIGINT) AS tot FROM c)
+            SELECT doc_id, quality_m, n_tokens, cum_tokens FROM w, tt
+            WHERE cum_tokens * 10 <= tot * 6 ORDER BY doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ,
-      tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ, curriculumQ)
+      tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ, curriculumQ,
+      budgetSelectQ)
 }

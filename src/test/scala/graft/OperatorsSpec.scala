@@ -187,6 +187,15 @@ class OperatorsSpec extends SparkSpec {
       .groupBy("bucket").count().as[(Long, Long)].collect().toMap
     assert(buckets.keySet == (1L to 10L).toSet)
     assert(buckets.values.forall(c => c == 99L || c == 100L)) // 997/10
+    // prefix sum decomposition == naive global running sum
+    val dfv = df.withColumn("v", pmod(col("id") * 7, lit(23)))
+    val gotSum = Ranking.globalPrefixSum(dfv, "score", "id", "v", "cum")
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    val wantSum = dfv.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("score"), col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("id", "cum").as[(Long, Long)].collect().toMap
+    assert(gotSum == wantSum)
   }
 
   test("packSequences: straddle assignment, per-shard independence, stats") {
