@@ -1,0 +1,33 @@
+package graft.io
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** JSONL training-shard export — the interchange format training
+  * loaders consume (one JSON object per line, a fixed set of shard
+  * files).
+  *
+  * Shard membership is decided by hash-partitioning on a KEY column,
+  * not by input partitioning: the same document lands in the same
+  * shard file on every run, whatever the upstream layout — so a
+  * re-export after an incremental top-up only changes the shards whose
+  * documents changed. One partition ≙ one shard file; at 100 TB pick
+  * nShards so a shard is a few GB (the loader-friendly size), and the
+  * write is a single hash shuffle followed by embarrassingly parallel
+  * file writes. */
+object TrainingExport {
+
+  /** Serialize every column of `df` as JSON and write `nShards` text
+    * files under `path` (overwrite). Returns the row count written. */
+  def writeJsonlShards(df: DataFrame, keyCol: String, nShards: Int,
+      path: String): Long = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(df.columns.contains(keyCol), s"no such key column: $keyCol")
+    val json = df.withColumn("_json",
+      to_json(struct(df.columns.map(col): _*)))
+    json.repartition(nShards, col(keyCol))
+      .select(col("_json").as("value"))
+      .write.mode("overwrite").text(path)
+    df.sparkSession.read.text(path).count()
+  }
+}

@@ -25,8 +25,10 @@ object Packing {
   def packSequences(chunks: DataFrame, tokenCol: String, shardCol: Column,
       orderCols: Seq[Column], capacity: Int): DataFrame = {
     require(capacity > 0, s"capacity must be positive, got $capacity")
-    require(!chunks.columns.contains("_cum_excl"),
-      "input frame already has a _cum_excl column")
+    val clash = Seq("_cum_excl", "seq_id", "seq_offset")
+      .filter(chunks.columns.contains)
+    require(clash.isEmpty,
+      s"input frame already has column(s) ${clash.mkString(", ")}")
     val w = Window.partitionBy(shardCol).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     chunks

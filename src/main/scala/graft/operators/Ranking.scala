@@ -24,11 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object Ranking {
 
+  /** Reject inputs whose columns collide with the working/output names
+    * (silent overwrite would corrupt results — cf. the exactDedup _fp
+    * collision class). */
+  private def requireFree(df: DataFrame, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input frame already has column(s) ${clash.mkString(", ")}")
+  }
+
   /** Adds `global_rank` (1-based, dense total order by (coarse, fine)).
     * `coarse` must be bounded-cardinality; `fine` must make (coarse,
     * fine) unique for a deterministic total order. */
   def globalRankByCoarseKey(df: DataFrame, coarse: String,
       fine: String): DataFrame = {
+    requireFree(df, "_offset", "global_rank")
     val hist = df.groupBy(col(coarse)).agg(count(lit(1)).as("_cnt"))
     // running-sum over the HISTOGRAM only (bounded rows) — the single
     // partition here is by design, not a leak
@@ -52,6 +62,7 @@ object Ranking {
     * ("take the best docs until N tokens") without a global sort. */
   def globalPrefixSum(df: DataFrame, coarse: String, fine: String,
       valueCol: String, as: String = "cum_value"): DataFrame = {
+    requireFree(df, "_voff", as)
     val hist = df.groupBy(col(coarse))
       .agg(sum(col(valueCol).cast("long")).as("_vsum"))
     val wOff = Window.orderBy(col(coarse))
@@ -75,6 +86,7 @@ object Ranking {
   def curriculumBuckets(df: DataFrame, coarse: String, fine: String,
       nBuckets: Int): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    requireFree(df, "_n", "bucket")
     val ranked = globalRankByCoarseKey(df, coarse, fine)
     val total = df.agg(count(lit(1)).as("_n"))
     ranked.crossJoin(broadcast(total))

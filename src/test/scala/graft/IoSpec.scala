@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.io.{CsvSources, ManagedParquetTable, XlsxSource}
+import graft.io.{CsvSources, ManagedParquetTable, TrainingExport, XlsxSource}
 import graft.etl.Schemas
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
@@ -300,4 +300,41 @@ class IoSpec extends SparkSpec {
     assert(part.count() == 60)
     assert(part.select(sum(col("id"))).head.getLong(0) == (1 to 60).sum)
   }
+
+  test("jsonl shard export: round-trip, shard membership input-invariant") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, s"doc body $i", s"src${i % 3}"))
+    val df = rows.toDF("doc_id", "text", "source")
+    def export(input: org.apache.spark.sql.DataFrame): (String, Map[String, Set[Long]]) = {
+      val out = tmp("jsonl")
+      val n = TrainingExport.writeJsonlShards(input, "doc_id", 4, out)
+      assert(n == 500)
+      val files = Files.list(Paths.get(out)).toArray.map(_.toString)
+        .filter { f =>
+          val name = f.substring(f.lastIndexOf('/') + 1)
+          name.startsWith("part-")
+        }.sorted
+      assert(files.length == 4)
+      val byShard = files.map { f =>
+        val ids = scala.io.Source.fromFile(f).getLines()
+          .map(l => ujsonDocId(l)).toSet
+        f.substring(f.lastIndexOf("part-"), f.lastIndexOf("part-") + 10) -> ids
+      }.toMap
+      (out, byShard)
+    }
+    val (_, a) = export(df.repartition(13))
+    val (_, b) = export(df.repartition(2, col("source")))
+    assert(a.values.map(_.size).sum == 500)
+    assert(a == b) // same doc -> same shard file, whatever the input layout
+    // round-trip: every row survives JSON serialization intact
+    val (out3, _) = export(df)
+    val back = spark.read.schema("doc_id LONG, text STRING, source STRING")
+      .json(out3)
+    assert(back.as[(Long, String, String)].collect().sortBy(_._1)
+      .toSeq == rows)
+  }
+
+  /** Extract doc_id from a JSONL line without a JSON library. */
+  private def ujsonDocId(line: String): Long =
+    "\"doc_id\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
 }
