@@ -23,6 +23,8 @@ object TrainingExport {
       path: String): Long = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     require(df.columns.contains(keyCol), s"no such key column: $keyCol")
+    require(!df.columns.contains("_json"),
+      "input frame already has a _json column")
     val json = df.withColumn("_json",
       to_json(struct(df.columns.map(col): _*)))
     json.repartition(nShards, col(keyCol))
