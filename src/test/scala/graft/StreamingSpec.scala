@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import graft.streaming.{BronzeIngest, WindowedStats}
+import graft.streaming.{BronzeIngest, CurationStream, WindowedStats}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -74,6 +74,49 @@ class StreamingSpec extends SparkSpec {
       .select("ID").as[Int](org.apache.spark.sql.Encoders.scalaInt)
       .collect().sorted
     assert(ids.sameElements(Array(1, 2, 3))) // ID 2 not duplicated
+  }
+
+  test("curation stream: gate -> cross-batch dedup -> chunk, restart-safe") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_curate").toString
+    val in = s"$dir/in"; new java.io.File(in).mkdirs()
+    def doc(id: Long, text: String) =
+      s"""{"doc_id":$id,"text":"$text","event_ts":"2026-01-01T00:0$id:00Z"}"""
+    val body = (1 to 40).map(i => s"w$i").mkString(" ") // 40 toks → 2 chunks
+    // batch 1: doc 1, a quality-gated short doc 2, and doc 3
+    Files.write(java.nio.file.Paths.get(s"$in/b1.jsonl"), Seq(
+      doc(1, body), doc(2, "too short"), doc(3, "three tokens here then more")
+    ).mkString("\n").getBytes)
+    val q1 = CurationStream.start(CurationStream.source(spark, in),
+      s"$dir/out", s"$dir/ck", trigger = Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    val out1 = spark.read.parquet(s"$dir/out")
+    // doc1: 40 toks @ (32,8) → 2 chunks; doc2 gated (2 toks); doc3: 1 chunk
+    assert(out1.count() == 3)
+    assert(out1.filter(col("doc_id") === 1).count() == 2)
+    // batch 2 AFTER restart: doc 4 duplicates doc 1's text (same content,
+    // different id/time) → dropped by checkpointed fp state; doc 5 is new
+    Files.write(java.nio.file.Paths.get(s"$in/b2.jsonl"), Seq(
+      doc(4, body), doc(5, "fresh content for the second batch")
+    ).mkString("\n").getBytes)
+    val q2 = CurationStream.start(CurationStream.source(spark, in),
+      s"$dir/out", s"$dir/ck", trigger = Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val out2 = spark.read.parquet(s"$dir/out")
+    assert(out2.filter(col("doc_id") === 4).count() == 0) // cross-batch dup
+    assert(out2.filter(col("doc_id") === 5).count() == 1)
+    assert(out2.count() == 4)
+    // chunk payload identical to the batch operator's output
+    val streamed = out2.filter(col("doc_id") === 1)
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Int, String, Int)](org.apache.spark.sql.Encoders.product)
+      .collect().sortBy(_._1).toSeq
+    val batch = graft.text.TextFunctions.chunkDocuments(
+      Seq((1L, body)).toDF("doc_id", "text"), "text", 32, 8)
+      .select("chunk_idx", "chunk_text", "n_chunk_tokens")
+      .as[(Int, String, Int)](org.apache.spark.sql.Encoders.product)
+      .collect().sortBy(_._1).toSeq
+    assert(streamed == batch)
   }
 
   test("batch replay decodes the same backlog (S2/S3 semantics)") {
