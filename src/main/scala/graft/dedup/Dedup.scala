@@ -265,14 +265,18 @@ object Dedup {
     * and are always kept. */
   def decontaminate(train: DataFrame, bench: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
-      n: Int = 3): DataFrame = {
+      n: Int = 3, broadcastBench: Boolean = true): DataFrame = {
     val benchShingles = bench
       .select(explode(array_distinct(wordShingles(col(textCol), n))).as("_sh"))
       .distinct()
+    // eval sets are tiny → broadcast by default (map-side probe, the
+    // corpus is never shuffled); pass broadcastBench=false for a large
+    // holdout side and let the semi-join shuffle on the shingle key
+    val probe = if (broadcastBench) broadcast(benchShingles) else benchShingles
     val contaminated = train
       .select(col(idCol), explode(array_distinct(
         wordShingles(col(textCol), n))).as("_sh"))
-      .join(broadcast(benchShingles), Seq("_sh"), "left_semi")
+      .join(probe, Seq("_sh"), "left_semi")
       .select(col(idCol)).distinct()
     train.join(broadcast(contaminated), Seq(idCol), "left_anti")
   }
