@@ -29,7 +29,8 @@ object Verify {
         // comparators sort, so file layout is irrelevant to them)
         val out = fn(spark, sfDir)
         val shaped =
-          if (sys.env.contains("GRAFT_VERIFY_PARALLEL")) out
+          if (sys.env.get("GRAFT_VERIFY_PARALLEL")
+                .exists(v => v == "1" || v.equalsIgnoreCase("true"))) out
           else out.coalesce(1)
         shaped.write.mode("overwrite").parquet(s"$outDir/$name")
         System.err.println(

@@ -213,11 +213,16 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
-    p.unpersist(); edges.unpersist()
     require(converged,
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds the bound — raise maxIter)")
-    labels
+    // labels is tiny ((id, label) per vertex): localCheckpoint it so
+    // EVERY iteration cache (incl. the final backing frame) can be
+    // released here instead of leaking for the session lifetime
+    val result = labels.localCheckpoint(true)
+    if (backing != null) backing.unpersist()
+    p.unpersist(); edges.unpersist()
+    result
   }
 
   /** Survivor selection over a clustered corpus: keep the min-id doc of
@@ -278,7 +283,11 @@ object Dedup {
         wordShingles(col(textCol), n))).as("_sh"))
       .join(probe, Seq("_sh"), "left_semi")
       .select(col(idCol)).distinct()
-    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+    // the contaminated-id set scales with bench size: only force the
+    // broadcast in the small-bench regime; large holdouts let AQE pick
+    val contam =
+      if (broadcastBench) broadcast(contaminated) else contaminated
+    train.join(contam, Seq(idCol), "left_anti")
   }
 
   // ---- SimHash ----
@@ -333,7 +342,10 @@ object Dedup {
     * The (id, simhash) projection feeds five plan branches (distinct
     * banding, two expansion sides, two equal-pair sides); it is
     * persisted so the tokenize+simhash pass over the full corpus runs
-    * once, not five times. */
+    * once, not five times. The cache ((id, long) per doc) stays
+    * resident until the returned frame is consumed — callers running
+    * many unrelated jobs in one session can release it afterwards via
+    * spark.catalog.clearCache(). */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")

@@ -79,12 +79,15 @@ object BpeExpressions {
     "c" -> "o", "m" -> "e", "a" -> "l", "the" -> " ", "and" -> " ",
     "e" -> " ", "d" -> " ", "s" -> " ", "t" -> " ")
 
-  /** Parse GPT-2 merges.txt lines ("a b" per line, '#' comments). The
-    * raw line is split, NOT trimmed — a trailing space is a legitimate
-    * second symbol (word-final merge), only line endings are stripped. */
+  /** Parse GPT-2 merges.txt lines ("a b" per line). Only the
+    * `#version` header is a comment in the format — a merge rule whose
+    * first symbol begins with '#' (hash runs in code corpora) is a
+    * legitimate rule and must NOT be dropped. The raw line is split,
+    * NOT trimmed — a trailing space is a legitimate second symbol
+    * (word-final merge), only line endings are stripped. */
   def mergesFromLines(lines: Iterator[String]): Seq[(String, String)] =
     lines.map(_.replaceAll("[\r\n]+$", ""))
-      .filter(l => l.trim.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.trim.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0 && sp < l.length - 1, s"malformed merge line: '$l'")

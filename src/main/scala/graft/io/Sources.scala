@@ -201,14 +201,26 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val version = Files.list(deltaLogDir).iterator().asScala
       .count(_.getFileName.toString.matches("\\d{20}\\.json"))
     val now = System.currentTimeMillis()
+    // stable table id + last-written schema live in a sidecar so that
+    // schema-evolving appends (S7) re-emit metaData — a Delta reader
+    // resolves the LATEST metaData action, and without this an evolved
+    // column would be silently dropped by readers of the mirror
+    val sidecar = deltaLogDir.resolve(".graft_table_meta")
+    val (tableId, lastSchema) =
+      if (Files.exists(sidecar)) {
+        val ls = Files.readString(sidecar).split("\n", 2)
+        (ls(0), if (ls.length > 1) ls(1) else "")
+      } else (java.util.UUID.randomUUID().toString, "")
     val sb = new StringBuilder
-    if (version == 0) {
+    if (version == 0)
       sb ++= s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}\n"""
-      sb ++= s"""{"metaData":{"id":"${java.util.UUID.randomUUID()}",""" +
+    if (version == 0 || schemaJson != lastSchema) {
+      sb ++= s"""{"metaData":{"id":"$tableId",""" +
         s""""format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${jsonEsc(schemaJson)}",""" +
         s""""partitionColumns":[],"configuration":{},""" +
         s""""createdTime":$now}}\n"""
+      Files.writeString(sidecar, s"$tableId\n$schemaJson")
     }
     sb ++= s"""{"commitInfo":{"timestamp":$now,"operation":"${mode.toUpperCase}"}}\n"""
     removed.foreach { f =>
@@ -230,15 +242,18 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * pre-overwrite snapshot within the grace window keep their files). */
   def vacuum(graceMs: Long = 15 * 60 * 1000L): Unit = {
     val live = snapshot().map(_._2).getOrElse(Seq.empty).toSet
-    val cutoff = System.nanoTime() - graceMs * 1000000L
+    // grace compares WALL-CLOCK file mtimes, not the nanoTime stamp in
+    // the segment name: nanoTime origins are arbitrary per JVM, so a
+    // name-stamp comparison across a writer restart could delete a
+    // seconds-old segment (or never reclaim old ones)
+    val cutoff = System.currentTimeMillis() - graceMs
     val dir = Paths.get(path)
     if (Files.isDirectory(dir)) {
       import scala.jdk.CollectionConverters._
       Files.list(dir).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("seg-"))
         .filterNot(p => live(p.getFileName.toString))
-        .filter(p => p.getFileName.toString.stripPrefix("seg-")
-          .takeWhile(_.isDigit).toLongOption.exists(_ < cutoff))
+        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
         .toList.foreach(deleteRecursively)
     }
   }

@@ -14,7 +14,12 @@ import org.apache.spark.sql.functions._
   * documents changed. One partition ≙ one shard file; at 100 TB pick
   * nShards so a shard is a few GB (the loader-friendly size), and the
   * write is a single hash shuffle followed by embarrassingly parallel
-  * file writes. */
+  * file writes.
+  *
+  * Caveat: a hash partition with ZERO rows emits no file, so fewer
+  * than nShards files can exist when distinct keys are scarce —
+  * loaders should glob the output directory rather than assume a
+  * dense part-00000..n list. */
 object TrainingExport {
 
   /** Serialize every column of `df` as JSON and write `nShards` text
@@ -27,9 +32,13 @@ object TrainingExport {
       "input frame already has a _json column")
     val json = df.withColumn("_json",
       to_json(struct(df.columns.map(col): _*)))
-    json.repartition(nShards, col(keyCol))
+    // row count observed ON the write pass — a read-back count would be
+    // a second full I/O pass over every shard at 100 TB
+    val obs = org.apache.spark.sql.Observation()
+    json.observe(obs, count(lit(1)).as("rows"))
+      .repartition(nShards, col(keyCol))
       .select(col("_json").as("value"))
       .write.mode("overwrite").text(path)
-    df.sparkSession.read.text(path).count()
+    obs.get("rows").asInstanceOf[Long]
   }
 }

@@ -38,7 +38,7 @@ object Ranking {
     * fine) unique for a deterministic total order. */
   def globalRankByCoarseKey(df: DataFrame, coarse: String,
       fine: String): DataFrame = {
-    requireFree(df, "_offset", "global_rank")
+    requireFree(df, "_offset", "_coarse_k", "global_rank")
     val hist = df.groupBy(col(coarse)).agg(count(lit(1)).as("_cnt"))
     // running-sum over the HISTOGRAM only (bounded rows) — the single
     // partition here is by design, not a leak
@@ -48,7 +48,12 @@ object Ranking {
       .withColumn("_offset", coalesce(sum(col("_cnt")).over(wOff), lit(0L)))
       .drop("_cnt")
     val wIn = Window.partitionBy(col(coarse)).orderBy(col(fine))
-    df.join(broadcast(offsets), Seq(coarse))
+    // null-safe join: a NULL coarse group is legal (window partitioning
+    // groups nulls; orderBy sorts them first, so they rank lowest) —
+    // a plain equi-join would silently drop those rows
+    df.join(broadcast(offsets.withColumnRenamed(coarse, "_coarse_k")),
+        col(coarse) <=> col("_coarse_k"))
+      .drop("_coarse_k")
       .withColumn("global_rank",
         col("_offset") + row_number().over(wIn).cast("long"))
       .drop("_offset")
@@ -62,7 +67,7 @@ object Ranking {
     * ("take the best docs until N tokens") without a global sort. */
   def globalPrefixSum(df: DataFrame, coarse: String, fine: String,
       valueCol: String, as: String = "cum_value"): DataFrame = {
-    requireFree(df, "_voff", as)
+    requireFree(df, "_voff", "_coarse_k", as)
     val hist = df.groupBy(col(coarse))
       .agg(sum(col(valueCol).cast("long")).as("_vsum"))
     val wOff = Window.orderBy(col(coarse))
@@ -72,7 +77,9 @@ object Ranking {
       .drop("_vsum")
     val wIn = Window.partitionBy(col(coarse)).orderBy(col(fine))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.join(broadcast(offsets), Seq(coarse))
+    df.join(broadcast(offsets.withColumnRenamed(coarse, "_coarse_k")),
+        col(coarse) <=> col("_coarse_k"))
+      .drop("_coarse_k")
       .withColumn(as,
         col("_voff") + sum(col(valueCol).cast("long")).over(wIn))
       .drop("_voff")

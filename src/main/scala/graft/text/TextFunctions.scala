@@ -113,6 +113,10 @@ object TextFunctions {
       chunkTokens: Int = 128, overlap: Int = 16): org.apache.spark.sql.DataFrame = {
     require(chunkTokens > overlap && overlap >= 0,
       s"need chunkTokens > overlap >= 0, got ($chunkTokens, $overlap)")
+    val clash = Seq("_toks", "_chunk", "chunk_idx", "chunk_text",
+      "n_chunk_tokens").filter(docs.columns.contains)
+    require(clash.isEmpty,
+      s"input frame already has column(s) ${clash.mkString(", ")}")
     val stride = chunkTokens - overlap
     val toks = tokens(col(textCol))
     // stride-starts covering all tokens: ceil((size − overlap)/stride),

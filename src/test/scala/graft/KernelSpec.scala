@@ -96,8 +96,12 @@ class KernelSpec extends SparkSpec {
   test("BPE merges file parsing (GPT-2 merges.txt format)") {
     import graft.expressions.BpeExpressions
     val parsed = BpeExpressions.mergesFromLines(Iterator(
-      "# version: fixture", "t h", "th e", "", "e  ")) // 'e'+' ' word-final
+      "#version: fixture", "t h", "th e", "", "e  ")) // 'e'+' ' word-final
     assert(parsed == Seq("t" -> "h", "th" -> "e", "e" -> " "))
+    // only the #version header is a comment: a rule whose first symbol
+    // begins with '#' (hash runs in code corpora) must survive
+    assert(BpeExpressions.mergesFromLines(Iterator("#version: 0.2", "# #"))
+      == Seq("#" -> "#"))
   }
 
   test("every kernel expression is codegen'd — no fallback dispatch") {
