@@ -187,6 +187,15 @@ class OperatorsSpec extends SparkSpec {
       .groupBy("bucket").count().as[(Long, Long)].collect().toMap
     assert(buckets.keySet == (1L to 10L).toSet)
     assert(buckets.values.forall(c => c == 99L || c == 100L)) // 997/10
+    // NULL coarse keys must rank (nulls first), not silently vanish
+    val withNulls = df.withColumn("score",
+      when(col("id") <= 5, lit(null)).otherwise(col("score")))
+    val gotN = Ranking.globalRankByCoarseKey(withNulls, "score", "id")
+      .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    val wantN = withNulls.withColumn("r",
+      row_number().over(Window.orderBy(col("score"), col("id"))).cast("long"))
+      .select("id", "r").as[(Long, Long)].collect().toMap
+    assert(gotN.size == 997 && gotN == wantN)
     // prefix sum decomposition == naive global running sum
     val dfv = df.withColumn("v", pmod(col("id") * 7, lit(23)))
     val gotSum = Ranking.globalPrefixSum(dfv, "score", "id", "v", "cum")
