@@ -301,6 +301,31 @@ class IoSpec extends SparkSpec {
     assert(part.select(sum(col("id"))).head.getLong(0) == (1 to 60).sum)
   }
 
+  test("delta-log mirror re-emits metaData on schema evolution, stable id") {
+    val tblPath = tmp("mpt_evolve") + "/tbl"
+    val t = new ManagedParquetTable(spark, tblPath)
+    t.append(Seq((1, "a")).toDF("id", "v"))
+    t.append(Seq((2, "b")).toDF("id", "v"))            // same schema
+    t.append(Seq((3, "c", 9L)).toDF("id", "v", "extra")) // evolved
+    val logDir = java.nio.file.Paths.get(tblPath, "_delta_log")
+    import scala.jdk.CollectionConverters._
+    val versions = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq.sorted
+    def actions(v: String) = Files.readString(logDir.resolve(v)).linesIterator.toSeq
+    // v0 and v2 carry metaData (schema change), v1 does not (unchanged)
+    assert(actions(versions(0)).exists(_.contains("\"metaData\"")))
+    assert(!actions(versions(1)).exists(_.contains("\"metaData\"")))
+    val v2meta = actions(versions(2)).filter(_.contains("\"metaData\""))
+    assert(v2meta.size == 1 && v2meta.head.contains("extra"))
+    // table id is stable across all metaData actions
+    val ids = versions.flatMap(actions).filter(_.contains("\"metaData\""))
+      .flatMap("\"id\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
+    assert(ids.distinct.size == 1)
+    // a reader resolving the LATEST metaData sees the evolved column,
+    // matching what the table itself serves via mergeSchema
+    assert(t.read().columns.contains("extra"))
+  }
+
   test("jsonl shard export: round-trip, shard membership input-invariant") {
     import spark.implicits._
     val rows = (1L to 500L).map(i => (i, s"doc body $i", s"src${i % 3}"))
