@@ -180,7 +180,8 @@ object Dedup {
     * @return (id, label) — label = min id of the component. Vertices
     *         appearing in `pairs` only; callers left-join singletons. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 25,
+      releaseCaches: Boolean = true): DataFrame = {
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pairs is typically an expensive pipeline (LSH + verify): persist it
     // so building the two edge directions runs it once, not twice
@@ -213,15 +214,28 @@ object Dedup {
       converged = changed == 0
       it += 1
     }
-    require(converged,
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds the bound — raise maxIter)")
+    if (!converged) {
+      // release iteration caches on the failure path too before raising
+      if (backing != null) backing.unpersist()
+      p.unpersist(); edges.unpersist()
+      throw new IllegalArgumentException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds the bound — raise maxIter)")
+    }
     // labels is tiny ((id, label) per vertex): localCheckpoint it so
-    // EVERY iteration cache (incl. the final backing frame) can be
-    // released here instead of leaking for the session lifetime
-    val result = labels.localCheckpoint(true)
-    if (backing != null) backing.unpersist()
-    p.unpersist(); edges.unpersist()
+    // EVERY iteration cache (incl. the final backing frame) is released
+    // here instead of leaking for the session lifetime. Trade-off:
+    // localCheckpoint blocks are executor-local and unrecomputable — on
+    // a cluster with dynamic allocation / preemption pass
+    // releaseCaches=false to keep the resilient persisted lineage (and
+    // clear it later via spark.catalog.clearCache()).
+    val result =
+      if (releaseCaches) {
+        val r = labels.localCheckpoint(true)
+        if (backing != null) backing.unpersist()
+        p.unpersist(); edges.unpersist()
+        r
+      } else labels
     result
   }
 

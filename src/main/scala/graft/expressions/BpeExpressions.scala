@@ -87,7 +87,7 @@ object BpeExpressions {
     * (word-final merge), only line endings are stripped. */
   def mergesFromLines(lines: Iterator[String]): Seq[(String, String)] =
     lines.map(_.replaceAll("[\r\n]+$", ""))
-      .filter(l => l.trim.nonEmpty && !l.startsWith("#version"))
+      .filter(l => l.trim.nonEmpty && !l.startsWith("#version:"))
       .map { l =>
         val sp = l.indexOf(' ')
         require(sp > 0 && sp < l.length - 1, s"malformed merge line: '$l'")

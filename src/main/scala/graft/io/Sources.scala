@@ -97,6 +97,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   /** Atomically publish a new snapshot (write-temp + rename). */
   private def commit(segments: Seq[String], mode: String): Unit = {
     Files.createDirectories(Paths.get(path))
+    val prevSegs = snapshot().map(_._2).getOrElse(Seq.empty)
     val ver = snapshot().map(_._1 + 1).getOrElse(1L)
     val json = s"""{"version":$ver,"mode":"$mode","segments":[""" +
       segments.map("\"" + _ + "\"").mkString(",") + "]}"
@@ -104,6 +105,16 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     Files.writeString(tmp, json)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    // touch segments that just became unreferenced: vacuum's grace
+    // window must run from the moment a reader could last have resolved
+    // them (now), not from their creation time — else a long-lived
+    // segment dies the instant it is dropped
+    (prevSegs.toSet -- segments.toSet).foreach { s =>
+      val p = Paths.get(path, s)
+      if (Files.exists(p)) Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis()))
+    }
   }
 
   /** Write df into a fresh immutable segment dir; return its name. */
@@ -201,26 +212,37 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val version = Files.list(deltaLogDir).iterator().asScala
       .count(_.getFileName.toString.matches("\\d{20}\\.json"))
     val now = System.currentTimeMillis()
-    // stable table id + last-written schema live in a sidecar so that
+    // stable table id + last-emitted schema live in a sidecar so that
     // schema-evolving appends (S7) re-emit metaData — a Delta reader
     // resolves the LATEST metaData action, and without this an evolved
-    // column would be silently dropped by readers of the mirror
+    // column would be silently dropped by readers of the mirror.
+    // Fallback for logs predating the sidecar: recover both from the
+    // newest metaData action already in the log (keeps the table id
+    // stable — Delta requires one id for the log's lifetime).
     val sidecar = deltaLogDir.resolve(".graft_table_meta")
     val (tableId, lastSchema) =
       if (Files.exists(sidecar)) {
         val ls = Files.readString(sidecar).split("\n", 2)
         (ls(0), if (ls.length > 1) ls(1) else "")
-      } else (java.util.UUID.randomUUID().toString, "")
+      } else recoverMetaFromLog().getOrElse(
+        (java.util.UUID.randomUUID().toString, ""))
+    // the table's schema is the MERGE across live segments (read uses
+    // mergeSchema), so an append whose frame lacks a previously-evolved
+    // column must NOT narrow the emitted schemaString; overwrite/delete
+    // replace the snapshot, so their frame schema IS the table schema
+    val effectiveSchema =
+      if (mode == "append") mergeSchemaJson(lastSchema, schemaJson)
+      else schemaJson
     val sb = new StringBuilder
     if (version == 0)
       sb ++= s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}\n"""
-    if (version == 0 || schemaJson != lastSchema) {
+    val emitMeta = version == 0 || effectiveSchema != lastSchema
+    if (emitMeta) {
       sb ++= s"""{"metaData":{"id":"$tableId",""" +
         s""""format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${jsonEsc(schemaJson)}",""" +
+        s""""schemaString":"${jsonEsc(effectiveSchema)}",""" +
         s""""partitionColumns":[],"configuration":{},""" +
         s""""createdTime":$now}}\n"""
-      Files.writeString(sidecar, s"$tableId\n$schemaJson")
     }
     sb ++= s"""{"commitInfo":{"timestamp":$now,"operation":"${mode.toUpperCase}"}}\n"""
     removed.foreach { f =>
@@ -235,17 +257,60 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     Files.writeString(tmp, sb.toString)
     Files.move(tmp, deltaLogDir.resolve(f"$version%020d.json"),
       StandardCopyOption.ATOMIC_MOVE)
+    // sidecar update AFTER the commit file lands, and atomically: a
+    // crash in between only re-emits a harmless duplicate metaData on
+    // the next commit (a stale sidecar can never SUPPRESS one)
+    if (emitMeta) {
+      val sctmp = deltaLogDir.resolve(s".meta.tmp.${System.nanoTime()}")
+      Files.writeString(sctmp, s"$tableId\n$effectiveSchema")
+      Files.move(sctmp, sidecar, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
-  /** Reclaim segments no committed snapshot references and whose
-    * write-stamp is older than `graceMs` (readers that resolved a
-    * pre-overwrite snapshot within the grace window keep their files). */
+  /** Newest (table id, schemaString) already in the log, if any. */
+  private def recoverMetaFromLog(): Option[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(deltaLogDir)) return None
+    val metaRe =
+      """"metaData":\{"id":"([^"]+)".*"schemaString":"((?:[^"\\]|\\.)*)"""".r
+    Files.list(deltaLogDir).iterator().asScala
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .toSeq.sortBy(_.getFileName.toString).reverse
+      .flatMap(p => Files.readString(p).linesIterator
+        .flatMap(metaRe.findFirstMatchIn(_))
+        .map(m => (m.group(1), jsonUnesc(m.group(2)))))
+      .headOption
+  }
+
+  private def jsonUnesc(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  /** Field-union of two schema JSONs: fields of the newer win on name
+    * clash, previously-evolved columns are retained — matching what a
+    * mergeSchema read serves. */
+  private def mergeSchemaJson(prevJson: String, nextJson: String): String =
+    if (prevJson.isEmpty) nextJson
+    else {
+      import org.apache.spark.sql.types.{DataType, StructType}
+      val prev = DataType.fromJson(prevJson).asInstanceOf[StructType]
+      val next = DataType.fromJson(nextJson).asInstanceOf[StructType]
+      val extra = prev.fields.filterNot(f => next.fieldNames.contains(f.name))
+      StructType(next.fields ++ extra).json
+    }
+
+  /** Reclaim segments no committed snapshot references and that have
+    * been UNREFERENCED for at least `graceMs` (commit touches a
+    * segment's mtime when dropping it, so the grace window runs from
+    * the moment a reader could last have resolved the segment —
+    * readers holding a pre-overwrite snapshot within the window keep
+    * their files). */
   def vacuum(graceMs: Long = 15 * 60 * 1000L): Unit = {
     val live = snapshot().map(_._2).getOrElse(Seq.empty).toSet
-    // grace compares WALL-CLOCK file mtimes, not the nanoTime stamp in
-    // the segment name: nanoTime origins are arbitrary per JVM, so a
-    // name-stamp comparison across a writer restart could delete a
-    // seconds-old segment (or never reclaim old ones)
+    // WALL-CLOCK file mtimes, not the nanoTime stamp in the segment
+    // name: nanoTime origins are arbitrary per JVM, so a name-stamp
+    // comparison across a writer restart could delete a seconds-old
+    // segment (or never reclaim old ones)
     val cutoff = System.currentTimeMillis() - graceMs
     val dir = Paths.get(path)
     if (Files.isDirectory(dir)) {

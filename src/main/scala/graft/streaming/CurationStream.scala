@@ -37,7 +37,11 @@ object CurationStream {
       "doc_id LONG, text STRING, event_ts TIMESTAMP",
       Map.empty[String, String]).as("d"))
       .select(col("d.doc_id"), col("d.text"), col("d.event_ts"))
-      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      // event_ts must be checked HERE, loudly at the gate: rows with a
+      // null/unparsable event time would otherwise pass and then be
+      // silently discarded inside the watermark/dedup stateful operator
+      .filter(col("doc_id").isNotNull && col("text").isNotNull &&
+        col("event_ts").isNotNull)
     val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
     parsed
       .withColumn("n_tokens", st.getField("n_tokens"))

@@ -307,6 +307,7 @@ class IoSpec extends SparkSpec {
     t.append(Seq((1, "a")).toDF("id", "v"))
     t.append(Seq((2, "b")).toDF("id", "v"))            // same schema
     t.append(Seq((3, "c", 9L)).toDF("id", "v", "extra")) // evolved
+    t.append(Seq((4, "d")).toDF("id", "v")) // narrower frame, same table
     val logDir = java.nio.file.Paths.get(tblPath, "_delta_log")
     import scala.jdk.CollectionConverters._
     val versions = Files.list(logDir).iterator().asScala
@@ -317,6 +318,9 @@ class IoSpec extends SparkSpec {
     assert(!actions(versions(1)).exists(_.contains("\"metaData\"")))
     val v2meta = actions(versions(2)).filter(_.contains("\"metaData\""))
     assert(v2meta.size == 1 && v2meta.head.contains("extra"))
+    // a narrower append must NOT narrow the emitted schema: the table
+    // schema is the merge across segments, so no new metaData at all
+    assert(!actions(versions(3)).exists(_.contains("\"metaData\"")))
     // table id is stable across all metaData actions
     val ids = versions.flatMap(actions).filter(_.contains("\"metaData\""))
       .flatMap("\"id\":\"([^\"]+)\"".r.findFirstMatchIn(_)).map(_.group(1))
