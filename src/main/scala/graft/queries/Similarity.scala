@@ -238,6 +238,49 @@ object Similarity {
                   (a, b) -> a AND b) END AS reconstruct_ok
             FROM q ORDER BY vec_id"""))
 
+  /** Two-stage quantized search: integer code-dot candidates (exact
+    * BIGINT arithmetic both engines) re-ranked by full-precision
+    * cosine. The oracle replays the whole pipeline — quantization,
+    * code-dot fold, candidate window, cosine re-rank. */
+  val quantizedTopKQ: GQuery = GQuery(
+    "v8_quantized_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      quantizedTopK(e, e.filter(col("vec_id") < 3), kCand = 20, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"), col("code_dot"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            m AS (SELECT vec_id, embedding, v, list_min(v) AS mn,
+              list_max(v) AS mx FROM e),
+            q AS (SELECT vec_id, embedding, v,
+              CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x ->
+                CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
+              END AS codes
+              FROM m),
+            pairs AS (SELECT qr.vec_id AS query_id, c.vec_id AS neighbor_id,
+              c.embedding AS ce, qr.embedding AS qe,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(64), i ->
+                  CAST(c.codes[i+1] AS BIGINT) * CAST(qr.codes[i+1] AS BIGINT))),
+                (a, b) -> a + b) AS BIGINT) AS code_dot
+              FROM q qr JOIN q c ON c.vec_id != qr.vec_id
+              WHERE qr.vec_id < 3),
+            cand AS (SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY code_dot DESC, neighbor_id) AS cand_rank FROM pairs),
+            top AS (SELECT query_id, neighbor_id, code_dot,
+              round(${sqlCosine("qe", "ce")}, 6) AS sim
+              FROM cand WHERE cand_rank <= 20),
+            r AS (SELECT query_id, neighbor_id, sim, code_dot,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank FROM top)
+            SELECT query_id, rank, neighbor_id, sim, code_dot FROM r
+            WHERE rank <= 5 ORDER BY query_id, rank"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
-    ivfAssignQ, ivfTopKQ, quantizeQ)
+    ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ)
 }

@@ -48,6 +48,19 @@ class SimilaritySpec extends SparkSpec {
     assert(withCode.forall { case (_, b) => b >= 0 && b < 256 })
   }
 
+  test("quantizedTopK: dense ranks, sims non-increasing, exact re-rank wins") {
+    val out = quantizedTopK(e, e.filter($"vec_id" < 2), kCand = 10, k = 4)
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(out.keySet == Set(0L, 1L))
+    out.values.foreach { rows =>
+      assert(rows.map(_._2).toSeq == Seq(1, 2, 3, 4)) // dense ranks
+      assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+      assert(rows.forall(r => r._3 != r._1)) // self excluded
+    }
+  }
+
   test("quantizeU8 round-trip: codes in range, error <= scale/2, constants") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f, -1.0f)),
