@@ -182,6 +182,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25,
       releaseCaches: Boolean = true): DataFrame = {
+    require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pairs is typically an expensive pipeline (LSH + verify): persist it
     // so building the two edge directions runs it once, not twice

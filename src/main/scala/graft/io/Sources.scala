@@ -97,8 +97,9 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   /** Atomically publish a new snapshot (write-temp + rename). */
   private def commit(segments: Seq[String], mode: String): Unit = {
     Files.createDirectories(Paths.get(path))
-    val prevSegs = snapshot().map(_._2).getOrElse(Seq.empty)
-    val ver = snapshot().map(_._1 + 1).getOrElse(1L)
+    val snap = snapshot()
+    val prevSegs = snap.map(_._2).getOrElse(Seq.empty)
+    val ver = snap.map(_._1 + 1).getOrElse(1L)
     val json = s"""{"version":$ver,"mode":"$mode","segments":[""" +
       segments.map("\"" + _ + "\"").mkString(",") + "]}"
     val tmp = Paths.get(path, s"_graft_manifest.tmp.${System.nanoTime()}")
@@ -220,8 +221,9 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // newest metaData action already in the log (keeps the table id
     // stable — Delta requires one id for the log's lifetime).
     val sidecar = deltaLogDir.resolve(".graft_table_meta")
+    val sidecarMissing = !Files.exists(sidecar)
     val (tableId, lastSchema) =
-      if (Files.exists(sidecar)) {
+      if (!sidecarMissing) {
         val ls = Files.readString(sidecar).split("\n", 2)
         (ls(0), if (ls.length > 1) ls(1) else "")
       } else recoverMetaFromLog().getOrElse(
@@ -259,8 +261,10 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       StandardCopyOption.ATOMIC_MOVE)
     // sidecar update AFTER the commit file lands, and atomically: a
     // crash in between only re-emits a harmless duplicate metaData on
-    // the next commit (a stale sidecar can never SUPPRESS one)
-    if (emitMeta) {
+    // the next commit (a stale sidecar can never SUPPRESS one). Also
+    // (re)write it when it was absent — a legacy table would otherwise
+    // re-scan the whole log on EVERY commit
+    if (emitMeta || sidecarMissing) {
       val sctmp = deltaLogDir.resolve(s".meta.tmp.${System.nanoTime()}")
       Files.writeString(sctmp, s"$tableId\n$effectiveSchema")
       Files.move(sctmp, sidecar, StandardCopyOption.ATOMIC_MOVE,
@@ -274,13 +278,16 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     if (!Files.isDirectory(deltaLogDir)) return None
     val metaRe =
       """"metaData":\{"id":"([^"]+)".*"schemaString":"((?:[^"\\]|\\.)*)"""".r
+    // LAZY newest-first scan: stops at the first (newest) commit that
+    // carries a metaData action — version 0 always does, so this is
+    // bounded by the distance to the last schema change, not log size
     Files.list(deltaLogDir).iterator().asScala
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-      .toSeq.sortBy(_.getFileName.toString).reverse
+      .toSeq.sortBy(_.getFileName.toString).reverseIterator
       .flatMap(p => Files.readString(p).linesIterator
         .flatMap(metaRe.findFirstMatchIn(_))
         .map(m => (m.group(1), jsonUnesc(m.group(2)))))
-      .headOption
+      .nextOption()
   }
 
   private def jsonUnesc(s: String): String =

@@ -213,20 +213,31 @@ object VectorFunctions {
     * kCand · |queries| rows. */
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, kCand: Int,
       k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
     require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
     val cq = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"), quantizeU8(col(vecCol)).as("cquant"))
     val qq = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("qv"), quantizeU8(col(vecCol)).as("qquant"))
+    // two-phase candidate selection: a window partitioned by query_id
+    // ALONE would funnel |corpus| rows per query through one task.
+    // Phase 1 keeps the per-(query, shard) top-kCand — the global
+    // top-kCand is a subset of the union — so the per-query window in
+    // phase 2 sees at most shards·kCand rows, not the corpus.
+    val shardW = Window.partitionBy(col("query_id"), col("_shard"))
+      .orderBy(col("code_dot").desc, col("neighbor_id"))
     val stage1W = Window.partitionBy(col("query_id"))
       .orderBy(col("code_dot").desc, col("neighbor_id"))
     val cand = cq.crossJoin(broadcast(qq))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("code_dot",
         codeDot(col("cquant.codes"), col("qquant.codes")))
+      .withColumn("_shard", pmod(col("neighbor_id"), lit(shards)))
+      .withColumn("_srank", row_number().over(shardW))
+      .filter(col("_srank") <= kCand)
       .withColumn("cand_rank", row_number().over(stage1W))
       .filter(col("cand_rank") <= kCand)
+      .drop("_shard", "_srank")
     val stage2W = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     cand

@@ -37,9 +37,10 @@ object CurationStream {
       "doc_id LONG, text STRING, event_ts TIMESTAMP",
       Map.empty[String, String]).as("d"))
       .select(col("d.doc_id"), col("d.text"), col("d.event_ts"))
-      // event_ts must be checked HERE, loudly at the gate: rows with a
-      // null/unparsable event time would otherwise pass and then be
-      // silently discarded inside the watermark/dedup stateful operator
+      // event_ts gated explicitly: rows with a null/unparsable event
+      // time would otherwise reach the watermark/dedup stateful
+      // operator and be discarded there invisibly. The drop is still a
+      // drop — audit it with [[rejects]] as a parallel stream/batch
       .filter(col("doc_id").isNotNull && col("text").isNotNull &&
         col("event_ts").isNotNull)
     val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
@@ -50,6 +51,18 @@ object CurationStream {
         graft.expressions.TextStatsExpressions.lang_id(col("text")))
       .withColumn("fp", md5(TextFunctions.normalizedText(col("text"))))
   }
+
+  /** Rows [[prepared]] silently excludes — malformed JSON, null ids/
+    * text/event time. Run it over the same source (or its backlog
+    * directory in batch) to audit ingest losses; zero rows here means
+    * the gate dropped nothing. */
+  def rejects(raw: DataFrame): DataFrame =
+    raw.select(col("value"), from_json(col("value"),
+      "doc_id LONG, text STRING, event_ts TIMESTAMP",
+      Map.empty[String, String]).as("d"))
+      .filter(col("d").isNull || col("d.doc_id").isNull ||
+        col("d.text").isNull || col("d.event_ts").isNull)
+      .select(col("value"))
 
   /** Start the curation stream: dedup on content fingerprint within
     * the watermark, chunk, append to parquet. */

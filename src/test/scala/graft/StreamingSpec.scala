@@ -106,6 +106,14 @@ class StreamingSpec extends SparkSpec {
     assert(out2.filter(col("doc_id") === 4).count() == 0) // cross-batch dup
     assert(out2.filter(col("doc_id") === 5).count() == 1)
     assert(out2.count() == 4)
+    // rejects() audits exactly what the gate dropped (batch over backlog)
+    Files.write(java.nio.file.Paths.get(s"$in/bad.jsonl"), Seq(
+      """{"doc_id":9,"text":"no event time at all"}""",
+      """not json at all""",
+      doc(6, "perfectly valid row included six words")).mkString("\n").getBytes)
+    val rej = CurationStream.rejects(
+      spark.read.text(in)).as[String].collect()
+    assert(rej.length == 2 && rej.exists(_.contains("no event time")))
     // chunk payload identical to the batch operator's output
     val streamed = out2.filter(col("doc_id") === 1)
       .select("chunk_idx", "chunk_text", "n_chunk_tokens")
