@@ -1,6 +1,20 @@
 package graft
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark runner: times every catalog query at SPARK_GRAFT_SF_DIR and
+  * prints ONE compact JSON line. The harness that collects this output
+  * keeps only the LAST ~2000 characters of stdout (plus sbt's trailing
+  * "[success] ..." line), so the line is kept under a hard length budget:
+  * per-query timings are emitted slowest-first until the budget is hit
+  * and the remainder is folded into an `"other"` rollup. The complete
+  * per-query map is always written to BENCH_DETAIL.json alongside.
+  */
 object Bench {
+  // stdout tail window (2000) minus sbt's epilogue line and slack.
+  private val LineBudget = 1700
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -23,10 +37,36 @@ object Bench {
       catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = "%.3f".format(v)
+
+    // full-precision detail file (every query, alphabetical)
+    val detail = results.map { case (k, v) => s""""$k":${fmt(v)}""" }
+      .mkString("{", ",", "}")
+    val sfLabel = Paths.get(sfDir).getFileName.toString
+    Files.write(Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":$detail,"sf":"$sfDir"}"""
+        .getBytes(StandardCharsets.UTF_8))
+
+    // compact stdout line: slowest-first under the budget, rest rolled up
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"sf":"$sfLabel","queries":{"""
+    val bySlow = results.sortBy(-_._2)
+    val sb = new StringBuilder(prefix)
+    var taken = 0
+    // reserve room for the closing rollup: ,"other":{"n":NN,"sec":XXXX.XXX}}}
+    val reserve = 40
+    var full = false
+    bySlow.foreach { case (k, v) =>
+      val entry = (if (taken > 0) "," else "") + s""""$k":${fmt(v)}"""
+      if (!full && sb.length + entry.length + reserve <= LineBudget) {
+        sb.append(entry); taken += 1
+      } else full = true // keep the taken prefix contiguous in slowest order
+    }
+    val rest = bySlow.drop(taken)
+    if (rest.nonEmpty)
+      sb.append(s"""${if (taken > 0) "," else ""}"other":{"n":${rest.size},"sec":${fmt(rest.map(_._2).sum)}}""")
+    sb.append("}}")
+    println(sb.toString)
     spark.stop()
   }
 }
