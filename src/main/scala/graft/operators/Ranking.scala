@@ -101,4 +101,26 @@ object Ranking {
         expr(s"((global_rank - 1) * $nBuckets) div _n") + 1)
       .drop("_n")
   }
+
+  /** Per-key top-N cap (CommonCrawl-style per-domain document cap),
+    * hot-key safe: a window partitioned by key ALONE funnels every row
+    * of a hot domain through one task. Phase 1 ranks within (key,
+    * shard-of-tiebreaker) and keeps ≤ n per shard — the per-key top-n
+    * is a subset of that union — so phase 2's per-key window sees at
+    * most shards·n rows regardless of domain size (the v8 quantized-
+    * search shard-bound, applied to ranking). Adds 1-based `rank`;
+    * `order` must give a deterministic total order within a key. */
+  def topNPerKey(df: DataFrame, key: Column, order: Seq[Column], n: Int,
+      shardBy: Column, shards: Int = 32): DataFrame = {
+    require(n > 0 && shards > 0, s"n and shards must be positive")
+    requireFree(df, "_shard", "_srank", "rank")
+    val w1 = Window.partitionBy(key, col("_shard")).orderBy(order: _*)
+    val w2 = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("_shard", pmod(shardBy, lit(shards)))
+      .withColumn("_srank", row_number().over(w1))
+      .filter(col("_srank") <= n)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= n)
+      .drop("_shard", "_srank")
+  }
 }

@@ -181,8 +181,13 @@ object VectorFunctions {
     * billion-vector stores (4× smaller than float32, error ≤ scale/2
     * per component). Constant vectors (max == min) code to all-zeros.
     * Row-local, codegen-friendly — at 100 TB this runs inside the scan
-    * projection with no shuffle. Returns struct(codes, vmin, vmax). */
-  def quantizeU8(v: Column): Column = {
+    * projection with no shuffle. Returns struct(codes, vmin, vmax).
+    * Native single-pass kernel; [[quantizeU8Hof]] is the composed
+    * reference form (bit-identical, differential-tested). */
+  def quantizeU8(v: Column): Column =
+    graft.expressions.QuantExpressions.quantize_u8(v)
+
+  def quantizeU8Hof(v: Column): Column = {
     val dv = transform(v, x => x.cast("double"))
     val mn = array_min(dv); val mx = array_max(dv)
     val codes = when(mx === mn, transform(dv, _ => lit(0)))
@@ -191,16 +196,24 @@ object VectorFunctions {
     struct(codes.as("codes"), mn.as("vmin"), mx.as("vmax"))
   }
 
-  /** Inverse of [[quantizeU8]]: x̂_i = vmin + code_i · (vmax − vmin)/255. */
-  def dequantizeU8(q: Column): Column = {
+  /** Inverse of [[quantizeU8]]: x̂_i = vmin + code_i · (vmax − vmin)/255.
+    * Native kernel; [[dequantizeU8Hof]] is the composed reference form. */
+  def dequantizeU8(q: Column): Column =
+    graft.expressions.QuantExpressions.dequantize_u8(q)
+
+  def dequantizeU8Hof(q: Column): Column = {
     val mn = q.getField("vmin"); val mx = q.getField("vmax")
     transform(q.getField("codes"),
       c => mn + c.cast("double") * (mx - mn) / lit(255.0))
   }
 
   /** Integer dot product of two uint8 code arrays — BIGINT-exact, the
-    * cheap first-pass score of a compressed index. */
+    * cheap first-pass score of a compressed index. Native kernel;
+    * [[codeDotHof]] is the composed reference form. */
   def codeDot(a: Column, b: Column): Column =
+    graft.expressions.QuantExpressions.code_dot(a, b)
+
+  def codeDotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
       lit(0L), (acc, v) => acc + v)
 

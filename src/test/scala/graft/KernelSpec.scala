@@ -41,6 +41,55 @@ class KernelSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("quantize/dequantize/code-dot kernels == HOF on all embeddings") {
+    val q = VectorFunctions.quantizeU8(col("embedding"))
+    val h = VectorFunctions.quantizeU8Hof(col("embedding"))
+    val diff = embs.select(
+      (q.getField("codes") === h.getField("codes")).as("c1"),
+      (q.getField("vmin") === h.getField("vmin")).as("c2"),
+      (q.getField("vmax") === h.getField("vmax")).as("c3"),
+      (VectorFunctions.dequantizeU8(q) ===
+        VectorFunctions.dequantizeU8Hof(h)).as("c4"),
+      (VectorFunctions.codeDot(q.getField("codes"), h.getField("codes")) ===
+        VectorFunctions.codeDotHof(q.getField("codes"), h.getField("codes")))
+        .as("c5"))
+      .filter(!col("c1") || !col("c2") || !col("c3") || !col("c4") || !col("c5"))
+    assert(diff.isEmpty)
+    // edge cases: constant vector (all-zero codes), empty vector,
+    // null elements, length-mismatched code-dot
+    val edge = spark.range(1).selectExpr(
+      "array(cast(2.0 as float), cast(2.0 as float), cast(2.0 as float)) as va",
+      "array(cast(1.0 as float), cast(null as float), cast(3.0 as float)) as vb",
+      "cast(array() as array<float>) as ve")
+    val ediff = edge.select(
+      (VectorFunctions.quantizeU8(col("va")) <=>
+        VectorFunctions.quantizeU8Hof(col("va"))).as("c1"),
+      (VectorFunctions.quantizeU8(col("vb")) <=>
+        VectorFunctions.quantizeU8Hof(col("vb"))).as("c2"),
+      (VectorFunctions.dequantizeU8(VectorFunctions.quantizeU8(col("vb"))) <=>
+        VectorFunctions.dequantizeU8Hof(VectorFunctions.quantizeU8Hof(col("vb"))))
+        .as("c3"),
+      (VectorFunctions.codeDot(
+        VectorFunctions.quantizeU8(col("va")).getField("codes"),
+        VectorFunctions.quantizeU8(col("vb")).getField("codes")) <=>
+        VectorFunctions.codeDotHof(
+          VectorFunctions.quantizeU8Hof(col("va")).getField("codes"),
+          VectorFunctions.quantizeU8Hof(col("vb")).getField("codes"))).as("c4"),
+      (VectorFunctions.quantizeU8(col("ve")) <=>
+        VectorFunctions.quantizeU8Hof(col("ve"))).as("c5"),
+      // length mismatch: zip_with pads with null => null sum on both sides
+      (VectorFunctions.codeDot(
+        VectorFunctions.quantizeU8(col("va")).getField("codes"),
+        slice(VectorFunctions.quantizeU8(col("va")).getField("codes"), 1, 2)) <=>
+        VectorFunctions.codeDotHof(
+          VectorFunctions.quantizeU8Hof(col("va")).getField("codes"),
+          slice(VectorFunctions.quantizeU8Hof(col("va")).getField("codes"), 1, 2)))
+        .as("c6"))
+      .filter(!col("c1") || !col("c2") || !col("c3") || !col("c4") ||
+        !col("c5") || !col("c6"))
+    assert(ediff.isEmpty)
+  }
+
   test("lang-id kernel == HOF on all documents") {
     val diff = docs.select(
       graft.expressions.TextStatsExpressions.lang_id(col("text")).as("a"),
@@ -124,7 +173,14 @@ class KernelSpec extends SparkSpec {
           T.text_stats(col("text")).as("st"),
           graft.expressions.BpeExpressions.bpe_token_count(col("text")).as("bpe"),
           VectorFunctions.cosine(col("embedding"), col("embedding")).as("cos"),
-          VectorFunctions.lshCode(col("embedding"), 8, 64).as("lsh"))
+          VectorFunctions.lshCode(col("embedding"), 8, 64).as("lsh"),
+          VectorFunctions.quantizeU8(col("embedding")).as("qz"),
+          VectorFunctions.dequantizeU8(
+            VectorFunctions.quantizeU8(col("embedding"))).as("dq"),
+          VectorFunctions.codeDot(
+            VectorFunctions.quantizeU8(col("embedding")).getField("codes"),
+            VectorFunctions.quantizeU8(col("embedding")).getField("codes"))
+            .as("cd"))
       assert(df.collect().nonEmpty)
       // the generated Java must call the compiled kernels directly
       val code = org.apache.spark.sql.execution.debug
