@@ -30,6 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_lang_id"),
       (exprs: Seq[Expression]) => expressions.LangIdExpr(exprs.head,
         text.TextFunctions.LangMarkers)))
+    e.injectFunction((FunctionIdentifier("graft_quantize_u8"),
+      info("graft_quantize_u8"),
+      (exprs: Seq[Expression]) => expressions.QuantizeU8Expr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_dequantize_u8"),
+      info("graft_dequantize_u8"),
+      (exprs: Seq[Expression]) => expressions.DequantizeU8Expr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_code_dot"),
+      info("graft_code_dot"),
+      (exprs: Seq[Expression]) =>
+        expressions.CodeDotExpr(exprs.head, exprs(1))))
   }
 }
 

@@ -2,6 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -31,14 +32,36 @@ object QuantKernels {
     case IntegerType => arr.getInt(i).toDouble
     case other => throw new IllegalArgumentException(s"bad element: $other")
   }
+
+  /** Spark SQL's double ordering (-0.0 == 0.0, NaN greatest, NaN == NaN)
+    * so the kernel's vmin/vmax match array_min/array_max exactly on
+    * NaN-bearing vectors. */
+  def cmp(x: Double, y: Double): Int =
+    if (x == y) 0 else java.lang.Double.compare(x, y)
+
+  def isQuantizableArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType | DoubleType | LongType | IntegerType, _) => true
+    case _ => false
+  }
 }
 
 /** Affine uint8 quantization of a numeric array:
   * struct(codes: array<int>, vmin: double, vmax: double) with
   * code_i = floor((x_i − min)·255/(max − min) + 0.5); all-zero codes for
   * constant vectors; null min/max (and empty codes) for empty input;
-  * null code elements mirror null input elements. */
+  * null code elements mirror null input elements (including in the
+  * constant-vector branch). vmin/vmax follow Spark's double ordering
+  * (NaN greatest, NaN == NaN), so a NaN-bearing vector gets vmax = NaN
+  * and — the scale being NaN — all-zero codes (NaN.toInt); the HOF form
+  * cannot express this (ANSI cast of NaN to int throws), so NaN inputs
+  * are covered by kernel-only tests, not differential ones. */
 case class QuantizeU8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (QuantKernels.isQuantizableArray(child.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double|int|bigint>, " +
+        s"got ${child.dataType.catalogString}")
   override def dataType: DataType = StructType(Seq(
     StructField("codes", ArrayType(IntegerType, containsNull = true), nullable = false),
     StructField("vmin", DoubleType, nullable = true),
@@ -53,17 +76,18 @@ case class QuantizeU8Expr(child: Expression) extends UnaryExpression {
     while (i < n) {
       if (!arr.isNullAt(i)) {
         val x = QuantKernels.numAt(arr, i, elemType)
-        if (!seen || x < mn) mn = x
-        if (!seen || x > mx) mx = x
+        if (!seen || QuantKernels.cmp(x, mn) < 0) mn = x
+        if (!seen || QuantKernels.cmp(x, mx) > 0) mx = x
         seen = true
       }
       i += 1
     }
+    val constant = seen && QuantKernels.cmp(mx, mn) == 0
     val codes = new Array[Any](n)
     i = 0
     while (i < n) {
       if (arr.isNullAt(i)) codes(i) = null
-      else if (mx == mn) codes(i) = 0
+      else if (constant) codes(i) = 0
       else {
         val x = QuantKernels.numAt(arr, i, elemType)
         codes(i) = math.floor((x - mn) * 255.0 / (mx - mn) + 0.5).toInt
@@ -88,6 +112,16 @@ case class QuantizeU8Expr(child: Expression) extends UnaryExpression {
 /** Inverse of [[QuantizeU8Expr]]: x̂_i = vmin + code_i·(vmax − vmin)/255
   * (null elements and null min/max propagate as null elements). */
 case class DequantizeU8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StructType(Array(
+        StructField(_, ArrayType(IntegerType, _), _, _),
+        StructField(_, DoubleType, _, _),
+        StructField(_, DoubleType, _, _))) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires struct<codes: array<int>, vmin: double, " +
+        s"vmax: double>, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
   def kernel(q: InternalRow): ArrayData = {
     val codes = q.getArray(0)
@@ -120,6 +154,17 @@ case class DequantizeU8Expr(child: Expression) extends UnaryExpression {
   * semantics, matching the HOF/oracle forms). */
 case class CodeDotExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(IntegerType | LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<int|bigint> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  }
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
   private def isLong(e: Expression): Boolean =

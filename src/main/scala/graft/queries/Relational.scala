@@ -368,6 +368,34 @@ object Relational {
                                         ORDER BY ts DESC, event_id DESC) AS rn
               FROM events) WHERE rn <= 3 ORDER BY user_id, rn"""))
 
+  /** W5: per-key top-N cap (the CommonCrawl per-domain document cap,
+    * generalizing W4's last-K-per-key, slack_notifier.py:206-244)
+    * through the hot-key-safe two-phase operator
+    * (operators/Ranking.topNPerKey) on the same deliberately 90%-hot
+    * key fixture as j8. The operator's result is shard-invariant, so
+    * the oracle is the plain single-window SQL. */
+  val qTopNPerKey: GQuery = GQuery(
+    "w5_topn_per_key",
+    (s, d) => {
+      val e = ev(s, d).withColumn("skew_key",
+        when(col("user_id") % 10 < 9, 1L)
+          .otherwise(col("user_id") % 100 + 1))
+      graft.operators.Ranking.topNPerKey(e, col("skew_key"),
+          Seq(col("ts_ns").desc, col("event_id")), n = 5,
+          shardBy = col("event_id"), shards = 32)
+        .select(col("skew_key"), col("rank"), col("event_id"))
+        .orderBy(col("skew_key"), col("rank"))
+    },
+    Some("""SELECT skew_key, rank, event_id FROM (
+              SELECT skew_key, event_id,
+                     row_number() OVER (PARTITION BY skew_key
+                       ORDER BY ts DESC, event_id) AS rank
+              FROM (SELECT CASE WHEN user_id % 10 < 9 THEN 1
+                                ELSE user_id % 100 + 1 END AS skew_key,
+                           event_id, ts
+                    FROM events))
+            WHERE rank <= 5 ORDER BY skew_key, rank"""))
+
   /** U1: union of homogeneous scans (pd.concat analog). */
   val qUnion: GQuery = GQuery(
     "u1_union",
@@ -469,6 +497,7 @@ object Relational {
   val all: Seq[GQuery] = Seq(
     q1Agg, qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
-    qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qUnion, qSetDiff,
+    qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
+    qUnion, qSetDiff,
     qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qRowLookup, qHead)
 }

@@ -219,7 +219,8 @@ object Similarity {
             m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
               FROM e),
             q AS (SELECT vec_id, v, mn, mx,
-              CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+              CASE WHEN mx = mn THEN list_transform(v,
+                x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END)
               ELSE list_transform(v, x ->
                 CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
               END AS codes
@@ -257,7 +258,8 @@ object Similarity {
             m AS (SELECT vec_id, embedding, v, list_min(v) AS mn,
               list_max(v) AS mx FROM e),
             q AS (SELECT vec_id, embedding, v,
-              CASE WHEN mx = mn THEN list_transform(v, x -> 0)
+              CASE WHEN mx = mn THEN list_transform(v,
+                x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END)
               ELSE list_transform(v, x ->
                 CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
               END AS codes

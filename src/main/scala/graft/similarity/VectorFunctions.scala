@@ -190,7 +190,10 @@ object VectorFunctions {
   def quantizeU8Hof(v: Column): Column = {
     val dv = transform(v, x => x.cast("double"))
     val mn = array_min(dv); val mx = array_max(dv)
-    val codes = when(mx === mn, transform(dv, _ => lit(0)))
+    // constant branch preserves null elements (null in, null code out),
+    // same as the arithmetic branch and the native kernel
+    val codes = when(mx === mn,
+        transform(dv, x => when(x.isNotNull, lit(0))))
       .otherwise(transform(dv,
         x => floor((x - mn) * lit(255.0) / (mx - mn) + lit(0.5)).cast("int")))
     struct(codes.as("codes"), mn.as("vmin"), mx.as("vmax"))

@@ -207,6 +207,43 @@ class OperatorsSpec extends SparkSpec {
     assert(gotSum == wantSum)
   }
 
+  test("topNPerKey == naive single-window top-n on a 90%-hot key") {
+    import graft.operators.Ranking
+    import org.apache.spark.sql.expressions.Window
+    // ~90% of rows on key 1 (the j8 skew fixture shape), non-monotonic
+    // order column, plus a key with fewer than n rows
+    val df = (1L to 800L).toDF("id")
+      .withColumn("key", when(col("id") % 10 < 9, 1L).otherwise(col("id")))
+      .withColumn("score", pmod(col("id") * 37, lit(101)))
+    val got = Ranking.topNPerKey(df, col("key"),
+        Seq(col("score").desc, col("id")), n = 7,
+        shardBy = col("id"), shards = 8)
+      .select("key", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val naive = df.withColumn("rank", row_number().over(
+        Window.partitionBy(col("key"))
+          .orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 7)
+      .select("key", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(got == naive)
+    // hot-key safety is structural: the window over the FULL input must
+    // partition by (key, shard), never by key alone
+    val plan = Ranking.topNPerKey(df, col("key"),
+      Seq(col("score").desc, col("id")), 7, col("id"), 8)
+    val windows = plan.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.size == 2)
+    // collect is top-down: the LAST window is the bottom-most (full
+    // input); it must carry both partition expressions
+    assert(windows.last.partitionSpec.size == 2)
+    assert(windows.head.partitionSpec.size == 1)
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Ranking.topNPerKey(df.withColumn("rank", lit(1)), col("key"),
+        Seq(col("id")), 1, col("id"))
+    }
+  }
+
   test("packSequences: straddle assignment, per-shard independence, stats") {
     import graft.operators.Packing
     // one shard; chunk token counts 30,30,30 with capacity 64:
