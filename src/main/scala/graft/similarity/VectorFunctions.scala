@@ -67,22 +67,43 @@ object VectorFunctions {
         }),
       lit(0L), (acc, x) => acc + x)
 
+  /** Two-phase per-query top-k over a scored candidate frame
+    * (query_id, neighbor_id, sim): a window partitioned by query_id
+    * ALONE funnels every candidate of a query through one task — at
+    * corpus scale that task sees |corpus| rows. Phase 1 ranks within
+    * (query_id, shard-of-neighbor) and keeps ≤ k per shard — the global
+    * per-query top-k is a subset of that union — so phase 2's per-query
+    * window sees at most shards·k rows however large the candidate set.
+    * The result is IDENTICAL to the single-window form for any shard
+    * count (same total order: sim desc, neighbor_id asc). */
+  private def perQueryTopK(scored: DataFrame, k: Int, shards: Int): DataFrame = {
+    require(k > 0 && shards > 0, "k and shards must be positive")
+    val shardW = Window.partitionBy(col("query_id"), col("_shard"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("_shard", pmod(hash(col("neighbor_id")), lit(shards)))
+      .withColumn("_srank", row_number().over(shardW))
+      .filter(col("_srank") <= k)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Exact brute-force top-k neighbors for each query vector.
-    * The query set is broadcast; corpus is scanned once. */
+    * The query set is broadcast; corpus is scanned once; the per-query
+    * ranking is shard-bounded (see [[perQueryTopK]]). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      shards: Int = 64): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
       // ranking key rounded so rank order is identical across engines
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    perQueryTopK(scored, k, shards)
   }
 
   /** ANN via LSH buckets: candidates share the full code (exact-bucket
@@ -90,28 +111,40 @@ object VectorFunctions {
     * off with `planes`; at scale the bucket join replaces the O(n·q)
     * scan with per-bucket joins. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int,
-      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      dim: Int, idCol: String = "vec_id", vecCol: String = "embedding",
+      shards: Int = 64): DataFrame = {
     val code = (c: Column) => lshCode(c, planes, dim)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       code(col(vecCol)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       code(col(vecCol)).as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), "bucket")
+    // a hot bucket can hold an arbitrary fraction of the corpus, so the
+    // per-query ranking is shard-bounded like the brute-force path
+    val scored = c.join(broadcast(q), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    perQueryTopK(scored, k, shards)
   }
 
   /** IVF-style coarse assignment: nearest (max-cosine) centroid per
     * vector, deterministic tiebreak on centroid id. Centroids are a
     * small DataFrame (broadcast); assignment is a broadcast join +
-    * windowed argmax — the corpus never shuffles. */
+    * windowed argmax partitioned by vector id (each partition sees
+    * nlist rows) — the corpus never shuffles payloads beyond that
+    * bounded per-vector group. */
   def ivfAssign(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfAssignKeeping(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"), col("sim"))
+
+  /** [[ivfAssign]] WITHOUT the final projection: every corpus column
+    * (in particular the embedding) rides through alongside centroid_id
+    * and sim. Consumers needing the vector after assignment (ivfTopK)
+    * take it from here in the SAME corpus pass — re-joining the
+    * assignment back to the corpus on id would shuffle every embedding
+    * payload a second time for nothing. */
+  private def ivfAssignKeeping(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"),
       col(vecCol).as("cv"))
     val w = Window.partitionBy(col(idCol))
@@ -120,7 +153,7 @@ object VectorFunctions {
       .withColumn("sim", round(cosine(col(vecCol), col("cv")), 6))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"), col("sim"))
+      .drop("rn", "cv")
   }
 
   /** IVF search: queries probe their `nprobe` closest centroids and
@@ -129,7 +162,7 @@ object VectorFunctions {
     * nprobe/nlist). */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
       k: Int, nprobe: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
     val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("cv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
@@ -140,21 +173,22 @@ object VectorFunctions {
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"), col("centroid_id"))
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("centroid_id"))
-      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")),
-        "neighbor_id")
-    val rankW = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
+    // ONE corpus pass: assignment carries the embedding through, so no
+    // corpus-to-corpus re-join (that join was a full shuffle of every
+    // embedding payload — the dominant cost of this query at scale)
+    val assigned = ivfAssignKeeping(
+      corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        col(vecCol).as("nv"))
     // probes = queries × nprobe (tiny); broadcast it into the
     // corpus-sized assignment join (planner can't see that through the
-    // upstream window, so the hint is explicit)
-    broadcast(probes).join(assigned, "centroid_id")
+    // upstream window, so the hint is explicit). An inverted list can
+    // hold corpus/nlist vectors, so the final per-query ranking is
+    // shard-bounded like every other search path.
+    val scored = broadcast(probes).join(assigned, "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("nv")), 6))
-      .withColumn("rank", row_number().over(rankW))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+    perQueryTopK(scored, k, shards)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH blocking:

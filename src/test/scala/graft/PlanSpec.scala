@@ -42,6 +42,52 @@ class PlanSpec extends SparkSpec {
       read)
   }
 
+  test("v6 ivf plan: broadcast joins only — no corpus-to-corpus shuffle join") {
+    import org.apache.spark.sql.execution.joins.{
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    // ivfAssign carries the embedding through, so ivfTopK must never
+    // re-join the corpus-sized assignment back to the corpus: every
+    // join in the plan has a broadcast side (probes, centroids)
+    val plan = SparkEntry.queries("v6_ivf_topk")(spark, sf)
+      .queryExecution.sparkPlan
+    val shuffled = plan.collect {
+      case j: SortMergeJoinExec => j
+      case j: ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty,
+      s"v6 plan has ${shuffled.size} shuffle join(s):\n${shuffled.mkString("\n")}")
+  }
+
+  test("no un-partitioned window in any gate plan outside the audited allowlist") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // a WindowExec with an empty partitionSpec funnels its whole input
+    // through ONE task. The only sanctioned sources are windows over
+    // provably bounded inputs:
+    //  - Ranking histogram-offset windows (rows = distinct coarse keys)
+    //  - f16's 25-row sequential-id frame (reference-exact semantics)
+    // Anything new failing here must either partition or justify itself
+    // onto this list with a boundedness argument.
+    val allow: Map[String, String] = Map(
+      "t12_curriculum" -> "Ranking histogram offsets (bounded coarse keys)",
+      "c3_budget_select" -> "Ranking histogram offsets (bounded coarse keys)",
+      "f16_sequential_id" -> "25-row lookup frame (reference-exact)")
+    val found = Catalog.all.map { q =>
+      q.name -> q.run(spark, sf).queryExecution.sparkPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }.size
+    }.toMap
+    val offenders = found.collect {
+      case (name, n) if n > 0 && !allow.contains(name) =>
+        s"$name: $n global WindowExec(s)"
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+    // detection self-check: the allowlisted plans DO carry their audited
+    // global window — if this stops matching (node renamed, plan
+    // changed), the sweep above would be vacuously green
+    allow.keys.foreach(n => assert(found(n) > 0,
+      s"$n expected an (audited) global WindowExec but none detected"))
+  }
+
   test("gate queries keep pushdown through their own plans (p8, w2)") {
     val p8 = SparkEntry.queries("p8_watermark_filter")(spark, sf)
     val p8scan = scans(p8).find(_.metadata("Location").contains("events"))

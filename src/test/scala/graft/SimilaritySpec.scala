@@ -61,6 +61,22 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("shard invariance: every search path gives identical results for any shard count") {
+    // the two-phase shard-bounded ranking must be a pure implementation
+    // detail: shards=1 (the naive single window) and any other count
+    // produce the same rows in the same rank order
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id", $"sim")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(bruteForceTopK(e, queries, k = 7, shards = 1)) ==
+      rows(bruteForceTopK(e, queries, k = 7, shards = 13)))
+    assert(rows(lshTopK(e, queries, k = 5, 8, 64, shards = 1)) ==
+      rows(lshTopK(e, queries, k = 5, 8, 64, shards = 13)))
+    val cents = e.filter(col("vec_id") < 16)
+    assert(rows(ivfTopK(e, queries, cents, k = 5, nprobe = 2, shards = 1)) ==
+      rows(ivfTopK(e, queries, cents, k = 5, nprobe = 2, shards = 13)))
+  }
+
   test("quantizeU8 round-trip: codes in range, error <= scale/2, constants") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f, -1.0f)),
