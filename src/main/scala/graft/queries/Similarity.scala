@@ -239,20 +239,12 @@ object Similarity {
                   (a, b) -> a AND b) END AS reconstruct_ok
             FROM q ORDER BY vec_id"""))
 
-  /** Two-stage quantized search: integer code-dot candidates (exact
-    * BIGINT arithmetic both engines) re-ranked by full-precision
-    * cosine. The oracle replays the whole pipeline — quantization,
-    * code-dot fold, candidate window, cosine re-rank. */
-  val quantizedTopKQ: GQuery = GQuery(
-    "v8_quantized_topk",
-    (s, d) => {
-      val e = emb(s, d)
-      quantizedTopK(e, e.filter(col("vec_id") < 3), kCand = 20, k = 5)
-        .select(col("query_id"), col("rank").cast("long").as("rank"),
-          col("neighbor_id"), col("sim"), col("code_dot"))
-        .orderBy(col("query_id"), col("rank"))
-    },
-    Some(s"""WITH e AS (SELECT vec_id, embedding,
+  /** Oracle for the two-stage quantized search (shared by v8's inline
+    * and v9's stored-index variant — the index is a pure storage
+    * optimization, so both hash-match the SAME replayed pipeline:
+    * quantization, code-dot fold, candidate window, cosine re-rank). */
+  private val SqlQuantizedTopK: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
               FROM embeddings),
             m AS (SELECT vec_id, embedding, v, list_min(v) AS mn,
@@ -281,8 +273,44 @@ object Similarity {
               row_number() OVER (PARTITION BY query_id
                 ORDER BY sim DESC, neighbor_id) AS rank FROM top)
             SELECT query_id, rank, neighbor_id, sim, code_dot FROM r
-            WHERE rank <= 5 ORDER BY query_id, rank"""))
+            WHERE rank <= 5 ORDER BY query_id, rank"""
+
+  /** Two-stage quantized search: integer code-dot candidates (exact
+    * BIGINT arithmetic both engines) re-ranked by full-precision
+    * cosine. */
+  val quantizedTopKQ: GQuery = GQuery(
+    "v8_quantized_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      quantizedTopK(e, e.filter(col("vec_id") < 3), kCand = 20, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"), col("code_dot"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(SqlQuantizedTopK))
+
+  /** v8's search over a PERSISTED quantized index: codes+vmin/vmax are
+    * written once through ManagedParquetTable and stage 1 scans only
+    * that stored code table — the real compressed-index lifecycle
+    * (build once, search many) rather than re-quantizing the corpus per
+    * query. Hash-matches the identical oracle as v8 on the same
+    * fixture, proving the storage round-trip changes nothing. */
+  val storedQuantizedTopKQ: GQuery = GQuery(
+    "v9_stored_quantized_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft_v9_index").toString
+      val index = new graft.io.ManagedParquetTable(s, idxDir)
+      index.overwrite(buildQuantizedIndex(e))
+      storedQuantizedTopK(index.read(), e, e.filter(col("vec_id") < 3),
+        kCand = 20, k = 5)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"), col("code_dot"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(SqlQuantizedTopK))
 
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
-    ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ)
+    ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ)
 }

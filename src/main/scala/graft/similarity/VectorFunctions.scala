@@ -261,6 +261,60 @@ object VectorFunctions {
     * floats for a bounded candidate set). Queries broadcast; the corpus
     * is scanned once and never shuffled; the exact cosine touches only
     * kCand · |queries| rows. */
+  /** The persistable form of a quantized index: (id, codes, vmin, vmax)
+    * — 4× smaller than the float corpus. Write this ONCE (e.g. via
+    * ManagedParquetTable) and search it with [[storedQuantizedTopK]];
+    * [[quantizedTopK]] below quantizes inline per query, which is the
+    * right shape for ad-hoc search but re-pays the quantization scan
+    * every time. */
+  def buildQuantizedIndex(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    corpus.select(col(idCol), quantizeU8(col(vecCol)).as("_q"))
+      .select(col(idCol), col("_q.codes").as("codes"),
+        col("_q.vmin").as("vmin"), col("_q.vmax").as("vmax"))
+
+  /** Two-stage search over a STORED quantized index ([[buildQuantizedIndex]]):
+    * stage 1 scans ONLY the code table (the 4×-compressed index — the
+    * float corpus is not touched) for shard-bounded code-dot candidates;
+    * stage 2 fetches full-precision vectors for just the kCand·|queries|
+    * survivors via a broadcast join into the corpus and re-ranks by
+    * cosine. Same results as [[quantizedTopK]]; the difference is purely
+    * which bytes stage 1 reads — at billion-vector scale the index scan
+    * is a quarter of the corpus scan and the quantization work is paid
+    * once at build time, not per query. */
+  def storedQuantizedTopK(index: DataFrame, corpus: DataFrame,
+      queries: DataFrame, kCand: Int, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val codes = index.select(col(idCol).as("neighbor_id"), col("codes"))
+    val qq = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), quantizeU8(col(vecCol)).as("qquant"))
+    val shardW = Window.partitionBy(col("query_id"), col("_shard"))
+      .orderBy(col("code_dot").desc, col("neighbor_id"))
+    val stage1W = Window.partitionBy(col("query_id"))
+      .orderBy(col("code_dot").desc, col("neighbor_id"))
+    val cand = codes.crossJoin(broadcast(qq))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("code_dot", codeDot(col("codes"), col("qquant.codes")))
+      .withColumn("_shard", pmod(hash(col("neighbor_id")), lit(shards)))
+      .withColumn("_srank", row_number().over(shardW))
+      .filter(col("_srank") <= kCand)
+      .withColumn("cand_rank", row_number().over(stage1W))
+      .filter(col("cand_rank") <= kCand)
+      .select(col("query_id"), col("qv"), col("neighbor_id"), col("code_dot"))
+    val stage2W = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    // survivors are tiny → broadcast them INTO the corpus scan: the
+    // float fetch is a map-side probe, the corpus never shuffles
+    corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .join(broadcast(cand), "neighbor_id")
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rank", row_number().over(stage2W))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim"), col("code_dot"))
+  }
+
   def quantizedTopK(corpus: DataFrame, queries: DataFrame, kCand: Int,
       k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", shards: Int = 64): DataFrame = {

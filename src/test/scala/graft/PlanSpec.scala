@@ -58,6 +58,20 @@ class PlanSpec extends SparkSpec {
       s"v6 plan has ${shuffled.size} shuffle join(s):\n${shuffled.mkString("\n")}")
   }
 
+  test("v9 stored-index plan: stage 1 reads the code table, not the float corpus") {
+    // the float corpus appears exactly twice — the query-side filter and
+    // the bounded stage-2 candidate fetch; a third scan would mean the
+    // candidate stage re-read embeddings instead of the stored codes
+    val df = SparkEntry.queries("v9_stored_quantized_topk")(spark, sf)
+    val embScans = scans(df)
+      .filter(_.metadata("Location").contains("embeddings"))
+    assert(embScans.size == 2,
+      s"expected 2 embeddings scans (queries + float fetch), got ${embScans.size}")
+    val idxScans = scans(df)
+      .filter(_.metadata("Location").contains("graft_v9_index"))
+    assert(idxScans.nonEmpty, "no scan of the stored code table found")
+  }
+
   test("no un-partitioned window in any gate plan outside the audited allowlist") {
     import org.apache.spark.sql.execution.window.WindowExec
     // a WindowExec with an empty partitionSpec funnels its whole input

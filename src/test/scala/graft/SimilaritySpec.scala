@@ -77,6 +77,24 @@ class SimilaritySpec extends SparkSpec {
       rows(ivfTopK(e, queries, cents, k = 5, nprobe = 2, shards = 13)))
   }
 
+  test("storedQuantizedTopK: identical results to the inline quantized search") {
+    // the persisted index is a storage optimization only — searching
+    // codes written to disk must reproduce the inline pipeline exactly
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_idx_spec").toString
+    val index = new graft.io.ManagedParquetTable(spark, idxDir)
+    index.overwrite(buildQuantizedIndex(e))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"rank", $"neighbor_id", $"sim", $"code_dot")
+        .as[(Long, Int, Long, Double, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val stored = rows(storedQuantizedTopK(index.read(), e,
+      e.filter($"vec_id" < 2), kCand = 10, k = 4))
+    val inline = rows(quantizedTopK(e, e.filter($"vec_id" < 2),
+      kCand = 10, k = 4))
+    assert(stored == inline && stored.nonEmpty)
+  }
+
   test("quantizeU8 round-trip: codes in range, error <= scale/2, constants") {
     val vecs = Seq(
       (1L, Array(0.0f, 0.5f, 1.0f, -1.0f)),
