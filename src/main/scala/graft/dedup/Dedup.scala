@@ -191,9 +191,22 @@ object Dedup {
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(MEMORY_AND_DISK)
+    val spark = pairs.sparkSession
+    // CRITICAL plan hygiene: `labels` feeds the next round TWICE (the
+    // neighbor join and the left join), so without truncation the
+    // logical plan DOUBLES per round — exponential tree, and the mere
+    // stringification of it (AQE explain, UI listeners) OOMs the driver
+    // long before any data pressure. Each round therefore re-roots
+    // `labels` as a leaf: localCheckpoint (eager, executor-local
+    // blocks) by default, or — when the caller needs preemption-safe
+    // recomputable lineage (releaseCaches=false) — an RDD re-wrap,
+    // which keeps the linear RDD lineage while still truncating the
+    // SQL plan.
+    def reRoot(df: DataFrame): DataFrame =
+      if (releaseCaches) df.localCheckpoint(true)
+      else spark.createDataFrame(df.rdd, df.schema)
+    var labels = reRoot(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var backing: DataFrame = null // persisted frame backing `labels`
     var it = 0
     var converged = false
@@ -207,37 +220,32 @@ object Dedup {
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .persist(MEMORY_AND_DISK)
       val changed = joined.filter(col("nlabel") < col("label")).count()
-      if (backing != null) backing.unpersist() else labels.unpersist()
-      backing = joined
-      labels = joined.select(col("id"),
+      labels = reRoot(joined.select(col("id"),
         least(col("label"), coalesce(col("nlabel"), col("label")))
-          .as("label"))
+          .as("label")))
+      if (releaseCaches) {
+        // labels is already materialized (eager checkpoint): this
+        // round's cache can go immediately — nothing leaks past a round
+        joined.unpersist()
+      } else {
+        // lazy re-wrap: keep THIS round's cache until the next round
+        // has consumed it; the final backing frame stays persisted for
+        // the session (cleared via spark.catalog.clearCache())
+        if (backing != null) backing.unpersist()
+        backing = joined
+      }
       converged = changed == 0
       it += 1
     }
     if (!converged) {
-      // release iteration caches on the failure path too before raising
       if (backing != null) backing.unpersist()
       p.unpersist(); edges.unpersist()
       throw new IllegalArgumentException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds the bound — raise maxIter)")
     }
-    // labels is tiny ((id, label) per vertex): localCheckpoint it so
-    // EVERY iteration cache (incl. the final backing frame) is released
-    // here instead of leaking for the session lifetime. Trade-off:
-    // localCheckpoint blocks are executor-local and unrecomputable — on
-    // a cluster with dynamic allocation / preemption pass
-    // releaseCaches=false to keep the resilient persisted lineage (and
-    // clear it later via spark.catalog.clearCache()).
-    val result =
-      if (releaseCaches) {
-        val r = labels.localCheckpoint(true)
-        if (backing != null) backing.unpersist()
-        p.unpersist(); edges.unpersist()
-        r
-      } else labels
-    result
+    p.unpersist(); edges.unpersist()
+    labels
   }
 
   /** Survivor selection over a clustered corpus: keep the min-id doc of

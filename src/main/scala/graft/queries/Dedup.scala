@@ -243,6 +243,61 @@ object Dedup {
             FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
             ORDER BY d.doc_id"""))
 
+  /** Pairs→clusters FUSION: the d6 SimHash pair pipeline flowing
+    * straight into connected components and min-id survivor selection —
+    * one plan, the pair list never materialized to storage (at sf1 the
+    * d6 gate alone writes 209M pair rows; production feeds them directly
+    * into clustering, which this gate proves end-to-end). The oracle
+    * replays the d6 pair SQL verbatim, then component minima via the
+    * same recursive reachability CTE as d7. */
+  val simhashClusters: GQuery = GQuery(
+    "d10_simhash_clusters",
+    (s, d) => {
+      val dd = docs(s, d)
+      val pairs = D.simhashNearDups(dd, maxDist = 3)
+      val comp = D.connectedComponents(pairs, "id_a", "id_b")
+      D.dedupByClusters(dd, comp)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            hs AS (SELECT doc_id,
+              list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok, ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 4294967296)) AS hs
+              FROM t),
+            sh AS (SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(32), b ->
+                  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT) END)),
+                    (a2, v) -> a2 + v) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                (a2, v) -> a2 + v) AS sh
+              FROM hs),
+            banded AS (SELECT doc_id, sh, b AS band,
+              (sh >> (b*8)) & 255 AS slice
+              FROM sh, unnest(range(4)) AS u(b)),
+            pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.slice = r.slice
+                  AND l.doc_id < r.doc_id
+              WHERE bit_count(xor(l.sh, r.sh)) <= 3),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.id
+            WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   /** Benchmark decontamination: training docs surviving the eval-leakage
     * guard (no shared word-3-gram with the benchmark slice). Benchmark =
     * doc_id % 97 == 0 — a deterministic ~1% slice standing in for an
@@ -300,5 +355,5 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
-    dedupClusters, decontaminateQ, incrementalQ)
+    dedupClusters, decontaminateQ, incrementalQ, simhashClusters)
 }
