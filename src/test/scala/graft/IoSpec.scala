@@ -120,6 +120,35 @@ class IoSpec extends SparkSpec {
     assert(live == served, s"log live set $live != served $served")
   }
 
+  test("delta-log checkpoint: 100-commit table recovers via _last_checkpoint, not a log scan") {
+    val tblPath = tmp("mpt_ckpt") + "/tbl"
+    val t = new ManagedParquetTable(spark, tblPath)
+    val one = spark.range(0, 1, 1, 1).toDF("v")
+    (1 to 100).foreach(_ => t.append(one))
+    val logDir = java.nio.file.Paths.get(tblPath, "_delta_log")
+    // commits are versions 0..99 → checkpoints at 10..90, pointer at 90
+    val lc = logDir.resolve("_last_checkpoint")
+    assert(java.nio.file.Files.exists(lc))
+    assert(java.nio.file.Files.readString(lc).contains("\"version\":90"))
+    val ckpt = logDir.resolve(f"${90L}%020d.checkpoint.parquet")
+    assert(java.nio.file.Files.isRegularFile(ckpt)) // ONE file, Delta naming
+    // checkpoint holds the full reconstructed state at v90:
+    // 1 protocol + 1 metaData + one add per live file (91 appends)
+    val ck = spark.read.parquet(ckpt.toString)
+    assert(ck.filter(col("protocol").isNotNull).count() == 1)
+    assert(ck.filter(col("metaData.schemaString").isNotNull).count() == 1)
+    assert(ck.filter(col("add.path").isNotNull).count() == 91)
+    // destroy every pre-checkpoint commit file: a reader that needed the
+    // full log would now fail — checkpoint + 9 tail commits must suffice
+    (0 to 90).foreach(v => java.nio.file.Files.deleteIfExists(
+      logDir.resolve(f"$v%020d.json")))
+    val files = t.deltaSnapshotFiles()
+    assert(files.size == 100, s"expected 100 live files, got ${files.size}")
+    // resolved paths serve the same rows as the manifest read path
+    assert(spark.read.parquet(files.map(f => s"$tblPath/$f"): _*).count() ==
+      t.read().count())
+  }
+
   test("S16: XLSX contract binds preconverted fixtures with the HR schema") {
     val d = tmp("xlsx")
     Files.writeString(Paths.get(s"$d/rh.csv"),
