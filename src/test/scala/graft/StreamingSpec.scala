@@ -76,6 +76,50 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1, 2, 3))) // ID 2 not duplicated
   }
 
+  test("ST4 via MemoryStream: restored dedup state drops cross-restart dups, watermark expires it") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val T = 1724069978076346L // µs epoch; watermark delay is 1 hour
+    def env(id: Int, eventMicros: Long): String = {
+      val after = s"""{"ID":$id,"ID_salarie":${100 + id},""" +
+        s""""Date_de_debut":$eventMicros,"Sport_type":"V","Distance_m":7,""" +
+        s""""Date_de_fin":${eventMicros + 60000000L},"Commentaire":null}"""
+      s"""{"payload":{"op":"c","before":null,"after":$after,"ts_ms":1724069978000}}"""
+    }
+    val dir = Files.createTempDirectory("graft_st4_mem").toString
+    val input = MemoryStream[String]
+    def run(): Unit = {
+      val q = BronzeIngest.startDeduped(input.toDF(), s"$dir/out", s"$dir/ck",
+        trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    def idCounts: Map[Int, Long] = spark.read.parquet(s"$dir/out")
+      .groupBy(col("ID")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // run 1: ids 1,2 at T
+    input.addData(env(1, T), env(2, T))
+    run()
+    assert(idCounts == Map(1 -> 1L, 2 -> 1L))
+    // run 2 (new query, same checkpoint): duplicate ID 2 — even at a
+    // DIFFERENT event time — must be dropped by the RESTORED state
+    // (the reference's in-memory set forgets it on restart); ID 3 passes
+    input.addData(env(2, T + 600000000L), env(3, T + 600000000L))
+    run()
+    assert(idCounts == Map(1 -> 1L, 2 -> 1L, 3 -> 1L))
+    // run 3: an event far ahead advances the event-time watermark to
+    // T+2h — beyond T + 1h delay, so ids 1/2/3's dedup state EXPIRES
+    input.addData(env(4, T + 10800000000L)) // T+3h
+    run()
+    assert(idCounts(4) == 1L)
+    // run 4: ID 2 re-arrives after its state expired (event time above
+    // the advanced watermark) — accepted again: state is bounded by the
+    // watermark, not grow-forever
+    input.addData(env(2, T + 9000000000L)) // T+2h30
+    run()
+    assert(idCounts(2) == 2L, s"expected expired-state re-accept, got $idCounts")
+  }
+
   test("curation stream: gate -> cross-batch dedup -> chunk, restart-safe") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_curate").toString
