@@ -248,8 +248,14 @@ object Dedup {
     * one plan, the pair list never materialized to storage (at sf1 the
     * d6 gate alone writes 209M pair rows; production feeds them directly
     * into clustering, which this gate proves end-to-end). The oracle
-    * replays the d6 pair SQL verbatim, then component minima via the
-    * same recursive reachability CTE as d7. */
+    * mirrors the engine's own distinct-fingerprint decomposition: the
+    * reachability closure runs on the DISTINCT-simhash value graph
+    * (bounded by distinct fingerprints, not docs — the doc-level
+    * closure's per-round join output is O(E·m) and melts down on dense
+    * clone clusters), then expands to docs at the end. Equivalent by
+    * construction: docs sharing a fingerprint are dist-0 pairs, and
+    * cross-fingerprint pairs connect every doc of both values, so doc
+    * components are exactly value components expanded. */
   val simhashClusters: GQuery = GQuery(
     "d10_simhash_clusters",
     (s, d) => {
@@ -278,25 +284,24 @@ object Dedup {
                   THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
                 (a2, v) -> a2 + v) AS sh
               FROM hs),
-            banded AS (SELECT doc_id, sh, b AS band,
-              (sh >> (b*8)) & 255 AS slice
-              FROM sh, unnest(range(4)) AS u(b)),
-            pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+            vals AS (SELECT DISTINCT sh AS v FROM sh),
+            banded AS (SELECT v, b AS band, (v >> (b*8)) & 255 AS slice
+              FROM vals, unnest(range(4)) AS u(b)),
+            vp AS (SELECT DISTINCT l.v AS v_a, r.v AS v_b
               FROM banded l JOIN banded r
-                ON l.band = r.band AND l.slice = r.slice
-                  AND l.doc_id < r.doc_id
-              WHERE bit_count(xor(l.sh, r.sh)) <= 3),
-            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-                      UNION SELECT id_b, id_a FROM pairs),
-            reach(id, lab) AS (
-              SELECT src, src FROM edges
+                ON l.band = r.band AND l.slice = r.slice AND l.v < r.v
+              WHERE bit_count(xor(l.v, r.v)) <= 3),
+            vedges AS (SELECT v_a AS s, v_b AS d FROM vp
+                       UNION SELECT v_b, v_a FROM vp),
+            vreach(v, lab) AS (
+              SELECT s, s FROM vedges
               UNION
-              SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
-            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
-            SELECT d.doc_id FROM documents d
-            LEFT JOIN comp c ON d.doc_id = c.id
-            WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
-            ORDER BY d.doc_id"""))
+              SELECT e.s, r.lab FROM vedges e JOIN vreach r ON e.d = r.v),
+            vcomp AS (SELECT v, min(lab) AS vlab FROM vreach GROUP BY v)
+            SELECT min(doc_id) AS doc_id
+            FROM sh LEFT JOIN vcomp ON sh.sh = vcomp.v
+            GROUP BY coalesce(vcomp.vlab, sh.sh)
+            ORDER BY doc_id"""))
 
   /** Benchmark decontamination: training docs surviving the eval-leakage
     * guard (no shared word-3-gram with the benchmark slice). Benchmark =
