@@ -256,16 +256,8 @@ object Dedup {
     * construction: docs sharing a fingerprint are dist-0 pairs, and
     * cross-fingerprint pairs connect every doc of both values, so doc
     * components are exactly value components expanded. */
-  val simhashClusters: GQuery = GQuery(
-    "d10_simhash_clusters",
-    (s, d) => {
-      val dd = docs(s, d)
-      val pairs = D.simhashNearDups(dd, maxDist = 3)
-      val comp = D.connectedComponents(pairs, "id_a", "id_b")
-      D.dedupByClusters(dd, comp)
-        .select(col("doc_id")).orderBy(col("doc_id"))
-    },
-    Some(s"""WITH RECURSIVE t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+  private val SqlSimhashSurvivors: String =
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
             hs AS (SELECT doc_id,
               list_transform(toks, tok ->
                 list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -301,7 +293,28 @@ object Dedup {
             SELECT min(doc_id) AS doc_id
             FROM sh LEFT JOIN vcomp ON sh.sh = vcomp.v
             GROUP BY coalesce(vcomp.vlab, sh.sh)
-            ORDER BY doc_id"""))
+            ORDER BY doc_id"""
+
+  val simhashClusters: GQuery = GQuery(
+    "d10_simhash_clusters",
+    (s, d) => {
+      val dd = docs(s, d)
+      val pairs = D.simhashNearDups(dd, maxDist = 3)
+      val comp = D.connectedComponents(pairs, "id_a", "id_b")
+      D.dedupByClusters(dd, comp)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(SqlSimhashSurvivors))
+
+  /** The production shape of d10: [[D.simhashDedup]] clusters on the
+    * DISTINCT-fingerprint value graph (the doc pair list — quadratic in
+    * duplicate multiplicity — is never formed at all) and must produce
+    * the identical survivor set, so it shares d10's oracle verbatim. */
+  val simhashDedupQ: GQuery = GQuery(
+    "d11_simhash_dedup",
+    (s, d) => D.simhashDedup(docs(s, d))
+      .select(col("doc_id")).orderBy(col("doc_id")),
+    Some(SqlSimhashSurvivors))
 
   /** Benchmark decontamination: training docs surviving the eval-leakage
     * guard (no shared word-3-gram with the benchmark slice). Benchmark =
@@ -360,5 +373,6 @@ object Dedup {
 
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
-    dedupClusters, decontaminateQ, incrementalQ, simhashClusters)
+    dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
+    simhashDedupQ)
 }

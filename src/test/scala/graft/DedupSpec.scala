@@ -199,6 +199,29 @@ class DedupSpec extends SparkSpec {
     assert(want.size >= 3 * 20 * 19 / 2) // the dup groups alone
   }
 
+  test("simhashDedup == pairs->CC->survivors on a skewed corpus (value-graph equivalence)") {
+    // same hot-bucket fixture as above: heavy duplicate multiplicity is
+    // exactly where the value-graph path diverges in COST but must not
+    // diverge in RESULT from the doc-pair path
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "completely different content about spark engines")
+    val skewed = (0 until 60).map(i => (i.toLong, base(i % 3))) ++ Seq(
+      (60L, "the quick brown fox jumps over the sleepy dog"),
+      (61L, "pack my box with five dozen liquor jugs tomorrow"),
+      (62L, "a singleton document sharing nothing with the others"))
+    val df = skewed.toDF("doc_id", "text")
+    val viaPairs = D.dedupByClusters(df,
+      D.connectedComponents(D.simhashNearDups(df, maxDist = 3), "id_a", "id_b"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaValues = D.simhashDedup(df, maxDist = 3)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaValues == viaPairs)
+    assert(viaValues.contains(62L)) // singleton survives
+    assert(viaValues.size < skewed.size) // dup groups actually collapsed
+  }
+
   test("shingle jaccard: hand-computed value") {
     // doc1 vs doc3: 9 tokens each → 7 shingles; lazy→sleepy changes the
     // last two shingles → inter=5, union=9
