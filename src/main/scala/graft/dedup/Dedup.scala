@@ -192,21 +192,29 @@ object Dedup {
       .distinct()
       .persist(MEMORY_AND_DISK)
     val spark = pairs.sparkSession
+    import org.apache.spark.sql.graft.PlanBridge
     // CRITICAL plan hygiene: `labels` feeds the next round TWICE (the
     // neighbor join and the left join), so without truncation the
     // logical plan DOUBLES per round — exponential tree, and the mere
     // stringification of it (AQE explain, UI listeners) OOMs the driver
     // long before any data pressure. Each round therefore re-roots
-    // `labels` as a leaf: localCheckpoint (eager, executor-local
-    // blocks) by default, or — when the caller needs preemption-safe
-    // recomputable lineage (releaseCaches=false) — an RDD re-wrap,
-    // which keeps the linear RDD lineage while still truncating the
-    // SQL plan.
-    def reRoot(df: DataFrame): DataFrame =
-      if (releaseCaches) df.localCheckpoint(true)
-      else spark.createDataFrame(df.rdd, df.schema)
-    var labels = reRoot(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // `labels` as an RDD-backed leaf WE own, so the previous round's
+    // blocks are released explicitly (Dataset.localCheckpoint would
+    // hide its RDD and leave release to driver GC — up to maxIter label
+    // copies resident between GCs). Default: eager executor-local
+    // checkpoint, all caches freed per round. releaseCaches=false: the
+    // re-wrap is lazy and UNCACHED — the linear RDD lineage stays
+    // recomputable through the persisted p/edges (kept alive for the
+    // session; clear via spark.catalog.clearCache()) — the
+    // preemption-safe mode for clusters with dynamic allocation.
+    def reRoot(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+      val rdd = PlanBridge.toInternalRdd(df)
+      if (releaseCaches) { rdd.localCheckpoint(); rdd.count() }
+      (PlanBridge.fromInternalRdd(spark, rdd, df.schema), rdd)
+    }
+    var (labels, labelsRdd) = reRoot(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")))
     var backing: DataFrame = null // persisted frame backing `labels`
     var it = 0
     var converged = false
@@ -220,31 +228,39 @@ object Dedup {
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .persist(MEMORY_AND_DISK)
       val changed = joined.filter(col("nlabel") < col("label")).count()
-      labels = reRoot(joined.select(col("id"),
+      val (nextLabels, nextRdd) = reRoot(joined.select(col("id"),
         least(col("label"), coalesce(col("nlabel"), col("label")))
           .as("label")))
       if (releaseCaches) {
-        // labels is already materialized (eager checkpoint): this
-        // round's cache can go immediately — nothing leaks past a round
+        // nextLabels is materialized (eager checkpoint): this round's
+        // cache AND the previous labels' blocks go immediately
         joined.unpersist()
+        labelsRdd.unpersist(false)
       } else {
         // lazy re-wrap: keep THIS round's cache until the next round
-        // has consumed it; the final backing frame stays persisted for
-        // the session (cleared via spark.catalog.clearCache())
+        // has consumed it; the final backing frame stays persisted
         if (backing != null) backing.unpersist()
         backing = joined
       }
+      labels = nextLabels
+      labelsRdd = nextRdd
       converged = changed == 0
       it += 1
     }
     if (!converged) {
       if (backing != null) backing.unpersist()
+      if (releaseCaches) labelsRdd.unpersist(false)
       p.unpersist(); edges.unpersist()
       throw new IllegalArgumentException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter exceeds the bound — raise maxIter)")
     }
-    p.unpersist(); edges.unpersist()
+    if (releaseCaches) { p.unpersist(); edges.unpersist() }
+    // releaseCaches=false: p/edges/backing stay persisted — they are
+    // the cached ancestors that bound recompute of the returned lazy
+    // labels if executors are lost; the caller owns the final
+    // clearCache(). The returned frame in BOTH modes is a self-
+    // contained leaf (checkpointed blocks / recomputable RDD lineage).
     labels
   }
 
@@ -369,14 +385,16 @@ object Dedup {
     * resident until the returned frame is consumed — callers running
     * many unrelated jobs in one session can release it afterwards via
     * spark.catalog.clearCache(). */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
-    val withSim = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // byte b of sh = (sh mod 2^(8b+8)) / 2^(8b); power-of-2 fp division
-    // is exact, so floor is safe
-    val banded = withSim.select(col("sh")).distinct().select(
+  /** Verified near-dup pairs of DISTINCT fingerprints via 4×8-bit band
+    * blocking — the shared kernel of [[simhashNearDups]] and
+    * [[simhashDedup]] (ONE home for the slice arithmetic and the
+    * pigeonhole maxDist≤3 recall invariant). `values` must be a
+    * distinct single-column ("sh") frame. Byte b of sh =
+    * (sh mod 2^(8b+8)) / 2^(8b); power-of-2 fp division is exact, so
+    * floor is safe. Hamming filter runs BEFORE distinct: only verified
+    * value pairs get shuffled. */
+  private def simhashValuePairs(values: DataFrame, maxDist: Int): DataFrame = {
+    val banded = values.select(
       col("sh"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => floor((col("sh") % get(Pow2, b * 8 + 8)).cast("double")
@@ -384,13 +402,20 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "slice")
     val l = banded.select(col("band"), col("slice"), col("sh").as("sh_a"))
     val r = banded.select(col("band"), col("slice"), col("sh").as("sh_b"))
-    val valPairs = l.join(r, Seq("band", "slice"))
+    l.join(r, Seq("band", "slice"))
       .filter(col("sh_a") < col("sh_b"))
       .select(col("sh_a"), col("sh_b"),
         hammingDist(col("sh_a"), col("sh_b")).as("dist"))
-      // filter BEFORE distinct: only verified value pairs get shuffled
       .filter(col("dist") <= maxDist)
       .distinct()
+  }
+
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
+    val withSim = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val valPairs = simhashValuePairs(withSim.select(col("sh")).distinct(), maxDist)
     // (3) cross-fingerprint expansion — ids belong to exactly one sh,
     // so no distinct needed
     val ia = withSim.select(col("sh").as("sh_a"), col(idCol).as("ia"))
@@ -424,23 +449,16 @@ object Dedup {
     * for consumers that need the pair list itself (audit, similarity
     * export). */
   def simhashDedup(docs: DataFrame, maxDist: Int = 3,
-      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+      textCol: String = "text", idCol: String = "doc_id",
+      maxIter: Int = 25, releaseCaches: Boolean = true): DataFrame = {
     require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
     val withSim = docs.select(col(idCol), simhash(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = withSim.select(col("sh")).distinct().select(
-      col("sh"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => floor((col("sh") % get(Pow2, b * 8 + 8)).cast("double")
-          / get(Pow2, b * 8)).cast("long"))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "slice")
-    val l = banded.select(col("band"), col("slice"), col("sh").as("sh_a"))
-    val r = banded.select(col("band"), col("slice"), col("sh").as("sh_b"))
-    val valPairs = l.join(r, Seq("band", "slice"))
-      .filter(col("sh_a") < col("sh_b"))
-      .filter(hammingDist(col("sh_a"), col("sh_b")) <= maxDist)
-      .select(col("sh_a"), col("sh_b")).distinct()
-    val comp = connectedComponents(valPairs, "sh_a", "sh_b")
+    val valPairs = simhashValuePairs(
+      withSim.select(col("sh")).distinct(), maxDist)
+      .select(col("sh_a"), col("sh_b"))
+    val comp = connectedComponents(valPairs, "sh_a", "sh_b",
+      maxIter = maxIter, releaseCaches = releaseCaches)
     // component label per doc: the value's component min, or the value
     // itself for unpaired fingerprints (null-safe: simhash is non-null)
     val labeled = withSim

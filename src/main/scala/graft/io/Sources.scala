@@ -78,6 +78,19 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
 
   private def manifest = Paths.get(path, "_graft_manifest")
 
+  /** Directory listing that CLOSES the stream (a bare Files.list leaks
+    * one directory fd per call until GC — a long-lived ingest writer
+    * checkpointing every 10 commits creeps toward the ulimit) and
+    * treats a missing directory as empty. */
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList
+      finally s.close()
+    }
+
   def exists: Boolean = Files.exists(manifest)
 
   /** Committed snapshot: (version, segment dir names). */
@@ -192,11 +205,10 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   private def segmentFiles(seg: String): Seq[(String, Long)] = {
     import scala.jdk.CollectionConverters._
     val segDir = Paths.get(path, seg)
-    if (!Files.isDirectory(segDir)) Seq.empty
-    else Files.list(segDir).iterator().asScala
+    listDir(segDir)
       .filter(p => p.getFileName.toString.endsWith(".parquet"))
       .map(p => (s"$seg/${p.getFileName}", Files.size(p)))
-      .toSeq.sortBy(_._1)
+      .sortBy(_._1)
   }
 
   private def jsonEsc(s: String): String = s.flatMap {
@@ -210,8 +222,8 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       removed: Seq[String], schemaJson: String): Unit = {
     import scala.jdk.CollectionConverters._
     Files.createDirectories(deltaLogDir)
-    val version = Files.list(deltaLogDir).iterator().asScala
-      .count(_.getFileName.toString.matches("\\d{20}\\.json"))
+    val version = listDir(deltaLogDir)
+      .count(_.getFileName.toString.matches("\\d{20}\\.json")).toLong
     val now = System.currentTimeMillis()
     // stable table id + last-emitted schema live in a sidecar so that
     // schema-evolving appends (S7) re-emit metaData — a Delta reader
@@ -328,7 +340,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // temp dir, then move the single part file into place atomically
     val tmpDir = deltaLogDir.resolve(s".ckpt.tmp.${System.nanoTime()}")
     df.write.mode("overwrite").parquet(tmpDir.toString)
-    val part = Files.list(tmpDir).iterator().asScala
+    val part = listDir(tmpDir)
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException("checkpoint write produced no parquet"))
     Files.move(part, deltaLogDir.resolve(f"$version%020d.checkpoint.parquet"),
@@ -364,9 +376,9 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     }
     val addRe = """"add":\{"path":"((?:[^"\\]|\\.)*)"""".r
     val rmRe = """"remove":\{"path":"((?:[^"\\]|\\.)*)"""".r
-    Files.list(deltaLogDir).iterator().asScala
+    listDir(deltaLogDir)
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-      .toSeq.sortBy(_.getFileName.toString)
+      .sortBy(_.getFileName.toString)
       .filter(p => ckptVer.forall(v =>
         p.getFileName.toString.stripSuffix(".json").toLong > v))
       .foreach { p =>
@@ -387,9 +399,9 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // LAZY newest-first scan: stops at the first (newest) commit that
     // carries a metaData action — version 0 always does, so this is
     // bounded by the distance to the last schema change, not log size
-    Files.list(deltaLogDir).iterator().asScala
+    listDir(deltaLogDir)
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-      .toSeq.sortBy(_.getFileName.toString).reverseIterator
+      .sortBy(_.getFileName.toString).reverseIterator
       .flatMap(p => Files.readString(p).linesIterator
         .flatMap(metaRe.findFirstMatchIn(_))
         .map(m => (m.group(1), jsonUnesc(m.group(2)))))
@@ -426,14 +438,11 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // segment (or never reclaim old ones)
     val cutoff = System.currentTimeMillis() - graceMs
     val dir = Paths.get(path)
-    if (Files.isDirectory(dir)) {
-      import scala.jdk.CollectionConverters._
-      Files.list(dir).iterator().asScala
-        .filter(p => p.getFileName.toString.startsWith("seg-"))
-        .filterNot(p => live(p.getFileName.toString))
-        .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-        .toList.foreach(deleteRecursively)
-    }
+    listDir(dir)
+      .filter(p => p.getFileName.toString.startsWith("seg-"))
+      .filterNot(p => live(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -295,14 +295,25 @@ object Similarity {
     * (build once, search many) rather than re-quantizing the corpus per
     * query. Hash-matches the identical oracle as v8 on the same
     * fixture, proving the storage round-trip changes nothing. */
+  /** One stored index per sf dir per JVM — "build once, search many"
+    * is the point of the gate, and memoizing keeps repeated invocations
+    * (plan sweeps, bench, verify) from re-running the build write and
+    * littering temp dirs. */
+  private val v9Index =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val storedQuantizedTopKQ: GQuery = GQuery(
     "v9_stored_quantized_topk",
     (s, d) => {
       val e = emb(s, d)
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft_v9_index").toString
+      val idxDir = v9Index.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_v9_index").toString
+        new graft.io.ManagedParquetTable(s, dir)
+          .overwrite(buildQuantizedIndex(e))
+        dir
+      })
       val index = new graft.io.ManagedParquetTable(s, idxDir)
-      index.overwrite(buildQuantizedIndex(e))
       storedQuantizedTopK(index.read(), e, e.filter(col("vec_id") < 3),
         kCand = 20, k = 5)
         .select(col("query_id"), col("rank").cast("long").as("rank"),

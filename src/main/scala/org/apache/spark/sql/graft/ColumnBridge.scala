@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.classic.ExpressionUtils
 
@@ -12,4 +12,28 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
+
+/** Internal-row RDD round-trip for iterative algorithms that must
+  * re-root their plan every round (connected components): the public
+  * surface offers only Dataset.localCheckpoint, whose persisted RDD is
+  * unreachable for explicit unpersist — release then waits on driver
+  * GC + ContextCleaner, accumulating up to maxIter label copies on
+  * executors. Owning the RDD makes the per-round release explicit. */
+object PlanBridge {
+  import org.apache.spark.rdd.RDD
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.StructType
+
+  /** Physical output of df as a fresh internal-row RDD (rows copied —
+    * the execution reuses mutable rows, so caching requires it). */
+  def toInternalRdd(df: DataFrame): RDD[InternalRow] =
+    df.queryExecution.toRdd.map(_.copy())
+
+  /** Re-wrap an internal-row RDD as a DataFrame leaf (no conversion
+    * through external Rows). */
+  def fromInternalRdd(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
 }

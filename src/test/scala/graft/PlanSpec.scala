@@ -98,8 +98,9 @@ class PlanSpec extends SparkSpec {
     // detection self-check: the allowlisted plans DO carry their audited
     // global window — if this stops matching (node renamed, plan
     // changed), the sweep above would be vacuously green
-    allow.keys.foreach(n => assert(found(n) > 0,
-      s"$n expected an (audited) global WindowExec but none detected"))
+    allow.keys.foreach(n => assert(found.get(n).exists(_ > 0),
+      s"$n expected an (audited) global WindowExec but " +
+        s"${if (found.contains(n)) "none detected" else "it is not in the catalog (stale allowlist?)"}"))
   }
 
   test("gate queries keep pushdown through their own plans (p8, w2)") {
