@@ -159,6 +159,64 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** MinHash near-dedup WITHOUT banding the full corpus: the
+    * class-graph decomposition (the MinHash analog of [[simhashDedup]]).
+    * Docs with an identical TOKEN STREAM have identical shingle sets,
+    * identical signatures, and identical Jaccard against everything —
+    * so LSH banding, candidate joins, and Jaccard verification need only
+    * run on one representative per distinct token stream. Candidate cost
+    * is bounded by distinct texts, not corpus size — on clone-heavy
+    * corpora (the 100 TB norm) that is the difference between banding
+    * 10B docs and banding the distinct few hundred million.
+    *
+    * Equivalence to dedupByClusters(docs, CC(minhashNearDups(docs))):
+    * same-class docs pair at Jaccard 1 ≥ threshold (identical non-empty
+    * shingle sets share every band bucket); any cross-class doc pair
+    * has exactly its representatives' (signature, Jaccard), so doc
+    * components are class components expanded. Shingle-less docs
+    * (< shingleLen tokens) never verify at Jaccard > 0 at doc level, so
+    * they must NOT be grouped — each keeps a singleton class key.
+    *
+    * @return the surviving docs (min-id per near-dup cluster,
+    *         singletons kept), all original columns. */
+  def minhashDedup(docs: DataFrame, threshold: Double = 0.5,
+      textCol: String = "text", idCol: String = "doc_id",
+      maxIter: Int = 25, releaseCaches: Boolean = true): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val toks = tokens(col(textCol))
+    // class key: md5 of the token stream (exact shingle-set identity);
+    // shingle-less docs (< 3 tokens, matching minhashNearDups' word-
+    // 3-gram shingles) get a unique key so they stay singletons
+    val classKey = when(size(toks) >= 3,
+        md5(concat_ws(" ", toks)))
+      .otherwise(concat(lit("solo:"), col(idCol).cast("string")))
+    val classed = docs.select(col(idCol), col(textCol))
+      .withColumn("_ck", classKey)
+      .persist(MEMORY_AND_DISK)
+    // one representative (min id) per class, with its text for
+    // signature/shingle computation — |reps| = distinct token streams
+    val repW = Window.partitionBy(col("_ck")).orderBy(col(idCol))
+    val reps = classed.withColumn("_rn", row_number().over(repW))
+      .filter(col("_rn") === 1).drop("_rn")
+    // pair enumeration + Jaccard verify on representatives only
+    val repPairs = minhashNearDups(reps, threshold, textCol, idCol)
+      .select(col("id_a"), col("id_b"))
+    val comp = connectedComponents(repPairs, "id_a", "id_b",
+      maxIter = maxIter, releaseCaches = releaseCaches)
+    // class label: its representative's component min (or itself);
+    // survivor: min doc id per label
+    val repLabel = reps.select(col(idCol).as("_rep"), col("_ck"))
+      .join(comp.withColumnRenamed("id", "_rep"), Seq("_rep"), "left")
+      .select(col("_ck"), coalesce(col("label"), col("_rep")).as("_clab"))
+    val winners = classed
+      .join(repLabel, Seq("_ck"))
+      .groupBy(col("_clab")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    // classed stays persisted until the returned frame is consumed
+    // (same convention as simhashNearDups' withSim cache)
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   // ---- Near-dup clusters (the consumer of pair lists) ----
 
   /** Connected components over an undirected pair list — hash-min label

@@ -256,6 +256,48 @@ object Dedup {
     * construction: docs sharing a fingerprint are dist-0 pairs, and
     * cross-fingerprint pairs connect every doc of both values, so doc
     * components are exactly value components expanded. */
+  /** d12: the production MinHash dedup — pair enumeration and Jaccard
+    * verification run on ONE representative per distinct token stream
+    * (candidates bounded by distinct texts, not corpus size), clusters
+    * expand through the token-stream classes. Must equal the generic
+    * d4-pairs→CC→survivors result, so the oracle replays the DOC-level
+    * d4+d7 chain and selects survivors — the class decomposition is
+    * invisible to the contract. */
+  val minhashDedupQ: GQuery = GQuery(
+    "d12_minhash_dedup",
+    (s, d) => D.minhashDedup(docs(s, d), threshold = 0.2)
+      .select(col("doc_id")).orderBy(col("doc_id")),
+    Some(s"""${SqlShingleHashes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+            bands AS (SELECT doc_id, b AS band,
+              CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR)
+                AS bucket_key
+              FROM sig, unnest(range(4)) AS u(b)),
+            cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket_key = r.bucket_key
+              WHERE l.doc_id < r.doc_id),
+            shs2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS s3
+              FROM t),
+            pairs AS (SELECT id_a, id_b
+              FROM cand JOIN shs2 a ON cand.id_a = a.doc_id
+                        JOIN shs2 b ON cand.id_b = b.doc_id
+              WHERE CASE WHEN len(list_distinct(a.s3 || b.s3)) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE)
+                       / len(list_distinct(a.s3 || b.s3)) END >= 0.2),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+            SELECT d.doc_id FROM documents d
+            LEFT JOIN comp c ON d.doc_id = c.id
+            WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+            ORDER BY d.doc_id"""))
+
   private val SqlSimhashSurvivors: String =
     s"""WITH RECURSIVE t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
             hs AS (SELECT doc_id,
@@ -374,5 +416,5 @@ object Dedup {
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
-    simhashDedupQ)
+    simhashDedupQ, minhashDedupQ)
 }

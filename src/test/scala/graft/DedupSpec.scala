@@ -222,6 +222,29 @@ class DedupSpec extends SparkSpec {
     assert(viaValues.size < skewed.size) // dup groups actually collapsed
   }
 
+  test("minhashDedup == pairs->CC->survivors, incl. the shingle-less edge case") {
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "pack my box with five dozen liquor jugs today",
+      "completely different content about spark engines")
+    val skewed = (0 until 30).map(i => (i.toLong, base(i % 3))) ++ Seq(
+      (30L, "the quick brown fox jumps over the sleepy dog"),
+      // two docs with IDENTICAL sub-3-token text: no shingles → Jaccard 0
+      // → the doc-level pipeline must NOT cluster them, so the class
+      // decomposition must keep them as singletons too
+      (31L, "too short"), (32L, "too short"))
+    val df = skewed.toDF("doc_id", "text")
+    val viaPairs = D.dedupByClusters(df,
+      D.connectedComponents(D.minhashNearDups(df, threshold = 0.2),
+        "id_a", "id_b"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val viaClasses = D.minhashDedup(df, threshold = 0.2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(viaClasses == viaPairs)
+    assert(viaClasses.contains(31L) && viaClasses.contains(32L))
+    assert(viaClasses.size < skewed.size)
+  }
+
   test("shingle jaccard: hand-computed value") {
     // doc1 vs doc3: 9 tokens each → 7 shingles; lazy→sleepy changes the
     // last two shingles → inter=5, union=9
