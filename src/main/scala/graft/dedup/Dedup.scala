@@ -387,6 +387,65 @@ object Dedup {
     train.join(contam, Seq(idCol), "left_anti")
   }
 
+  /** Decontamination via a Bloom prefilter — the shape for a LARGE
+    * holdout side. [[decontaminate]] ships the bench shingle SET to
+    * every executor (right-sized when the eval suite is KBs–MBs); at a
+    * multi-TB holdout that set no longer fits, but its Bloom sketch
+    * does: the sketch size is fixed by (expectedItems, fpp) — ~10 MB
+    * at 8M shingles / 1% fpp — independent of shingle bytes.
+    *
+    * Plan shape: one distributed aggregate (Spark's native
+    * BloomFilterAggregate — partial sketches per partition, OR-merged
+    * once) builds the filter over the bench shingles; the sketch —
+    * O(numBits), NOT O(bench) — is collected and inlined as a foldable
+    * binary literal so the corpus-side probe (BloomFilterMightContain
+    * over xxhash64) is a map-side codegen'd predicate: the corpus is
+    * never shuffled for the probe. Only Bloom-positive (doc, shingle)
+    * suspects — true hits plus fpp noise — reach the exact semi-join
+    * that removes false positives, so the output is EXACTLY
+    * [[decontaminate]]'s regardless of fpp (the shared oracle checks
+    * this). The verify joins are left to AQE: both sides scale with
+    * the bench, not the corpus, and neither is assumed broadcastable
+    * in the large-holdout regime this variant exists for. */
+  def bloomDecontaminate(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", n: Int = 3,
+      expectedItems: Long = 1L << 23, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{
+      BloomFilterMightContain, XxHash64, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    def hash64(c: Column): Column =
+      column(new XxHash64(Seq(expression(c))))
+
+    val benchShingles = bench
+      .select(explode(array_distinct(wordShingles(col(textCol), n))).as("_sh"))
+      .distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItems, fpp)
+    val agg = new BloomFilterAggregate(
+      expression(hash64(col("_sh"))), CatLit(expectedItems), CatLit(numBits))
+    // O(numBits) driver transfer — the sketch, never the shingles
+    // (same contract as Dataset.stat.bloomFilter)
+    val sketch = benchShingles
+      .agg(column(agg.toAggregateExpression()).as("_bf"))
+      .head().getAs[Array[Byte]](0)
+    if (sketch == null) return train // no bench shingles: nothing to drop
+
+    val mightHit = column(new BloomFilterMightContain(
+      CatLit.create(sketch, BinaryType),
+      expression(hash64(col("_sh")))))
+    val suspects = train
+      .select(col(idCol), explode(array_distinct(
+        wordShingles(col(textCol), n))).as("_sh"))
+      .filter(mightHit)
+    val contaminated = suspects
+      .join(benchShingles, Seq("_sh"), "left_semi")
+      .select(col(idCol)).distinct()
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   // ---- SimHash ----
 
   /** 32-bit SimHash over whitespace tokens: bit b set iff the sum of

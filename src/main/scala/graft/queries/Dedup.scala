@@ -413,8 +413,40 @@ object Dedup {
             WHERE rn = 1 AND fp NOT IN (SELECT fp FROM idx)
             ORDER BY doc_id"""))
 
+  /** Bloom-prefilter decontamination: the large-holdout variant of d8.
+    * The corpus-side probe is a foldable Bloom literal (map-side, no
+    * corpus shuffle); the exact semi-join then removes Bloom false
+    * positives, so the oracle is the SAME exact-set-semantics SQL as
+    * d8's — any fpp leakage into the output breaks the hash. A
+    * different bench split (mod 89) keeps the fixture independent. */
+  val bloomDecontaminateQ: GQuery = GQuery(
+    "d13_bloom_decontaminate",
+    (s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.filter(col("doc_id") % 89 === 0)
+      val train = dd.filter(col("doc_id") % 89 =!= 0)
+      // sketch sized to the fixture bench (the 8M-shingle default would
+      // inline a ~10 MB literal for a few thousand shingles)
+      D.bloomDecontaminate(train, bench, expectedItems = 1L << 18)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS shs
+              FROM t),
+            bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh
+                      WHERE doc_id % 89 = 0),
+            cont AS (SELECT DISTINCT doc_id FROM
+                (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 89 <> 0) x
+                JOIN bench USING (s))
+            SELECT doc_id FROM documents
+            WHERE doc_id % 89 <> 0
+              AND doc_id NOT IN (SELECT doc_id FROM cont)
+            ORDER BY doc_id"""))
+
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
-    simhashDedupQ, minhashDedupQ)
+    simhashDedupQ, minhashDedupQ, bloomDecontaminateQ)
 }

@@ -70,6 +70,28 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L, 4L))
   }
 
+  test("bloomDecontaminate matches exact decontaminate (fpp-independent)") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated training text here"),
+      (3L, "tiny doc"),
+      (4L, "another clean document with no leak")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "benchmark asks about the quick brown fox riddle"))
+      .toDF("doc_id", "text")
+    // a deliberately tiny/saturated sketch (high fpp) must still give
+    // the exact answer: the verify join strips every false positive
+    for (items <- Seq(8L, 1L << 20)) {
+      val kept = D.bloomDecontaminate(train, bench, expectedItems = items)
+        .select("doc_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(2L, 3L, 4L), s"expectedItems=$items")
+    }
+    // empty bench: everything survives
+    val all = D.bloomDecontaminate(train, bench.filter(lit(false)))
+      .select("doc_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("tfIdfTopK ranks rare terms above common, ties on term asc") {
     val corpus = Seq(
       (1L, "apple apple banana common common common"),
