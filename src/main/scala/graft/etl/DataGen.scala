@@ -140,4 +140,39 @@ object DataGen {
       when(id % 3 === 0, "bmp").otherwise("png").as("expected_format"),
       when(id % 2 === 0, 0L).otherwise(-1L).as("expected_phash"))
   }
+
+  // ---- deterministic audio fixtures (real WAV, javax.sound encoded) ----
+
+  /** Audio fixture parameters — pure functions of the id so a SQL
+    * oracle can state the expected decode output arithmetically. */
+  def audioSampleRate(id: Long): Int = (8000 * (1 + id % 2)).toInt
+  def audioNumSamples(id: Long): Int = (800 + (id * 37) % 1600).toInt
+  def audioAmplitude(id: Long): Int = (100 + (id * 11) % 900).toInt
+
+  /** One real WAV payload per id: s16le mono PCM square wave (every
+    * sample is ±amplitude, so peak = RMS = amplitude exactly — integer
+    * arithmetic an oracle can replay), RIFF-encoded through
+    * javax.sound.sampled so the decoder exercises a genuine JDK audio
+    * container parse, not a byte-slice stub. */
+  def audioBytes(id: Long): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val sr = audioSampleRate(id)
+    val n = audioNumSamples(id)
+    val a = audioAmplitude(id)
+    val halfPeriod = 2 + (id % 14).toInt
+    val pcm = new Array[Byte](n * 2)
+    var t = 0
+    while (t < n) {
+      val s = if ((t / halfPeriod) % 2 == 0) a else -a
+      pcm(2 * t) = (s & 0xff).toByte
+      pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+      t += 1
+    }
+    val fmt = new AudioFormat(sr.toFloat, 16, 1, true, false) // s16le mono
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
 }

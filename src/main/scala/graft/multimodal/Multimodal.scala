@@ -205,6 +205,73 @@ object Multimodal {
     df.repartition(parts)
   }
 
+  /** Decoded-audio schema appended to the carrier columns. */
+  val audioMetaSchema: StructType = StructType(Seq(
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false),
+    StructField("rms", DoubleType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false)))
+
+  /** Container parse + s16le mono PCM samples of a WAV/AIFF/AU payload
+    * (javax.sound.sampled — JDK-built-in, same offline posture as
+    * [[ImageIoCodec]]). */
+  private def readPcm(payload: Array[Byte]): (Int, Array[Short]) = {
+    import javax.sound.sampled.AudioSystem
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val f = ais.getFormat
+      require(f.getSampleSizeInBits == 16 && f.getChannels == 1
+        && !f.isBigEndian, "expected s16le mono PCM")
+      val bytes = ais.readAllBytes()
+      val sb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
+      val out = new Array[Short](sb.remaining())
+      sb.get(out)
+      (f.getSampleRate.toInt, out)
+    } finally ais.close()
+  }
+
+  /** REAL audio decode: RIFF/WAV container parse via javax.sound.sampled
+    * plus the frame-level statistics a training-data audio sweep needs —
+    * sample count, wall duration, peak, global RMS, and the number of
+    * analysis frames a (frameLen, hop) short-time framing would produce
+    * (the arithmetic every STFT/fbank extractor is built on).
+    * Partition-batched like [[decodeAndFeaturize]]: rows stream through
+    * one task-bound decoder, never a per-row codec init. */
+  def decodeAudio(df: DataFrame, payloadCol: String,
+      frameLen: Int = 256, hop: Int = 128): DataFrame = {
+    require(frameLen > 0 && hop > 0, "frameLen and hop must be positive")
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ audioMetaSchema.fields)
+    val payloadIdx = inSchema.fieldIndex(payloadCol)
+    implicit val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val (sr, samples) = readPcm(payload)
+        val n = samples.length
+        var peak = 0
+        var sumSq = 0.0
+        var i = 0
+        while (i < n) {
+          val s = samples(i).toInt
+          if (math.abs(s) > peak) peak = math.abs(s)
+          sumSq += s.toDouble * s.toDouble
+          i += 1
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        val nFrames = if (n >= frameLen) (n - frameLen) / hop + 1 else 0
+        val durMs = if (sr == 0) 0L else n.toLong * 1000L / sr
+        Row.fromSeq(r.toSeq ++ Seq[Any](
+          payload.length, sr, n.toLong, durMs, peak, rms, nFrames))
+      }
+    }
+  }
+
   /** Frame-sampling shape for video payloads: explode K evenly-spaced
     * pseudo-frames per asset (stub: byte slices), keeping lineage
     * (asset id, frame index) — the downstream shape a real frame

@@ -98,6 +98,41 @@ object EtlShape {
                 AS phash
             FROM documents ORDER BY doc_id"""))
 
+  /** REAL audio decode (javax.sound.sampled, JDK-only): deterministic
+    * WAV fixtures per doc_id (DataGen.audioBytes — a square wave whose
+    * sample rate, length and amplitude are pure functions of the id,
+    * so peak = rms = amplitude exactly), parsed back through the
+    * partition-batched [[graft.multimodal.Multimodal.decodeAudio]]
+    * pipeline. The oracle re-derives every decoded field
+    * arithmetically — a container-parse or framing defect breaks the
+    * row hash. */
+  val audioDecode: GQuery = GQuery(
+    "m3_audio_decode",
+    (s, d) => {
+      val enc = udf((id: Long) => graft.etl.DataGen.audioBytes(id))
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .withColumn("payload", enc(col("doc_id")))
+      graft.multimodal.Multimodal.decodeAudio(assets, "payload")
+        .select(col("doc_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("duration_ms"),
+          col("peak").cast("long").as("peak"),
+          col("rms"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(8000 * (1 + doc_id % 2) AS BIGINT) AS sample_rate,
+              CAST(800 + (doc_id * 37) % 1600 AS BIGINT) AS n_samples,
+              CAST((800 + (doc_id * 37) % 1600) * 1000
+                   // (8000 * (1 + doc_id % 2)) AS BIGINT) AS duration_ms,
+              CAST(100 + (doc_id * 11) % 900 AS BIGINT) AS peak,
+              CAST(100 + (doc_id * 11) % 900 AS DOUBLE) AS rms,
+              CAST((800 + (doc_id * 37) % 1600 - 256) // 128 + 1 AS BIGINT)
+                AS n_frames
+            FROM documents ORDER BY doc_id"""))
+
   // --- E2: end-to-end ingest replay fixture -------------------------------
 
   /** Deterministic Debezium-envelope JSONL backlog: inserts, updates
@@ -213,5 +248,6 @@ object EtlShape {
             ORDER BY src, key"""))
 
   val all: Seq[GQuery] =
-    Seq(goldEnrich, multimodalMeta, imageDecode, ingestReplay, unionScan)
+    Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
+      unionScan)
 }

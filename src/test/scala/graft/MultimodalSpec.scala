@@ -88,4 +88,37 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.groupBy("asset_id").count()
       .filter(col("count") =!= 4).isEmpty)
   }
+
+  test("decodeAudio: real WAV container parse, frame math, peak/rms") {
+    import graft.etl.DataGen
+    val ids = spark.range(0, 16)
+      .select(col("id").as("doc_id"))
+    val enc = org.apache.spark.sql.functions.udf(
+      (id: Long) => DataGen.audioBytes(id))
+    val decoded = Multimodal.decodeAudio(
+      ids.withColumn("payload", enc(col("doc_id"))), "payload")
+    val rows = decoded
+      .select("doc_id", "sample_rate", "n_samples", "duration_ms",
+        "peak", "rms", "n_frames")
+      .collect()
+    assert(rows.length == 16)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val sr = DataGen.audioSampleRate(id)
+      val n = DataGen.audioNumSamples(id)
+      val a = DataGen.audioAmplitude(id)
+      assert(r.getInt(1) == sr, s"sample_rate id=$id")
+      assert(r.getLong(2) == n.toLong, s"n_samples id=$id")
+      assert(r.getLong(3) == n.toLong * 1000 / sr, s"duration id=$id")
+      assert(r.getInt(4) == a, s"peak id=$id")
+      // square wave: every sample is ±a, so RMS is exactly a
+      assert(r.getDouble(5) == a.toDouble, s"rms id=$id")
+      assert(r.getInt(6) == (n - 256) / 128 + 1, s"n_frames id=$id")
+    }
+    // degenerate framing: a clip shorter than one frame has 0 frames
+    val tiny = Multimodal.decodeAudio(
+      ids.limit(1).withColumn("payload", enc(col("doc_id"))),
+      "payload", frameLen = 100000, hop = 128)
+    assert(tiny.select("n_frames").head().getInt(0) == 0)
+  }
 }
