@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Source/sink surface (SURVEY.md §2.1).
@@ -135,7 +136,91 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   private def writeSegment(df: DataFrame): String = {
     val seg = s"seg-${System.nanoTime()}"
     df.write.mode("overwrite").parquet(s"$path/$seg")
+    writeStatsSidecar(seg)
     seg
+  }
+
+  // ---- per-file statistics (file-skipping index) -------------------------
+
+  private def statsDir = Paths.get(path, "_graft_stats")
+
+  /** Footer-only statistics sweep of a freshly written segment, stored
+    * as a tiny parquet sidecar (`_graft_stats/<seg>`): per (file,
+    * column) min/max/nullCount — the same information real Delta puts
+    * in `add.stats`. Collected from the parquet footers the writer
+    * just produced, so no data page is ever read. */
+  private def writeStatsSidecar(seg: String): Seq[FileStats.ColStats] = {
+    val stats = segmentFiles(seg).flatMap { case (rel, _) =>
+      FileStats.footerStats(spark, s"$path/$rel", rel)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(FileStats.toRows(stats), 1),
+      FileStats.schema)
+    df.coalesce(1).write.mode("overwrite")
+      .parquet(statsDir.resolve(seg).toString)
+    stats
+  }
+
+  /** Statistics of every live file, keyed by relative path. Segments
+    * predating the sidecar (or whose sidecar was lost) contribute no
+    * entries — their files are simply never skipped. */
+  private def liveStats(): Map[String, Map[String, FileStats.ColStats]] = {
+    val segs = snapshot().map(_._2).getOrElse(Seq.empty)
+    val dirs = segs.map(s => statsDir.resolve(s))
+      .filter(Files.isDirectory(_)).map(_.toString)
+    if (dirs.isEmpty) Map.empty
+    else spark.read.parquet(dirs: _*).collect()
+      .map(FileStats.fromRow)
+      .groupBy(_.file)
+      .map { case (f, cs) => f -> cs.map(c => c.col -> c).toMap }
+  }
+
+  /** S22: statistics-pruned read. Plans the scan over ONLY the files
+    * whose footer min/max could satisfy `pred` (simple comparison
+    * conjuncts; see [[FileStats.prunableConjuncts]]), then re-applies
+    * the full predicate to the scanned rows — pruning can only drop
+    * provably-dead files, never change the result. Returns the frame;
+    * [[pruneFiles]] exposes the planning decision for tests/metrics. */
+  def readWhere(pred: org.apache.spark.sql.Column): DataFrame = {
+    val (kept, total) = pruneFiles(pred)
+    if (kept.isEmpty && total > 0) read().filter(pred).filter(lit(false))
+    else if (kept.size == total) read().filter(pred)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(kept.map(f => s"$path/$f"): _*).filter(pred)
+  }
+
+  /** (files kept after stats pruning, total live files). */
+  def pruneFiles(pred: org.apache.spark.sql.Column): (Seq[String], Int) = {
+    val segs = snapshot().map(_._2).getOrElse(Seq.empty)
+    require(segs.nonEmpty, s"no committed snapshot at $path")
+    val files = segs.flatMap(segmentFiles).map(_._1)
+    val conjuncts = FileStats.prunableConjuncts(read(), pred)
+    if (conjuncts.isEmpty) return (files, files.size)
+    val stats = liveStats()
+    val kept = files.filter { f =>
+      stats.get(f) match {
+        case None => true // no stats recorded: never skip
+        case Some(cols) => conjuncts.forall(FileStats.mayMatch(cols, _))
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Z-order-clustered overwrite: range-partition on the interleaved
+    * [[ZOrder.zvalue]] of `zCols` and sort within partitions, so each
+    * of the ~`numFiles` output files covers a tight range in EVERY
+    * clustered dimension — which is what makes the per-file min/max
+    * index selective for [[readWhere]] on any of those columns. */
+  def overwriteClustered(df: DataFrame, zCols: Seq[String],
+      numFiles: Int, bits: Int = 12): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val zName = s"_graft_z_${System.nanoTime()}"
+    val shaped = df
+      .withColumn(zName, ZOrder.zvalue(df, zCols, bits))
+      .repartitionByRange(numFiles, col(zName))
+      .sortWithinPartitions(zName)
+      .select(df.columns.map(col): _*)
+    overwrite(shaped)
   }
 
   /** S7: append tolerating evolving schemas (mergeSchema on read). */
@@ -442,7 +527,11 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       .filter(p => p.getFileName.toString.startsWith("seg-"))
       .filterNot(p => live(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
-      .foreach(deleteRecursively)
+      .foreach { p =>
+        deleteRecursively(p)
+        // the segment's stats sidecar dies with it
+        deleteRecursively(statsDir.resolve(p.getFileName.toString))
+      }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

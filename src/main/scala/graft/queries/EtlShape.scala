@@ -247,7 +247,35 @@ object EtlShape {
               SELECT r_regionkey, r_name, 'region' FROM region)
             ORDER BY src, key"""))
 
+  /** S21: statistics-pruned scan of a z-order-clustered managed table.
+    * The orders fact is rewritten clustered on (o_custkey, o_orderkey)
+    * into a fresh ManagedParquetTable (per-file min/max recorded from
+    * the parquet footers at write), then read back through readWhere —
+    * the planning path that drops every file whose footer bounds
+    * cannot satisfy the predicate before the scan starts. The oracle
+    * is the plain filter over the raw table: any mis-skip (a pruned
+    * file that held matching rows) breaks the row hash. */
+  val prunedScan: GQuery = GQuery(
+    "s21_pruned_scan",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s21_tbl").toString + "/orders"
+      val t = new graft.io.ManagedParquetTable(s, dir)
+      t.overwriteClustered(
+        Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice")),
+        Seq("o_custkey", "o_orderkey"), numFiles = 8)
+      t.readWhere(col("o_custkey") <= 150 && col("o_orderkey") > 1000)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CAST(o_totalprice AS DOUBLE) AS o_totalprice
+            FROM orders
+            WHERE o_custkey <= 150 AND o_orderkey > 1000
+            ORDER BY o_orderkey"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
-      unionScan)
+      unionScan, prunedScan)
 }

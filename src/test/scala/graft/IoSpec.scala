@@ -395,4 +395,88 @@ class IoSpec extends SparkSpec {
   /** Extract doc_id from a JSONL line without a JSON library. */
   private def ujsonDocId(line: String): Long =
     "\"doc_id\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
+
+  test("file stats sidecar: per-file min/max/nulls from parquet footers") {
+    val t = new ManagedParquetTable(spark, tmp("stats") + "/tbl")
+    val df = spark.range(0, 100)
+      .select(col("id"),
+        (col("id") * 2.5).as("d"),
+        concat(lit("k"), format_string("%03d", col("id"))).as("s"),
+        when(col("id") < 50, col("id")).as("half_null"),
+        lit(null).cast("long").as("all_null"))
+    t.append(df.repartition(1))
+    // everything survives a full read
+    assert(t.read().count() == 100)
+    // pruning on a dead range plans zero files
+    val (kept0, total) = t.pruneFiles(col("id") > 1000)
+    assert(total == 1 && kept0.isEmpty)
+    // live range keeps the file
+    assert(t.pruneFiles(col("id") <= 0)._1.size == 1)
+    assert(t.pruneFiles(col("d") >= 247.5)._1.size == 1)
+    assert(t.pruneFiles(col("d") > 247.5)._1.isEmpty)
+    // string bounds: k000..k099
+    assert(t.pruneFiles(col("s") > "k1")._1.isEmpty)
+    assert(t.pruneFiles(col("s") === "k050")._1.size == 1)
+    // all-null column: no comparison can match
+    assert(t.pruneFiles(col("all_null") === 7L)._1.isEmpty)
+    // half-null column: bounds cover the non-null half
+    assert(t.pruneFiles(col("half_null") === 49L)._1.size == 1)
+    assert(t.pruneFiles(col("half_null") === 51L)._1.isEmpty)
+    // unsupported predicate shapes keep everything (never mis-skip)
+    assert(t.pruneFiles(col("s").startsWith("k"))._1.size == 1)
+    assert(t.pruneFiles(col("id") + 1 > 5)._1.size == 1)
+  }
+
+  test("readWhere equals read().filter under any pruning outcome") {
+    val t = new ManagedParquetTable(spark, tmp("rw") + "/tbl")
+    // several appends → several files with disjoint id ranges
+    for (lo <- 0 until 400 by 100)
+      t.append(spark.range(lo, lo + 100).select(col("id"),
+        (col("id") % 7).as("m")).repartition(1))
+    val preds = Seq(
+      col("id") >= 150 && col("id") < 250,
+      col("id") === 399L,
+      col("id") < 0,
+      col("m") === 3L, // m: every file has [0,6] → no pruning
+      col("id") > 90 && col("m") < 2)
+    preds.foreach { p =>
+      val viaPrune = t.readWhere(p).select("id").as[Long].collect().sorted
+      val viaFull = t.read().filter(p).select("id").as[Long].collect().sorted
+      assert(viaPrune.sameElements(viaFull), s"pred $p")
+    }
+    // the disjoint-range predicate really did skip files
+    val (kept, total) = t.pruneFiles(col("id") >= 150 && col("id") < 250)
+    assert(total == 4 && kept.size == 2)
+  }
+
+  test("z-order clustered write makes multi-column pruning selective") {
+    val dir = tmp("zo") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    // two independent dimensions, 64x64 grid, shuffled input order
+    val grid = spark.range(0, 4096).select(
+      (col("id") % 64).as("x"), floor(col("id") / 64).as("y"),
+      col("id").as("payload"))
+    t.overwriteClustered(grid.orderBy(rand(42)), Seq("x", "y"),
+      numFiles = 16)
+    val files = t.read().inputFiles.length
+    assert(files >= 8, s"expected >=8 clustered files, got $files")
+    // a point lookup in BOTH dimensions must hit a small file subset
+    val (keptX, totalX) = t.pruneFiles(col("x") === 3L)
+    val (keptY, _) = t.pruneFiles(col("y") === 60L)
+    val (keptXY, _) = t.pruneFiles(col("x") === 3L && col("y") === 60L)
+    assert(totalX == files)
+    assert(keptX.size < files, s"x lookup kept ${keptX.size}/$files")
+    assert(keptY.size < files, s"y lookup kept ${keptY.size}/$files")
+    assert(keptXY.size <= math.min(keptX.size, keptY.size))
+    // and the pruned read is still exact
+    val got = t.readWhere(col("x") === 3L && col("y") === 60L)
+      .select("payload").as[Long].collect()
+    assert(got.toSeq == Seq(60L * 64 + 3))
+    // vacuum after a re-overwrite reclaims the old stats sidecars too
+    t.overwrite(grid.limit(10))
+    t.vacuum(graceMs = -1000)
+    val statsStream = Files.list(Paths.get(dir, "_graft_stats"))
+    val statsDirs = try statsStream.count() finally statsStream.close()
+    assert(statsDirs == 1, s"expected 1 live stats sidecar, got $statsDirs")
+  }
 }
