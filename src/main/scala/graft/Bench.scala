@@ -30,6 +30,14 @@ object Bench {
     // first query
     spark.range(1000).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolation between queries: ContextCleaner only reclaims dead
+      // broadcasts/RDDs when a driver GC runs, so the iterative
+      // cache-churning queries (connected components) otherwise tax
+      // whatever queries happen to run after them — measured 3-5x
+      // inflation on small scalar queries in the full catalog loop vs
+      // the same queries in a fresh JVM
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       // count() after a no-op projection forces full evaluation of every
       // output column (a bare count lets Catalyst prune the query body)

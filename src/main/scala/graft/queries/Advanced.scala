@@ -234,6 +234,69 @@ object Advanced {
             JOIN customer ON skew_key = c_custkey
             GROUP BY skew_key, c_name ORDER BY skew_key"""))
 
+  /** Grouping sets: the general multi-dimensional agg a9's ROLLUP and
+    * a11's CUBE are special cases of — an arbitrary set list
+    * ((status, priority), (status), ()), disambiguated by grouping_id
+    * (same bit encoding both engines: first listed column = MSB). */
+  val groupingSetsQ: GQuery = GQuery(
+    "a13_grouping_sets",
+    (s, d) =>
+      Tables.orders(s, d)
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"),
+          Exact.moneySum(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("gid"), col("n"), col("revenue"))
+        .orderBy(col("gid"), col("status"), col("priority")),
+    Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+              coalesce(o_orderpriority, 'ALL') AS priority,
+              CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)
+                AS gid,
+              count(*) AS n, ${Exact.moneySumSql("o_totalprice")} AS revenue
+            FROM orders
+            GROUP BY GROUPING SETS
+              ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+            ORDER BY gid, status, priority"""))
+
+  /** Window frames: running total (UNBOUNDED PRECEDING), sliding
+    * 3-row sum (2 PRECEDING), and a value-RANGE frame over the order
+    * key — the three frame kinds, partitioned per customer (distributed
+    * windows; cent-integer sums stay cross-engine exact). */
+  val windowFrames: GQuery = GQuery(
+    "w7_window_frames",
+    (s, d) => {
+      val base = Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"),
+        Exact.cents(col("o_totalprice")).as("cents"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      base.select(col("o_custkey"), col("o_orderkey"),
+        sum(col("cents"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("run_cents"),
+        sum(col("cents")).over(w.rowsBetween(-2, 0)).as("slide_cents"),
+        sum(col("cents")).over(w.rangeBetween(-1000L, 0L)).as("range_cents"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    Some(s"""WITH b AS (SELECT o_custkey, o_orderkey,
+              ${Exact.centsSql("o_totalprice")} AS cents FROM orders)
+            SELECT o_custkey, o_orderkey,
+              CAST(sum(cents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS run_cents,
+              CAST(sum(cents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS slide_cents,
+              CAST(sum(cents) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderkey RANGE BETWEEN 1000 PRECEDING
+                AND CURRENT ROW) AS BIGINT) AS range_cents
+            FROM b ORDER BY o_custkey, o_orderkey"""))
+
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
-    rollupQ, cubeQ, pivot, rangeJoin, skewJoin)
+    rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames)
 }
