@@ -40,6 +40,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("graft_code_dot"),
       (exprs: Seq[Expression]) =>
         expressions.CodeDotExpr(exprs.head, exprs(1))))
+    // Bloom kernels (Spark-native expressions, not exposed in the
+    // stock SQL registry): graft_bloom_agg(xxhash64(col), items, bits)
+    // builds the sketch; graft_bloom_might_contain(sketch,
+    // xxhash64(col)) probes it. The analyzer wraps the returned
+    // AggregateFunction in an AggregateExpression as with any declared
+    // SQL aggregate.
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info("graft_bloom_agg"),
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(child) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(child)
+        case Seq(child, items) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(child, items)
+        case Seq(child, items, bits) =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(child, items, bits)
+        case _ => throw new IllegalArgumentException(
+          "graft_bloom_agg(childHash[, expectedItems[, numBits]])")
+      }))
+    e.injectFunction((FunctionIdentifier("graft_bloom_might_contain"),
+      info("graft_bloom_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs.head, exprs(1))))
   }
 }
 

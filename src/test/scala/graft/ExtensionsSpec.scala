@@ -23,4 +23,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "en")
     assert(r.getLong(4) != 0L)
   }
+
+  test("bloom kernels: SQL aggregate builds a sketch the probe accepts") {
+    spark.range(0, 1000).createOrReplaceTempView("bloom_src")
+    // the probe's bloom side must be a constant or scalar subquery
+    // (BloomFilterMightContain contract) — the subquery form is the
+    // whole point: build + probe in ONE distributed statement
+    val probe = spark.sql(
+      """SELECT id, graft_bloom_might_contain(
+           (SELECT graft_bloom_agg(xxhash64(id), 2000L, 16384L)
+            FROM bloom_src WHERE id % 2 = 0),
+           xxhash64(id)) AS hit
+         FROM bloom_src""")
+    // every inserted element answers true; the complement has only
+    // fpp noise (sketch sized generously, so well under 10% here)
+    val evens = probe.filter("id % 2 = 0 AND NOT hit").count()
+    val oddHits = probe.filter("id % 2 = 1 AND hit").count()
+    assert(evens == 0, "an inserted element can never answer false")
+    assert(oddHits < 50, s"fpp noise out of bounds: $oddHits/500")
+  }
 }
