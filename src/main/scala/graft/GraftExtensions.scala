@@ -66,6 +66,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs.head, exprs(1))))
+    // graft_cms_sketch(col, depth, width): Count-Min cell grid; depth
+    // and width must be foldable integers (sketch geometry is part of
+    // the aggregate's type, not data)
+    e.injectFunction((FunctionIdentifier("graft_cms_sketch"),
+      info("graft_cms_sketch"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3 && exprs(1).foldable && exprs(2).foldable,
+          "graft_cms_sketch(col, depthLiteral, widthLiteral)")
+        expressions.CountMinSketchAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue,
+          exprs(2).eval().asInstanceOf[Number].intValue)
+      }))
   }
 }
 

@@ -143,6 +143,38 @@ object Relational {
             FROM r WHERE rn <= 16
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** A14: Count-Min frequency sketch — custom TypedImperativeAggregate
+    * with the deterministic affine hash family, so the ENTIRE cell
+    * grid is oracle-checkable: DuckDB re-addresses every (depth, cell)
+    * bucket with the same arithmetic and must agree on every non-zero
+    * count. The estimate path (min over rows) is spec-checked for the
+    * CMS overestimate property in OperatorsSpec. */
+  val qCmsSketch: GQuery = GQuery(
+    "a14_cms_sketch",
+    (s, d) => {
+      val sk = graft.expressions.CountMinSketch
+        .cms_sketch(col("l_partkey"), 4, 32).as("sk")
+      li(s, d)
+        .groupBy(col("l_returnflag")).agg(sk)
+        .select(col("l_returnflag"), posexplode(col("sk.cells")))
+        .select(col("l_returnflag"),
+          (col("pos") / 32).cast("long").as("d"),
+          pmod(col("pos"), lit(32)).cast("long").as("w"),
+          col("col").as("cnt"))
+        .filter(col("cnt") > 0)
+        .orderBy(col("l_returnflag"), col("d"), col("w"))
+    },
+    Some("""WITH dep AS (SELECT unnest(range(4)) AS d),
+            cell AS (SELECT l_returnflag, d,
+              ((((2654435761 * (d+1)) % 1000000007) * l_partkey
+                 + (40503 * (d+1) * 69069) % 1000000007)
+                % 1000000007) % 32 AS w,
+              count(*) AS cnt
+              FROM lineitem CROSS JOIN dep
+              GROUP BY l_returnflag, d, w)
+            SELECT l_returnflag, d, w, CAST(cnt AS BIGINT) AS cnt
+            FROM cell ORDER BY l_returnflag, d, w"""))
+
   /** A2: exact distinct counts (ID.nunique analog). */
   val qDistinctCount: GQuery = GQuery(
     "a2_distinct_count",
@@ -499,5 +531,6 @@ object Relational {
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
     qUnion, qSetDiff,
-    qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qRowLookup, qHead)
+    qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qCmsSketch,
+    qRowLookup, qHead)
 }

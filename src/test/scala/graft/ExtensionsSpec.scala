@@ -42,4 +42,13 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(evens == 0, "an inserted element can never answer false")
     assert(oddHits < 50, s"fpp noise out of bounds: $oddHits/500")
   }
+
+  test("graft_cms_sketch from SQL: row sums account for every input") {
+    spark.range(0, 500).createOrReplaceTempView("cms_src")
+    val cells = spark.sql(
+      """SELECT graft_cms_sketch(id % 37, 2, 16).cells AS c
+         FROM cms_src""").head.getSeq[Long](0)
+    assert(cells.length == 32)
+    assert(cells.slice(0, 16).sum == 500L && cells.slice(16, 32).sum == 500L)
+  }
 }

@@ -49,6 +49,36 @@ class OperatorsSpec extends SparkSpec {
     assert(run(small).getDouble(0) == 7.0)
   }
 
+  test("count-min sketch: partition-invariant, overestimates, exact sums") {
+    import graft.expressions.CountMinSketch._
+    val depth = 4; val width = 32
+    val df = spark.range(10000).select(($"id" % 437).as("v"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      d.agg(cms_sketch($"v", depth, width).as("sk"))
+        .select($"sk.cells").head.getSeq[Long](0)
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(13)) // different merge tree
+    assert(a == b)
+    // every depth row accounts for every input exactly once
+    (0 until depth).foreach { d =>
+      assert(a.slice(d * width, (d + 1) * width).sum == 10000L, s"row $d")
+    }
+    // estimate: upper bound on the true count for every value, and
+    // tight for a value that dominates its cells
+    val sk = df.agg(cms_sketch($"v", depth, width).as("sk"))
+    val est = sk.select(
+        cms_estimate($"sk.cells", lit(0L), depth, width).as("e0"),
+        cms_estimate($"sk.cells", lit(436L), depth, width).as("e436"))
+      .head
+    // v=0 occurs ceil(10000/437)=23 times; v=436 occurs 22 times
+    assert(est.getLong(0) >= 23L && est.getLong(1) >= 22L)
+    // an absent value estimates only collision noise: < eps*N with
+    // generous slack (e/32 * 10000 ~ 850)
+    val absent = sk.select(
+      cms_estimate($"sk.cells", lit(100000L), depth, width)).head.getLong(0)
+    assert(absent < 2000L, s"absent-value estimate $absent")
+  }
+
   test("bucketed range join == naive range predicate") {
     val left = spark.range(200).select(($"id" % 5).as("k"),
       ($"id" * 37 % 1000).as("lt"), $"id".as("lid"))
