@@ -444,14 +444,22 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * every pre-checkpoint commit file and resolution still succeeds)
     * that recovery cost is bounded by the checkpoint cadence, not the
     * log length. */
-  def deltaSnapshotFiles(): Seq[String] = {
+  def deltaSnapshotFiles(): Seq[String] = deltaSnapshotFiles(None)
+
+  /** As above, bounded at `asOfVersion` (inclusive) when given — the
+    * TIME-TRAVEL resolver: the state is reconstructed from the newest
+    * checkpoint at or before the target plus the commits up to it.
+    * Fails loudly (rather than silently under-resolving) when the
+    * needed commit files are gone — time travel is bounded by log and
+    * segment retention, exactly as in real Delta. */
+  def deltaSnapshotFiles(asOfVersion: Option[Long]): Seq[String] = {
     import scala.jdk.CollectionConverters._
     val lc = deltaLogDir.resolve("_last_checkpoint")
     val ckptVer: Option[Long] =
-      if (Files.exists(lc))
+      (if (Files.exists(lc))
         """"version":(\d+)""".r.findFirstMatchIn(Files.readString(lc))
           .map(_.group(1).toLong)
-      else None
+      else None).filter(v => asOfVersion.forall(v <= _))
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     ckptVer.foreach { v =>
       spark.read
@@ -461,18 +469,41 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     }
     val addRe = """"add":\{"path":"((?:[^"\\]|\\.)*)"""".r
     val rmRe = """"remove":\{"path":"((?:[^"\\]|\\.)*)"""".r
-    listDir(deltaLogDir)
+    val commits = listDir(deltaLogDir)
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-      .sortBy(_.getFileName.toString)
-      .filter(p => ckptVer.forall(v =>
-        p.getFileName.toString.stripSuffix(".json").toLong > v))
-      .foreach { p =>
-        Files.readString(p).linesIterator.foreach { line =>
-          rmRe.findFirstMatchIn(line).foreach(m => live -= jsonUnesc(m.group(1)))
-          addRe.findFirstMatchIn(line).foreach(m => live += jsonUnesc(m.group(1)))
-        }
+      .map(p => (p.getFileName.toString.stripSuffix(".json").toLong, p))
+      .filter { case (v, _) =>
+        ckptVer.forall(v > _) && asOfVersion.forall(v <= _)
       }
+      .sortBy(_._1)
+    // contiguity: replay must cover (checkpoint, target] with no gaps,
+    // else the reconstruction would silently miss adds/removes
+    asOfVersion.foreach { target =>
+      val expected = (ckptVer.getOrElse(-1L) + 1) to target
+      val got = commits.map(_._1)
+      require(got == expected,
+        s"cannot reconstruct version $target: have commits " +
+          s"${got.mkString(",")} after checkpoint $ckptVer " +
+          s"(log retention window exceeded?)")
+    }
+    commits.foreach { case (_, p) =>
+      Files.readString(p).linesIterator.foreach { line =>
+        rmRe.findFirstMatchIn(line).foreach(m => live -= jsonUnesc(m.group(1)))
+        addRe.findFirstMatchIn(line).foreach(m => live += jsonUnesc(m.group(1)))
+      }
+    }
     live.toSeq.sorted
+  }
+
+  /** Time travel: the table as of delta-log `version` (0-based — the
+    * n-th commit). Data files must still exist (vacuum's grace window
+    * bounds how far back travel reaches, as in real Delta). */
+  def readAt(version: Long): DataFrame = {
+    val files = deltaSnapshotFiles(Some(version))
+    require(files.nonEmpty,
+      s"version $version of $path resolves to no data files")
+    spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"$path/$f"): _*)
   }
 
   /** Newest (table id, schemaString) already in the log, if any. */

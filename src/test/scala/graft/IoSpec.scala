@@ -396,6 +396,28 @@ class IoSpec extends SparkSpec {
   private def ujsonDocId(line: String): Long =
     "\"doc_id\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toLong
 
+  test("time travel: readAt reconstructs every historical snapshot") {
+    val t = new ManagedParquetTable(spark, tmp("tt") + "/tbl")
+    t.append(Seq((1, "a")).toDF("id", "v"))                  // version 0
+    t.append(Seq((2, "b"), (3, "c")).toDF("id", "v"))        // version 1
+    t.deleteWhere(col("id") === 2)                           // version 2
+    t.overwrite(Seq((9, "z")).toDF("id", "v"))               // version 3
+    def ids(v: Long) =
+      t.readAt(v).select("id").as[Int].collect().sorted.toSeq
+    assert(ids(0) == Seq(1))
+    assert(ids(1) == Seq(1, 2, 3))
+    assert(ids(2) == Seq(1, 3))
+    assert(ids(3) == Seq(9))
+    // the latest version equals the live read
+    assert(ids(3) == t.read().select("id").as[Int].collect().sorted.toSeq)
+    // a version that never existed fails loudly, not silently
+    intercept[IllegalArgumentException](t.readAt(17))
+    // schema evolution travels: old version lacks the new column
+    t.append(Seq((10, "y", 1.5)).toDF("id", "v", "w"))       // version 4
+    assert(!t.readAt(3).columns.contains("w"))
+    assert(t.readAt(4).columns.contains("w"))
+  }
+
   test("file stats sidecar: per-file min/max/nulls from parquet footers") {
     val t = new ManagedParquetTable(spark, tmp("stats") + "/tbl")
     val df = spark.range(0, 100)
