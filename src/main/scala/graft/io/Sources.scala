@@ -206,21 +206,49 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     (kept, files.size)
   }
 
+  /** Z-order layout shaping shared by clustered overwrite/compact. */
+  private def clusterShape(df: DataFrame, zCols: Seq[String],
+      numFiles: Int, bits: Int): DataFrame = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val zName = s"_graft_z_${System.nanoTime()}"
+    df.withColumn(zName, ZOrder.zvalue(df, zCols, bits))
+      .repartitionByRange(numFiles, col(zName))
+      .sortWithinPartitions(zName)
+      .select(df.columns.map(col): _*)
+  }
+
   /** Z-order-clustered overwrite: range-partition on the interleaved
     * [[ZOrder.zvalue]] of `zCols` and sort within partitions, so each
     * of the ~`numFiles` output files covers a tight range in EVERY
     * clustered dimension — which is what makes the per-file min/max
     * index selective for [[readWhere]] on any of those columns. */
   def overwriteClustered(df: DataFrame, zCols: Seq[String],
-      numFiles: Int, bits: Int = 12): Unit = {
-    require(numFiles >= 1, "numFiles must be >= 1")
-    val zName = s"_graft_z_${System.nanoTime()}"
-    val shaped = df
-      .withColumn(zName, ZOrder.zvalue(df, zCols, bits))
-      .repartitionByRange(numFiles, col(zName))
-      .sortWithinPartitions(zName)
-      .select(df.columns.map(col): _*)
-    overwrite(shaped)
+      numFiles: Int, bits: Int = 12): Unit =
+    overwrite(clusterShape(df, zCols, numFiles, bits))
+
+  /** OPTIMIZE-style compaction: rewrite the CURRENT snapshot into
+    * ~`targetFiles` files (z-ordered when `zCols` given) as one
+    * commit. Readers of the pre-compaction snapshot keep their
+    * immutable segments until vacuum; the delta-log mirror records the
+    * rewrite with `dataChange: false` (per the Delta protocol, so
+    * streaming readers of the mirror know no rows changed). The
+    * small-file problem this solves is a first-order 100 TB concern:
+    * a long-lived ingest writer produces one file per micro-batch, and
+    * scan/listing cost degrades linearly with file count until
+    * compacted. */
+  def compact(targetFiles: Int = 1, zCols: Seq[String] = Nil,
+      bits: Int = 12): Unit = {
+    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    require(prev.nonEmpty, s"no committed snapshot at $path")
+    val cur = read()
+    val shaped =
+      if (zCols.nonEmpty) clusterShape(cur, zCols, targetFiles, bits)
+      else cur.repartition(targetFiles)
+    val seg = writeSegment(shaped)
+    commit(Seq(seg), "compact")
+    mirrorDeltaLog("compact", added = segmentFiles(seg),
+      removed = prev.flatMap(segmentFiles).map(_._1),
+      schemaJson = shaped.schema.json, dataChange = false)
   }
 
   /** S7: append tolerating evolving schemas (mergeSchema on read). */
@@ -304,7 +332,8 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   }
 
   private def mirrorDeltaLog(mode: String, added: Seq[(String, Long)],
-      removed: Seq[String], schemaJson: String): Unit = {
+      removed: Seq[String], schemaJson: String,
+      dataChange: Boolean = true): Unit = {
     import scala.jdk.CollectionConverters._
     Files.createDirectories(deltaLogDir)
     val version = listDir(deltaLogDir)
@@ -346,11 +375,11 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     sb ++= s"""{"commitInfo":{"timestamp":$now,"operation":"${mode.toUpperCase}"}}\n"""
     removed.foreach { f =>
       sb ++= s"""{"remove":{"path":"${jsonEsc(f)}","deletionTimestamp":$now,""" +
-        s""""dataChange":true}}\n"""
+        s""""dataChange":$dataChange}}\n"""
     }
     added.foreach { case (f, size) =>
       sb ++= s"""{"add":{"path":"${jsonEsc(f)}","partitionValues":{},""" +
-        s""""size":$size,"modificationTime":$now,"dataChange":true}}\n"""
+        s""""size":$size,"modificationTime":$now,"dataChange":$dataChange}}\n"""
     }
     val tmp = deltaLogDir.resolve(s".tmp.$now.${System.nanoTime()}")
     Files.writeString(tmp, sb.toString)

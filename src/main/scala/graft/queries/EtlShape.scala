@@ -275,7 +275,33 @@ object EtlShape {
             WHERE o_custkey <= 150 AND o_orderkey > 1000
             ORDER BY o_orderkey"""))
 
+  /** S22: hive-partitioned layout + partition pruning — the directory
+    * half of data layout (s21 covers per-file statistics). Orders are
+    * rewritten partitionBy(o_orderstatus); the filtered read resolves
+    * the predicate at PLANNING time from the directory structure
+    * (PartitionFilters in the scan — PlanSpec asserts it), so
+    * non-matching partitions are never listed, let alone read. At
+    * 100 TB partition pruning is the first and cheapest pruning tier:
+    * it cuts the file LISTING, which stats/row-group pruning cannot. */
+  val partitionedScan: GQuery = GQuery(
+    "s22_partitioned_scan",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s22_tbl").toString + "/orders"
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus
+            FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_orderkey"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
-      unionScan, prunedScan)
+      unionScan, prunedScan, partitionedScan)
 }

@@ -418,6 +418,37 @@ class IoSpec extends SparkSpec {
     assert(t.readAt(4).columns.contains("w"))
   }
 
+  test("compact: small files fold into one commit, dataChange false, travel intact") {
+    val dir = tmp("cp") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    for (i <- 0 until 6)
+      t.append(spark.range(i * 10, i * 10 + 10).toDF("id").repartition(2))
+    assert(t.read().inputFiles.length == 12)
+    t.compact(targetFiles = 2)
+    assert(t.read().inputFiles.length <= 2)
+    assert(t.read().count() == 60)
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      (0L until 60L))
+    // the compaction commit is a no-data-change rewrite in the mirror
+    val lastCommit = Files.list(Paths.get(dir, "_delta_log"))
+      .filter(p => p.getFileName.toString.matches("\\d{20}\\.json"))
+      .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .findFirst().get()
+    val txt = Files.readString(lastCommit)
+    assert(txt.contains(""""operation":"COMPACT""""))
+    assert(txt.contains(""""dataChange":false"""))
+    assert(!txt.contains(""""dataChange":true"""))
+    // pre-compaction version still reconstructs (segments not vacuumed)
+    assert(t.readAt(5).count() == 60)
+    assert(t.readAt(2).count() == 30)
+    // z-ordered compaction: same rows, pruning becomes selective
+    t.compact(targetFiles = 4, zCols = Seq("id"))
+    assert(t.read().count() == 60)
+    val (kept, total) = t.pruneFiles(col("id") < 10)
+    assert(total >= 3 && kept.size < total,
+      s"z-compacted pruning kept ${kept.size}/$total")
+  }
+
   test("file stats sidecar: per-file min/max/nulls from parquet footers") {
     val t = new ManagedParquetTable(spark, tmp("stats") + "/tbl")
     val df = spark.range(0, 100)

@@ -72,6 +72,19 @@ class PlanSpec extends SparkSpec {
     assert(idxScans.nonEmpty, "no scan of the stored code table found")
   }
 
+  test("s22 plan: the status predicate resolves as a PartitionFilter") {
+    val df = SparkEntry.queries("s22_partitioned_scan")(spark, sf)
+    val sc = scans(df)
+    assert(sc.nonEmpty)
+    val pf = sc.head.metadata("PartitionFilters")
+    assert(pf.contains("o_orderstatus"), s"partition filter missing: $pf")
+    // executing fills the scan metrics: only the matching partition's
+    // file is read (3 status values → 3 files in the relation)
+    df.queryExecution.toRdd.count()
+    val numFiles = sc.head.metrics("numFiles").value
+    assert(numFiles == 1, s"expected 1 file scanned, got $numFiles")
+  }
+
   test("no un-partitioned window in any gate plan outside the audited allowlist") {
     import org.apache.spark.sql.execution.window.WindowExec
     // a WindowExec with an empty partitionSpec funnels its whole input
