@@ -446,6 +446,34 @@ object Dedup {
     train.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Passage-level duplication diagnostic: per doc, how many of its
+    * DISTINCT word-n-gram shingles also occur in at least one other
+    * doc. This is the shingle-granularity sibling of doc-level
+    * near-dedup — a curation pipeline runs it to find boilerplate and
+    * cross-doc duplicated passages that doc-level Jaccard hides (two
+    * long docs sharing one big passage can sit under any doc
+    * threshold).
+    *
+    * Scale shape: one explode + one shuffle keyed on the shingle
+    * (O(corpus shingles), the minimum any cross-doc occurrence count
+    * needs), a semi-join back, one per-doc aggregate. No pair
+    * enumeration anywhere. */
+  def duplicatePassages(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", n: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, textCol, idCol, n)
+    val pairs = sets.select(col(idCol), explode(col("s3")).as("_sh"))
+    // shingles are distinct per doc, so the count per shingle IS its
+    // distinct-doc count
+    val dup = pairs.groupBy(col("_sh"))
+      .agg(count(lit(1)).as("_docs")).filter(col("_docs") > 1)
+      .select(col("_sh"))
+    val perDoc = pairs.join(dup, Seq("_sh"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup"))
+    sets.select(col(idCol), size(col("s3")).cast("long").as("n_shingles"))
+      .join(perDoc, Seq(idCol), "left")
+      .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
+  }
+
   // ---- SimHash ----
 
   /** 32-bit SimHash over whitespace tokens: bit b set iff the sum of

@@ -445,8 +445,39 @@ object Dedup {
               AND doc_id NOT IN (SELECT doc_id FROM cont)
             ORDER BY doc_id"""))
 
+  /** Passage-level duplication diagnostic (shingle granularity): the
+    * per-doc count and per-mille share of distinct shingles that occur
+    * in at least one other doc. Rational per-mille rounding keeps the
+    * ratio cross-engine exact. */
+  val duplicatePassagesQ: GQuery = GQuery(
+    "d14_duplicate_passages",
+    (s, d) =>
+      D.duplicatePassages(docs(s, d))
+        .withColumn("dup_permille",
+          when(col("n_shingles") === 0, 0L)
+            .otherwise(Exact.roundDiv(col("n_dup") * 1000,
+              col("n_shingles"))))
+        .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS shs
+              FROM t),
+            p AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+            d AS (SELECT s FROM p GROUP BY s HAVING count(*) > 1),
+            cnt AS (SELECT doc_id, count(*) AS n_dup
+                    FROM p JOIN d USING (s) GROUP BY doc_id)
+            SELECT sh.doc_id,
+              CAST(len(shs) AS BIGINT) AS n_shingles,
+              CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup,
+              CAST(CASE WHEN len(shs) = 0 THEN 0
+                ELSE ${Exact.roundDivSqlPos("1000 * coalesce(n_dup, 0)", "len(shs)")}
+                END AS BIGINT) AS dup_permille
+            FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
+            ORDER BY sh.doc_id"""))
+
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
-    simhashDedupQ, minhashDedupQ, bloomDecontaminateQ)
+    simhashDedupQ, minhashDedupQ, bloomDecontaminateQ, duplicatePassagesQ)
 }

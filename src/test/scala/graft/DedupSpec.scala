@@ -92,6 +92,26 @@ class DedupSpec extends SparkSpec {
     assert(all.toSeq == Seq(1L, 2L, 3L, 4L))
   }
 
+  test("duplicatePassages counts cross-doc shingles, not within-doc repeats") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),          // shares 'alpha beta gamma'
+      (2L, "alpha beta gamma zeta"),           // with doc 1
+      (3L, "unrelated text entirely here now"),
+      (4L, "alpha beta gamma alpha beta gamma"), // repeats internally too
+      (5L, "xy")).toDF("doc_id", "text")       // < n tokens: no shingles
+    val got = D.duplicatePassages(corpus)
+      .select("doc_id", "n_shingles", "n_dup")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 4: 4 raw shingles but distinct = {abg, bga, gab, abg…} →
+    // distinct set {alpha beta gamma, beta gamma alpha, gamma alpha beta}
+    assert(got(0) == ((1L, 2L, 1L)))
+    assert(got(1) == ((2L, 2L, 1L)))
+    assert(got(2) == ((3L, 3L, 0L)))
+    val (_, n4, dup4) = got(3)
+    assert(n4 == 3L && dup4 == 1L) // only 'alpha beta gamma' crosses docs
+    assert(got(4) == ((5L, 0L, 0L)))
+  }
+
   test("tfIdfTopK ranks rare terms above common, ties on term asc") {
     val corpus = Seq(
       (1L, "apple apple banana common common common"),
