@@ -155,4 +155,31 @@ object WindowedStats {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** ST9: watermarked stream-stream interval join (beyond the
+    * reference — the Spark-native capability for correlating two live
+    * event feeds, e.g. impressions to conversions). Both sides are
+    * watermarked and the join carries an event-time interval bound
+    * (`right.ts` in [left.ts, left.ts + within]), which is exactly
+    * what lets Spark BOUND the join state: rows older than
+    * watermark + interval are evicted instead of buffered forever —
+    * the difference between a stream-stream join that runs for months
+    * and one that OOMs.
+    *
+    * Column contract: left has (key, ts, ...), right has (key, ts,
+    * ...); output prefixes disambiguate. Inner join semantics. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      within: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        struct(left.columns.map(col): _*).as("l"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        struct(right.columns.map(col): _*).as("r"))
+    l.join(r,
+      col("l_key") === col("r_key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+  }
 }
