@@ -322,6 +322,55 @@ object Similarity {
     },
     Some(SqlQuantizedTopK))
 
+  /** One k-means iteration in DuckDB SQL: assignment against `cPrev`
+    * (rounded fold-cosine, id tiebreak — identical to ivfAssign's
+    * scoring) then the id-ordered fold mean per (centroid, dim), with
+    * empty clusters carrying their previous position. */
+  private def sqlKmeansIter(n: Int): String = {
+    val (prev, a, u, next) = (s"c$n", s"a$n", s"u$n", s"c${n + 1}")
+    s"""$a AS (SELECT id, v, cid FROM (
+          SELECT b.id, b.v, c.cid,
+            row_number() OVER (PARTITION BY b.id
+              ORDER BY round(${sqlCosine("b.v", "c.cv")}, 6) DESC, c.cid)
+              AS rn
+          FROM kbase b CROSS JOIN $prev c) t WHERE rn = 1),
+        $u AS (SELECT a.cid, d.i,
+            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(a.v[d.i + 1] ORDER BY a.id)),
+              (acc, x) -> acc + x) / count(*) AS mean
+          FROM $a a CROSS JOIN kdims d GROUP BY a.cid, d.i),
+        $next AS (SELECT $prev.cid, coalesce(n.cv, $prev.cv) AS cv
+          FROM $prev LEFT JOIN
+            (SELECT cid, list(mean ORDER BY i) AS cv FROM $u GROUP BY cid) n
+          ON $prev.cid = n.cid)"""
+  }
+
+  /** v10: Lloyd's k-means (k=8, 2 iterations) over the full embeddings
+    * table — the IVF coarse-quantizer trainer. The oracle replays BOTH
+    * iterations (assignment + ordered-fold means) in DuckDB; every
+    * centroid coordinate is hash-compared at 6 decimals. */
+  val kmeansQ: GQuery = GQuery(
+    "v10_kmeans_fit",
+    (s, d) =>
+      kmeansFit(emb(s, d), k = 8, iters = 2)
+        .select(col("centroid_id"), posexplode(col("centroid")))
+        .select(col("centroid_id"),
+          col("pos").cast("long").as("pos"),
+          round(col("col"), 6).as("m"))
+        .orderBy(col("centroid_id"), col("pos")),
+    Some(s"""WITH kbase AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            kdims AS (SELECT unnest(range(64)) AS i),
+            c0 AS (SELECT id AS cid, v AS cv FROM kbase ORDER BY id LIMIT 8),
+            ${sqlKmeansIter(0)},
+            ${sqlKmeansIter(1)}
+            SELECT c2.cid AS centroid_id, d.i AS pos,
+              round(c2.cv[d.i + 1], 6) AS m
+            FROM c2 CROSS JOIN kdims d
+            ORDER BY centroid_id, pos"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
-    ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ)
+    ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
+    kmeansQ)
 }

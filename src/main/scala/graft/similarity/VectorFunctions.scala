@@ -351,4 +351,67 @@ object VectorFunctions {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sim"), col("code_dot"))
   }
+
+  /** Lloyd's k-means over an embedding column — the trainer for the
+    * IVF coarse quantizer ([[ivfAssign]]'s centroid input). Each
+    * iteration is one distributed pass: broadcast-centroid assignment
+    * (identical scoring to ivfAssign — rounded cosine, id tiebreak)
+    * then a per-(centroid, dimension) mean. Only the k×dim centroid
+    * matrix ever reaches the driver — the standard Lloyd driver state,
+    * NOT a data collect; the corpus pass stays fully distributed.
+    *
+    * Determinism contract (what makes the v10 oracle possible): init =
+    * the k lowest-id vectors; the mean's summation is an explicit
+    * LEFT FOLD over members in ascending id (double addition is not
+    * associative, so an unordered partial-agg sum would differ run to
+    * run and engine to engine). The ordered fold costs a per-cell
+    * collect_list bounded by the cluster size — k-means training runs
+    * on samples at 100 TB scale, where that bound is the sample size
+    * over k. Empty clusters keep their previous position. */
+  def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && iters >= 0, "k >= 1 and iters >= 0 required")
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val base = corpus.select(col(idCol).cast("long").as("_id"),
+      transform(col(vecCol), x => x.cast("double")).as("_v"))
+    val cSchema = StructType(Seq(
+      StructField("centroid_id", LongType, nullable = false),
+      StructField("centroid", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    def toDf(cs: Seq[(Long, Seq[Double])]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cs.map { case (i, v) => Row(i, v) }, 1), cSchema)
+    var centroids: Seq[(Long, Seq[Double])] = base.orderBy(col("_id"))
+      .limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    for (_ <- 0 until iters) {
+      val cdf = toDf(centroids)
+        .select(col("centroid_id"), col("centroid").as("_cv"))
+      val w = Window.partitionBy(col("_id"))
+        .orderBy(col("sim").desc, col("centroid_id"))
+      val assigned = base.crossJoin(broadcast(cdf))
+        .withColumn("sim", round(cosine(col("_v"), col("_cv")), 6))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+        .select(col("centroid_id"), col("_id"), col("_v"))
+      val upd = assigned
+        .select(col("centroid_id"), col("_id"), posexplode(col("_v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sort_array(collect_list(struct(col("_id"), col("col"))))
+          .as("xs"))
+        .select(col("centroid_id"), col("pos"),
+          (aggregate(col("xs"), lit(0.0d), (acc, e) =>
+            acc + e("col")) / size(col("xs"))).as("mean"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("pos"), col("mean")))),
+          e => e("mean")).as("newc"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+      centroids = centroids.map { case (cid, old) =>
+        (cid, upd.getOrElse(cid, old))
+      }
+    }
+    toDf(centroids)
+  }
 }

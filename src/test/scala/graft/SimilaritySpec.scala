@@ -118,4 +118,34 @@ class SimilaritySpec extends SparkSpec {
     val scale3 = 1.0 / 255.0
     assert(r3.zip(dv3).forall { case (r, x) => math.abs(r - x) <= scale3 / 2 + 1e-9 })
   }
+
+  test("kmeansFit recovers planted clusters; empty centroid keeps its seat") {
+    // two tight clusters around orthogonal axes (cosine-separable)
+    val rows = (0 until 20).map { i =>
+      val v = if (i % 2 == 0) Seq(1.0f, 0.02f * i, 0f, 0f)
+      else Seq(0f, 0f, 1.0f, 0.02f * i)
+      (i.toLong, v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val fit = kmeansFit(df, k = 2, iters = 3)
+      .select("centroid_id", "centroid")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(fit.keySet == Set(0L, 1L)) // init ids = two lowest vec_ids
+    // each centroid should be dominated by its cluster's axis
+    val c0 = fit(0L); val c1 = fit(1L)
+    assert(c0(0) > 0.9 && c0(2) < 0.1, s"c0=$c0")
+    assert(c1(2) > 0.9 && c1(0) < 0.1, s"c1=$c1")
+    // k=3 over the same 2-cluster data: the orphaned centroid must
+    // keep its initial position, not vanish or go to NaN
+    val fit3 = kmeansFit(df, k = 3, iters = 2)
+      .select("centroid_id", "centroid")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(fit3.size == 3)
+    assert(fit3.values.forall(_.forall(x => !x.isNaN)))
+    // zero iterations = the init itself
+    val fit0 = kmeansFit(df, k = 2, iters = 0)
+      .select("centroid_id", "centroid")
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(fit0(0L) == rows(0)._2.map(_.toDouble))
+  }
 }
