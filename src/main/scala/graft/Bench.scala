@@ -29,7 +29,12 @@ object Bench {
     // one tiny warmup action so JVM/codegen startup is not billed to the
     // first query
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-iteration filter: SPARK_GRAFT_ONLY=d7_x,d10_y runs a subset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       // isolation between queries: ContextCleaner only reclaims dead
       // broadcasts/RDDs when a driver GC runs, so the iterative
       // cache-churning queries (connected components) otherwise tax

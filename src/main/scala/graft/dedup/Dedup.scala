@@ -222,10 +222,11 @@ object Dedup {
   /** Connected components over an undirected pair list — hash-min label
     * propagation, the standard distributed algorithm: every vertex
     * starts labeled with its own id; each round every vertex takes the
-    * min of its own and its neighbors' labels; fixpoint = per-component
-    * min id. Converges in O(component diameter) rounds — near-dup
-    * clusters are dense and shallow (duplicates of one source document),
-    * so 3-5 rounds is typical at any corpus size.
+    * min of its own and its neighbors' labels, then shortcuts through its
+    * label's label (pointer doubling); fixpoint = per-component min id.
+    * Converges in O(log diameter) rounds — near-dup clusters are dense
+    * and shallow (duplicates of one source document), so 3-5 rounds is
+    * typical at any corpus size even for chain-shaped components.
     *
     * Scale shape: each round is one join edges⋈labels + one groupBy min
     * — both shuffle on vertex id, both map-side-combinable. No driver-
@@ -286,9 +287,30 @@ object Dedup {
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
         .persist(MEMORY_AND_DISK)
       val changed = joined.filter(col("nlabel") < col("label")).count()
-      val (nextLabels, nextRdd) = reRoot(joined.select(col("id"),
+      val l1 = joined.select(col("id"),
         least(col("label"), coalesce(col("nlabel"), col("label")))
-          .as("label")))
+          .as("label"))
+      // pointer-doubling shortcut: label ← label(label). Every label IS a
+      // node id of the same component (invariant: initial labels are own
+      // ids; neighbor-min and this hop only adopt other in-component node
+      // ids), so the lookup self-join is total and label values stay
+      // monotone non-increasing. Cuts convergence from O(diameter) to
+      // O(log diameter) rounds for one extra node-count shuffle per round
+      // — both sides re-read the cached `joined`, nothing recomputes.
+      // Engaged only from round 3: dense near-dup clusters (the common
+      // case) hit fixpoint in <=3 neighbor-min rounds and never pay for
+      // the hop; chain-shaped components (document revision histories)
+      // still converge in 2 + O(log diameter) rounds instead of
+      // O(diameter), keeping the maxIter bound safe at any corpus shape.
+      val l2 =
+        if (it < 2) l1
+        else l1.join(
+          l1.select(col("id").as("label"), col("label").as("_l2")),
+          Seq("label"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("_l2"), col("label")))
+              .as("label"))
+      val (nextLabels, nextRdd) = reRoot(l2)
       if (releaseCaches) {
         // nextLabels is materialized (eager checkpoint): this round's
         // cache AND the previous labels' blocks go immediately

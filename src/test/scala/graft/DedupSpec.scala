@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(comp.size == 11) // only vertices present in the pair list
   }
 
+  test("connected components: long chain converges in logarithmic rounds") {
+    // a 40-node path has diameter 39: plain neighbor-min label
+    // propagation needs ~39 rounds, far over maxIter=12 — the pointer-
+    // doubling shortcut (engaged from round 3) must converge it anyway
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = D.connectedComponents(pairs, maxIter = 12)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 40L).forall(comp(_) == 1L))
+    assert(comp.size == 40)
+  }
+
   test("chunkDocuments: boundaries, overlap, short docs, empty docs") {
     import graft.text.TextFunctions
     val corpus = Seq(
