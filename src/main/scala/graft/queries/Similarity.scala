@@ -17,11 +17,19 @@ object Similarity {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   /** DuckDB fragment: sequential-fold dot product of two double lists. */
-  private def sqlDot(a: String, b: String): String =
+  private def sqlDotD(a: String, b: String, n: Int): String =
     s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         list_transform(range(64), i ->
+         list_transform(range($n), i ->
            CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE))),
          (acc, x) -> acc + x)"""
+
+  private def sqlDot(a: String, b: String): String = sqlDotD(a, b, 64)
+
+  private def sqlCosineD(a: String, b: String, n: Int): String =
+    s"""CASE WHEN sqrt(${sqlDotD(a, a, n)}) * sqrt(${sqlDotD(b, b, n)}) = 0
+        THEN 0.0
+        ELSE ${sqlDotD(a, b, n)} /
+          (sqrt(${sqlDotD(a, a, n)}) * sqrt(${sqlDotD(b, b, n)})) END"""
 
   private def sqlCosine(a: String, b: String): String =
     s"""CASE WHEN sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}) = 0 THEN 0.0
@@ -370,7 +378,102 @@ object Similarity {
             FROM c2 CROSS JOIN kdims d
             ORDER BY centroid_id, pos"""))
 
+  /** d15: SemDeDup-style semantic dedup — kmeans (k=8, 1 Lloyd
+    * iteration) clusters, then drop every vector with a lower-id
+    * within-cluster neighbor at cosine >= 0.35. The oracle replays the
+    * trainer iteration, the argmax assignment, and the per-pair drop
+    * rule; pair cosines reuse precomputed norms (hoisting sqrt(dot) into
+    * a CTE computes the identical doubles). */
+  val semanticDedupQ: GQuery = GQuery(
+    "d15_semantic_dedup",
+    (s, d) => {
+      val e = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      val cent = kmeansFit(e, k = 8, iters = 1)
+        .select(col("centroid_id").as("vec_id"),
+          col("centroid").as("embedding"))
+      semanticDedup(e, cent, threshold = 0.35)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    },
+    Some(s"""WITH kbase AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            kdims AS (SELECT unnest(range(64)) AS i),
+            c0 AS (SELECT id AS cid, v AS cv FROM kbase ORDER BY id LIMIT 8),
+            ${sqlKmeansIter(0)},
+            asg AS (SELECT id, cid FROM (
+              SELECT b.id, c.cid,
+                row_number() OVER (PARTITION BY b.id
+                  ORDER BY round(${sqlCosine("b.v", "c.cv")}, 6) DESC, c.cid)
+                  AS rn
+              FROM kbase b CROSS JOIN c1 c) t WHERE rn = 1),
+            nrm AS (SELECT id, sqrt(${sqlDot("k.v", "k.v")}) AS nn
+              FROM kbase k),
+            drops AS (SELECT DISTINCT p2.id AS id
+              FROM asg p1 JOIN asg p2 ON p1.cid = p2.cid AND p1.id < p2.id
+              JOIN kbase ka ON ka.id = p1.id
+              JOIN kbase kb ON kb.id = p2.id
+              JOIN nrm na ON na.id = p1.id
+              JOIN nrm nb ON nb.id = p2.id
+              WHERE round(CASE WHEN na.nn * nb.nn = 0 THEN 0.0
+                ELSE ${sqlDot("ka.v", "kb.v")} / (na.nn * nb.nn) END, 6)
+                >= 0.35)
+            SELECT k.id AS vec_id FROM kbase k
+            LEFT JOIN drops d ON k.id = d.id
+            WHERE d.id IS NULL ORDER BY vec_id"""))
+
+  /** v11: product-quantization ADC top-10 (m=4 subspaces × ksub=16
+    * codes, iters=0 so the codebook is the 16 lowest-id sub-vectors —
+    * the trainer itself is gated by v10). The oracle replays codebook
+    * construction, the per-subspace argmax encode, and the s-ordered
+    * lookup-table fold score. */
+  val pqTopKQ: GQuery = GQuery(
+    "v11_pq_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      val cbs = pqTrain(e, m = 4, ksub = 16, iters = 0, dim = Dim)
+      val codes = pqEncode(e, cbs, m = 4, ksub = 16, dim = Dim)
+      pqAdcTopK(codes, e.filter(col("vec_id") < 3), cbs,
+        m = 4, ksub = 16, dim = Dim, k = 10)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH kbase AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            subs AS (SELECT unnest(range(4)) AS s),
+            bsub AS (SELECT b.id, t.s, b.v[t.s*16+1 : t.s*16+16] AS sv
+              FROM kbase b CROSS JOIN subs t),
+            init AS (SELECT id, v FROM kbase ORDER BY id LIMIT 16),
+            cb AS (SELECT t.s,
+                row_number() OVER (PARTITION BY t.s ORDER BY b.id) - 1
+                  AS code,
+                b.v[t.s*16+1 : t.s*16+16] AS cv
+              FROM init b CROSS JOIN subs t),
+            enc AS (SELECT id, s, code FROM (
+              SELECT t.id, t.s, c.code,
+                row_number() OVER (PARTITION BY t.id, t.s
+                  ORDER BY round(${sqlCosineD("t.sv", "c.cv", 16)}, 6) DESC,
+                           c.code) AS rn
+              FROM bsub t JOIN cb c ON c.s = t.s) z WHERE rn = 1),
+            pd AS (SELECT q.id AS query_id, e.id AS neighbor_id, e.s,
+                ${sqlDotD("q.sv", "c.cv", 16)} AS pdot
+              FROM bsub q
+              JOIN enc e ON e.s = q.s AND e.id != q.id
+              JOIN cb c ON c.s = e.s AND c.code = e.code
+              WHERE q.id < 3),
+            sc AS (SELECT query_id, neighbor_id,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(pdot ORDER BY s)), (acc, x) -> acc + x), 6) AS sim
+              FROM pd GROUP BY query_id, neighbor_id)
+            SELECT query_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank,
+              neighbor_id, sim
+            FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
     ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
-    kmeansQ)
+    kmeansQ, semanticDedupQ, pqTopKQ)
 }

@@ -352,6 +352,135 @@ object VectorFunctions {
         col("sim"), col("code_dot"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with a coarse
+    * quantizer, then drop every vector that has a LOWER-id neighbor at
+    * cosine >= threshold WITHIN its cluster. Survivors are corpus rows
+    * with no such neighbor — no connected components needed (the drop
+    * rule is per-pair, exactly the published algorithm's keep-one-per-
+    * similar-pair inside each cluster).
+    *
+    * Scale shape: assignment is the [[ivfAssign]] broadcast pass (one
+    * corpus scan, no payload shuffle); the pair join is per-cluster
+    * self-join — candidates are |cluster|², never |corpus|², and the
+    * cluster count is the knob that bounds it (SemDeDup runs k≈100k at
+    * web scale). The final anti-join probes a drop set that is at most
+    * corpus-sized and typically tiny. */
+  def semanticDedup(corpus: DataFrame, centroids: DataFrame,
+      threshold: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssignKeeping(
+      corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+    val a = assigned.select(col("centroid_id"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    val drops = a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(drops, Seq(idCol), "left_anti")
+  }
+
+  // ---- product quantization (asymmetric-distance ANN) ----
+
+  /** Product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the space
+    * splits into `m` contiguous subspaces of dim/m and each gets its own
+    * ksub-centroid quantizer trained by [[kmeansFit]] over the
+    * sub-vectors. Returns (sub, code 0..ksub-1, centroid) — codes are
+    * dense ranks of the trainer's centroid ids so they can index ADC
+    * lookup tables. The whole codebook is m·ksub·(dim/m) doubles —
+    * quantizer driver state, same as [[kmeansFit]]'s centroid matrix. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must split into m ($m) equal subspaces")
+    val sd = dim / m
+    val subs = (0 until m).map { s =>
+      kmeansFit(
+        corpus.select(col(idCol),
+          slice(col(vecCol), s * sd + 1, sd).as(vecCol)),
+        ksub, iters, idCol, vecCol)
+        .withColumn("sub", lit(s))
+    }
+    val w = Window.partitionBy(col("sub")).orderBy(col("centroid_id"))
+    subs.reduce(_ unionByName _)
+      .withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(col("sub").cast("int").as("sub"), col("code"), col("centroid"))
+  }
+
+  /** Collected codebook: cb(s)(j) = centroid j of subspace s. */
+  private def collectCodebook(codebooks: DataFrame, m: Int,
+      ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val rows = codebooks.select(col("sub"), col("code"), col("centroid"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toSeq))
+      .toMap
+    require(rows.size == m * ksub,
+      s"codebook must have m*ksub = ${m * ksub} distinct (sub, code) rows")
+    (0 until m).map(s => (0 until ksub).map(j => rows((s, j))))
+  }
+
+  /** PQ encode: per vector, the nearest sub-centroid (max rounded
+    * cosine, lowest code on ties) per subspace → array of m small codes
+    * (m bytes of index per vector at ksub <= 256 vs 4·dim float bytes).
+    * The codebook rides as a LITERAL, so encoding is row-local inside
+    * the scan projection — no join, no shuffle, the shape of bulk PQ
+    * encoding at corpus scale. */
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
+      dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sd = dim / m
+    val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(col(vecCol), s * sd + 1, lit(sd))
+      val cbs = element_at(cbLit, (s + 1).cast("int"))
+      aggregate(
+        sequence(lit(0), lit(ksub - 1)),
+        struct(lit(-2.0).as("sim"), lit(0).cast("int").as("code")),
+        (acc, j) => {
+          val simj = round(cosine(sv, element_at(cbs, (j + 1).cast("int"))), 6)
+          when(simj > acc("sim"),
+            struct(simj.as("sim"), j.cast("int").as("code")))
+            .otherwise(acc)
+        },
+        acc => acc("code"))
+    })
+    corpus.select(col(idCol), codes.as("codes"))
+  }
+
+  /** ADC top-k over PQ codes: each query computes its lookup table —
+    * dot(query sub-vector, sub-centroid) for all m·ksub cells — ROW-
+    * LOCALLY from the literal codebook and carries it on the broadcast
+    * query row; scoring a corpus vector is m array lookups + an ordered
+    * fold (s = 0..m-1, so the double summation order is deterministic
+    * and oracle-replayable). Stage 1 reads ONLY the code table — the
+    * float corpus is never touched — which is the asymmetric-distance
+    * trade: approximate inner products from a 16×-smaller index scan.
+    * Per-query ranking is shard-bounded like every search path here. */
+  def pqAdcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
+      m: Int, ksub: Int, dim: Int, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
+    val sd = dim / m
+    val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
+    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cbLit, (s + 1).cast("int")), cvec =>
+        dot(slice(col(vecCol), s * sd + 1, lit(sd)), cvec))))
+    val q = queries.select(col(idCol).as("query_id"), lut.as("lut"))
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+          acc + element_at(col("lut"),
+            (s * ksub + element_at(col("codes"), (s + 1).cast("int")) + 1)
+              .cast("int"))),
+        6))
+    perQueryTopK(scored, k, shards)
+  }
+
   /** Lloyd's k-means over an embedding column — the trainer for the
     * IVF coarse quantizer ([[ivfAssign]]'s centroid input). Each
     * iteration is one distributed pass: broadcast-centroid assignment

@@ -148,4 +148,56 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Seq[Double])].collect().toMap
     assert(fit0(0L) == rows(0)._2.map(_.toDouble))
   }
+
+  test("semanticDedup drops within-cluster near-dups, keeps min id") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),  // ~cos 0.995 with 0 → dropped
+      (2L, Seq(0f, 0f, 1f, 0f)),
+      (3L, Seq(0f, 0f, 0.9f, 0.1f)),   // ~cos 0.993 with 2 → dropped
+      (4L, Seq(0.7f, 0f, 0.7f, 0f))    // cos 0.707 to both axes → kept
+    ).toDF("vec_id", "embedding")
+    val cents = Seq(
+      (100L, Seq(1f, 0f, 0f, 0f)),
+      (101L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val kept = semanticDedup(corpus, cents, threshold = 0.98)
+      .select("vec_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(0L, 2L, 4L)))
+    // threshold above every pair sim → nothing dropped
+    assert(semanticDedup(corpus, cents, threshold = 0.999).count() == 5)
+  }
+
+  test("PQ: codes index the codebook; ADC ranks codebook-exact vectors exactly") {
+    // dim 8, m=2 subspaces of 4; iters=0 → codebook = sub-vectors of the
+    // two lowest-id vectors; subspace-orthogonal construction
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f, 0f, 0f, 2f, 0f, 0f)), // codes [0,0] (clone dir of 0)
+      (3L, Seq(0f, 2f, 0f, 0f, 2f, 0f, 0f, 0f)), // codes [1,1]
+      (4L, Seq(1f, 0.1f, 0f, 0f, 0.1f, 1f, 0f, 0f)), // ≈0 → [0,0]
+      (5L, Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))  // sub0→0, sub1→1
+    ).toDF("vec_id", "embedding")
+    val cbs = pqTrain(corpus, m = 2, ksub = 2, iters = 0, dim = 8)
+    val cb = cbs.select("sub", "code", "centroid")
+      .as[(Int, Int, Seq[Double])].collect()
+    assert(cb.length == 4 && cb.forall(c => c._2 == 0 || c._2 == 1))
+    // code c of subspace s is the sub-vector of init vector c
+    assert(cb.toSeq.sortBy(c => (c._1, c._2)).map(_._3) == Seq(
+      Seq(1.0, 0, 0, 0), Seq(0.0, 1, 0, 0),   // sub 0: vec0, vec1
+      Seq(0.0, 1, 0, 0), Seq(1.0, 0, 0, 0)))  // sub 1: vec0, vec1
+    val codes = pqEncode(corpus, cbs, m = 2, ksub = 2, dim = 8)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
+    assert(codes(2L) == Seq(0, 0) && codes(3L) == Seq(1, 1))
+    assert(codes(4L) == Seq(0, 0) && codes(5L) == Seq(0, 1))
+    // ADC scores for query 0: codes [0,0] → 2.0, [0,1] → 1.0, [1,1] → 0.0
+    val top = pqAdcTopK(
+      pqEncode(corpus, cbs, 2, 2, 8), corpus.filter($"vec_id" === 0),
+      cbs, m = 2, ksub = 2, dim = 8, k = 5)
+      .select("rank", "neighbor_id", "sim")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(top.map(_._2).take(3).sameElements(Array(2L, 4L, 5L)))
+    assert(top.head._3 == 2.0 && top(2)._3 == 1.0)
+  }
 }
