@@ -297,6 +297,46 @@ object Advanced {
                 AND CURRENT ROW) AS BIGINT) AS range_cents
             FROM b ORDER BY o_custkey, o_orderkey"""))
 
+  /** J9: dynamic partition pruning — the fact is hive-partitioned on
+    * the join column; the dim's selective filter is only known at run
+    * time, so static partition pruning can't apply. Catalyst's DPP rule
+    * turns the dim's broadcast into a runtime partition filter on the
+    * fact scan (PlanSpec asserts `dynamicpruning` in the scan's
+    * partition filters), so non-matching partitions are never read. At
+    * 100 TB star-schema scale this is the difference between scanning
+    * one date/status slice and scanning the whole fact table. Results
+    * are pruning-invariant, so the oracle is the plain join. */
+  val dppJoin: GQuery = GQuery(
+    "j9_dpp_join",
+    (s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_j9_tbl").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .write.mode("overwrite").partitionBy("o_orderstatus")
+        .parquet(s"$base/orders_p")
+      import s.implicits._
+      // the dim predicate must be a literal comparison: Catalyst's DPP
+      // rule gates on isLikelySelective, which recognizes `ord = 1` but
+      // NOT a bare boolean attribute (BooleanSimplification strips
+      // `wanted = true` down to one)
+      Seq(("F", 1), ("O", 2), ("P", 3))
+        .toDF("status", "ord")
+        .write.mode("overwrite").parquet(s"$base/dim_p")
+      val fact = s.read.parquet(s"$base/orders_p")
+      val dim = s.read.parquet(s"$base/dim_p").filter(col("ord") === 1)
+      fact.join(dim, fact("o_orderstatus") === dim("status"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus").cast("string").as("o_orderstatus"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+            JOIN (SELECT * FROM (VALUES ('F', 1), ('O', 2),
+                  ('P', 3)) AS t(status, ord) WHERE ord = 1) dim
+              ON o_orderstatus = dim.status
+            ORDER BY o_orderkey"""))
+
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
-    rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames)
+    rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames,
+    dppJoin)
 }

@@ -301,7 +301,44 @@ object EtlShape {
             FROM orders WHERE o_orderstatus = 'F'
             ORDER BY o_orderkey"""))
 
+  /** S23: bucketed co-located join — both sides written bucketBy(8) on
+    * the join key, so the SortMergeJoin consumes bucket layout directly:
+    * ZERO Exchange on either input (PlanSpec asserts it). At 100 TB this
+    * is THE recurring-join optimization: the fact table's shuffle is
+    * paid once at write time and amortized over every subsequent join
+    * on that key. The merge hint forces SMJ so the co-location (not a
+    * broadcast) is what's exercised; results are layout-invariant, so
+    * the oracle is the plain join. */
+  val bucketedJoin: GQuery = GQuery(
+    "s23_bucketed_join",
+    (s, d) => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_s23_tbl").toString
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"))
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").option("path", s"$base/orders_b")
+        .saveAsTable("graft_s23_orders")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").option("path", s"$base/lineitem_b")
+        .saveAsTable("graft_s23_lineitem")
+      s.table("graft_s23_orders").hint("merge")
+        .join(s.table("graft_s23_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(round(col("l_quantity") * 100).cast("long")).as("qty_cents"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n_items,
+              CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                AS qty_cents
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_custkey ORDER BY o_custkey"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
-      unionScan, prunedScan, partitionedScan)
+      unionScan, prunedScan, partitionedScan, bucketedJoin)
 }

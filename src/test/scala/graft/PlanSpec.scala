@@ -116,6 +116,29 @@ class PlanSpec extends SparkSpec {
         s"${if (found.contains(n)) "none detected" else "it is not in the catalog (stale allowlist?)"}"))
   }
 
+  test("s23 bucketed join: SortMergeJoin consumes bucket layout, zero exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val df = SparkEntry.queries("s23_bucketed_join")(spark, sf)
+    val plan = df.queryExecution.sparkPlan
+    val smj = plan.collect { case j: SortMergeJoinExec => j }
+    assert(smj.nonEmpty, s"expected a SortMergeJoin:\n$plan")
+    // the join subtree must be exchange-free (the groupBy ABOVE the join
+    // legitimately shuffles; bucket co-location is about the inputs)
+    val exch = smj.head.collect { case e: ShuffleExchangeExec => e }
+    assert(exch.isEmpty,
+      s"bucketed join inputs shuffled:\n${exch.mkString("\n")}")
+  }
+
+  test("j9 plan: fact scan carries a runtime dynamic-partition-pruning filter") {
+    val df = SparkEntry.queries("j9_dpp_join")(spark, sf)
+    val factScan = scans(df).find(_.metadata("Location").contains("orders_p"))
+    assert(factScan.nonEmpty, "fact scan not found")
+    val pf = factScan.get.metadata("PartitionFilters")
+    assert(pf.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic pruning filter on the fact scan: $pf")
+  }
+
   test("gate queries keep pushdown through their own plans (p8, w2)") {
     val p8 = SparkEntry.queries("p8_watermark_filter")(spark, sf)
     val p8scan = scans(p8).find(_.metadata("Location").contains("events"))
