@@ -526,11 +526,38 @@ object Relational {
               ON p.user_id = c.user_id AND p.ts >= c.ts
             ORDER BY p.event_id"""))
 
+  /** A15: the mergeable-sketch LIFECYCLE a2b's one-shot estimate
+    * doesn't exercise — per-group Datasketches HLL sketches built
+    * independently (in production: one per day/partition, persisted as
+    * binary), then hll_union_agg merges them WITHOUT rescanning rows
+    * and the estimate comes off the merged sketch. At 100 TB this is
+    * how "distinct users this quarter" is answered from 90 stored
+    * daily sketches in milliseconds. Estimate values are
+    * engine-specific, so the oracle contract is a2b's: exact count
+    * matches AND the merged-sketch estimate lands within 5%. */
+  val qHllUnion: GQuery = GQuery(
+    "a15_hll_union",
+    (s, d) => {
+      val perGroup = li(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(12)).as("sk"))
+      val merged = perGroup
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = li(s, d)
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      exact.crossJoin(broadcast(merged))
+        .select(col("n_exact"),
+          (abs(col("est") - col("n_exact")) * 100 <= col("n_exact") * 5)
+            .as("within_5pct"))
+    },
+    Some("""SELECT count(DISTINCT l_partkey) AS n_exact,
+            true AS within_5pct FROM lineitem"""))
+
   val all: Seq[GQuery] = Seq(
     q1Agg, qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
     qUnion, qSetDiff,
     qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qCmsSketch,
-    qRowLookup, qHead)
+    qRowLookup, qHead, qHllUnion)
 }

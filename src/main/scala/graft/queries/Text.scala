@@ -634,9 +634,75 @@ object Text {
             SELECT doc_id, quality_m, n_tokens, cum_tokens FROM w, tt
             WHERE cum_tokens * 10 <= tot * 6 ORDER BY doc_id"""))
 
+  /** C4: deterministic train/valid/test split — multiplicative-hash
+    * bucket of the doc id, 90/5/5. Pure integer arithmetic (identical
+    * in any engine), partition-invariant, stable under re-runs and
+    * corpus growth: a doc's split never changes when other docs are
+    * added, which is the property that keeps eval sets frozen across
+    * pipeline versions. At 100 TB this is a row-local projection —
+    * no shuffle, no state. */
+  val splitAssignQ: GQuery = GQuery(
+    "c4_split_assign",
+    (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
+            lit(100L)).cast("long").as("bucket"))
+        .withColumn("split",
+          when(col("bucket") < 90, lit("train"))
+            .when(col("bucket") < 95, lit("valid"))
+            .otherwise(lit("test")))
+        .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+              CAST((doc_id * 2654435761) % 1000000007 % 100 AS BIGINT)
+                AS bucket,
+              CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+                   THEN 'train'
+                   WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95
+                   THEN 'valid' ELSE 'test' END AS split
+            FROM documents ORDER BY doc_id"""))
+
+  /** T13: unigram-LM surprisal scoring — the perplexity-proxy quality
+    * filter: rare-token-heavy docs score high. The per-token weight is
+    * the RATIONAL inverse frequency (N·10⁶) div count — a monotone
+    * transform of -log p kept in exact BIGINT arithmetic (same reason
+    * as t8's rational idf: float ln() differs in the last ulp across
+    * libms). Scale shape: explode → one keyed agg for counts, rejoined
+    * on term (broadcast while the vocab fits, shuffle-join beyond), the
+    * corpus total via broadcast cross join; headroom: N·10⁶ < 2⁶³ holds
+    * to ~9e12 corpus tokens — raise the scale divisor past that. */
+  val surprisalQ: GQuery = GQuery(
+    "t13_surprisal",
+    (s, d) => {
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val cnt = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      val w = Exact.idiv(col("n") * lit(1000000L), col("c"))
+      tok.join(cnt, Seq("term")).crossJoin(broadcast(tot))
+        .withColumn("w", w)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("w")).as("surprisal_sum"))
+        .withColumn("surprisal_mean",
+          Exact.idiv(col("surprisal_sum"), col("n_tokens")))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($SqlToks) AS term
+              FROM documents),
+            cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            tot AS (SELECT count(*) AS n FROM tok)
+            SELECT t.doc_id, count(*) AS n_tokens,
+              CAST(sum((tot.n * 1000000) // c.c) AS BIGINT)
+                AS surprisal_sum,
+              CAST(CAST(sum((tot.n * 1000000) // c.c) AS BIGINT)
+                // count(*) AS BIGINT) AS surprisal_mean
+            FROM tok t JOIN cnt c USING (term), tot
+            GROUP BY t.doc_id ORDER BY t.doc_id"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ,
       tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ, curriculumQ,
-      budgetSelectQ)
+      budgetSelectQ, splitAssignQ, surprisalQ)
 }

@@ -168,6 +168,24 @@ object WindowedStats {
     *
     * Column contract: left has (key, ts, ...), right has (key, ts,
     * ...); output prefixes disambiguate. Inner join semantics. */
+  /** ST10: event-time SESSION windows — the streaming counterpart of
+    * the batch sessionizer (w6): events of one user within `gap` of
+    * each other merge into one growing window; a quiet period > gap
+    * closes it. The watermark is what makes this bounded: a session
+    * window finalizes (and its state evicts) once the watermark passes
+    * its end, so state is O(active sessions), not O(history) — the
+    * property that lets per-user sessionization run indefinitely at
+    * firehose scale. Append mode emits only finalized sessions. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n"))
+
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       within: String = "10 minutes",
       watermark: String = "10 minutes"): DataFrame = {

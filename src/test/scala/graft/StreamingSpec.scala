@@ -209,6 +209,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ST10: streaming session windows merge within gap, split beyond, finalize on watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_sw").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(plusMin: Int) =
+      new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val in = MemoryStream[(Long, java.sql.Timestamp)]
+    val sessions = WindowedStats.sessionCounts(
+      in.toDF().toDF("user_id", "ts"), gap = "30 minutes",
+      watermark = "30 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sw")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ck").start()
+    // user 1: events at +0, +10 (one session), then +60 (new session —
+    // 50 min > 30 min gap); user 99 at +500 pushes the watermark far
+    // enough to finalize both of user 1's sessions
+    in.addData((1L, ts(0)), (1L, ts(10)), (1L, ts(60)))
+    q.processAllAvailable()
+    in.addData((99L, ts(500)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sw")
+      .select($"user_id", $"session_start", $"session_end", $"n")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().filter(_._1 == 1L).sortBy(_._2.getTime)
+    assert(got.length == 2, s"expected 2 finalized sessions: ${got.toSeq}")
+    // session 1 spans [+0, +10+gap), holds both events
+    assert(got(0)._2 == ts(0) && got(0)._3 == ts(40) && got(0)._4 == 2L,
+      s"session 1 wrong: ${got(0)}")
+    // session 2 is the lone +60 event, window [+60, +90)
+    assert(got(1)._2 == ts(60) && got(1)._3 == ts(90) && got(1)._4 == 1L,
+      s"session 2 wrong: ${got(1)}")
+    // user 99's session is still open (watermark has not passed it)
+    assert(!spark.table("sw").as[(Long, java.sql.Timestamp,
+      java.sql.Timestamp, Long)].collect().exists(_._1 == 99L))
+  }
+
   test("ST9: stream-stream interval join matches in-window, drops out-of-window") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
