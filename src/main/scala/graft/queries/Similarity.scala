@@ -473,7 +473,76 @@ object Similarity {
               neighbor_id, sim
             FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank"""))
 
+  /** v12: IVF-PQ — probe-pruned (nprobe=2 of 16 lists) ADC scoring,
+    * the composition of v5/v6's coarse quantizer with v11's code-table
+    * scoring. The oracle composes the two replays: centroid probes +
+    * argmax assignment restrict WHICH vectors score; codebook + encode
+    * + s-ordered LUT fold produce the score. */
+  val ivfPqTopKQ: GQuery = GQuery(
+    "v12_ivfpq_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      val cbs = pqTrain(e, m = 4, ksub = 16, iters = 0, dim = Dim)
+      ivfPqTopK(e, e.filter(col("vec_id") < 3),
+        e.filter(col("vec_id") < 16), cbs,
+        m = 4, ksub = 16, dim = Dim, k = 10, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH kbase AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            subs AS (SELECT unnest(range(4)) AS s),
+            bsub AS (SELECT b.id, t.s, b.v[t.s*16+1 : t.s*16+16] AS sv
+              FROM kbase b CROSS JOIN subs t),
+            init AS (SELECT id, v FROM kbase ORDER BY id LIMIT 16),
+            cb AS (SELECT t.s,
+                row_number() OVER (PARTITION BY t.s ORDER BY b.id) - 1
+                  AS code,
+                b.v[t.s*16+1 : t.s*16+16] AS cv
+              FROM init b CROSS JOIN subs t),
+            enc AS (SELECT id, s, code FROM (
+              SELECT t.id, t.s, c.code,
+                row_number() OVER (PARTITION BY t.id, t.s
+                  ORDER BY round(${sqlCosineD("t.sv", "c.cv", 16)}, 6) DESC,
+                           c.code) AS rn
+              FROM bsub t JOIN cb c ON c.s = t.s) z WHERE rn = 1),
+            cents AS (SELECT id AS centroid_id, v AS cv FROM kbase
+              WHERE id < 16),
+            asg AS (SELECT id, centroid_id FROM (
+              SELECT b.id, c.centroid_id,
+                row_number() OVER (PARTITION BY b.id
+                  ORDER BY round(${sqlCosine("b.v", "c.cv")}, 6) DESC,
+                           c.centroid_id) AS rn
+              FROM kbase b CROSS JOIN cents c) z WHERE rn = 1),
+            probes AS (SELECT query_id, centroid_id FROM (
+              SELECT q.id AS query_id, c.centroid_id,
+                row_number() OVER (PARTITION BY q.id
+                  ORDER BY round(${sqlCosine("q.v", "c.cv")}, 6) DESC,
+                           c.centroid_id) AS rn
+              FROM kbase q CROSS JOIN cents c WHERE q.id < 3) z
+              WHERE rn <= 2),
+            pd AS (SELECT q.id AS query_id, e.id AS neighbor_id, e.s,
+                ${sqlDotD("q.sv", "c.cv", 16)} AS pdot
+              FROM bsub q
+              JOIN probes p ON p.query_id = q.id
+              JOIN asg a ON a.centroid_id = p.centroid_id
+                AND a.id != q.id
+              JOIN enc e ON e.id = a.id AND e.s = q.s
+              JOIN cb c ON c.s = e.s AND c.code = e.code
+              WHERE q.id < 3),
+            sc AS (SELECT query_id, neighbor_id,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(pdot ORDER BY s)), (acc, x) -> acc + x), 6) AS sim
+              FROM pd GROUP BY query_id, neighbor_id)
+            SELECT query_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank,
+              neighbor_id, sim
+            FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
     ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
-    kmeansQ, semanticDedupQ, pqTopKQ)
+    kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ)
 }

@@ -429,13 +429,11 @@ object VectorFunctions {
     * The codebook rides as a LITERAL, so encoding is row-local inside
     * the scan projection — no join, no shuffle, the shape of bulk PQ
     * encoding at corpus scale. */
-  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
-      dim: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
-    val sd = dim / m
-    val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
-    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
-      val sv = slice(col(vecCol), s * sd + 1, lit(sd))
+  /** Row-local PQ code array for vector column `v` (see [[pqEncode]]). */
+  private def pqCodesExpr(v: Column, cbLit: Column, m: Int, ksub: Int,
+      sd: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(v, s * sd + 1, lit(sd))
       val cbs = element_at(cbLit, (s + 1).cast("int"))
       aggregate(
         sequence(lit(0), lit(ksub - 1)),
@@ -448,7 +446,31 @@ object VectorFunctions {
         },
         acc => acc("code"))
     })
-    corpus.select(col(idCol), codes.as("codes"))
+
+  /** Row-local ADC lookup table for query vector `v`: cell s·ksub+j =
+    * dot(sub-vector s of v, centroid j of subspace s). */
+  private def pqLutExpr(v: Column, cbLit: Column, m: Int, sd: Int): Column =
+    flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(element_at(cbLit, (s + 1).cast("int")), cvec =>
+        dot(slice(v, s * sd + 1, lit(sd)), cvec))))
+
+  /** Ordered (s = 0..m-1) fold of LUT lookups for a code array — the
+    * deterministic ADC score. */
+  private def pqScoreExpr(lut: Column, codes: Column, m: Int,
+      ksub: Int): Column =
+    round(
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+        acc + element_at(lut,
+          (s * ksub + element_at(codes, (s + 1).cast("int")) + 1)
+            .cast("int"))),
+      6)
+
+  def pqEncode(corpus: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
+      dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
+    corpus.select(col(idCol),
+      pqCodesExpr(col(vecCol), cbLit, m, ksub, dim / m).as("codes"))
   }
 
   /** ADC top-k over PQ codes: each query computes its lookup table —
@@ -463,21 +485,51 @@ object VectorFunctions {
   def pqAdcTopK(codes: DataFrame, queries: DataFrame, codebooks: DataFrame,
       m: Int, ksub: Int, dim: Int, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding", shards: Int = 64): DataFrame = {
-    val sd = dim / m
     val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
-    val lut = flatten(transform(sequence(lit(0), lit(m - 1)), s =>
-      transform(element_at(cbLit, (s + 1).cast("int")), cvec =>
-        dot(slice(col(vecCol), s * sd + 1, lit(sd)), cvec))))
-    val q = queries.select(col(idCol).as("query_id"), lut.as("lut"))
+    val q = queries.select(col(idCol).as("query_id"),
+      pqLutExpr(col(vecCol), cbLit, m, dim / m).as("lut"))
     val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
       .crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim", round(
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-          acc + element_at(col("lut"),
-            (s * ksub + element_at(col("codes"), (s + 1).cast("int")) + 1)
-              .cast("int"))),
-        6))
+      .withColumn("sim", pqScoreExpr(col("lut"), col("codes"), m, ksub))
+    perQueryTopK(scored, k, shards)
+  }
+
+  /** IVF-PQ (the FAISS billion-vector architecture composed from this
+    * file's parts): the coarse quantizer prunes WHICH vectors are
+    * scored — queries probe their nprobe closest centroids and touch
+    * only those inverted lists (scanned fraction ≈ nprobe/nlist) — and
+    * PQ-ADC prunes WHAT is read per vector: m small codes instead of
+    * dim floats. One corpus pass computes assignment AND codes in the
+    * same projection (ivfAssign carries the vector through; encoding is
+    * row-local), so the corpus never shuffles and is never re-joined;
+    * probes ride with their row-local lookup tables on the broadcast
+    * side. Ranking is shard-bounded. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
+      dim: Int, k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
+    val sd = dim / m
+    val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("cv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        pqLutExpr(col(vecCol), cbLit, m, sd).as("lut"))
+      .crossJoin(broadcast(c))
+      .withColumn("csim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("lut"), col("centroid_id"))
+    val assigned = ivfAssignKeeping(
+      corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        pqCodesExpr(col(vecCol), cbLit, m, ksub, sd).as("codes"))
+    val scored = broadcast(probes).join(assigned, "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", pqScoreExpr(col("lut"), col("codes"), m, ksub))
     perQueryTopK(scored, k, shards)
   }
 

@@ -200,4 +200,33 @@ class SimilaritySpec extends SparkSpec {
     assert(top.map(_._2).take(3).sameElements(Array(2L, 4L, 5L)))
     assert(top.head._3 == 2.0 && top(2)._3 == 1.0)
   }
+
+  test("IVF-PQ with every list probed equals full ADC; fewer probes give a subset") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f, 1f, 0f, 0f, 0f)),
+      (2L, Seq(2f, 0f, 0f, 0f, 0f, 2f, 0f, 0f)),
+      (3L, Seq(0f, 2f, 0f, 0f, 2f, 0f, 0f, 0f)),
+      (4L, Seq(1f, 0.1f, 0f, 0f, 0.1f, 1f, 0f, 0f)),
+      (5L, Seq(1f, 0f, 0f, 0f, 1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = corpus.filter($"vec_id" < 2)
+    val cbs = pqTrain(corpus, m = 2, ksub = 2, iters = 0, dim = 8)
+    val q = corpus.filter($"vec_id" === 0)
+    val full = pqAdcTopK(pqEncode(corpus, cbs, 2, 2, 8), q, cbs,
+      m = 2, ksub = 2, dim = 8, k = 5)
+      .select("rank", "neighbor_id", "sim")
+      .as[(Int, Long, Double)].collect().toSet
+    // nprobe = nlist: every inverted list scanned → identical to full ADC
+    val all2 = ivfPqTopK(corpus, q, cents, cbs,
+      m = 2, ksub = 2, dim = 8, k = 5, nprobe = 2)
+      .select("rank", "neighbor_id", "sim")
+      .as[(Int, Long, Double)].collect().toSet
+    assert(all2 == full, s"nprobe=nlist diverged:\n$all2\nvs\n$full")
+    // nprobe=1: only query 0's own list scores — a (re-ranked) subset
+    val one = ivfPqTopK(corpus, q, cents, cbs,
+      m = 2, ksub = 2, dim = 8, k = 5, nprobe = 1)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(one.nonEmpty && one.subsetOf(full.map(_._2)))
+  }
 }
