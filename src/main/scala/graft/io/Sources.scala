@@ -301,6 +301,32 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       schemaJson = survivors.schema.json)
   }
 
+  /** Delta-style MERGE (upsert): rows of `updates` REPLACE current rows
+    * sharing their key; update rows with no current match INSERT. The
+    * whole statement is one atomic commit — readers see the old
+    * snapshot until the new one swaps in, exactly like overwrite.
+    * Column contract: `updates` has the table's schema (whenMatched
+    * update-all + whenNotMatched insert-all semantics, the common Delta
+    * MERGE form). The anti-join keeps only unmatched current rows, so
+    * the rewrite is current ⟕̸ updates ∪ updates. At 100 TB real Delta
+    * narrows the rewrite to files containing matched keys — with the
+    * stats sidecar that refinement drops in here naturally; the commit
+    * protocol (and hence reader-visible semantics) is identical. */
+  def merge(updates: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "merge requires at least one key column")
+    import org.apache.spark.sql.functions.col
+    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val current = read()
+    val kept = current.join(
+      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val merged = kept.unionByName(updates)
+    val seg = writeSegment(merged)
+    commit(Seq(seg), "merge")
+    mirrorDeltaLog("merge", added = segmentFiles(seg),
+      removed = prev.flatMap(segmentFiles).map(_._1),
+      schemaJson = merged.schema.json)
+  }
+
   // ---- Delta-protocol commit mirror -------------------------------------
 
   /** Every commit is mirrored as a Delta-protocol transaction-log entry

@@ -338,7 +338,77 @@ object EtlShape {
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY o_custkey ORDER BY o_custkey"""))
 
+  /** S24: Delta-style MERGE (upsert) through the managed table — the
+    * reference's gold table is Delta, and MERGE is its daily-load verb.
+    * Base = orders ≤ 2000; updates = keys 1500..2500 with price·1.1 in
+    * exact cents arithmetic ((cents·11) div 10 — BIGINT end to end), so
+    * 1500..2000 update in place and 2001..2500 insert. One atomic
+    * commit; the oracle states the same upsert as upd ∪ (base ∖ upd). */
+  val mergeUpsert: GQuery = GQuery(
+    "s24_merge_upsert",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s24_tbl").toString + "/orders_m"
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), Exact.cents(col("o_totalprice")).as("price_cents"))
+      val base = o.filter(col("o_orderkey") <= 2000)
+      val updates = o
+        .filter(col("o_orderkey") >= 1500 && col("o_orderkey") <= 2500)
+        .withColumn("price_cents",
+          Exact.idiv(col("price_cents") * 11, lit(10)))
+      val t = new graft.io.ManagedParquetTable(s, dir)
+      t.overwrite(base)
+      t.merge(updates, Seq("o_orderkey"))
+      t.read().orderBy(col("o_orderkey"))
+    },
+    Some("""WITH base AS (SELECT o_orderkey, o_custkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM orders WHERE o_orderkey <= 2000),
+            upd AS (SELECT o_orderkey, o_custkey,
+              (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                AS price_cents
+              FROM orders WHERE o_orderkey BETWEEN 1500 AND 2500)
+            SELECT * FROM upd
+            UNION ALL
+            SELECT b.* FROM base b LEFT JOIN upd u
+              ON b.o_orderkey = u.o_orderkey
+            WHERE u.o_orderkey IS NULL
+            ORDER BY o_orderkey"""))
+
+  /** S25: CDC apply — fold a create/update/delete change stream to
+    * final state (latest seq per key wins; a winning delete removes the
+    * key). The change stream is built deterministically from orders
+    * (u for keys ≡0 mod 7 at seq 2, d for keys ≡0 mod 13 at seq 3);
+    * the oracle derives the final state independently from the same
+    * rules — an update survives only where no later delete hit. */
+  val cdcApply: GQuery = GQuery(
+    "s25_cdc_apply",
+    (s, d) => {
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("key"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      val creates = o.select(col("key"), lit(1L).as("seq"),
+        lit("c").as("op"), col("price_cents"))
+      val updates = o.filter(col("key") % 7 === 0)
+        .select(col("key"), lit(2L).as("seq"), lit("u").as("op"),
+          Exact.idiv(col("price_cents") * 11, lit(10)).as("price_cents"))
+      val deletes = o.filter(col("key") % 13 === 0)
+        .select(col("key"), lit(3L).as("seq"), lit("d").as("op"),
+          lit(null).cast("long").as("price_cents"))
+      graft.streaming.BronzeIngest.applyCdc(
+        creates.unionByName(updates).unionByName(deletes),
+        Seq("key"), "seq", "op")
+        .orderBy(col("key"))
+    },
+    Some("""SELECT o_orderkey AS key,
+              CASE WHEN o_orderkey % 7 = 0
+                THEN (CAST(round(o_totalprice * 100) AS BIGINT) * 11) // 10
+                ELSE CAST(round(o_totalprice * 100) AS BIGINT) END
+                AS price_cents
+            FROM orders WHERE o_orderkey % 13 != 0
+            ORDER BY key"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
-      unionScan, prunedScan, partitionedScan, bucketedJoin)
+      unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
+      cdcApply)
 }

@@ -98,6 +98,29 @@ object BronzeIngest {
   def batchReplay(spark: SparkSession, dir: String): DataFrame =
     decode(spark.read.format("text").load(dir))
 
+  /** CDC APPLY — the compaction step a Debezium-style feed needs after
+    * decode: fold a (key, seq, op, payload...) change stream to final
+    * table state. Latest change per key wins (max `seqCol`; make it the
+    * source LSN/offset so the order is total); a winning delete ('d')
+    * removes the key entirely. Complements P11's insert-only filter:
+    * that shape ignores u/d ops, this one applies them — together they
+    * are the two halves of the reference's bronze contract. Scale
+    * shape: one shuffle on key; the per-key window is bounded by that
+    * key's change count in the batch (micro-batch or daily compaction),
+    * never the table size. Compose with [[graft.io.ManagedParquetTable.merge]]
+    * to upsert the folded state into the lakehouse table. */
+  def applyCdc(changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyCdc requires at least one key column")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    changes
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= "d")
+      .drop("_rn", opCol, seqCol)
+  }
+
   /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with
     * checkpointed watermark state — strictly stronger than the
     * reference's in-memory processed_ids set (lost on restart,

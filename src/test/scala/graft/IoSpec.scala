@@ -47,6 +47,34 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("managed parquet table: MERGE updates matches, inserts the rest, in one commit") {
+    val t = new ManagedParquetTable(spark, tmp("mptm") + "/tbl")
+    t.overwrite(Seq((1, "a"), (2, "b"), (4, "d")).toDF("id", "v"))
+    t.merge(Seq((2, "B"), (3, "C")).toDF("id", "v"), Seq("id"))
+    val got = t.read().as[(Int, String)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1, "a"), (2, "B"), (3, "C"), (4, "d")))
+    // the merge is ONE commit: version 0 (overwrite) still travels
+    assert(t.readAt(0).as[(Int, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "b"), (4, "d")))
+    // idempotent re-merge of the same updates changes nothing
+    t.merge(Seq((2, "B"), (3, "C")).toDF("id", "v"), Seq("id"))
+    assert(t.read().as[(Int, String)].collect().sortBy(_._1).toSeq ==
+      Seq((1, "a"), (2, "B"), (3, "C"), (4, "d")))
+  }
+
+  test("applyCdc folds create/update/delete to final state; later seq wins") {
+    import graft.streaming.BronzeIngest
+    val changes = Seq(
+      (1L, 1L, "c", 10L), (1L, 2L, "u", 11L),            // update wins
+      (2L, 1L, "c", 20L), (2L, 2L, "d", 0L),             // deleted
+      (3L, 1L, "c", 30L),                                // untouched
+      (4L, 1L, "c", 40L), (4L, 2L, "d", 0L), (4L, 3L, "c", 41L) // re-created
+    ).toDF("key", "seq", "op", "val")
+    val got = BronzeIngest.applyCdc(changes, Seq("key"), "seq", "op")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 11L), (3L, 30L), (4L, 41L)))
+  }
+
   test("managed parquet table: overwrite never exposes partial state " +
     "to concurrent readers; vacuum reclaims dead segments") {
     val tblPath = tmp("mpt_conc") + "/tbl"
