@@ -75,6 +75,15 @@ class SimilaritySpec extends SparkSpec {
     val cents = e.filter(col("vec_id") < 16)
     assert(rows(ivfTopK(e, queries, cents, k = 5, nprobe = 2, shards = 1)) ==
       rows(ivfTopK(e, queries, cents, k = 5, nprobe = 2, shards = 13)))
+    val cbs = pqTrain(e, m = 4, ksub = 16, iters = 0, dim = 64)
+    val codes = pqEncode(e, cbs, m = 4, ksub = 16, dim = 64)
+    assert(rows(pqAdcTopK(codes, queries, cbs, 4, 16, 64, k = 5,
+        shards = 1)) ==
+      rows(pqAdcTopK(codes, queries, cbs, 4, 16, 64, k = 5, shards = 13)))
+    assert(rows(ivfPqTopK(e, queries, cents, cbs, 4, 16, 64, k = 5,
+        nprobe = 2, shards = 1)) ==
+      rows(ivfPqTopK(e, queries, cents, cbs, 4, 16, 64, k = 5,
+        nprobe = 2, shards = 13)))
   }
 
   test("storedQuantizedTopK: identical results to the inline quantized search") {
