@@ -327,6 +327,23 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       schemaJson = merged.schema.json)
   }
 
+  /** Key-set delete: remove every row whose key appears in `keys` —
+    * the DELETE half of a CDC apply. Anti-join, not isin: the key set
+    * is a DataFrame of any size, never collected to the driver. One
+    * atomic commit like [[deleteWhere]]. */
+  def deleteMatching(keys: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "deleteMatching requires at least one key column")
+    import org.apache.spark.sql.functions.col
+    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val survivors = read().join(
+      keys.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val seg = writeSegment(survivors)
+    commit(Seq(seg), "delete")
+    mirrorDeltaLog("delete", added = segmentFiles(seg),
+      removed = prev.flatMap(segmentFiles).map(_._1),
+      schemaJson = survivors.schema.json)
+  }
+
   // ---- Delta-protocol commit mirror -------------------------------------
 
   /** Every commit is mirrored as a Delta-protocol transaction-log entry

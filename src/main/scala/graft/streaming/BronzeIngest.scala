@@ -121,6 +121,33 @@ object BronzeIngest {
       .drop("_rn", opCol, seqCol)
   }
 
+  /** ST11: the per-micro-batch half of a streaming CDC UPSERT sink —
+    * fold the batch's changes ([[applyCdc]] semantics) and apply them
+    * to a managed table: winning non-deletes MERGE (update-or-insert),
+    * winning deletes remove their keys via anti-join (never an isin
+    * collect). Call from foreachBatch; with the stream's checkpoint
+    * this gives effectively-once table state (a replayed batch merges
+    * idempotently — same keys, same payloads — and re-deletes absent
+    * keys, a no-op). Two commits per batch (merge + delete), each
+    * individually atomic; readers between them see the post-merge
+    * pre-delete snapshot, the same visibility a two-statement Delta
+    * transaction script would give. */
+  def upsertCdcBatch(table: graft.io.ManagedParquetTable,
+      changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val ups = latest.filter(col(opCol) =!= "d")
+      .drop("_rn", opCol, seqCol)
+    val dels = latest.filter(col(opCol) === "d")
+      .select(keyCols.map(col): _*)
+    if (!ups.isEmpty) table.merge(ups, keyCols)
+    if (!dels.isEmpty) table.deleteMatching(dels, keyCols)
+  }
+
   /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with
     * checkpointed watermark state — strictly stronger than the
     * reference's in-memory processed_ids set (lost on restart,

@@ -209,6 +209,36 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ST11: streaming CDC upsert sink — foreachBatch fold + MERGE + key delete") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.ManagedParquetTable
+    import graft.streaming.BronzeIngest
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cdcup").toString
+    val t = new ManagedParquetTable(spark, s"$dir/tbl")
+    t.overwrite(Seq((0L, 5L)).toDF("key", "val")) // pre-existing state
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val q = in.toDF().toDF("key", "seq", "op", "val")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        BronzeIngest.upsertCdcBatch(t, batch, Seq("key"), "seq", "op")
+      }.start()
+    in.addData((1L, 1L, "c", 10L), (2L, 2L, "c", 20L), (3L, 3L, "c", 30L))
+    q.processAllAvailable()
+    assert(t.read().as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((0L, 5L), (1L, 10L), (2L, 20L), (3L, 30L)))
+    // batch 2: update key 1, delete key 2, create key 4; key 1 also has
+    // an older stale change the fold must ignore
+    in.addData((1L, 5L, "u", 11L), (1L, 4L, "u", 99L),
+      (2L, 6L, "d", 0L), (4L, 7L, "c", 40L))
+    q.processAllAvailable()
+    q.stop()
+    assert(t.read().as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((0L, 5L), (1L, 11L), (3L, 30L), (4L, 40L)))
+  }
+
   test("ST10: streaming session windows merge within gap, split beyond, finalize on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
