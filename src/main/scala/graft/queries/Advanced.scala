@@ -205,6 +205,48 @@ object Advanced {
             GROUP BY p.event_id, p.user_id
             ORDER BY p.event_id"""))
 
+  /** J10: interval-OVERLAP join (both sides intervals — the
+    * generalization j7's point-in-range is a special case of):
+    * page-view visibility windows [ts, ts+30min] overlapped with click
+    * attribution windows [ts, ts+10min] per user. Bucketed equi-join
+    * with the keep-once-at-overlap-start rule (no distinct, no second
+    * shuffle); the oracle is the plain overlap-predicate join. Overlap
+    * length is exact µs integer arithmetic. */
+  val intervalOverlap: GQuery = GQuery(
+    "j10_interval_overlap",
+    (s, d) => {
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("l_id"),
+          col("ts_us").as("ls"),
+          (col("ts_us") + 1800L * 1000000).as("le"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("r_id"),
+          col("ts_us").as("rs"),
+          (col("ts_us") + 600L * 1000000).as("re"))
+      graft.operators.RangeJoin.intervalOverlapJoin(
+        views, clicks, key = "user_id", lStart = "ls", lEnd = "le",
+        rStart = "rs", rEnd = "re", bucket = 600L * 1000000,
+        rightCols = Seq("r_id"))
+        .select(col("user_id"), col("l_id"), col("r_id"),
+          (least(col("le"), col("re")) -
+            greatest(col("ls"), col("rs"))).as("overlap_us"))
+        .orderBy(col("user_id"), col("l_id"), col("r_id"))
+    },
+    Some("""WITH pv AS (SELECT user_id, event_id AS l_id,
+              epoch_us(ts) AS ls,
+              epoch_us(ts) + CAST(1800 AS BIGINT) * 1000000 AS le
+              FROM events WHERE event_type = 'view'),
+            ck AS (SELECT user_id, event_id AS r_id,
+              epoch_us(ts) AS rs,
+              epoch_us(ts) + CAST(600 AS BIGINT) * 1000000 AS re
+              FROM events WHERE event_type = 'click')
+            SELECT p.user_id AS user_id, l_id, r_id,
+              least(le, re) - greatest(ls, rs) AS overlap_us
+            FROM pv p JOIN ck c
+              ON p.user_id = c.user_id AND ls <= re AND rs <= le
+            ORDER BY p.user_id, l_id, r_id"""))
+
   /** Salted skew join (operators/SkewJoin) under the oracle gate: a
     * deliberately 90%-hot key (9 of 10 events land on key 1) joined to
     * the customer dim through (key, salt) so the hot key's rows spread
@@ -338,5 +380,5 @@ object Advanced {
 
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
     rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames,
-    dppJoin)
+    dppJoin, intervalOverlap)
 }

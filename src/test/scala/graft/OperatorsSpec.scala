@@ -94,6 +94,28 @@ class OperatorsSpec extends SparkSpec {
     assert(bucketed == naive && naive.nonEmpty)
   }
 
+  test("interval overlap join == naive overlap predicate, for any bucket width") {
+    val left = spark.range(150).select(($"id" % 4).as("k"),
+      ($"id" * 37 % 900).as("ls"), ($"id" * 37 % 900 + 120).as("le"),
+      $"id".as("lid"))
+    val right = spark.range(200).select(($"id" % 4).as("k"),
+      ($"id" * 53 % 900).as("rs"), ($"id" * 53 % 900 + 45).as("re"),
+      $"id".as("rid"))
+    val naive = left.join(right, Seq("k"))
+      .filter($"ls" <= $"re" && $"rs" <= $"le")
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    assert(naive.nonEmpty)
+    // bucket width is a pure tuning knob: tiny, matched, and huge
+    // widths all give the identical pair set, each pair exactly once
+    for (w <- Seq(7L, 120L, 5000L)) {
+      val got = graft.operators.RangeJoin.intervalOverlapJoin(
+        left, right, "k", "ls", "le", "rs", "re", w, Seq("rid"))
+        .select($"lid", $"rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size, s"duplicate pairs at w=$w")
+      assert(got.toSet == naive, s"pair set mismatch at w=$w")
+    }
+  }
+
   test("salted join == plain join on skewed data") {
     // 90% of rows share one key (the skew case)
     val fact = spark.range(10000).select(
