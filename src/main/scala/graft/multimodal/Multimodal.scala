@@ -181,6 +181,39 @@ object Multimodal {
     }
   }
 
+  /** IMAGE near-duplicate pairs — the multimodal counterpart of the
+    * text SimHash pipeline: decode + 64-bit dHash per image (one
+    * partition-batched pass), band the hash into 4×16-bit keys, bucket
+    * self-join (near-identical images agree on ≥1 band whenever
+    * Hamming ≤ 3 by pigeonhole over 4 bands), verify with exact
+    * bit_count(xor) ≤ maxDist. Candidates are bounded by bucket
+    * population — the corpus pair space is never formed. This is how
+    * image dedup runs over a multimodal training corpus: the payload is
+    * read once for hashing; pairing touches only 8-byte hashes. */
+  def imageNearDups(assets: DataFrame, payloadCol: String,
+      idCol: String = "doc_id", maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-band blocking guarantees recall only for maxDist <= 3")
+    val hashed = decodeAndFeaturize(assets.select(col(idCol),
+        col(payloadCol)), payloadCol)
+      .select(col(idCol), col("phash"))
+    // 4 bands of 16 bits each: band b = bits [16b, 16b+16)
+    val banded = hashed.select(col(idCol), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        pmod(shiftrightunsigned(col("phash"), b * 16), lit(65536L))): _*)))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_key")
+    val l = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_a"), col("phash").as("ha"))
+    val r = banded.select(col("band"), col("band_key"),
+      col(idCol).as("id_b"), col("phash").as("hb"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Blob-scan sizing: large binary rows blow past the default
     * bytes-per-partition heuristics (row count ≪ bytes). Repartition to
     * a target of ~`targetMB` of payload per task before decode — at

@@ -75,6 +75,32 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.isEmpty, "every fixture image must decode to its expectations")
   }
 
+  test("imageNearDups pairs near-identical images, separates different ones") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def png(f: (Int, Int) => Int, w: Int = 64, h: Int = 64): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = f(x, y) & 0xff
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos); bos.toByteArray
+    }
+    val horiz = png((x, _) => x * 4)
+    // one hot pixel: block means barely move, dHash unchanged or ≤3 bits
+    val horizNoisy = png((x, y) => if (x == 10 && y == 10) 255 else x * 4)
+    val vert = png((_, y) => y * 4)
+    val vertClone = png((_, y) => y * 4)
+    val assets = Seq((1L, horiz), (2L, horizNoisy), (3L, vert),
+      (4L, vertClone)).toDF("doc_id", "payload")
+    val pairs = Multimodal.imageNearDups(assets, "payload")
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Int)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (3L, 4L)),
+      s"pairs: ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 3))
+  }
+
   test("repartitionForBlobs yields a bounded partition count") {
     val out = Multimodal.repartitionForBlobs(assets, "payload", targetMB = 1)
     assert(out.rdd.getNumPartitions == 1) // tiny data → single task
