@@ -270,6 +270,19 @@ object FileStats {
     }
   }
 
+  /** Driver-side xxhash64 of a conjunct's literal — the IDENTICAL hash
+    * the bloom index build applied to the column values (XxHash64 over
+    * the same data type, default seed), so a driver probe agrees with
+    * the distributed sketch. */
+  def hashLiteral(c: Conjunct): Long = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    // Literal's primary constructor takes the INTERNAL value verbatim
+    // (c.value already is one — e.g. UTF8String for strings)
+    new XxHash64(Seq(Literal(c.value, c.dataType)))
+      .eval(InternalRow.empty).asInstanceOf[Long]
+  }
+
   /** Spark literal value → exact numeric, when the literal is numeric. */
   private def litRange(c: Conjunct): Option[BigDecimal] = c.value match {
     case v: java.lang.Integer => Some(BigDecimal(v.intValue))

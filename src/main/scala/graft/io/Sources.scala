@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -197,13 +197,92 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val conjuncts = FileStats.prunableConjuncts(read(), pred)
     if (conjuncts.isEmpty) return (files, files.size)
     val stats = liveStats()
+    val blooms = liveBlooms()
     val kept = files.filter { f =>
-      stats.get(f) match {
+      val rangeOk = stats.get(f) match {
         case None => true // no stats recorded: never skip
         case Some(cols) => conjuncts.forall(FileStats.mayMatch(cols, _))
       }
+      // bloom tier: an equality conjunct with a negative membership
+      // probe is a PROOF of absence (blooms have no false negatives)
+      rangeOk && conjuncts.forall { c =>
+        if (c.op != "=") true
+        else blooms.get((f, c.colName.toLowerCase)) match {
+          case None => true // no bloom for (file, col): never skip
+          case Some(bf) => bf.mightContainLong(FileStats.hashLiteral(c))
+        }
+      }
     }
     (kept, files.size)
+  }
+
+  private def bloomDir = Paths.get(path, "_graft_blooms")
+
+  /** Per-(file, column) BLOOM file-skipping tier — the equality
+    * complement of the min/max sidecar: after an overlapping ingest or
+    * without clustering, every file's [min,max] can span the whole key
+    * domain and range pruning keeps everything; a per-file Bloom of the
+    * column's values still proves `col = v` dead for files that never
+    * saw v (no false negatives — a negative probe is a proof). This is
+    * Delta's bloom-filter index / parquet bloom in sidecar form.
+    *
+    * Opt-in and rebuilt by one table scan per call (unlike the footer
+    * stats, values must actually be read): one distributed pass per
+    * column, partial sketches per file via the native
+    * BloomFilterAggregate over xxhash64 — only O(numBits) per (file,
+    * column) ever reaches the driver or disk. Call after (re)writes;
+    * files written later simply have no bloom and are never skipped. */
+  def buildBloomIndex(cols: Seq[String],
+      expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.01): Unit = {
+    require(cols.nonEmpty, "buildBloomIndex requires at least one column")
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal => CatLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    val segs = snapshot().map(_._2).getOrElse(Seq.empty)
+    require(segs.nonEmpty, s"no committed snapshot at $path")
+    val files = segs.flatMap(segmentFiles).map(_._1)
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItemsPerFile, fpp)
+    val rows = cols.flatMap { c =>
+      val agg = new BloomFilterAggregate(
+        expression(column(new XxHash64(Seq(expression(col(c)))))),
+        CatLit(expectedItemsPerFile), CatLit(numBits))
+      read()
+        .groupBy(input_file_name().as("_abs"))
+        .agg(column(agg.toAggregateExpression()).as("_bf"))
+        .collect()
+        .flatMap { r =>
+          val abs = r.getString(0)
+          val sketch = r.getAs[Array[Byte]](1)
+          files.find(rel => abs.endsWith(rel))
+            .filter(_ => sketch != null)
+            .map(rel => Row(rel, c.toLowerCase, sketch))
+        }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("col",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("sketch",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.mode("overwrite").parquet(bloomDir.toString)
+  }
+
+  /** Bloom sidecar loaded for probing, keyed (relative file, lc col).
+    * Missing/unreadable sidecar → empty map → no bloom skipping. */
+  private def liveBlooms()
+      : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] = {
+    if (!Files.isDirectory(bloomDir)) return Map.empty
+    try spark.read.parquet(bloomDir.toString).collect().map { r =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sketch")))
+      (r.getAs[String]("file"), r.getAs[String]("col")) -> bf
+    }.toMap
+    catch { case _: Throwable => Map.empty }
   }
 
   /** Z-order layout shaping shared by clustered overwrite/compact. */

@@ -407,8 +407,38 @@ object EtlShape {
             FROM orders WHERE o_orderkey % 13 != 0
             ORDER BY key"""))
 
+  /** S26: BLOOM file-skipping — the equality tier the s21 min/max
+    * sidecar cannot serve. Orders land in two segments INTERLEAVED on
+    * o_orderkey (evens/odds), so both files' [min,max] span the whole
+    * key domain and range pruning keeps everything; the per-file Bloom
+    * index proves the wrong-parity file dead for a point lookup (a
+    * negative probe is a proof — blooms have no false negatives).
+    * Pruning can only drop provably-dead files, so the oracle is the
+    * plain filter over the raw table. */
+  val bloomPrunedScan: GQuery = GQuery(
+    "s26_bloom_pruned_scan",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_s26_tbl").toString + "/orders"
+      val t = new graft.io.ManagedParquetTable(s, dir)
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"), Exact.cents(col("o_totalprice")).as("price_cents"))
+      t.overwrite(o.filter(col("o_orderkey") % 2 === 0).coalesce(1))
+      t.append(o.filter(col("o_orderkey") % 2 === 1).coalesce(1))
+      t.buildBloomIndex(Seq("o_orderkey"))
+      // a conjunction of an equality (bloom tier) and a range (stats
+      // tier) — pruning must compose; disjunctions would yield no
+      // prunable conjuncts at all (kept-all, still correct)
+      t.readWhere(col("o_orderkey") === 1235L && col("o_custkey") >= 0L)
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, o_custkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey = 1235 AND o_custkey >= 0
+            ORDER BY o_orderkey"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
-      cdcApply)
+      cdcApply, bloomPrunedScan)
 }

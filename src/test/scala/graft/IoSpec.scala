@@ -62,6 +62,36 @@ class IoSpec extends SparkSpec {
       Seq((1, "a"), (2, "B"), (3, "C"), (4, "d")))
   }
 
+  test("bloom file-skipping prunes where min/max cannot (overlapping ranges, disjoint values)") {
+    val t = new ManagedParquetTable(spark, tmp("mptb") + "/tbl")
+    // two files whose [min,max] both span 0..101 — range pruning keeps
+    // both — but with disjoint value sets (evens vs odds)
+    t.append((0 to 100 by 2).map(i => (i.toLong, s"e$i")).toDF("id", "v")
+      .coalesce(1))
+    t.append((1 to 101 by 2).map(i => (i.toLong, s"o$i")).toDF("id", "v")
+      .coalesce(1))
+    val (rangeKept, total) = t.pruneFiles(col("id") === 42L)
+    assert(total == 2 && rangeKept.size == 2,
+      s"ranges overlap so min/max alone must keep both: $rangeKept")
+    t.buildBloomIndex(Seq("id"), expectedItemsPerFile = 1024)
+    val (kept, _) = t.pruneFiles(col("id") === 42L)
+    assert(kept.size == 1, s"bloom should prove the odd file dead: $kept")
+    assert(t.readWhere(col("id") === 42L).count() == 1)
+    // absent value: bloom may keep a file (fpp) but the read is exact
+    assert(t.readWhere(col("id") === 1000L).count() == 0)
+    // string column blooms probe with the same typed hash
+    t.buildBloomIndex(Seq("id", "v"), expectedItemsPerFile = 1024)
+    val (keptS, _) = t.pruneFiles(col("v") === "o43")
+    assert(keptS.size == 1, s"string bloom should prune evens: $keptS")
+    assert(t.readWhere(col("v") === "o43").count() == 1)
+    // files written AFTER the index have no bloom: never skipped
+    t.append(Seq((42L, "late")).toDF("id", "v"))
+    val (keptLate, totalLate) = t.pruneFiles(col("id") === 42L)
+    assert(totalLate == 3 && keptLate.size == 2,
+      s"late file must stay un-skippable: $keptLate")
+    assert(t.readWhere(col("id") === 42L).count() == 2)
+  }
+
   test("applyCdc folds create/update/delete to final state; later seq wins") {
     import graft.streaming.BronzeIngest
     val changes = Seq(
