@@ -77,6 +77,146 @@ object Relational {
             ORDER BY l_returnflag, l_linestatus""")
   )
 
+  /** TPC-H Q3 (shipping priority, adapted to the testdata schema:
+    * o_orderpriority stands in for o_shippriority): segment-filtered
+    * customers semi-join orders (broadcast), fact joins on the order
+    * key, exact-cents revenue, top-10. The classic
+    * filter→broadcast-dim→fact-join→agg→topN OLAP shape. */
+  val q3Shipping: GQuery = GQuery(
+    "q3_shipping_priority",
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      li(s, d)
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("price_c", Exact.cents(col("l_extendedprice")))
+        .withColumn("disc_p", Exact.cents(col("l_discount")))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("price_c") * (lit(100L) - col("disc_p"))).as("rq"))
+        .select(col("l_orderkey"),
+          (Exact.roundDiv(col("rq"), lit(100L)) / 100.0).as("revenue"),
+          col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""WITH l AS (SELECT l_orderkey,
+              ${Exact.centsSql("l_extendedprice")} AS price_c,
+              ${Exact.centsSql("l_discount")} AS disc_p
+              FROM lineitem
+              WHERE l_shipdate > TIMESTAMP '1995-03-15 00:00:00')
+            SELECT l_orderkey,
+              ${Exact.roundDivSqlPos("sum(price_c * (100 - disc_p))", "100")}
+                / 100.0 AS revenue,
+              o_orderdate, o_orderpriority
+            FROM l JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10"""))
+
+  /** TPC-H Q5 (local supplier volume): the 6-table star join — two
+    * large facts shuffle ONCE on the order key; every dim rides in as
+    * a broadcast; the local-supplier condition (customer and supplier
+    * in the same nation) applies post-join as the classic non-key
+    * predicate. */
+  val q5LocalSupplier: GQuery = GQuery(
+    "q5_local_supplier_volume",
+    (s, d) => {
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"), "left_semi")
+        .select(col("n_nationkey"), col("n_name"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_nationkey"))
+      li(s, d)
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("price_c", Exact.cents(col("l_extendedprice")))
+        .withColumn("disc_p", Exact.cents(col("l_discount")))
+        .groupBy(col("n_name"))
+        .agg(sum(col("price_c") * (lit(100L) - col("disc_p"))).as("rq"))
+        .select(col("n_name"),
+          (Exact.roundDiv(col("rq"), lit(100L)) / 100.0).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some(s"""SELECT n_name,
+              ${Exact.roundDivSqlPos(
+                s"sum(${Exact.centsSql("l_extendedprice")} * " +
+                  s"(100 - ${Exact.centsSql("l_discount")}))", "100")}
+                / 100.0 AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** TPC-H Q10 (returned items, adapted to the testdata's customer
+    * columns): quarter of orders × returned lineitems, revenue per
+    * customer, top-20 — fact shuffles once on the order key, customer
+    * and nation broadcast. */
+  val q10Returned: GQuery = GQuery(
+    "q10_returned_items",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-10-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cn = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+      li(s, d)
+        .filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cn), col("o_custkey") === col("c_custkey"))
+        .withColumn("price_c", Exact.cents(col("l_extendedprice")))
+        .withColumn("disc_p", Exact.cents(col("l_discount")))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(col("price_c") * (lit(100L) - col("disc_p"))).as("rq"))
+        .select(col("c_custkey"), col("c_name"),
+          (Exact.roundDiv(col("rq"), lit(100L)) / 100.0).as("revenue"),
+          round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name,
+              ${Exact.roundDivSqlPos(
+                s"sum(${Exact.centsSql("l_extendedprice")} * " +
+                  s"(100 - ${Exact.centsSql("l_discount")}))", "100")}
+                / 100.0 AS revenue,
+              round(c_acctbal, 2) AS c_acctbal, n_name
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20"""))
+
   /** A1: global COUNT(*) — the reference's one monitoring metric. */
   val qCount: GQuery = GQuery(
     "a1_count_star",
@@ -554,7 +694,8 @@ object Relational {
             true AS within_5pct FROM lineitem"""))
 
   val all: Seq[GQuery] = Seq(
-    q1Agg, qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
+    q1Agg, q3Shipping, q5LocalSupplier, q10Returned,
+    qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
     qUnion, qSetDiff,
