@@ -437,8 +437,35 @@ object EtlShape {
             FROM orders WHERE o_orderkey = 1235 AND o_custkey >= 0
             ORDER BY o_orderkey"""))
 
+  /** M4: image near-duplicate pairs over the deterministic fixtures —
+    * decode + dHash + banding + Hamming verify end to end. The fixture
+    * hashes are a pure function of parity (even ids → solid image,
+    * dHash 0; odd → gradient, dHash all-ones), so the TRUE pair set is
+    * exactly the same-parity pairs at distance 0 and the oracle can
+    * state it relationally. Capped to doc_id < 200 to keep the pair
+    * output gate-sized; the operator itself is corpus-scale
+    * (MultimodalSpec drives the non-degenerate geometry cases). */
+  val imageNearDupsQ: GQuery = GQuery(
+    "m4_image_neardups",
+    (s, d) => {
+      val enc = udf((id: Long) => graft.etl.DataGen.imageBytes(id))
+      val assets = Tables.documents(s, d)
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .filter(col("doc_id") < 200)
+        .withColumn("payload", enc(col("doc_id")))
+      graft.multimodal.Multimodal.imageNearDups(assets, "payload")
+        .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    Some("""WITH ids AS (SELECT CAST(doc_id AS BIGINT) AS id
+              FROM documents WHERE doc_id < 200)
+            SELECT a.id AS id_a, b.id AS id_b, CAST(0 AS BIGINT) AS dist
+            FROM ids a JOIN ids b
+              ON a.id < b.id AND a.id % 2 = b.id % 2
+            ORDER BY id_a, id_b"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
-      cdcApply, bloomPrunedScan)
+      cdcApply, bloomPrunedScan, imageNearDupsQ)
 }
