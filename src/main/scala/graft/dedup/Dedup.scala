@@ -281,50 +281,69 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      // one joined frame serves BOTH the convergence check and the next
-      // labels (a projection over the same cached partitions)
-      val joined = labels
+      val joinedBase = labels.select(col("id"), col("label"))
         .join(neighborMin.withColumnRenamed("src", "id"), Seq("id"), "left")
-        .persist(MEMORY_AND_DISK)
-      val changed = joined.filter(col("nlabel") < col("label")).count()
-      val l1 = joined.select(col("id"),
-        least(col("label"), coalesce(col("nlabel"), col("label")))
-          .as("label"))
-      // pointer-doubling shortcut: label ← label(label). Every label IS a
-      // node id of the same component (invariant: initial labels are own
-      // ids; neighbor-min and this hop only adopt other in-component node
-      // ids), so the lookup self-join is total and label values stay
-      // monotone non-increasing. Cuts convergence from O(diameter) to
-      // O(log diameter) rounds for one extra node-count shuffle per round
-      // — both sides re-read the cached `joined`, nothing recomputes.
-      // Engaged only from round 3: dense near-dup clusters (the common
-      // case) hit fixpoint in <=3 neighbor-min rounds and never pay for
-      // the hop; chain-shaped components (document revision histories)
-      // still converge in 2 + O(log diameter) rounds instead of
-      // O(diameter), keeping the maxIter bound safe at any corpus shape.
-      val l2 =
-        if (it < 2) l1
-        else l1.join(
-          l1.select(col("id").as("label"), col("label").as("_l2")),
-          Seq("label"), "left")
-          .select(col("id"),
-            least(col("label"), coalesce(col("_l2"), col("label")))
-              .as("label"))
-      val (nextLabels, nextRdd) = reRoot(l2)
-      if (releaseCaches) {
-        // nextLabels is materialized (eager checkpoint): this round's
-        // cache AND the previous labels' blocks go immediately
-        joined.unpersist()
+      if (releaseCaches && it < 2) {
+        // pre-hop rounds, eager mode: no cache layer at all — the
+        // convergence flag rides THROUGH the checkpoint and is counted
+        // on the materialized blocks, so the join runs exactly once and
+        // nothing is persisted/unpersisted this round
+        val step = joinedBase.select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (col("nlabel") < col("label")).as("_chg"))
+        val (nextLabels, nextRdd) = reRoot(step)
+        val changed = nextLabels.filter(col("_chg")).count()
         labelsRdd.unpersist(false)
+        // contract stays (id, label): the flag never leaves this round
+        labels = nextLabels.select(col("id"), col("label"))
+        labelsRdd = nextRdd
+        converged = changed == 0
       } else {
-        // lazy re-wrap: keep THIS round's cache until the next round
-        // has consumed it; the final backing frame stays persisted
-        if (backing != null) backing.unpersist()
-        backing = joined
+        // one joined frame serves BOTH the convergence check and the
+        // next labels (a projection over the same cached partitions);
+        // the hop consumes it twice, so the cache pays for itself here
+        val joined = joinedBase.persist(MEMORY_AND_DISK)
+        val changed = joined.filter(col("nlabel") < col("label")).count()
+        val l1 = joined.select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        // pointer-doubling shortcut: label ← label(label). Every label
+        // IS a node id of the same component (invariant: initial labels
+        // are own ids; neighbor-min and this hop only adopt other
+        // in-component node ids), so the lookup self-join is total and
+        // label values stay monotone non-increasing. Cuts convergence
+        // from O(diameter) to O(log diameter) rounds for one extra
+        // node-count shuffle per round. Engaged only from round 3:
+        // dense near-dup clusters (the common case) hit fixpoint in
+        // <=3 neighbor-min rounds and never pay for the hop;
+        // chain-shaped components (document revision histories) still
+        // converge in 2 + O(log diameter) rounds instead of
+        // O(diameter), keeping maxIter safe at any corpus shape.
+        val l2 =
+          if (it < 2) l1
+          else l1.join(
+            l1.select(col("id").as("label"), col("label").as("_l2")),
+            Seq("label"), "left")
+            .select(col("id"),
+              least(col("label"), coalesce(col("_l2"), col("label")))
+                .as("label"))
+        val (nextLabels, nextRdd) = reRoot(l2)
+        if (releaseCaches) {
+          // nextLabels is materialized (eager checkpoint): this round's
+          // cache AND the previous labels' blocks go immediately
+          joined.unpersist()
+          labelsRdd.unpersist(false)
+        } else {
+          // lazy re-wrap: keep THIS round's cache until the next round
+          // has consumed it; the final backing frame stays persisted
+          if (backing != null) backing.unpersist()
+          backing = joined
+        }
+        labels = nextLabels
+        labelsRdd = nextRdd
+        converged = changed == 0
       }
-      labels = nextLabels
-      labelsRdd = nextRdd
-      converged = changed == 0
       it += 1
     }
     if (!converged) {
