@@ -139,6 +139,19 @@ class PlanSpec extends SparkSpec {
       s"no dynamic pruning filter on the fact scan: $pf")
   }
 
+  test("q5 star join: exactly one fact-to-fact shuffle join, every dim broadcast") {
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    val plan = SparkEntry.queries("q5_local_supplier_volume")(spark, sf)
+      .queryExecution.sparkPlan
+    val smj = plan.collect { case j: SortMergeJoinExec => j } ++
+      plan.collect { case j: ShuffledHashJoinExec => j }
+    val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+    assert(smj.size == 1,
+      s"expected exactly the lineitem-orders shuffle join, got ${smj.size}")
+    assert(bhj.size == 4, s"expected 4 broadcast dim joins, got ${bhj.size}")
+  }
+
   test("gate queries keep pushdown through their own plans (p8, w2)") {
     val p8 = SparkEntry.queries("p8_watermark_filter")(spark, sf)
     val p8scan = scans(p8).find(_.metadata("Location").contains("events"))
