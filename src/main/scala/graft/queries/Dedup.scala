@@ -476,8 +476,49 @@ object Dedup {
             FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
             ORDER BY sh.doc_id"""))
 
+  /** D16: per-source dedup-rate report — the curation dashboard number
+    * every corpus pipeline publishes ("how duplicated is each crawl
+    * slice?"). Survivors come from the exact-dedup rule (global min-id
+    * per normalized text, attributed to the survivor's own source);
+    * rate is exact integer per-mille. One digest shuffle + two
+    * source-keyed aggregates. */
+  val dedupReport: GQuery = GQuery(
+    "d16_dedup_report",
+    (s, d) => {
+      val dd = docs(s, d)
+      val total = dd.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+      val kept = D.exactDedup(dd).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_unique"))
+      total.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+          Exact.roundDiv(
+            (col("n_docs") - coalesce(col("n_unique"), lit(0L))) * 1000,
+            col("n_docs")).as("dup_permille"))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH n AS (SELECT doc_id, source,
+              md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+              FROM documents),
+            u AS (SELECT source, count(*) AS n_unique FROM (
+              SELECT source,
+                row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+              FROM n) z WHERE rn = 1 GROUP BY source),
+            t AS (SELECT source, count(*) AS n_docs FROM documents
+              GROUP BY source)
+            SELECT t.source, n_docs,
+              CAST(coalesce(n_unique, 0) AS BIGINT) AS n_unique,
+              CAST(${Exact.roundDivSqlPos(
+                "(n_docs - coalesce(n_unique, 0)) * 1000", "n_docs")}
+                AS BIGINT) AS dup_permille
+            FROM t LEFT JOIN u ON t.source = u.source
+            ORDER BY t.source"""))
+
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
-    simhashDedupQ, minhashDedupQ, bloomDecontaminateQ, duplicatePassagesQ)
+    simhashDedupQ, minhashDedupQ, bloomDecontaminateQ, duplicatePassagesQ,
+    dedupReport)
 }

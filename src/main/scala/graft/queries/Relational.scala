@@ -693,8 +693,53 @@ object Relational {
     Some("""SELECT count(DISTINCT l_partkey) AS n_exact,
             true AS within_5pct FROM lineitem"""))
 
+  /** A16: one-pass column profiler — the data-quality summary every
+    * ingestion pipeline publishes (per column: nulls, exact distinct,
+    * min/max as display strings). ONE aggregate pass over the table
+    * (grouping-set expansion handles the multi-distinct), unpivoted
+    * with stack() into the (column, stats) report shape. */
+  val qColumnProfile: GQuery = GQuery(
+    "a16_column_profile",
+    (s, d) =>
+      ord(s, d).agg(
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("nn_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).cast("string").as("mn_ck"),
+        max(col("o_custkey")).cast("string").as("mx_ck"),
+        sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("nn_st"),
+        countDistinct(col("o_orderstatus")).as("nd_st"),
+        min(col("o_orderstatus")).as("mn_st"),
+        max(col("o_orderstatus")).as("mx_st"),
+        sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L)).as("nn_pr"),
+        countDistinct(col("o_orderpriority")).as("nd_pr"),
+        min(col("o_orderpriority")).as("mn_pr"),
+        max(col("o_orderpriority")).as("mx_pr"))
+        .select(expr(
+          """stack(3,
+             'o_custkey', nn_ck, nd_ck, mn_ck, mx_ck,
+             'o_orderpriority', nn_pr, nd_pr, mn_pr, mx_pr,
+             'o_orderstatus', nn_st, nd_st, mn_st, mx_st)
+             AS (column_name, n_nulls, n_distinct, min_v, max_v)"""))
+        .orderBy(col("column_name")),
+    Some("""SELECT 'o_custkey' AS column_name,
+              count(*) - count(o_custkey) AS n_nulls,
+              count(DISTINCT o_custkey) AS n_distinct,
+              CAST(min(o_custkey) AS VARCHAR) AS min_v,
+              CAST(max(o_custkey) AS VARCHAR) AS max_v FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority',
+              count(*) - count(o_orderpriority),
+              count(DISTINCT o_orderpriority),
+              min(o_orderpriority), max(o_orderpriority) FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus',
+              count(*) - count(o_orderstatus),
+              count(DISTINCT o_orderstatus),
+              min(o_orderstatus), max(o_orderstatus) FROM orders
+            ORDER BY column_name"""))
+
   val all: Seq[GQuery] = Seq(
-    q1Agg, q3Shipping, q5LocalSupplier, q10Returned,
+    q1Agg, q3Shipping, q5LocalSupplier, q10Returned, qColumnProfile,
     qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
