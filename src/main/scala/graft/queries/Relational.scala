@@ -693,6 +693,79 @@ object Relational {
     Some("""SELECT count(DISTINCT l_partkey) AS n_exact,
             true AS within_5pct FROM lineitem"""))
 
+  /** TPC-H Q12 (adapted: the testdata lineitem has no shipmode/commit
+    * dates, so the CASE-sum join shape runs over order priorities per
+    * return flag): fact join + conditional integer counts — the
+    * canonical join-then-pivot-by-CASE reporting query. */
+  val q12Priority: GQuery = GQuery(
+    "q12_priority_counts",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_count"))
+        .orderBy(col("l_returnflag")),
+    Some("""SELECT l_returnflag,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+              CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  /** TPC-H Q14 (promo revenue share): fact ⋈ broadcast part dim, a
+    * conditional revenue numerator over the total, expressed as an
+    * exact integer per-mille (the classic promo-effect metric without
+    * the float-division nondeterminism of the official 100·x form). */
+  val q14Promo: GQuery = GQuery(
+    "q14_promo_share",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .withColumn("rq",
+          Exact.cents(col("l_extendedprice")) *
+            (lit(100L) - Exact.cents(col("l_discount"))))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rq")).otherwise(0L))
+            .as("promo_q"),
+          sum(col("rq")).as("total_q"))
+        .select(
+          (Exact.roundDiv(col("promo_q"), lit(100L)) / 100.0)
+            .as("promo_revenue"),
+          (Exact.roundDiv(col("total_q"), lit(100L)) / 100.0)
+            .as("total_revenue"),
+          Exact.roundDiv(col("promo_q") * 1000, col("total_q"))
+            .as("promo_permille")),
+    Some(s"""WITH t AS (SELECT p_type,
+              ${Exact.centsSql("l_extendedprice")} *
+                (100 - ${Exact.centsSql("l_discount")}) AS rq
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00')
+            SELECT
+              ${Exact.roundDivSqlPos(
+                "sum(CASE WHEN p_type = 'PROMO' THEN rq ELSE 0 END)", "100")}
+                / 100.0 AS promo_revenue,
+              ${Exact.roundDivSqlPos("sum(rq)", "100")}
+                / 100.0 AS total_revenue,
+              CAST(${Exact.roundDivSqlPos(
+                "sum(CASE WHEN p_type = 'PROMO' THEN rq ELSE 0 END) * 1000",
+                "sum(rq)")} AS BIGINT) AS promo_permille
+            FROM t"""))
+
   /** A16: one-pass column profiler — the data-quality summary every
     * ingestion pipeline publishes (per column: nulls, exact distinct,
     * min/max as display strings). ONE aggregate pass over the table
@@ -739,7 +812,8 @@ object Relational {
             ORDER BY column_name"""))
 
   val all: Seq[GQuery] = Seq(
-    q1Agg, q3Shipping, q5LocalSupplier, q10Returned, qColumnProfile,
+    q1Agg, q3Shipping, q5LocalSupplier, q10Returned, q12Priority, q14Promo,
+    qColumnProfile,
     qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
