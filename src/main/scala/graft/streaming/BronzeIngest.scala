@@ -169,6 +169,61 @@ object BronzeIngest {
       .start()
 }
 
+/** ST12: the reference's size-OR-inactivity flush policy
+  * (bronze/redPandaToDeltaLake.py buffers consumed records and writes
+  * the Delta batch when the buffer reaches N records OR the topic has
+  * been idle past a timeout) — no stock Structured Streaming trigger
+  * expresses that compound condition, so it composes as a foreachBatch
+  * STAGING table: micro-batches append into staging (cheap, frequent,
+  * each commit atomic); the staged rows promote to the TARGET table in
+  * one append when `staged >= maxRows` or the staging has been idle
+  * `>= idleMs` at a batch boundary / explicit tick. Readers of the
+  * target only ever see whole flushed batches — the reference's
+  * batching semantics — while staging absorbs the record-rate jitter.
+  * The clock is injected so the idle path is deterministic under test;
+  * on restart the staged count re-derives from the staging table
+  * itself (nothing volatile is load-bearing). */
+final class BufferedFlushSink(spark: SparkSession, targetPath: String,
+    stagingPath: String, maxRows: Long, idleMs: Long,
+    clock: () => Long = () => System.currentTimeMillis()) {
+  private val target = new graft.io.ManagedParquetTable(spark, targetPath)
+  private val staging = new graft.io.ManagedParquetTable(spark, stagingPath)
+  private var staged: Long =
+    if (staging.exists) try staging.read().count() catch { case _: Throwable => 0L }
+    else 0L
+  private var lastAppend: Long = clock()
+
+  /** foreachBatch binding. */
+  def onBatch(df: DataFrame, batchId: Long): Unit = synchronized {
+    val n = df.count()
+    if (n > 0) {
+      staging.append(df)
+      staged += n
+      lastAppend = clock()
+    }
+    maybeFlush(force = false)
+  }
+
+  /** Idle-timeout check between batches (the reference polls this). */
+  def tick(): Unit = synchronized { maybeFlush(force = false) }
+
+  /** Graceful-shutdown drain (ST5): promote whatever is staged. */
+  def flush(): Unit = synchronized { maybeFlush(force = true) }
+
+  def stagedRows: Long = synchronized(staged)
+
+  private def maybeFlush(force: Boolean): Unit = {
+    val idle = clock() - lastAppend >= idleMs
+    if (staged > 0 && (force || staged >= maxRows || idle)) {
+      val rows = staging.read()
+      if (target.exists) target.append(rows) else target.overwrite(rows)
+      staging.deleteWhere(lit(true))
+      staged = 0
+      lastAppend = clock()
+    }
+  }
+}
+
 /** Incremental bronze→gold propagation as a stream (ST7 "proper"
   * variant): stream new bronze files, enrich each micro-batch with the
   * broadcast dims, append to gold. */

@@ -209,6 +209,45 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ST12: size-OR-idle flush policy — batches stage, thresholds promote") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.BufferedFlushSink
+    import graft.io.ManagedParquetTable
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_bfs").toString
+    var now = 1000L // injected clock: idle behavior is deterministic
+    val sink = new BufferedFlushSink(spark, s"$dir/target", s"$dir/staging",
+      maxRows = 5, idleMs = 60000L, clock = () => now)
+    val target = new ManagedParquetTable(spark, s"$dir/target")
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        sink.onBatch(b, id)
+      }.start()
+    // 3 rows: below the size threshold → staged, target still absent
+    in.addData((1L, "a"), (2L, "b"), (3L, "c"))
+    q.processAllAvailable()
+    assert(sink.stagedRows == 3 && !target.exists)
+    // 3 more: 6 >= 5 → the whole staged batch promotes at once
+    in.addData((4L, "d"), (5L, "e"), (6L, "f"))
+    q.processAllAvailable()
+    assert(sink.stagedRows == 0 && target.read().count() == 6)
+    // 2 rows: under threshold again → staged only
+    in.addData((7L, "g"), (8L, "h"))
+    q.processAllAvailable()
+    assert(sink.stagedRows == 2 && target.read().count() == 6)
+    // idle timeout passes with no data: tick() promotes the remainder
+    now += 61000L
+    sink.tick()
+    assert(sink.stagedRows == 0 && target.read().count() == 8)
+    q.stop()
+    // graceful-shutdown drain is a no-op when nothing is staged
+    sink.flush()
+    assert(target.read().count() == 8)
+  }
+
   test("ST11: streaming CDC upsert sink — foreachBatch fold + MERGE + key delete") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.ManagedParquetTable
