@@ -210,6 +210,27 @@ class SimilaritySpec extends SparkSpec {
     assert(top.head._3 == 2.0 && top(2)._3 == 1.0)
   }
 
+  test("quantized index lifecycle: incremental append equals full rebuild") {
+    import graft.io.ManagedParquetTable
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_qidx").toString + "/idx"
+    val first = e.filter($"vec_id" < 300)
+    val delta = e.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    val both = e.filter($"vec_id" < 400)
+    val t = new ManagedParquetTable(spark, dir)
+    t.overwrite(buildQuantizedIndex(first))
+    // daily ingest: quantize ONLY the new vectors, append to the index
+    t.append(buildQuantizedIndex(delta))
+    val queries = e.filter($"vec_id" < 3)
+    def rows(idx: org.apache.spark.sql.DataFrame) =
+      storedQuantizedTopK(idx, both, queries, kCand = 20, k = 5)
+        .select($"query_id", $"rank", $"neighbor_id", $"sim")
+        .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    assert(rows(t.read()) == rows(buildQuantizedIndex(both)),
+      "incrementally-maintained index must search identically to a rebuild")
+  }
+
   test("IVF-PQ with every list probed equals full ADC; fewer probes give a subset") {
     val corpus = Seq(
       (0L, Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
