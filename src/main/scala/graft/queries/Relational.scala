@@ -766,6 +766,63 @@ object Relational {
                 "sum(rq)")} AS BIGINT) AS promo_permille
             FROM t"""))
 
+  /** A17: exact per-group MODE (most frequent value, deterministic
+    * lowest-value tiebreak) — count-then-rank, two shuffles both keyed
+    * and map-side-combinable; the exact form of the frequency question
+    * a14's Count-Min answers approximately. */
+  val qMode: GQuery = GQuery(
+    "a17_group_mode",
+    (s, d) => {
+      val counted = ord(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("o_orderstatus"))
+        .orderBy(col("n").desc, col("o_orderpriority"))
+      counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"),
+          col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy(col("o_orderstatus"))
+    },
+    Some("""SELECT o_orderstatus, mode_priority, n FROM (
+              SELECT o_orderstatus, o_orderpriority AS mode_priority,
+                count(*) AS n,
+                row_number() OVER (PARTITION BY o_orderstatus
+                  ORDER BY count(*) DESC, o_orderpriority) AS rn
+              FROM orders GROUP BY o_orderstatus, o_orderpriority) z
+            WHERE rn = 1 ORDER BY o_orderstatus"""))
+
+  /** TPC-H Q18 (large-volume customers): HAVING over a fact aggregate
+    * feeding a semi-join back into the enriched join — the
+    * find-the-outliers-then-detail reporting shape. Threshold tuned to
+    * the synthetic quantity distribution. */
+  val q18LargeVolume: GQuery = GQuery(
+    "q18_large_volume",
+    (s, d) => {
+      val big = li(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+        .filter(col("qty_c") > 30000L) // > 300 units
+      ord(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust(s, d).select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), (col("qty_c") / 100.0).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(50)
+    },
+    Some("""SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+              total_qty
+            FROM (SELECT l_orderkey,
+                sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+                  AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 30000) b
+            JOIN orders ON o_orderkey = b.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey LIMIT 50"""))
+
   /** A16: one-pass column profiler — the data-quality summary every
     * ingestion pipeline publishes (per column: nulls, exact distinct,
     * min/max as display strings). ONE aggregate pass over the table
@@ -813,7 +870,7 @@ object Relational {
 
   val all: Seq[GQuery] = Seq(
     q1Agg, q3Shipping, q5LocalSupplier, q10Returned, q12Priority, q14Promo,
-    qColumnProfile,
+    q18LargeVolume, qMode, qColumnProfile,
     qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
