@@ -39,6 +39,19 @@ case class CountMinSketchAgg(
   require(depth >= 1 && depth <= 16, "depth must be in [1,16]")
   require(width >= 2 && width <= (1 << 20), "width must be in [2,2^20]")
 
+  // the affine hash consumes longValue; reject non-integral children at
+  // ANALYSIS time instead of a ClassCastException inside the aggregate
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cms_sketch requires an integral column " +
+            s"(tinyint|smallint|int|bigint), got ${other.catalogString}")
+    }
+
   private val P = 1000000007L
 
   override def children: Seq[Expression] = Seq(child)

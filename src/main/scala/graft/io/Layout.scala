@@ -84,15 +84,29 @@ object FileStats {
               nullCounts(name) = nullCounts.getOrElse(name, 0L) + st.getNumNulls
             else nullsUnknown += name
             if (st.hasNonNullValue) {
+              // INT32/INT64-backed DECIMAL(p,s) footers carry UNSCALED
+              // integers (10.50 at scale 2 is stored as 1050); record the
+              // scale in the kind so mayMatch can rescale before comparing
+              // against the (scaled) literal — comparing raw would prune
+              // live files.
+              val decScale: Option[Int] = logical match {
+                case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                  Some(d.getScale)
+                case _ => None
+              }
               val parsed: Option[(String, Any, Any)] = st match {
                 case s: IntStatistics
                     if logical.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
                   Some(("date", s.getMin.toLong, s.getMax.toLong))
+                case s: IntStatistics if decScale.isDefined =>
+                  Some((s"dec:${decScale.get}", s.getMin.toLong, s.getMax.toLong))
                 case s: IntStatistics =>
                   Some(("long", s.getMin.toLong, s.getMax.toLong))
                 case s: LongStatistics
                     if logical.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
                   Some(("ts", s.getMin, s.getMax))
+                case s: LongStatistics if decScale.isDefined =>
+                  Some((s"dec:${decScale.get}", s.getMin, s.getMax))
                 case s: LongStatistics => Some(("long", s.getMin, s.getMax))
                 case s: FloatStatistics =>
                   Some(("double", s.getMin.toDouble, s.getMax.toDouble))
@@ -111,10 +125,12 @@ object FileStats {
                   case None => acc(name) = ColStats(relFile, rows, name, kind,
                     minL = kind match {
                       case "long" | "date" | "ts" => Some(mn.asInstanceOf[Long])
+                      case k if k.startsWith("dec:") => Some(mn.asInstanceOf[Long])
                       case _ => None
                     },
                     maxL = kind match {
                       case "long" | "date" | "ts" => Some(mx.asInstanceOf[Long])
+                      case k if k.startsWith("dec:") => Some(mx.asInstanceOf[Long])
                       case _ => None
                     },
                     minD = if (kind == "double") Some(mn.asInstanceOf[Double]) else None,
@@ -147,7 +163,7 @@ object FileStats {
   private def mergeBounds(prev: ColStats, kind: String,
       mn: Any, mx: Any): ColStats =
     kind match {
-      case "long" | "date" | "ts" =>
+      case k if k == "long" || k == "date" || k == "ts" || k.startsWith("dec:") =>
         prev.copy(
           minL = prev.minL.map(_ min mn.asInstanceOf[Long]),
           maxL = prev.maxL.map(_ max mx.asInstanceOf[Long]))
@@ -255,6 +271,12 @@ object FileStats {
       case (_, Some(v)) =>
         val (lo, hi) = s.kind match {
           case "double" => (BigDecimal(s.minD.get), BigDecimal(s.maxD.get))
+          case k if k.startsWith("dec:") =>
+            // footer bounds are UNSCALED decimals; rescale exactly so they
+            // compare in the same units as the (scaled) literal
+            val scale = k.drop(4).toInt
+            (BigDecimal(BigInt(s.minL.get), scale),
+              BigDecimal(BigInt(s.maxL.get), scale))
           case _ => (BigDecimal(s.minL.get), BigDecimal(s.maxL.get))
         }
         // date/ts literals only compare against matching stats kinds
@@ -289,8 +311,13 @@ object FileStats {
     case v: java.lang.Long => Some(BigDecimal(v.longValue))
     case v: java.lang.Short => Some(BigDecimal(v.intValue))
     case v: java.lang.Byte => Some(BigDecimal(v.intValue))
-    case v: java.lang.Double => Some(BigDecimal(v.doubleValue))
-    case v: java.lang.Float => Some(BigDecimal(v.floatValue.toDouble))
+    case v: java.lang.Double =>
+      // NaN/Infinity have no decimal representation (BigDecimal throws);
+      // no prunable range → every file is conservatively kept
+      if (v.isNaN || v.isInfinite) None else Some(BigDecimal(v.doubleValue))
+    case v: java.lang.Float =>
+      if (v.isNaN || v.isInfinite) None
+      else Some(BigDecimal(v.floatValue.toDouble))
     case v: Decimal => Some(v.toBigDecimal)
     case _ => None
   }

@@ -94,6 +94,12 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
 
   def exists: Boolean = Files.exists(manifest)
 
+  /** Committed snapshot version (0 when the table does not exist yet).
+    * Each append/overwrite/delete commit increments it by exactly one,
+    * which lets writers detect whether an in-flight commit landed
+    * before a crash (see BufferedFlushSink's recovery protocol). */
+  def version: Long = snapshot().map(_._1).getOrElse(0L)
+
   /** Committed snapshot: (version, segment dir names). */
   private def snapshot(): Option[(Long, Seq[String])] =
     if (!Files.exists(manifest)) None

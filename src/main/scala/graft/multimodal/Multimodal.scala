@@ -248,24 +248,34 @@ object Multimodal {
     StructField("rms", DoubleType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false)))
 
-  /** Container parse + s16le mono PCM samples of a WAV/AIFF/AU payload
+  /** Container parse + s16 mono PCM samples of a WAV/AIFF/AU payload
     * (javax.sound.sampled — JDK-built-in, same offline posture as
-    * [[ImageIoCodec]]). */
+    * [[ImageIoCodec]]). Big-endian containers (AIFF, AU) and non-16-bit
+    * sample sizes are normalized to s16le through the JDK's PCM→PCM
+    * converter before reading; only the channel layout must already be
+    * mono (downmixing would change the measured statistics). */
   private def readPcm(payload: Array[Byte]): (Int, Array[Short]) = {
-    import javax.sound.sampled.AudioSystem
-    val ais = AudioSystem.getAudioInputStream(
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val raw = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(payload))
     try {
-      val f = ais.getFormat
-      require(f.getSampleSizeInBits == 16 && f.getChannels == 1
-        && !f.isBigEndian, "expected s16le mono PCM")
+      val f = raw.getFormat
+      require(f.getChannels == 1, "expected mono PCM")
+      val needsConvert =
+        f.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.isBigEndian
+      val ais =
+        if (!needsConvert) raw
+        else AudioSystem.getAudioInputStream(
+          new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, 1, 2, f.getSampleRate, false), raw)
       val bytes = ais.readAllBytes()
       val sb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()
       val out = new Array[Short](sb.remaining())
       sb.get(out)
       (f.getSampleRate.toInt, out)
-    } finally ais.close()
+    } finally raw.close()
   }
 
   /** REAL audio decode: RIFF/WAV container parse via javax.sound.sampled

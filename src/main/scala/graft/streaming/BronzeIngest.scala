@@ -182,16 +182,38 @@ object BronzeIngest {
   * batching semantics — while staging absorbs the record-rate jitter.
   * The clock is injected so the idle path is deterministic under test;
   * on restart the staged count re-derives from the staging table
-  * itself (nothing volatile is load-bearing). */
+  * itself (nothing volatile is load-bearing).
+  *
+  * Promotion is EXACTLY-ONCE across a crash: target.append and the
+  * staging clear are two independent commits, so a write-ahead intent
+  * marker (the target version observed before the append, written
+  * atomically next to the staging table) brackets the pair. Recovery
+  * on construction compares the recorded version with the target's
+  * current one — strictly greater means the append committed before
+  * the crash, so the staged batch is cleared WITHOUT re-appending;
+  * equal means it never landed, so staging is kept for a later flush.
+  * Either way the marker is removed and no row is promoted twice. */
 final class BufferedFlushSink(spark: SparkSession, targetPath: String,
     stagingPath: String, maxRows: Long, idleMs: Long,
     clock: () => Long = () => System.currentTimeMillis()) {
+  import java.nio.file.{Files, Paths, StandardCopyOption}
   private val target = new graft.io.ManagedParquetTable(spark, targetPath)
   private val staging = new graft.io.ManagedParquetTable(spark, stagingPath)
+  private def intentPath = Paths.get(stagingPath, "_graft_flush_intent")
+  recoverInterruptedFlush()
   private var staged: Long =
     if (staging.exists) try staging.read().count() catch { case _: Throwable => 0L }
     else 0L
   private var lastAppend: Long = clock()
+
+  private def recoverInterruptedFlush(): Unit =
+    if (Files.exists(intentPath)) {
+      val preVer = try Files.readString(intentPath).trim.toLong
+        catch { case _: Throwable => Long.MaxValue } // unreadable → assume not landed
+      if (target.version > preVer && staging.exists)
+        staging.deleteWhere(lit(true)) // promote already committed
+      Files.deleteIfExists(intentPath)
+    }
 
   /** foreachBatch binding. */
   def onBatch(df: DataFrame, batchId: Long): Unit = synchronized {
@@ -216,8 +238,17 @@ final class BufferedFlushSink(spark: SparkSession, targetPath: String,
     val idle = clock() - lastAppend >= idleMs
     if (staged > 0 && (force || staged >= maxRows || idle)) {
       val rows = staging.read()
+      // write-ahead intent: record the pre-append target version so a
+      // restart can tell whether the promote landed (see class doc)
+      val tmp = Paths.get(stagingPath,
+        s"_graft_flush_intent.tmp.${System.nanoTime()}")
+      Files.createDirectories(Paths.get(stagingPath))
+      Files.writeString(tmp, target.version.toString)
+      Files.move(tmp, intentPath, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
       if (target.exists) target.append(rows) else target.overwrite(rows)
       staging.deleteWhere(lit(true))
+      Files.deleteIfExists(intentPath)
       staged = 0
       lastAppend = clock()
     }

@@ -51,4 +51,14 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(cells.length == 32)
     assert(cells.slice(0, 16).sum == 500L && cells.slice(16, 32).sum == 500L)
   }
+
+  test("graft_cms_sketch rejects non-integral input at analysis time") {
+    spark.range(0, 5).selectExpr("cast(id as string) AS s")
+      .createOrReplaceTempView("cms_bad_src")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cms_sketch(s, 2, 16) FROM cms_bad_src")
+        .collect()
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
 }

@@ -538,6 +538,39 @@ class IoSpec extends SparkSpec {
     assert(t.pruneFiles(col("id") + 1 > 5)._1.size == 1)
   }
 
+  test("decimal columns prune on SCALED bounds (unscaled footer stats)") {
+    val t = new ManagedParquetTable(spark, tmp("decstats") + "/tbl")
+    // DECIMAL(9,2) is INT32-backed, DECIMAL(18,2) INT64-backed; both
+    // store UNSCALED integers in the footer (10.50 → 1050). A literal
+    // inside the value range must never prune the file.
+    val df = spark.range(0, 101).select(
+      col("id"),
+      ((col("id") + lit(1000)) / 100.0).cast("decimal(9,2)").as("p32"),
+      ((col("id") + lit(1000)) / 100.0).cast("decimal(18,2)").as("p64"))
+    t.append(df.repartition(1)) // p32/p64 span [10.00, 11.00]
+    for (c <- Seq("p32", "p64")) {
+      assert(t.pruneFiles(col(c) === BigDecimal("10.50"))._1.size == 1,
+        s"$c: in-range literal must keep the file")
+      assert(t.readWhere(col(c) === BigDecimal("10.50")).count() == 1,
+        s"$c: pruned read must still find the row")
+      // dead ranges remain prunable (bounds are tight after rescale)
+      assert(t.pruneFiles(col(c) > BigDecimal("11.00"))._1.isEmpty, c)
+      assert(t.pruneFiles(col(c) < BigDecimal("10.00"))._1.isEmpty, c)
+      assert(t.pruneFiles(col(c) >= BigDecimal("11.00"))._1.size == 1, c)
+    }
+    // double-vs-decimal cross-type literal also compares in value units
+    assert(t.readWhere(col("p32") >= 10.995).count() == 1)
+    // NaN / Infinity literals: no prunable range, no crash, empty result
+    val dd = spark.range(0, 10).select(col("id"),
+      (col("id") * 1.5).as("x"))
+    val td = new ManagedParquetTable(spark, tmp("nanlit") + "/tbl")
+    td.append(dd.repartition(1))
+    assert(td.pruneFiles(col("x") === Double.NaN)._1.size == 1)
+    assert(td.readWhere(col("x") === Double.NaN).count() == 0)
+    assert(td.pruneFiles(col("x") < Double.PositiveInfinity)._1.size == 1)
+    assert(td.readWhere(col("x") < Double.PositiveInfinity).count() == 10)
+  }
+
   test("readWhere equals read().filter under any pruning outcome") {
     val t = new ManagedParquetTable(spark, tmp("rw") + "/tbl")
     // several appends → several files with disjoint id ranges

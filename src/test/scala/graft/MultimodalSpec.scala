@@ -147,4 +147,39 @@ class MultimodalSpec extends SparkSpec {
       "payload", frameLen = 100000, hop = 128)
     assert(tiny.select("n_frames").head().getInt(0) == 0)
   }
+
+  test("decodeAudio: big-endian AIFF/AU containers normalize to s16le") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // ±1000 square wave, 8kHz, 800 samples, serialized big-endian
+    val sr = 8000f; val n = 800; val amp = 1000
+    def pcmBe: Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      for (i <- 0 until n) bb.putShort(if ((i / 8) % 2 == 0) amp.toShort
+        else (-amp).toShort)
+      bb.array()
+    }
+    def container(tpe: AudioFileFormat.Type): Array[Byte] = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        sr, 16, 1, 2, sr, true) // bigEndian = true
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBe), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, tpe, bos)
+      bos.toByteArray
+    }
+    val rows = Multimodal.decodeAudio(
+      Seq((1L, container(AudioFileFormat.Type.AIFF)),
+        (2L, container(AudioFileFormat.Type.AU)))
+        .toDF("doc_id", "payload"), "payload")
+      .select("doc_id", "sample_rate", "n_samples", "peak", "rms")
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getInt(1) == 8000, s"sample_rate doc=${r.getLong(0)}")
+      assert(r.getLong(2) == n.toLong, s"n_samples doc=${r.getLong(0)}")
+      assert(r.getInt(3) == amp, s"peak doc=${r.getLong(0)}")
+      assert(r.getDouble(4) == amp.toDouble, s"rms doc=${r.getLong(0)}")
+    }
+  }
 }

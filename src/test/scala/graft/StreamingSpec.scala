@@ -248,6 +248,48 @@ class StreamingSpec extends SparkSpec {
     assert(target.read().count() == 8)
   }
 
+  test("ST12: flush promotion is exactly-once across a crash (intent marker)") {
+    import graft.streaming.BufferedFlushSink
+    import graft.io.ManagedParquetTable
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bfs_crash").toString
+    val target = new ManagedParquetTable(spark, s"$dir/target")
+    val staging = new ManagedParquetTable(spark, s"$dir/staging")
+    // Crash case A: append COMMITTED, staging clear did not run.
+    // Reconstruct that exact on-disk state by hand: staged batch present
+    // in BOTH tables, intent marker recording the pre-append version.
+    staging.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/staging", "_graft_flush_intent"),
+      target.version.toString) // pre-append target version = 0
+    target.overwrite(staging.read()) // the promote that landed
+    val sink = new BufferedFlushSink(spark, s"$dir/target",
+      s"$dir/staging", maxRows = 1, idleMs = 60000L, clock = () => 0L)
+    // recovery must NOT re-promote: 2 rows, not 4
+    sink.flush()
+    assert(target.read().count() == 2, "batch promoted twice after crash")
+    assert(sink.stagedRows == 0)
+    // Crash case B: intent written but the append never landed.
+    val dirB = Files.createTempDirectory("graft_bfs_crash_b").toString
+    val stagingB = new ManagedParquetTable(spark, s"$dirB/staging")
+    stagingB.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val targetB = new ManagedParquetTable(spark, s"$dirB/target")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirB/staging", "_graft_flush_intent"),
+      targetB.version.toString)
+    val sinkB = new BufferedFlushSink(spark, s"$dirB/target",
+      s"$dirB/staging", maxRows = 1, idleMs = 60000L, clock = () => 0L)
+    // staged rows survive recovery and promote exactly once
+    assert(sinkB.stagedRows == 2)
+    sinkB.flush()
+    assert(targetB.read().count() == 2)
+    // markers are gone either way
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/staging", "_graft_flush_intent")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dirB/staging", "_graft_flush_intent")))
+  }
+
   test("ST11: streaming CDC upsert sink — foreachBatch fold + MERGE + key delete") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.io.ManagedParquetTable
