@@ -236,21 +236,44 @@ object Dedup {
     * min-id survivors) — at 100 TB the pair list never needs
     * materializing to storage, it flows straight into this.
     *
+    * Adaptive small-graph cutover (the AQE-broadcast-conversion shape,
+    * same rationale as spark.sql.autoBroadcastJoinThreshold): the edge
+    * list is persisted and counted before the loop anyway, so when it
+    * is under `localEdgeThreshold` LONG-id edges the component labels
+    * come from one driver-side union-find pass over the collected pairs
+    * — ~20 B/edge serialized (≈160 MB at the 8M default, inside the
+    * 1 GB spark.driver.maxResultSize default) and replacing O(rounds)
+    * shuffle jobs with a sub-second scan. Value-graph CC (simhash
+    * dedup: nodes = distinct 32-bit fingerprints) is under the bound at
+    * ANY corpus size; doc-pair graphs beyond it take the distributed
+    * loop unchanged. Both paths produce the identical min-id labeling.
+    *
     * @return (id, label) — label = min id of the component. Vertices
     *         appearing in `pairs` only; callers left-join singletons. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 25,
-      releaseCaches: Boolean = true): DataFrame = {
+      releaseCaches: Boolean = true,
+      localEdgeThreshold: Long = 8000000L): DataFrame = {
     require(maxIter > 0, s"maxIter must be positive, got $maxIter")
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // pairs is typically an expensive pipeline (LSH + verify): persist it
     // so building the two edge directions runs it once, not twice
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .persist(MEMORY_AND_DISK)
+    val spark = pairs.sparkSession
+    val idType = p.schema.fields.head.dataType
+    val integralId = idType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (integralId && p.count() <= localEdgeThreshold)
+      return localComponents(p, idType)
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
-    val spark = pairs.sparkSession
     import org.apache.spark.sql.graft.PlanBridge
     // CRITICAL plan hygiene: `labels` feeds the next round TWICE (the
     // neighbor join and the left join), so without truncation the
@@ -361,6 +384,44 @@ object Dedup {
     // clearCache(). The returned frame in BOTH modes is a self-
     // contained leaf (checkpointed blocks / recomputable RDD lineage).
     labels
+  }
+
+  /** Driver-side leg of [[connectedComponents]]' small-graph cutover:
+    * one union-find pass (path compression + union-by-min, so the root
+    * of every set IS the component's min id) over the collected edge
+    * list. Returns the same (id, label) contract as the distributed
+    * loop, re-distributed via parallelize so the result is a
+    * self-contained leaf exactly like the checkpointed path. `p` is
+    * the caller's persisted (src, dst) frame; released here. */
+  private def localComponents(p: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = p.sparkSession
+    val rows = p
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    p.unpersist(false)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+      x
+    }
+    rows.foreach { r =>
+      val a = r.getLong(0); val b = r.getLong(1)
+      if (!parent.contains(a)) parent.update(a, a)
+      if (!parent.contains(b)) parent.update(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) parent.update(rb, ra)
+      else if (rb < ra) parent.update(ra, rb)
+    }
+    val labeled = parent.keysIterator.map(id => (id, find(id))).toSeq
+    import spark.implicits._
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, labeled.length / 65536 + 1))
+    spark.sparkContext.parallelize(labeled, slices).toDF("id", "label")
+      .select(col("id").cast(idType).as("id"),
+        col("label").cast(idType).as("label"))
   }
 
   /** Survivor selection over a clustered corpus: keep the min-id doc of

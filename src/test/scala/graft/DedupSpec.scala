@@ -29,11 +29,16 @@ class DedupSpec extends SparkSpec {
       (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
       (10L, 11L), (11L, 12L), (10L, 12L),
       (21L, 20L)).toDF("id_a", "id_b")
-    val comp = D.connectedComponents(pairs).as[(Long, Long)].collect().toMap
-    assert((1L to 6L).forall(comp(_) == 1L))
-    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
-    assert(comp(20L) == 20L && comp(21L) == 20L)
-    assert(comp.size == 11) // only vertices present in the pair list
+    // small edge list → driver-side union-find; threshold 0 forces the
+    // distributed hash-min loop. Both must produce the identical labeling.
+    for (thr <- Seq(2000000L, 0L)) {
+      val comp = D.connectedComponents(pairs, localEdgeThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert((1L to 6L).forall(comp(_) == 1L))
+      assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+      assert(comp(20L) == 20L && comp(21L) == 20L)
+      assert(comp.size == 11) // only vertices present in the pair list
+    }
   }
 
   test("connected components: long chain converges in logarithmic rounds") {
@@ -41,7 +46,8 @@ class DedupSpec extends SparkSpec {
     // propagation needs ~39 rounds, far over maxIter=12 — the pointer-
     // doubling shortcut (engaged from round 3) must converge it anyway
     val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val comp = D.connectedComponents(pairs, maxIter = 12)
+    val comp = D.connectedComponents(pairs, maxIter = 12,
+        localEdgeThreshold = 0L) // force the distributed loop
       .as[(Long, Long)].collect().toMap
     assert((1L to 40L).forall(comp(_) == 1L))
     assert(comp.size == 40)
