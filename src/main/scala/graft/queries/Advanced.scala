@@ -55,19 +55,28 @@ object Advanced {
     * computed over integer cents: quarter-fraction interpolation
     * between integers is fp-exact under either a+(b−a)f or
     * a(1−f)+bf, so both engines produce the identical double (the
-    * double-valued variant flipped a cent at a round boundary). */
+    * double-valued variant flipped a cent at a round boundary).
+    *
+    * Runs on [[graft.operators.Percentiles.exactByGroup]] — the
+    * builtin `percentile` agg funnels each group's full value-counts
+    * map through one reducer (3 groups = the whole table on 3 tasks);
+    * the histogram-offset decomposition keeps exactness with bounded
+    * per-task work (differential-tested against the builtin). */
   val percentiles: GQuery = GQuery(
     "a8_percentiles",
-    (s, d) =>
-      Tables.lineitem(s, d)
-        .withColumn("cents",
-          round(col("l_extendedprice") * 100).cast("long"))
+    (s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      graft.operators.Percentiles
+        .exactByGroup(cents, "l_returnflag", "cents", Seq(0.25, 0.5, 0.75))
         .groupBy(col("l_returnflag"))
         .agg(
-          (expr("percentile(cents, 0.25)") / 100.0).as("p25"),
-          (expr("percentile(cents, 0.5)") / 100.0).as("p50"),
-          (expr("percentile(cents, 0.75)") / 100.0).as("p75"))
-        .orderBy(col("l_returnflag")),
+          (max(when(col("fraction") === 0.25, col("value"))) / 100.0).as("p25"),
+          (max(when(col("fraction") === 0.5, col("value"))) / 100.0).as("p50"),
+          (max(when(col("fraction") === 0.75, col("value"))) / 100.0).as("p75"))
+        .orderBy(col("l_returnflag"))
+    },
     Some("""SELECT l_returnflag,
               quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25)
                 / 100.0 AS p25,
@@ -89,11 +98,17 @@ object Advanced {
       val base = Tables.lineitem(s, d)
         .withColumn("cents", round(col("l_extendedprice") * 100).cast("long"))
         .groupBy(col("l_returnflag"))
+        // array form: one exact buffer + one GK sketch per group (the
+        // same single-buffer rationale as a8)
         .agg(
-          (expr("percentile(cents, 0.25)") / 100.0).as("p25"),
-          (expr("percentile(cents, 0.75)") / 100.0).as("p75"),
-          (expr("approx_percentile(cents, 0.25, 10000)") / 100.0).as("a25"),
-          (expr("approx_percentile(cents, 0.75, 10000)") / 100.0).as("a75"))
+          expr("percentile(cents, array(0.25D, 0.75D))").as("_ps"),
+          expr("approx_percentile(cents, array(0.25D, 0.75D), 10000)")
+            .as("_as"))
+        .select(col("l_returnflag"),
+          (element_at(col("_ps"), 1) / 100.0).as("p25"),
+          (element_at(col("_ps"), 2) / 100.0).as("p75"),
+          (element_at(col("_as"), 1) / 100.0).as("a25"),
+          (element_at(col("_as"), 2) / 100.0).as("a75"))
       base.select(col("l_returnflag"), col("p25"), col("p75"),
           (abs(col("a25") - col("p25")) * 100 <= col("p25")).as("p25_within_1pct"),
           (abs(col("a75") - col("p75")) * 100 <= col("p75")).as("p75_within_1pct"))

@@ -345,4 +345,47 @@ class OperatorsSpec extends SparkSpec {
     assert(onlyA.select("stratum").distinct().as[String].collect()
       .toSeq == Seq("a"))
   }
+
+  test("exactByGroup percentiles == builtin percentile (differential)") {
+    import graft.operators.Percentiles
+    // adversarial fixture: negative values (arithmetic-shift buckets),
+    // heavy duplicate multiplicities, a single-row group, nulls, values
+    // straddling bucket boundaries at shift=4, and non-dyadic fractions
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 4000).map { i =>
+      val grp = s"g${i % 5}"
+      val v: java.lang.Long = i % 37 match {
+        case 0 => null
+        case m if m < 8 => java.lang.Long.valueOf(-(rnd.nextInt(40).toLong))
+        case m if m < 20 => java.lang.Long.valueOf(rnd.nextInt(16).toLong) // dup-heavy
+        case _ => java.lang.Long.valueOf(rnd.nextInt(100000).toLong)
+      }
+      (grp, v)
+    } :+ (("lone", java.lang.Long.valueOf(7L)))
+    val df = rows.toDF("grp", "v")
+    val fracs = Seq(0.0, 0.25, 0.313, 0.5, 0.75, 1.0)
+    // (shift, builtin-cutover): three decomposition granularities plus
+    // the builtin fast path — all four must agree with the reference
+    for ((shift, below) <- Seq((0, 0L), (4, 0L), (16, 0L), (16, 1000000L))) {
+      val got = Percentiles.exactByGroup(df, "grp", "v", fracs, shift,
+          useBuiltinBelow = below)
+        .select(col("grp"), col("fraction"), col("value"))
+        .as[(String, Double, Double)].collect()
+        .map { case (grp, f, x) => (grp, f) -> x }.toMap
+      val want = df.filter(col("v").isNotNull).groupBy(col("grp"))
+        .agg(expr(s"percentile(v, array(${fracs.mkString("D,")}D))").as("ps"))
+        .select(col("grp"), col("ps")).as[(String, Seq[Double])].collect()
+        .flatMap { case (grp, ps) => fracs.zip(ps).map { case (f, x) =>
+          (grp, f) -> x } }.toMap
+      assert(got.keySet == want.keySet, s"shift=$shift key sets differ")
+      want.foreach { case (k @ (_, f), x) =>
+        // dyadic fractions are fp-exact under either interpolation
+        // form; the builtin uses (1−g)·lo + g·hi vs our lo + (hi−lo)·g,
+        // which can differ an ulp at non-dyadic g
+        if (f * 4 == (f * 4).floor) assert(got(k) == x,
+          s"shift=$shift $k: got ${got(k)}, want $x")
+        else assert(math.abs(got(k) - x) <= 1e-9 * math.max(1.0, math.abs(x)),
+          s"shift=$shift $k: got ${got(k)}, want $x") }
+    }
+  }
 }
