@@ -20,6 +20,7 @@ final case class GQuery(
 object Catalog {
   lazy val all: Seq[GQuery] =
     queries.Relational.all ++
+      queries.TpcH.all ++
       queries.Scalars.all ++
       queries.Analytics.all ++
       queries.Advanced.all ++

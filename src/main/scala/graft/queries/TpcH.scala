@@ -1,0 +1,362 @@
+package graft.queries
+
+import graft.{GQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The remaining classic TPC-H plan shapes the testdata schema can
+  * express (no partsupp table → Q2/Q9/Q11/Q16/Q20 are out of reach;
+  * lineitem carries no commit/receipt dates or shipmode → Q4/Q12/Q21
+  * run adapted predicates, noted per query). Together with q1/q3/q5/
+  * q10/q12/q14/q18 in [[Relational]] this closes the decision-support
+  * shape inventory: EXISTS semi-joins, disjunctive pushdown, correlated
+  * scalar subqueries, outer-join histograms, market-share ratios.
+  *
+  * All money arithmetic is integer cents ([[Exact]]) so the DuckDB
+  * oracle hash-compares bit-identically; every output carries an
+  * ORDER BY on a unique key.
+  */
+object TpcH {
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def supp(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def part(s: SparkSession, d: String) = Tables.part(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+
+  /** rq = price_cents · (100 − discount_pct): exact revenue in 10^-4
+    * dollar units (the q14 convention). */
+  private def rq: org.apache.spark.sql.Column =
+    Exact.cents(col("l_extendedprice")) *
+      (lit(100L) - Exact.cents(col("l_discount")))
+  private val rqSql: String =
+    s"${Exact.centsSql("l_extendedprice")} * " +
+      s"(100 - ${Exact.centsSql("l_discount")})"
+
+  /** TPC-H Q4 (adapted: no commit/receipt dates, so "late line" means
+    * shipped ≥ 30 days after the order date): priority counts of
+    * quarter orders having at least one late line — the EXISTS
+    * semi-join reporting shape. The semi join carries a non-equi
+    * residual on top of the orderkey equi-key, so it still hash-joins
+    * on the key at scale. */
+  val q4OrderPriority: GQuery = GQuery(
+    "q4_priority_exists",
+    (s, d) => {
+      val o = ord(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      o.join(li(s, d).select(col("l_orderkey"), col("l_shipdate")),
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                WHERE l_orderkey = o_orderkey
+                  AND l_shipdate >= o_orderdate + INTERVAL 30 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority"""))
+
+  /** TPC-H Q6 (forecast revenue change): the canonical full-pushdown
+    * scan — every predicate reaches the parquet reader, no join, one
+    * global agg. revenue = Σ price·discount, exact in 10^-4 dollars. */
+  val q6Forecast: GQuery = GQuery(
+    "q6_forecast_revenue",
+    (s, d) =>
+      li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          Exact.cents(col("l_discount")).between(5L, 7L) &&
+          col("l_quantity") < 24)
+        .agg(sum(Exact.cents(col("l_extendedprice")) *
+          Exact.cents(col("l_discount"))).as("rev_q"))
+        .select((Exact.roundDiv(col("rev_q"), lit(100L)) / 100.0)
+          .as("revenue")),
+    Some(s"""SELECT ${Exact.roundDivSqlPos(
+        s"sum(${Exact.centsSql("l_extendedprice")} * " +
+          s"${Exact.centsSql("l_discount")})", "100")} / 100.0 AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND ${Exact.centsSql("l_discount")} BETWEEN 5 AND 7
+              AND l_quantity < 24"""))
+
+  /** TPC-H Q7 (volume shipping between two nations): the two-sided
+    * dimension-restricted fact join — supplier nation × customer
+    * nation in both directions, yearly revenue. Both nation legs are
+    * broadcast; the lineitem⋈orders spine is the one fact shuffle. */
+  val q7NationVolume: GQuery = GQuery(
+    "q7_nation_volume",
+    (s, d) => {
+      val n1 = nat(s, d).select(col("n_nationkey").as("sk"),
+        col("n_name").as("supp_nation"))
+      val n2 = nat(s, d).select(col("n_nationkey").as("ck"),
+        col("n_name").as("cust_nation"))
+      li(s, d)
+        .join(ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sk"))
+        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .filter((col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(rq).as("rev_q"))
+        .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+          (Exact.roundDiv(col("rev_q"), lit(100L)) / 100.0).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+              CAST(year(l_shipdate) AS BIGINT) AS l_year,
+              ${Exact.roundDivSqlPos(s"sum($rqSql)", "100")} / 100.0
+                AS revenue
+            FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+
+  /** TPC-H Q8 (national market share): of the PROMO-part revenue sold
+    * into ASIA customers, the per-mille share supplied from NATION_2,
+    * by order year — conditional-numerator-over-total as an exact
+    * integer ratio (the q14 device on a 5-table star). */
+  val q8MarketShare: GQuery = GQuery(
+    "q8_market_share",
+    (s, d) => {
+      val asiaNations = nat(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      li(s, d)
+        .join(broadcast(part(s, d).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust(s, d)
+          .select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"), "left_semi")
+        .join(broadcast(supp(s, d)
+          .select(col("s_suppkey"), col("s_nationkey").as("s_nk"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("s_nk") === 2, rq).otherwise(0L)).as("nation_q"),
+          sum(rq).as("total_q"))
+        .select(col("o_year"),
+          Exact.roundDiv(col("nation_q") * 1000, col("total_q"))
+            .as("share_permille"))
+        .orderBy(col("o_year"))
+    },
+    Some(s"""WITH t AS (SELECT year(o_orderdate) AS o_year,
+              s_nationkey, $rqSql AS rv
+              FROM lineitem
+                JOIN part ON l_partkey = p_partkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                JOIN supplier ON l_suppkey = s_suppkey
+              WHERE p_type = 'PROMO' AND r_name = 'ASIA')
+            SELECT CAST(o_year AS BIGINT) AS o_year,
+              CAST(${Exact.roundDivSqlPos(
+                "sum(CASE WHEN s_nationkey = 2 THEN rv ELSE 0 END) * 1000",
+                "sum(rv)")} AS BIGINT) AS share_permille
+            FROM t GROUP BY o_year ORDER BY o_year"""))
+
+  /** TPC-H Q13 (customer order distribution): LEFT join so zero-order
+    * customers survive with count 0, then the count-of-counts
+    * histogram — the classic two-level aggregation over an outer
+    * join. */
+  val q13OrderDist: GQuery = GQuery(
+    "q13_order_distribution",
+    (s, d) =>
+      cust(s, d).select(col("c_custkey"))
+        .join(ord(s, d).select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc),
+    Some("""SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey) cc
+            GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""))
+
+  /** TPC-H Q15 (top supplier): quarterly per-supplier revenue, keep the
+    * max-revenue supplier(s) via a broadcast scalar subquery. The max
+    * compares RAW integer revenue (rounding only at output) so ties
+    * and ordering are engine-exact. */
+  val q15TopSupplier: GQuery = GQuery(
+    "q15_top_supplier",
+    (s, d) => {
+      val rev = li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(rq).as("rev_q"))
+      val top = rev.agg(max(col("rev_q")).as("max_q"))
+      rev.crossJoin(broadcast(top))
+        .filter(col("rev_q") === col("max_q"))
+        .join(broadcast(supp(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          (Exact.roundDiv(col("rev_q"), lit(100L)) / 100.0)
+            .as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""WITH rev AS (SELECT l_suppkey, sum($rqSql) AS rev_q
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name,
+              ${Exact.roundDivSqlPos("rev_q", "100")} / 100.0
+                AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE rev_q = (SELECT max(rev_q) FROM rev)
+            ORDER BY s_suppkey"""))
+
+  /** TPC-H Q17 (small-quantity-order revenue, adapted: p_size < 15
+    * stands in for the missing container column): lineitems under 20%
+    * of their part's average quantity. The correlated AVG subquery
+    * decorrelates to a per-part aggregate joined back to the fact; the
+    * 20%-of-average predicate is the integer cross-multiplication
+    * 5·qty·n < Σqty (no float division anywhere). */
+  val q17SmallQty: GQuery = GQuery(
+    "q17_small_quantity",
+    (s, d) => {
+      val brandParts = part(s, d)
+        .filter(col("p_brand") === "Brand#23" && col("p_size") < 15)
+        .select(col("p_partkey"))
+      val fact = li(s, d)
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          Exact.cents(col("l_quantity")).as("qty_c"),
+          Exact.cents(col("l_extendedprice")).as("price_c"))
+      val perPart = fact.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty_c")).as("sum_qty_c"), count(lit(1)).as("n"))
+      fact.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("qty_c") * 5 * col("n") < col("sum_qty_c"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("price_c")).as("price_q"))
+        .select(col("n_lines"),
+          (Exact.roundDiv(col("price_q"), lit(7L)) / 100.0)
+            .as("avg_yearly"))
+    },
+    Some(s"""WITH f AS (SELECT l_partkey,
+              ${Exact.centsSql("l_quantity")} AS qty_c,
+              ${Exact.centsSql("l_extendedprice")} AS price_c
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23' AND p_size < 15),
+            pp AS (SELECT l_partkey AS pk, sum(qty_c) AS sum_qty_c,
+              count(*) AS n FROM f GROUP BY l_partkey)
+            SELECT count(*) AS n_lines,
+              ${Exact.roundDivSqlPos("sum(price_c)", "7")} / 100.0
+                AS avg_yearly
+            FROM f JOIN pp ON l_partkey = pk
+            WHERE qty_c * 5 * n < sum_qty_c"""))
+
+  /** TPC-H Q19 (discounted revenue, adapted: the shipmode/shipinstruct
+    * legs don't exist, keeping the three (brand, size, quantity)
+    * disjuncts): the disjunctive-predicate join — Catalyst must push
+    * the OR of conjunctions into the scan and still broadcast the dim
+    * side. */
+  val q19Disjunctive: GQuery = GQuery(
+    "q19_disjunctive",
+    (s, d) =>
+      li(s, d)
+        .join(broadcast(part(s, d)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(count(lit(1)).as("n_lines"), sum(rq).as("rev_q"))
+        .select(col("n_lines"),
+          (Exact.roundDiv(col("rev_q"), lit(100L)) / 100.0).as("revenue")),
+    Some(s"""SELECT count(*) AS n_lines,
+              ${Exact.roundDivSqlPos(s"sum($rqSql)", "100")} / 100.0
+                AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 20 AND 30)"""))
+
+  /** TPC-H Q22 (global sales opportunity, adapted: every synthetic
+    * customer has SOME order, so "lapsed" means no order since
+    * 2000-01-01; nation stands in for the phone country code):
+    * above-average-balance customers with no recent orders, by nation.
+    * The average is a broadcast scalar; the comparison cross-multiplies
+    * integers (bal_c·n > Σbal_c) so no float average exists; the
+    * recent-order check is a broadcast anti join. */
+  val q22Opportunity: GQuery = GQuery(
+    "q22_sales_opportunity",
+    (s, d) => {
+      val c = cust(s, d).select(col("c_custkey"), col("c_nationkey"),
+        Exact.cents(col("c_acctbal")).as("bal_c"))
+      val posAvg = c.filter(col("bal_c") > 0L)
+        .agg(sum(col("bal_c")).as("sum_c"), count(lit(1)).as("n_pos"))
+      val recent = ord(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      c.crossJoin(broadcast(posAvg))
+        .filter(col("bal_c") * col("n_pos") > col("sum_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(nat(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("numcust"),
+          (sum(col("bal_c")) / 100.0).as("totacctbal"))
+        .orderBy(col("n_name"))
+    },
+    Some("""WITH c AS (SELECT c_custkey, c_nationkey,
+              CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+              FROM customer),
+            pa AS (SELECT sum(bal_c) AS sum_c, count(*) AS n_pos
+              FROM c WHERE bal_c > 0)
+            SELECT n_name, count(*) AS numcust,
+              sum(bal_c) / 100.0 AS totacctbal
+            FROM c CROSS JOIN pa
+              JOIN nation ON c_nationkey = n_nationkey
+            WHERE bal_c * n_pos > sum_c
+              AND NOT EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY n_name ORDER BY n_name"""))
+
+  val all: Seq[GQuery] = Seq(q4OrderPriority, q6Forecast, q7NationVolume,
+    q8MarketShare, q13OrderDist, q15TopSupplier, q17SmallQty,
+    q19Disjunctive, q22Opportunity)
+}
