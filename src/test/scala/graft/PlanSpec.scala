@@ -116,6 +116,16 @@ class PlanSpec extends SparkSpec {
         s"${if (found.contains(n)) "none detected" else "it is not in the catalog (stale allowlist?)"}"))
   }
 
+  test("q6 plan: date range and quantity predicates reach the parquet scan") {
+    val df = SparkEntry.queries("q6_forecast_revenue")(spark, sf)
+    val sc = scans(df)
+    assert(sc.nonEmpty)
+    val pushed = sc.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_shipdate"), pushed)
+    assert(pushed.contains("LessThan(l_quantity,24"), pushed)
+  }
+
   test("s23 bucketed join: SortMergeJoin consumes bucket layout, zero exchanges") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
