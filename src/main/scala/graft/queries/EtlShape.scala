@@ -78,8 +78,13 @@ object EtlShape {
     "m2_image_decode",
     (s, d) => {
       val enc = udf((id: Long) => graft.etl.DataGen.imageBytes(id))
+      // the encode UDF + decode are CPU-bound per row, but the id list
+      // comes off ONE parquet file (1-2 partitions at bench scale) —
+      // spread the ids first so codec work uses every core. At corpus
+      // scale the scan is already wide and repartitionForBlobs governs.
       val assets = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("payload", enc(col("doc_id")))
       graft.multimodal.Multimodal
         .decodeAndFeaturize(assets, "payload",
@@ -110,6 +115,10 @@ object EtlShape {
     "m3_audio_decode",
     (s, d) => {
       val enc = udf((id: Long) => graft.etl.DataGen.audioBytes(id))
+      // NO m2-style fan-out here: javax.sound's provider registry
+      // serializes concurrent getAudioInputStream calls, so wide
+      // partitioning only adds lock contention (measured 2.3→5.2 s at
+      // 32 partitions vs the natural scan layout)
       val assets = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
         .withColumn("payload", enc(col("doc_id")))
