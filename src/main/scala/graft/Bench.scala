@@ -26,9 +26,30 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one tiny warmup action so JVM/codegen startup is not billed to the
-    // first query
+    // warm up the JVM paths whose one-time JIT/registry cost otherwise
+    // lands on whichever catalog query happens to run first
+    // alphabetically (measured 3-4 s billed to a2b/a8/a10 cold): basic
+    // codegen, the imperative aggregate buffers (percentile, GK sketch,
+    // HLL), window + pivot shapes, and the ImageIO plugin registry.
+    // Tiny inputs — this is class-loading/JIT warm-up, not caching of
+    // any query's actual work.
     spark.range(1000).selectExpr("sum(id)").collect()
+    spark.range(1000).selectExpr("id % 5 AS g", "id AS v")
+      .groupBy("g")
+      .agg(org.apache.spark.sql.functions.expr(
+          "percentile(v, array(0.25D, 0.75D))"),
+        org.apache.spark.sql.functions.expr(
+          "approx_percentile(v, array(0.25D, 0.75D), 1000)"),
+        org.apache.spark.sql.functions.expr("approx_count_distinct(v)"),
+        org.apache.spark.sql.functions.expr("hll_sketch_estimate(hll_sketch_agg(v))"))
+      .collect()
+    spark.range(1000).selectExpr("id % 5 AS g", "id % 3 AS p", "id AS v")
+      .groupBy("g").pivot("p").sum("v").collect()
+    spark.range(1000).selectExpr("id % 5 AS g", "id AS v")
+      .selectExpr("g", "row_number() OVER (PARTITION BY g ORDER BY v) AS rn")
+      .collect()
+    javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(graft.etl.DataGen.imageBytes(1L)))
     // local-iteration filter: SPARK_GRAFT_ONLY=d7_x,d10_y runs a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

@@ -154,9 +154,13 @@ object Percentiles {
       .select(col("_ng"), col("_r"), col("_v"))
       .collect().map(r => (r.get(0), r.getLong(1)) -> r.getLong(2)).toMap
 
-    // (4) interpolate — exact for integer values at dyadic fractions
+    // (4) interpolate — exact for integer values at dyadic fractions.
+    // Differences in DOUBLE (like the builtin): a long vhi−vlo would
+    // silently wrap for spans over 2^63, and doubles are exact for
+    // every |value| < 2^53 anyway
     val out = quant.toSeq.map { case (gk, f, h, rlo, rhi) =>
-      val vlo = ostat((gk, rlo)); val vhi = ostat((gk, rhi))
+      val vlo = ostat((gk, rlo)).toDouble
+      val vhi = ostat((gk, rhi)).toDouble
       Row(gk, f, vlo + (vhi - vlo) * (h - math.floor(h)))
     }
     val outSchema = StructType(Seq(gField,

@@ -387,5 +387,13 @@ class OperatorsSpec extends SparkSpec {
         else assert(math.abs(got(k) - x) <= 1e-9 * math.max(1.0, math.abs(x)),
           s"shift=$shift $k: got ${got(k)}, want $x") }
     }
+    // extreme-magnitude spot check: a span wider than 2^62 must not
+    // wrap in the interpolation (values chosen double-exact; dyadic f)
+    val wide = Seq(("w", java.lang.Long.valueOf(-(1L << 62))),
+      ("w", java.lang.Long.valueOf(1L << 62))).toDF("grp", "v")
+    val med = Percentiles.exactByGroup(wide, "grp", "v", Seq(0.5),
+        useBuiltinBelow = 0L)
+      .select(col("value")).as[Double].collect()
+    assert(med.toSeq == Seq(0.0), med.toSeq.toString)
   }
 }
