@@ -261,16 +261,18 @@ object Dedup {
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .persist(MEMORY_AND_DISK)
     val spark = pairs.sparkSession
-    val idType = p.schema.fields.head.dataType
-    val integralId = idType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType => true
+    // BOTH endpoint columns must be integral for the local leg; the
+    // output id type is the WIDER of the two — exactly what the
+    // distributed path's unionByName coercion produces for mixed-width
+    // inputs, so the two legs stay type-identical
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val endTypes = p.schema.fields.map(_.dataType)
+    val integralId = endTypes.forall {
+      case ByteType | ShortType | IntegerType | LongType => true
       case _ => false
     }
     if (integralId && p.count() <= localEdgeThreshold)
-      return localComponents(p, idType)
+      return localComponents(p, endTypes.maxBy(_.defaultSize))
     val edges = p.unionByName(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(MEMORY_AND_DISK)
@@ -395,31 +397,45 @@ object Dedup {
     * the caller's persisted (src, dst) frame; released here. */
   private def localComponents(p: DataFrame,
       idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val spark = p.sparkSession
     val rows = p
-      .filter(col("src").isNotNull && col("dst").isNotNull)
       .select(col("src").cast("long"), col("dst").cast("long"))
       .collect()
     p.unpersist(false)
     val parent = scala.collection.mutable.LongMap.empty[Long]
+    def ensure(x: Long): Unit = if (!parent.contains(x)) parent.update(x, x)
     def find(x0: Long): Long = {
       var x = x0
       while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
       x
     }
+    // null-endpoint parity with the distributed loop: a null never
+    // equi-joins there, so the non-null side survives as a singleton
+    // and the null vertex itself comes out as a (null, null) row
+    var hasNullVertex = false
     rows.foreach { r =>
-      val a = r.getLong(0); val b = r.getLong(1)
-      if (!parent.contains(a)) parent.update(a, a)
-      if (!parent.contains(b)) parent.update(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra < rb) parent.update(rb, ra)
-      else if (rb < ra) parent.update(ra, rb)
+      val an = r.isNullAt(0); val bn = r.isNullAt(1)
+      if (an || bn) hasNullVertex = true
+      if (!an && !bn) {
+        val a = r.getLong(0); val b = r.getLong(1)
+        ensure(a); ensure(b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.update(rb, ra)
+        else if (rb < ra) parent.update(ra, rb)
+      } else if (!an) ensure(r.getLong(0))
+      else if (!bn) ensure(r.getLong(1))
     }
-    val labeled = parent.keysIterator.map(id => (id, find(id))).toSeq
-    import spark.implicits._
+    val labeled: Seq[Row] =
+      parent.keysIterator.map(id => Row(id, find(id))).toSeq ++
+        (if (hasNullVertex) Seq(Row(null, null)) else Nil)
     val slices = math.max(1, math.min(
       spark.sparkContext.defaultParallelism, labeled.length / 65536 + 1))
-    spark.sparkContext.parallelize(labeled, slices).toDF("id", "label")
+    val schema = StructType(Seq(StructField("id", LongType, nullable = true),
+      StructField("label", LongType, nullable = true)))
+    spark.createDataFrame(spark.sparkContext.parallelize(labeled, slices),
+        schema)
       .select(col("id").cast(idType).as("id"),
         col("label").cast(idType).as("label"))
   }

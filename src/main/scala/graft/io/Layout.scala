@@ -279,11 +279,18 @@ object FileStats {
               BigDecimal(BigInt(s.maxL.get), scale))
           case _ => (BigDecimal(s.minL.get), BigDecimal(s.maxL.get))
         }
-        // date/ts literals only compare against matching stats kinds
+        // date/ts literals only compare against matching stats kinds;
+        // a DECIMAL predicate must only prune against "dec:<scale>"
+        // stats — sidecars written before the dec-kind existed recorded
+        // such columns as kind "long" with UNSCALED bounds, and pruning
+        // against those would silently drop live files (bounds [1000,
+        // 1100] vs literal 10.50). Stale sidecars thus degrade to
+        // never-prune for decimal conjuncts instead of mis-pruning.
         val kindsAgree = (s.kind, c.dataType) match {
           case ("date", DateType) | ("ts", TimestampType) => true
           case ("date", _) | ("ts", _) => false
           case (_, DateType) | (_, TimestampType) => false
+          case (k, _: DecimalType) if !k.startsWith("dec:") => false
           case _ => true
         }
         if (!kindsAgree) true

@@ -336,21 +336,44 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       schemaJson = shaped.schema.json, dataChange = false)
   }
 
-  /** S7: append tolerating evolving schemas (mergeSchema on read). */
-  def append(df: DataFrame): Unit = {
+  /** S7: append tolerating evolving schemas (mergeSchema on read).
+    * `tag` lands in the mirrored commit's commitInfo.userMetadata
+    * (real Delta's idempotent-writer device) so a crashed writer can
+    * later tell whether THIS append committed — version arithmetic
+    * alone cannot distinguish it from an unrelated commit (compact,
+    * merge) that raced into the crash window. */
+  def append(df: DataFrame, tag: Option[String] = None): Unit = {
     val seg = writeSegment(df)
     commit(snapshot().map(_._2).getOrElse(Seq.empty) :+ seg, "append")
     mirrorDeltaLog("append", added = segmentFiles(seg), removed = Nil,
-      schemaJson = df.schema.json)
+      schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
   }
 
-  def overwrite(df: DataFrame): Unit = {
+  def overwrite(df: DataFrame, tag: Option[String] = None): Unit = {
     val prev = snapshot().map(_._2).getOrElse(Seq.empty)
     val seg = writeSegment(df)
     commit(Seq(seg), "overwrite")
     mirrorDeltaLog("overwrite", added = segmentFiles(seg),
       removed = prev.flatMap(segmentFiles).map(_._1),
-      schemaJson = df.schema.json)
+      schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
+  }
+
+  /** True iff some commit made at-or-after manifest version
+    * `sinceVersion` carries `tag` in its commitInfo.userMetadata (see
+    * [[append]]). Mirror file numbers are 0-based while manifest
+    * versions are 1-based, so the first commit AFTER manifest version
+    * V is mirror file number V — the filter is an optimization only
+    * (tags are UUIDs); if log files were cleaned away the answer
+    * degrades to false and the caller re-does its work
+    * (at-least-once), never loses it. */
+  def hasCommitTagged(tag: String, sinceVersion: Long): Boolean = {
+    if (!Files.exists(deltaLogDir)) return false
+    val needle = s""""userMetadata":"${jsonEsc(tag)}""""
+    listDir(deltaLogDir)
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .filter(_.getFileName.toString.dropRight(5).toLong >= sinceVersion)
+      .exists(p => try Files.readString(p).contains(needle)
+        catch { case _: Throwable => false })
   }
 
   def read(): DataFrame = {
@@ -461,7 +484,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
 
   private def mirrorDeltaLog(mode: String, added: Seq[(String, Long)],
       removed: Seq[String], schemaJson: String,
-      dataChange: Boolean = true): Unit = {
+      dataChange: Boolean = true, userMetadata: String = ""): Unit = {
     import scala.jdk.CollectionConverters._
     Files.createDirectories(deltaLogDir)
     val version = listDir(deltaLogDir)
@@ -500,7 +523,9 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
         s""""partitionColumns":[],"configuration":{},""" +
         s""""createdTime":$now}}\n"""
     }
-    sb ++= s"""{"commitInfo":{"timestamp":$now,"operation":"${mode.toUpperCase}"}}\n"""
+    val um = if (userMetadata.isEmpty) ""
+      else s""","userMetadata":"${jsonEsc(userMetadata)}""""
+    sb ++= s"""{"commitInfo":{"timestamp":$now,"operation":"${mode.toUpperCase}"$um}}\n"""
     removed.foreach { f =>
       sb ++= s"""{"remove":{"path":"${jsonEsc(f)}","deletionTimestamp":$now,""" +
         s""""dataChange":$dataChange}}\n"""

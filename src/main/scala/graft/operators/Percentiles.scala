@@ -72,8 +72,22 @@ object Percentiles {
     require(fractions.forall(f => f >= 0.0 && f <= 1.0),
       s"fractions must be in [0,1]: $fractions")
     require(shift >= 0 && shift < 63, s"shift out of range: $shift")
+    val vType = df.schema(valueCol).dataType
+    require(vType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }, s"valueCol '$valueCol' must be integral, got $vType — quantize " +
+      "fractional values to integer units (e.g. cents) first; a silent " +
+      "cast would truncate and disagree with the builtin")
     val spark = df.sparkSession
     val g = col(groupCol)
+    // driver-side map key for a collected group value: Array[Byte]
+    // compares by reference, so binary keys normalize to a Seq (raw
+    // values are kept alongside for the output rows)
+    def keyOf(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    }
 
     val nonNull = df.filter(col(valueCol).isNotNull)
       .select(g, col(valueCol).cast("long").as("_v"))
@@ -92,19 +106,28 @@ object Percentiles {
     // map-side combine collapses the corpus into ≤ groups·buckets
     // partials, so nothing corpus-sized ever shuffles (a per-(group,
     // value) counts pre-pass would shuffle one row per DISTINCT value —
-    // ~the corpus for near-unique values). Collected to the driver; all
-    // rank math is local. Group keys stay raw Row values so any group
-    // type round-trips.
+    // ~the corpus for near-unique values). Collected to the driver
+    // under an explicit bound (fail fast with advice instead of a
+    // driver OOM when the value range is too wide for the shift — e.g.
+    // epoch-micros at shift=16); all rank math is local. Group keys
+    // stay raw Row values so any group type round-trips (binary via
+    // keyOf).
+    val maxHistRows = 8 << 20
     val hist = nonNull.groupBy(g, expr(s"_v >> $shift").as("_b"))
       .agg(count(lit(1)).as("_bc"))
+      .limit(maxHistRows + 1)
       .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+    require(hist.length <= maxHistRows,
+      s"bucket histogram exceeds $maxHistRows rows at shift=$shift — " +
+        "raise shift so groups * (value-range >> shift) is driver-scale")
     // per group: buckets ascending, exclusive offsets, total n
     case class Located(gk: Any, bucket: Long, off: Long, rank: Long)
     val located = scala.collection.mutable.ArrayBuffer.empty[Located]
     // (group, fraction) -> (h, rlo, rhi) for the final interpolation
     val quant = scala.collection.mutable.ArrayBuffer
       .empty[(Any, Double, Double, Long, Long)]
-    hist.groupBy(_._1).foreach { case (gk, rows) =>
+    hist.groupBy(r => keyOf(r._1)).foreach { case (_, rows) =>
+      val gk = rows.head._1 // raw representative for output/loc rows
       val buckets = rows.sortBy(_._2) // (gk, bucket, bucketCount)
       val n = buckets.iterator.map(_._3).sum
       // ranks this group needs (1-based), deduplicated
@@ -152,15 +175,16 @@ object Percentiles {
           col("_r") > col("_off") + col("_cum") - col("_c") &&
           col("_r") <= col("_off") + col("_cum"))
       .select(col("_ng"), col("_r"), col("_v"))
-      .collect().map(r => (r.get(0), r.getLong(1)) -> r.getLong(2)).toMap
+      .collect().map(r => (keyOf(r.get(0)), r.getLong(1)) -> r.getLong(2))
+      .toMap
 
     // (4) interpolate — exact for integer values at dyadic fractions.
     // Differences in DOUBLE (like the builtin): a long vhi−vlo would
     // silently wrap for spans over 2^63, and doubles are exact for
     // every |value| < 2^53 anyway
     val out = quant.toSeq.map { case (gk, f, h, rlo, rhi) =>
-      val vlo = ostat((gk, rlo)).toDouble
-      val vhi = ostat((gk, rhi)).toDouble
+      val vlo = ostat((keyOf(gk), rlo)).toDouble
+      val vhi = ostat((keyOf(gk), rhi)).toDouble
       Row(gk, f, vlo + (vhi - vlo) * (h - math.floor(h)))
     }
     val outSchema = StructType(Seq(gField,

@@ -332,7 +332,8 @@ object TpcH {
         .select(col("o_custkey"))
       c.crossJoin(broadcast(posAvg))
         .filter(col("bal_c") * col("n_pos") > col("sum_c"))
-        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(recent), col("c_custkey") === col("o_custkey"),
+          "left_anti")
         .join(broadcast(nat(s, d)
           .select(col("n_nationkey"), col("n_name"))),
           col("c_nationkey") === col("n_nationkey"))

@@ -186,13 +186,19 @@ object BronzeIngest {
   *
   * Promotion is EXACTLY-ONCE across a crash: target.append and the
   * staging clear are two independent commits, so a write-ahead intent
-  * marker (the target version observed before the append, written
-  * atomically next to the staging table) brackets the pair. Recovery
-  * on construction compares the recorded version with the target's
-  * current one — strictly greater means the append committed before
-  * the crash, so the staged batch is cleared WITHOUT re-appending;
-  * equal means it never landed, so staging is kept for a later flush.
-  * Either way the marker is removed and no row is promoted twice. */
+  * marker (pre-append target version + a fresh flush id, written
+  * atomically next to the staging table) brackets the pair, and the
+  * append itself carries the flush id as commitInfo.userMetadata in
+  * the target's log mirror (real Delta's idempotent-writer device).
+  * Recovery on construction looks for a commit TAGGED with the
+  * recorded flush id — found means the promote landed, so staging is
+  * cleared without re-appending; absent means it never landed, so
+  * staging is kept for a later flush. A bare version comparison could
+  * not tell the append apart from an unrelated commit (compact,
+  * merge) racing into the crash window. If the mirrored log files
+  * were themselves cleaned, the check degrades to "not landed" —
+  * at-least-once, never silent loss. Either way the marker is removed
+  * and no row is promoted twice. */
 final class BufferedFlushSink(spark: SparkSession, targetPath: String,
     stagingPath: String, maxRows: Long, idleMs: Long,
     clock: () => Long = () => System.currentTimeMillis()) {
@@ -206,14 +212,29 @@ final class BufferedFlushSink(spark: SparkSession, targetPath: String,
     else 0L
   private var lastAppend: Long = clock()
 
-  private def recoverInterruptedFlush(): Unit =
+  private def recoverInterruptedFlush(): Unit = {
+    // sweep intent tmp files stranded by a crash between write and the
+    // atomic rename (they were never the live marker)
+    if (Files.isDirectory(Paths.get(stagingPath))) {
+      val s = Files.list(Paths.get(stagingPath))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.toList
+          .filter(_.getFileName.toString.startsWith("_graft_flush_intent.tmp."))
+          .foreach(Files.deleteIfExists)
+      } finally s.close()
+    }
     if (Files.exists(intentPath)) {
-      val preVer = try Files.readString(intentPath).trim.toLong
-        catch { case _: Throwable => Long.MaxValue } // unreadable → assume not landed
-      if (target.version > preVer && staging.exists)
+      // format: "<preVer>\n<flushId>"; unreadable/legacy → not landed
+      val landed = try {
+        val ls = Files.readString(intentPath).trim.split("\n", 2)
+        ls.length == 2 && target.hasCommitTagged(ls(1).trim, ls(0).trim.toLong)
+      } catch { case _: Throwable => false }
+      if (landed && staging.exists)
         staging.deleteWhere(lit(true)) // promote already committed
       Files.deleteIfExists(intentPath)
     }
+  }
 
   /** foreachBatch binding. */
   def onBatch(df: DataFrame, batchId: Long): Unit = synchronized {
@@ -238,15 +259,18 @@ final class BufferedFlushSink(spark: SparkSession, targetPath: String,
     val idle = clock() - lastAppend >= idleMs
     if (staged > 0 && (force || staged >= maxRows || idle)) {
       val rows = staging.read()
-      // write-ahead intent: record the pre-append target version so a
-      // restart can tell whether the promote landed (see class doc)
+      // write-ahead intent: pre-append version + flush id; the append
+      // carries the id as commit userMetadata so a restart can tell
+      // whether THIS promote landed (see class doc)
+      val flushId = java.util.UUID.randomUUID().toString
       val tmp = Paths.get(stagingPath,
         s"_graft_flush_intent.tmp.${System.nanoTime()}")
       Files.createDirectories(Paths.get(stagingPath))
-      Files.writeString(tmp, target.version.toString)
+      Files.writeString(tmp, s"${target.version}\n$flushId")
       Files.move(tmp, intentPath, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      if (target.exists) target.append(rows) else target.overwrite(rows)
+      if (target.exists) target.append(rows, Some(flushId))
+      else target.overwrite(rows, Some(flushId))
       staging.deleteWhere(lit(true))
       Files.deleteIfExists(intentPath)
       staged = 0

@@ -41,6 +41,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: null endpoints and mixed-width ids, both paths") {
+    // a null endpoint never equi-joins in the distributed loop: the
+    // non-null side survives as a singleton and the null vertex comes
+    // out as a (null, null) row — the local cutover must match exactly
+    val pairs = Seq(
+      (Option(1L), Option(2L)),
+      (Option(3L), Option.empty[Long]),
+      (Option.empty[Long], Option(4L))).toDF("id_a", "id_b")
+    for (thr <- Seq(2000000L, 0L)) {
+      val got = D.connectedComponents(pairs, localEdgeThreshold = thr)
+        .as[(Option[Long], Option[Long])].collect().toSet
+      assert(got == Set(
+        (Some(1L), Some(1L)), (Some(2L), Some(1L)),
+        (Some(3L), Some(3L)), (Some(4L), Some(4L)),
+        (None, None)), s"thr=$thr: $got")
+    }
+    // mixed-width endpoints (int id_a, long id_b): the local leg must
+    // widen like the distributed union coercion, not cast to the first
+    // column's narrower type
+    val mixed = Seq((1, 5000000000L), (2, 5000000000L))
+      .toDF("id_a", "id_b")
+    for (thr <- Seq(2000000L, 0L)) {
+      val got = D.connectedComponents(mixed, localEdgeThreshold = thr)
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 5000000000L -> 1L),
+        s"thr=$thr: $got")
+    }
+  }
+
   test("connected components: long chain converges in logarithmic rounds") {
     // a 40-node path has diameter 39: plain neighbor-min label
     // propagation needs ~39 rounds, far over maxIter=12 — the pointer-

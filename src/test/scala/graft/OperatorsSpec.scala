@@ -387,6 +387,13 @@ class OperatorsSpec extends SparkSpec {
         else assert(math.abs(got(k) - x) <= 1e-9 * math.max(1.0, math.abs(x)),
           s"shift=$shift $k: got ${got(k)}, want $x") }
     }
+    // a fractional value column must be rejected, not silently
+    // truncated into disagreement with the builtin
+    val frac = Seq(("g", 10.99), ("g", 11.99)).toDF("grp", "v")
+    val err = intercept[IllegalArgumentException] {
+      Percentiles.exactByGroup(frac, "grp", "v", Seq(0.5))
+    }
+    assert(err.getMessage.contains("integral"), err.getMessage)
     // extreme-magnitude spot check: a span wider than 2^62 must not
     // wrap in the interpolation (values chosen double-exact; dyadic f)
     val wide = Seq(("w", java.lang.Long.valueOf(-(1L << 62))),

@@ -255,14 +255,15 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_bfs_crash").toString
     val target = new ManagedParquetTable(spark, s"$dir/target")
     val staging = new ManagedParquetTable(spark, s"$dir/staging")
-    // Crash case A: append COMMITTED, staging clear did not run.
-    // Reconstruct that exact on-disk state by hand: staged batch present
-    // in BOTH tables, intent marker recording the pre-append version.
+    // Crash case A: append COMMITTED (tagged with the intent's flush
+    // id), staging clear did not run. Reconstruct that exact on-disk
+    // state by hand: staged batch present in BOTH tables, intent
+    // marker recording pre-append version + flush id.
     staging.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/staging", "_graft_flush_intent"),
-      target.version.toString) // pre-append target version = 0
-    target.overwrite(staging.read()) // the promote that landed
+      s"${target.version}\nflush-A") // pre-append target version = 0
+    target.overwrite(staging.read(), Some("flush-A")) // the landed promote
     val sink = new BufferedFlushSink(spark, s"$dir/target",
       s"$dir/staging", maxRows = 1, idleMs = 60000L, clock = () => 0L)
     // recovery must NOT re-promote: 2 rows, not 4
@@ -276,18 +277,36 @@ class StreamingSpec extends SparkSpec {
     val targetB = new ManagedParquetTable(spark, s"$dirB/target")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dirB/staging", "_graft_flush_intent"),
-      targetB.version.toString)
+      s"${targetB.version}\nflush-B")
     val sinkB = new BufferedFlushSink(spark, s"$dirB/target",
       s"$dirB/staging", maxRows = 1, idleMs = 60000L, clock = () => 0L)
     // staged rows survive recovery and promote exactly once
     assert(sinkB.stagedRows == 2)
     sinkB.flush()
     assert(targetB.read().count() == 2)
-    // markers are gone either way
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dir/staging", "_graft_flush_intent")))
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(s"$dirB/staging", "_graft_flush_intent")))
+    // Crash case C: the append never landed but an UNRELATED commit
+    // (maintenance compact, another writer) bumped the target version
+    // inside the crash window. Version arithmetic alone would call
+    // this "landed" and silently discard the staged batch; the flush
+    // tag must keep it.
+    val dirC = Files.createTempDirectory("graft_bfs_crash_c").toString
+    val stagingC = new ManagedParquetTable(spark, s"$dirC/staging")
+    stagingC.overwrite(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    val targetC = new ManagedParquetTable(spark, s"$dirC/target")
+    targetC.overwrite(Seq((99L, "pre")).toDF("id", "v"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dirC/staging", "_graft_flush_intent"),
+      s"${targetC.version}\nflush-C")
+    targetC.compact() // the unrelated commit racing into the window
+    val sinkC = new BufferedFlushSink(spark, s"$dirC/target",
+      s"$dirC/staging", maxRows = 1, idleMs = 60000L, clock = () => 0L)
+    assert(sinkC.stagedRows == 2, "staged batch lost to an unrelated commit")
+    sinkC.flush()
+    assert(targetC.read().filter($"id" < 99L).count() == 2)
+    // markers are gone in every case
+    for (d <- Seq(dir, dirB, dirC))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$d/staging", "_graft_flush_intent")))
   }
 
   test("ST11: streaming CDC upsert sink — foreachBatch fold + MERGE + key delete") {
