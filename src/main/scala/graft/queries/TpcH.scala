@@ -357,7 +357,89 @@ object TpcH {
                   AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY n_name ORDER BY n_name"""))
 
+  /** TPC-H Q16 (adapted: supplier "complaints" stand-in is a negative
+    * account balance; partsupp replaced by the lineitem supplier
+    * relation): distinct-supplier counts per (brand, type, size) slice
+    * with a NOT-IN exclusion — the anti-join + multi-key
+    * count-distinct reporting shape. */
+  val q16SupplierCount: GQuery = GQuery(
+    "q16_supplier_count",
+    (s, d) =>
+      li(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(broadcast(part(s, d)
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp(s, d).filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size")),
+    Some("""SELECT p_brand, p_type, p_size,
+              count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#45'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN
+                (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""))
+
+  /** TPC-H Q21 (adapted: no commit/receipt dates, so "the supplier
+    * everyone waited for" is the STRICTLY-latest shipper of a
+    * multi-supplier order): per supplier, the count of multi-supplier
+    * orders where that supplier's last ship date is strictly after
+    * every other supplier's — the double-correlated EXISTS/NOT-EXISTS
+    * shape, decorrelated into keyed aggregates (per-(order, supplier)
+    * max → per-order max + supplier count → unique-argmax filter), so
+    * every join/agg shuffles on the order key and nothing is
+    * re-scanned per supplier. */
+  val q21WaitingSupplier: GQuery = GQuery(
+    "q21_waiting_supplier",
+    (s, d) => {
+      val po = li(s, d)
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("l_shipdate")).as("smax"))
+      val om = po.groupBy(col("l_orderkey").as("ok"))
+        .agg(max(col("smax")).as("omax"), count(lit(1)).as("nsupp"))
+      val win = po.join(om,
+          col("l_orderkey") === col("ok") && col("smax") === col("omax") &&
+            col("nsupp") >= 2)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val strict = win.groupBy(col("l_orderkey").as("sk_ok"))
+        .agg(count(lit(1)).as("n_at_max"))
+        .filter(col("n_at_max") === 1)
+        .select(col("sk_ok"))
+      win.join(strict, col("l_orderkey") === col("sk_ok"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(supp(s, d).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+        .limit(20)
+    },
+    Some("""WITH po AS (SELECT l_orderkey, l_suppkey,
+              max(l_shipdate) AS smax
+              FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            om AS (SELECT l_orderkey, max(smax) AS omax,
+              count(*) AS nsupp FROM po GROUP BY l_orderkey),
+            win AS (SELECT p.l_orderkey, p.l_suppkey
+              FROM po p JOIN om USING (l_orderkey)
+              WHERE p.smax = om.omax AND om.nsupp >= 2),
+            strict AS (SELECT l_orderkey FROM win
+              GROUP BY l_orderkey HAVING count(*) = 1)
+            SELECT s_suppkey, s_name, count(*) AS numwait
+            FROM win JOIN strict USING (l_orderkey)
+              JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY s_suppkey, s_name
+            ORDER BY numwait DESC, s_suppkey LIMIT 20"""))
+
   val all: Seq[GQuery] = Seq(q4OrderPriority, q6Forecast, q7NationVolume,
-    q8MarketShare, q13OrderDist, q15TopSupplier, q17SmallQty,
-    q19Disjunctive, q22Opportunity)
+    q8MarketShare, q13OrderDist, q15TopSupplier, q16SupplierCount,
+    q17SmallQty, q19Disjunctive, q21WaitingSupplier, q22Opportunity)
 }
