@@ -4,13 +4,16 @@ import graft.{GQuery, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** The remaining classic TPC-H plan shapes the testdata schema can
-  * express (no partsupp table → Q2/Q9/Q11/Q16/Q20 are out of reach;
-  * lineitem carries no commit/receipt dates or shipmode → Q4/Q12/Q21
-  * run adapted predicates, noted per query). Together with q1/q3/q5/
-  * q10/q12/q14/q18 in [[Relational]] this closes the decision-support
-  * shape inventory: EXISTS semi-joins, disjunctive pushdown, correlated
-  * scalar subqueries, outer-join histograms, market-share ratios.
+/** The remaining classic TPC-H plan shapes, adapted to the testdata
+  * schema (no partsupp table → Q2/Q9/Q11/Q16/Q20 substitute the
+  * observed lineitem (part, supplier) relation for partsupp; lineitem
+  * carries no commit/receipt dates or shipmode → Q4/Q12/Q21 run
+  * adapted predicates, noted per query). Together with q1/q3/q5/
+  * q10/q12/q14/q18 in [[Relational]] this closes ALL 22 decision-
+  * support shapes: EXISTS semi-joins, disjunctive pushdown, correlated
+  * scalar subqueries, outer-join histograms, market-share ratios,
+  * per-group argmin against a restricted subrelation, share-of-total
+  * HAVING, nested-aggregate dominance semi-joins.
   *
   * All money arithmetic is integer cents ([[Exact]]) so the DuckDB
   * oracle hash-compares bit-identically; every output carries an
@@ -439,7 +442,193 @@ object TpcH {
             GROUP BY s_suppkey, s_name
             ORDER BY numwait DESC, s_suppkey LIMIT 20"""))
 
-  val all: Seq[GQuery] = Seq(q4OrderPriority, q6Forecast, q7NationVolume,
-    q8MarketShare, q13OrderDist, q15TopSupplier, q16SupplierCount,
-    q17SmallQty, q19Disjunctive, q21WaitingSupplier, q22Opportunity)
+  /** TPC-H Q2 (min-cost supplier, adapted: partsupp is the observed
+    * lineitem (part, supplier) relation and "supply cost" is the
+    * cheapest line a supplier ever shipped for the part, exact in
+    * cents): for size-15 parts, the EUROPE supplier(s) achieving the
+    * per-part minimum cost — the correlated-min-subquery shape,
+    * decorrelated into a per-part min joined back on (part, cost).
+    * Both the part slice and the region-restricted supplier dim
+    * broadcast; the one fact pass aggregates (part, supplier) minima
+    * map-side before the keyed shuffle. */
+  val q2MinCostSupplier: GQuery = GQuery(
+    "q2_min_cost_supplier",
+    (s, d) => {
+      val euSupp = supp(s, d)
+        .join(broadcast(nat(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE").select(col("r_regionkey"))),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val sizeParts = part(s, d).filter(col("p_size") === 15)
+        .select(col("p_partkey"), col("p_name"))
+      val cand = li(s, d)
+        .join(broadcast(sizeParts), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("p_partkey"), col("p_name"), col("l_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+        .agg(min(Exact.cents(col("l_extendedprice"))).as("cost_c"))
+      val mn = cand.groupBy(col("p_partkey").as("pk"))
+        .agg(min(col("cost_c")).as("min_c"))
+      cand.join(broadcast(mn),
+          col("p_partkey") === col("pk") && col("cost_c") === col("min_c"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          (col("cost_c") / 100.0).as("supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    },
+    Some(s"""WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            cand AS (SELECT p_partkey, p_name, l_suppkey, s_name,
+                s_acctbal, n_name,
+                min(${Exact.centsSql("l_extendedprice")}) AS cost_c
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+                JOIN eu ON l_suppkey = s_suppkey
+              WHERE p_size = 15
+              GROUP BY 1, 2, 3, 4, 5, 6),
+            mn AS (SELECT p_partkey AS pk, min(cost_c) AS min_c
+              FROM cand GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+              cost_c / 100.0 AS supplycost
+            FROM cand JOIN mn ON p_partkey = pk AND cost_c = min_c
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100"""))
+
+  /** TPC-H Q9 (product-type profit, adapted: 'green' parts → the
+    * 'red '-prefixed name slice; no supplycost leg, so profit is
+    * discounted revenue): per (supplier nation, order year) profit over
+    * a 5-table star — the multi-dim fact join with a year() derived
+    * grouping key. Part/supplier/nation broadcast; lineitem⋈orders is
+    * the one fact shuffle. */
+  val q9ProductProfit: GQuery = GQuery(
+    "q9_product_profit",
+    (s, d) =>
+      li(s, d)
+        .join(broadcast(part(s, d).filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(ord(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(rq).as("profit_q"))
+        .select(col("nation"), col("o_year"),
+          (Exact.roundDiv(col("profit_q"), lit(100L)) / 100.0)
+            .as("profit"))
+        .orderBy(col("nation"), col("o_year").desc),
+    Some(s"""SELECT n_name AS nation,
+              CAST(year(o_orderdate) AS BIGINT) AS o_year,
+              ${Exact.roundDivSqlPos(s"sum($rqSql)", "100")} / 100.0
+                AS profit
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE 'red%'
+            GROUP BY 1, 2 ORDER BY 1, 2 DESC"""))
+
+  /** TPC-H Q11 (important stock, adapted: "stock value" is discounted
+    * revenue supplied from NATION_1): parts whose value exceeds 2× the
+    * per-part average — the share-of-total HAVING shape. TPC-H scales
+    * its 0.0001 fraction by 1/SF because any fixed share empties as the
+    * part count grows; comparing against the average (val·n > 2·total,
+    * raw integers cross-multiplied — no float fraction exists) is the
+    * scale-invariant equivalent. The total is a broadcast scalar over
+    * the already-aggregated per-part frame. */
+  val q11ImportantStock: GQuery = GQuery(
+    "q11_important_stock",
+    (s, d) => {
+      val natSupp = supp(s, d)
+        .join(broadcast(nat(s, d).filter(col("n_name") === "NATION_1")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val v = li(s, d)
+        .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(rq).as("val_q"))
+      val tot = v.agg(sum(col("val_q")).as("tot_q"), count(lit(1)).as("n"))
+      v.crossJoin(broadcast(tot))
+        .filter(col("val_q") * col("n") > col("tot_q") * 2)
+        .select(col("l_partkey"),
+          (Exact.roundDiv(col("val_q"), lit(100L)) / 100.0).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    },
+    Some(s"""WITH v AS (SELECT l_partkey, sum($rqSql) AS val_q
+              FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_1'
+              GROUP BY 1),
+            tot AS (SELECT sum(val_q) AS tot_q, count(*) AS n FROM v)
+            SELECT l_partkey,
+              ${Exact.roundDivSqlPos("val_q", "100")} / 100.0 AS value
+            FROM v CROSS JOIN tot
+            WHERE val_q * n > tot_q * 2
+            ORDER BY value DESC, l_partkey"""))
+
+  /** TPC-H Q20 (potential part promotion, adapted: "excess stock" is
+    * supplying MORE THAN HALF of a part's 1996 shipped quantity):
+    * NATION_3 suppliers dominating at least one 'red '-part — the
+    * nested-aggregate dominance semi-join (per-(part,supplier) qty vs
+    * per-part total, integer-doubled, distinct suppliers, dim-filtered
+    * output). The part slice broadcasts before the fact aggregation,
+    * so only the red-part lineitems ever shuffle. */
+  val q20PartPromotion: GQuery = GQuery(
+    "q20_part_promotion",
+    (s, d) => {
+      val pq = li(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(part(s, d).filter(col("p_name").startsWith("red"))
+          .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(Exact.cents(col("l_quantity"))).as("qty_c"))
+      val tot = pq.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("qty_c")).as("tot_c"))
+      val dominant = pq.join(broadcast(tot), col("l_partkey") === col("pk"))
+        .filter(col("qty_c") * 2 > col("tot_c"))
+        .select(col("l_suppkey")).distinct()
+      supp(s, d)
+        .join(broadcast(dominant), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(nat(s, d).filter(col("n_name") === "NATION_3")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    Some(s"""WITH pq AS (SELECT l_partkey, l_suppkey,
+              sum(${Exact.centsSql("l_quantity")}) AS qty_c
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'red%'
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              GROUP BY 1, 2),
+            tot AS (SELECT l_partkey AS pk, sum(qty_c) AS tot_c
+              FROM pq GROUP BY 1),
+            dom AS (SELECT DISTINCT l_suppkey FROM pq
+              JOIN tot ON l_partkey = pk WHERE qty_c * 2 > tot_c)
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN dom ON s_suppkey = l_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'
+            ORDER BY s_suppkey"""))
+
+  val all: Seq[GQuery] = Seq(q2MinCostSupplier, q4OrderPriority, q6Forecast,
+    q7NationVolume, q8MarketShare, q9ProductProfit, q11ImportantStock,
+    q13OrderDist, q15TopSupplier, q16SupplierCount, q17SmallQty,
+    q19Disjunctive, q20PartPromotion, q21WaitingSupplier, q22Opportunity)
 }

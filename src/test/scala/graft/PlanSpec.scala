@@ -162,6 +162,31 @@ class PlanSpec extends SparkSpec {
     assert(bhj.size == 4, s"expected 4 broadcast dim joins, got ${bhj.size}")
   }
 
+  test("q2/q9/q11/q20 shapes: fact shuffles only where a fact-fact join exists") {
+    import org.apache.spark.sql.execution.joins.{
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    def shuffleJoins(name: String) = {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.sparkPlan
+      plan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+    }
+    // q9 joins lineitem to orders: the one legitimate fact-fact join.
+    // At spec scale the planner may broadcast the filtered orders side
+    // (correct there); the invariant is that NOTHING ELSE shuffles.
+    assert(shuffleJoins("q9_product_profit").size <= 1)
+    // q2/q11/q20 aggregate the fact once behind broadcast dims; every
+    // join after that is against a broadcast-sized frame
+    for (q <- Seq("q2_min_cost_supplier", "q11_important_stock",
+        "q20_part_promotion")) {
+      val sj = shuffleJoins(q)
+      assert(sj.isEmpty, s"$q has ${sj.size} shuffle join(s):\n" +
+        sj.mkString("\n"))
+    }
+  }
+
   test("gate queries keep pushdown through their own plans (p8, w2)") {
     val p8 = SparkEntry.queries("p8_watermark_filter")(spark, sf)
     val p8scan = scans(p8).find(_.metadata("Location").contains("events"))
