@@ -792,6 +792,22 @@ object Relational {
               FROM orders GROUP BY o_orderstatus, o_orderpriority) z
             WHERE rn = 1 ORDER BY o_orderstatus"""))
 
+  /** A18: exact heavy hitters WITHOUT shuffling the key domain —
+    * per-partition Misra-Gries candidates (sound superset by weighted
+    * pigeonhole), broadcast-semi-join recount ([[operators
+    * .HeavyHitters]]). The oracle is the plain HAVING form; the gate
+    * proves the sketch-then-recount path returns the identical exact
+    * answer. Threshold 20 = 2× the scale-invariant mean orders per
+    * customer, so the output is non-empty at every sf tier. */
+  val qHeavyHitters: GQuery = GQuery(
+    "a18_heavy_hitters",
+    (s, d) => graft.operators.HeavyHitters.heavyHitters(
+      ord(s, d).select(col("o_custkey")), "o_custkey", 20L)
+      .select(col("o_custkey"), col("freq")),
+    Some("""SELECT o_custkey, count(*) AS freq
+            FROM orders GROUP BY o_custkey HAVING count(*) > 20
+            ORDER BY o_custkey"""))
+
   /** TPC-H Q18 (large-volume customers): HAVING over a fact aggregate
     * feeding a semi-join back into the enriched join — the
     * find-the-outliers-then-detail reporting shape. Threshold tuned to
@@ -870,7 +886,7 @@ object Relational {
 
   val all: Seq[GQuery] = Seq(
     q1Agg, q3Shipping, q5LocalSupplier, q10Returned, q12Priority, q14Promo,
-    q18LargeVolume, qMode, qColumnProfile,
+    q18LargeVolume, qMode, qColumnProfile, qHeavyHitters,
     qCount, qDistinctCount, qDistinctVals, qWatermarkMax, qNullCounts,
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,

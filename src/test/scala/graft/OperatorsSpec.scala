@@ -403,4 +403,32 @@ class OperatorsSpec extends SparkSpec {
       .select(col("value")).as[Double].collect()
     assert(med.toSeq == Seq(0.0), med.toSeq.toString)
   }
+
+  test("heavyHitters == groupBy-HAVING, partition-invariant, no misses") {
+    import graft.operators.HeavyHitters.heavyHitters
+    // skewed fixture: key 0 dominates, a mid tier sits just above and
+    // just below the threshold, a long unique tail stresses the sketch
+    val rows = Seq.fill(500)(0L) ++
+      (1L to 10L).flatMap(k => Seq.fill(21)(k)) ++ // just above t=20
+      (11L to 20L).flatMap(k => Seq.fill(20)(k)) ++ // exactly t: excluded
+      (1000L to 3000L) // unique tail
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 > 20L).toMap
+    for (parts <- Seq(1, 7, 32)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Tuple1(_)), parts)
+          .map(t => org.apache.spark.sql.Row(t._1)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      val got = heavyHitters(df, "k", 20L)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want, s"parts=$parts: got ${got.size}, want ${want.size}")
+    }
+    // nulls are not items; threshold below every count returns all keys
+    val withNulls = Seq(Some(1L), Some(1L), None, Some(2L))
+      .toDF("k")
+    assert(heavyHitters(withNulls, "k", 1L).as[(Long, Long)]
+      .collect().toMap == Map(1L -> 2L))
+  }
 }
