@@ -505,6 +505,38 @@ object Dedup {
     train.join(contam, Seq(idCol), "left_anti")
   }
 
+  /** Fractional n-gram overlap against a benchmark — the published
+    * contamination SCORE (GPT-3 appendix C / PaLM style), where
+    * [[decontaminate]] is the boolean any-overlap guard: per training
+    * doc, how many of its distinct word-n-gram shingles appear in the
+    * benchmark's shingle set. Thresholding the fraction (instead of
+    * dropping on any single shared shingle) is what production
+    * decontamination actually does — one shared idiom should not kill
+    * a document.
+    *
+    * Plan shape: bench shingles broadcast (eval suites are KBs–MBs);
+    * the corpus is exploded row-locally and probed map-side by the
+    * broadcast hash join, then re-keyed by doc id — the only shuffle
+    * carries (id, two partial counts) after map-side combine, never
+    * shingle payloads. Returns (idCol, n_shingles, n_hit); ratio
+    * formatting is left to the caller so the counts stay exact.
+    * Docs shorter than n tokens survive with (0, 0). */
+  def overlapFraction(train: DataFrame, bench: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      n: Int = 3): DataFrame = {
+    val benchShingles = bench
+      .select(explode(array_distinct(wordShingles(col(textCol), n))).as("_sh"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    train
+      .select(col(idCol), explode_outer(array_distinct(
+        wordShingles(col(textCol), n))).as("_sh"))
+      .join(broadcast(benchShingles), Seq("_sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("_sh")).as("n_shingles"),
+        count(col("_hit")).as("n_hit"))
+  }
+
   /** Decontamination via a Bloom prefilter — the shape for a LARGE
     * holdout side. [[decontaminate]] ships the bench shingle SET to
     * every executor (right-sized when the eval suite is KBs–MBs); at a

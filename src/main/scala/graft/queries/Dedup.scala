@@ -445,6 +445,50 @@ object Dedup {
               AND doc_id NOT IN (SELECT doc_id FROM cont)
             ORDER BY doc_id"""))
 
+  /** Fractional overlap decontamination SCORE (d8's boolean guard,
+    * graduated): per train doc, distinct-shingle count, benchmark-hit
+    * count, and the exact per-mille overlap — the published GPT-3/PaLM
+    * contamination measure, thresholdable downstream instead of
+    * dropping on any single shared shingle. Exact integer counts; the
+    * per-mille is the rational-rounding formula, so the hash oracle is
+    * bit-stable. */
+  val overlapFractionQ: GQuery = GQuery(
+    "d17_overlap_fraction",
+    (s, d) => {
+      val dd = docs(s, d)
+      val bench = dd.filter(col("doc_id") % 97 === 0)
+      val train = dd.filter(col("doc_id") % 97 =!= 0)
+      D.overlapFraction(train, bench)
+        .withColumn("overlap_permille",
+          when(col("n_shingles") === 0, lit(0L))
+            .otherwise(Exact.roundDiv(col("n_hit") * 1000,
+              col("n_shingles"))))
+        .select(col("doc_id"), col("n_shingles"), col("n_hit"),
+          col("overlap_permille"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            sh AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS shs
+              FROM t),
+            bench AS (SELECT DISTINCT unnest(shs) AS s FROM sh
+                      WHERE doc_id % 97 = 0),
+            ex AS (SELECT doc_id, unnest(shs) AS s FROM sh
+                   WHERE doc_id % 97 <> 0),
+            agg AS (SELECT ex.doc_id, count(*) AS n_shingles,
+                count(bench.s) AS n_hit
+              FROM ex LEFT JOIN bench USING (s) GROUP BY ex.doc_id)
+            SELECT sh.doc_id,
+              coalesce(n_shingles, 0) AS n_shingles,
+              coalesce(n_hit, 0) AS n_hit,
+              CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0
+                ELSE ${Exact.roundDivSqlPos("n_hit * 1000", "n_shingles")}
+              END AS overlap_permille
+            FROM sh LEFT JOIN agg USING (doc_id)
+            WHERE sh.doc_id % 97 <> 0
+            ORDER BY sh.doc_id"""))
+
   /** Passage-level duplication diagnostic (shingle granularity): the
     * per-doc count and per-mille share of distinct shingles that occur
     * in at least one other doc. Rational per-mille rounding keeps the
@@ -520,5 +564,5 @@ object Dedup {
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
     simhashDedupQ, minhashDedupQ, bloomDecontaminateQ, duplicatePassagesQ,
-    dedupReport)
+    dedupReport, overlapFractionQ)
 }

@@ -333,6 +333,25 @@ class DedupSpec extends SparkSpec {
     assert(viaClasses.size < skewed.size)
   }
 
+  test("overlapFraction: exact counts, empty-doc and full-containment edges") {
+    import graft.dedup.Dedup.overlapFraction
+    val bench = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    // doc 1: both 3-grams of "alpha beta gamma delta" -> 2/2 hit
+    // doc 2: one of its three shingles matches ("beta gamma delta")
+    // doc 3: disjoint; doc 4: under 3 tokens -> (0, 0)
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "zz beta gamma delta"),
+      (3L, "one two three four"),
+      (4L, "too short")).toDF("doc_id", "text")
+    val byId = overlapFraction(train, bench)
+      .select(col("doc_id"), col("n_shingles"), col("n_hit"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId == Map(1L -> ((2L, 2L)), 2L -> ((2L, 1L)),
+      3L -> ((2L, 0L)), 4L -> ((0L, 0L))), byId.toString)
+  }
+
   test("shingle jaccard: hand-computed value") {
     // doc1 vs doc3: 9 tokens each → 7 shingles; lazy→sleepy changes the
     // last two shingles → inter=5, union=9
