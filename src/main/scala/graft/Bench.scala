@@ -50,9 +50,9 @@ object Bench {
       .collect()
     javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(graft.etl.DataGen.imageBytes(1L)))
-    javax.sound.sampled.AudioSystem.getAudioInputStream(
-      new java.io.ByteArrayInputStream(graft.etl.DataGen.audioBytes(1L)))
-      .close()
+    // warm the REAL m3 path (cached SPI providers + converter), not
+    // AudioSystem's registry, which the catalog no longer touches
+    graft.multimodal.Multimodal.probeDecode(graft.etl.DataGen.audioBytes(1L))
     // local-iteration filter: SPARK_GRAFT_ONLY=d7_x,d10_y runs a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)

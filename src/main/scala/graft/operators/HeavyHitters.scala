@@ -36,23 +36,59 @@ import org.apache.spark.sql.functions._
   */
 object HeavyHitters {
 
+  /** Value-equality holder for BinaryType summary keys (Array[Byte]
+    * hashes by reference). Serializable: it travels inside the
+    * mapPartitions closure's task scope only. */
+  private final case class BinKey(s: Seq[Byte])
+
   /** All keys of `keyCol` with exact frequency strictly above
     * `minFreq`, as (key, freq) with the key's original name and type.
-    * Output is sorted by key for deterministic export. */
-  def heavyHitters(df: DataFrame, keyCol: String, minFreq: Long): DataFrame = {
+    * Output is sorted by key for deterministic export.
+    *
+    * `maxCandidateBound` guards the broadcast: the candidate union is
+    * bounded by partitions × capacity, and when that bound exceeds it
+    * the sketch cannot be selective enough to beat a plain aggregate
+    * (the degenerate case is k ≥ rows-per-partition, where no summary
+    * ever decrements and "candidates" is the whole key domain) — the
+    * operator then falls back to the ordinary groupBy-HAVING plan,
+    * which is exact and never worse than sketch-then-recount there. */
+  def heavyHitters(df: DataFrame, keyCol: String, minFreq: Long,
+      maxCandidateBound: Long = 1L << 22): DataFrame = {
     require(minFreq >= 1, s"minFreq must be >= 1, got $minFreq")
     val keyed = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
+    val exact = keyed.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("freq"))
+      .filter(col("freq") > minFreq)
+      .orderBy(col(keyCol))
     val n = keyed.count()
-    if (n == 0) return keyed.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("freq")).limit(0)
+    if (n == 0) return exact.limit(0)
     // capacity so that N_p/k <= t * N_p/N: every global-heavy key is
     // locally heavy enough somewhere to survive its partition summary
-    val k = math.max(2L, (n + minFreq - 1) / minFreq).toInt
+    val kL = math.max(2L, (n + minFreq - 1) / minFreq)
+    val parts = math.max(1, keyed.rdd.getNumPartitions).toLong
+    // candidate union is provably <= parts * k rows; past the bound
+    // (or an Int-overflowing capacity) the sketch buys nothing — use
+    // the plain exact plan instead of a degenerate broadcast
+    if (kL > Int.MaxValue / 4 || parts * kL > maxCandidateBound) return exact
+    val k = kL.toInt
     val schema = keyed.schema
     val candidates = keyed.mapPartitions { rows =>
-      val summary = new java.util.HashMap[Any, Long](k * 2)
+      // Array[Byte] (BinaryType) compares by reference, so binary keys
+      // wrap in a value-equality holder for summary identity
+      // (Percentiles.keyOf convention); the wrapper is unambiguous, so
+      // genuine Seq-typed (ArrayType) keys pass through untouched
+      def keyOf(v: Any): Any = v match {
+        case b: Array[Byte] => BinKey(b.toSeq)
+        case x => x
+      }
+      def rawOf(v: Any): Any = v match {
+        case BinKey(s) => s.toArray
+        case x => x
+      }
+      val summary = new java.util.HashMap[Any, Long](
+        math.min(k.toLong * 2, 1L << 29).toInt)
       rows.foreach { r =>
-        val x = r.get(0)
+        val x = keyOf(r.get(0))
         val c = summary.get(x) // null unboxes to 0; stored counts are >= 1
         if (c != 0L) summary.put(x, c + 1L)
         else if (summary.size < k) summary.put(x, 1L)
@@ -68,7 +104,7 @@ object HeavyHitters {
         }
       }
       val keys = new scala.collection.mutable.ArrayBuffer[Row](summary.size)
-      summary.keySet().forEach(x => keys += Row(x))
+      summary.keySet().forEach(x => keys += Row(rawOf(x)))
       keys.iterator
     }(Encoders.row(schema)).distinct()
     df.join(broadcast(candidates), Seq(keyCol), "left_semi")

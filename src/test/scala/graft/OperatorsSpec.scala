@@ -430,5 +430,25 @@ class OperatorsSpec extends SparkSpec {
       .toDF("k")
     assert(heavyHitters(withNulls, "k", 1L).as[(Long, Long)]
       .collect().toMap == Map(1L -> 2L))
+    // BinaryType keys: Array[Byte] hashes by reference, so the summary
+    // must normalize — a heavy fingerprint spread across partitions
+    // must never be silently dropped
+    val binRows = (Seq.fill(30)(Array[Byte](1, 2, 3)) ++
+      (0 until 200).map(i => Array[Byte](9, i.toByte))).map(Tuple1(_))
+    val binDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(binRows.map(t =>
+        org.apache.spark.sql.Row(t._1)), 8),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.BinaryType))))
+    val binGot = heavyHitters(binDf, "k", 10L)
+      .as[(Array[Byte], Long)].collect()
+    assert(binGot.length == 1 && binGot.head._2 == 30L &&
+      binGot.head._1.toSeq == Seq[Byte](1, 2, 3), binGot.toSeq.toString)
+    // candidate-bound fallback: forcing the bound to 1 must produce the
+    // identical exact answer via the plain groupBy-HAVING plan
+    val fb = heavyHitters(binDf, "k", 10L, maxCandidateBound = 1L)
+      .as[(Array[Byte], Long)].collect()
+    assert(fb.length == 1 && fb.head._1.toSeq == Seq[Byte](1, 2, 3))
   }
 }
