@@ -393,7 +393,91 @@ object Advanced {
               ON o_orderstatus = dim.status
             ORDER BY o_orderkey"""))
 
+  /** Ordered conversion funnel (view → click-after-view →
+    * purchase-after-click, each within 7 days of the user's first
+    * view): the product-analytics shape where each stage's timestamp
+    * must follow the previous stage's. Decorrelates into three keyed
+    * aggregates chained by broadcast-friendly user joins — every
+    * shuffle is on user_id and carries one timestamp, never event
+    * payloads; no window function, no per-user collect. */
+  val funnel: GQuery = GQuery(
+    "w8_funnel",
+    (s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        col("ts_us"))
+      val weekUs = 7L * 86400L * 1000000L
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts_us") > col("v_us") &&
+          col("ts_us") <= col("v_us") + weekUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"),
+          min(col("v_us")).as("v_us2"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts_us") > col("c_us") &&
+          col("ts_us") <= col("v_us2") + weekUs)
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+      v.agg(count(lit(1)).as("n")).select(lit("1_view").as("stage"), col("n"))
+        .unionAll(c.agg(count(lit(1)).as("n"))
+          .select(lit("2_click").as("stage"), col("n")))
+        .unionAll(p.agg(count(lit(1)).as("n"))
+          .select(lit("3_purchase").as("stage"), col("n")))
+        .orderBy(col("stage"))
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+              FROM events),
+            v AS (SELECT user_id, min(ts_us) AS v_us FROM e
+              WHERE event_type = 'view' GROUP BY 1),
+            c AS (SELECT e.user_id, min(e.ts_us) AS c_us,
+                min(v.v_us) AS v_us2
+              FROM e JOIN v USING (user_id)
+              WHERE event_type = 'click' AND e.ts_us > v.v_us
+                AND e.ts_us <= v.v_us + 604800000000
+              GROUP BY 1),
+            p AS (SELECT e.user_id, min(e.ts_us) AS p_us
+              FROM e JOIN c USING (user_id)
+              WHERE event_type = 'purchase' AND e.ts_us > c.c_us
+                AND e.ts_us <= c.v_us2 + 604800000000
+              GROUP BY 1)
+            SELECT '1_view' AS stage, count(*) AS n FROM v
+            UNION ALL SELECT '2_click', count(*) FROM c
+            UNION ALL SELECT '3_purchase', count(*) FROM p
+            ORDER BY stage"""))
+
+  /** Cohort retention matrix: users grouped by first-activity day,
+    * counted as retained in each subsequent week they reappear.
+    * Calendar-free integer bucketing (epoch-day cohort, integer-divide
+    * week offset) keeps both engines bit-identical — date_trunc week
+    * conventions never enter. Two keyed shuffles: first-seen per user,
+    * then distinct (cohort, offset, user) counting. */
+  val retention: GQuery = GQuery(
+    "w9_retention",
+    (s, d) => {
+      val e = ev(s, d).select(col("user_id"),
+        expr("ts_us div 86400000000").as("day"))
+      val first = e.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"))
+      e.join(first, "user_id")
+        .select(col("user_id"), col("cohort_day"),
+          expr("(day - cohort_day) div 7").as("week_offset"))
+        .distinct()
+        .groupBy(col("cohort_day"), col("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_day"), col("week_offset"))
+    },
+    Some("""WITH e AS (SELECT user_id,
+              epoch_us(ts) // 86400000000 AS day FROM events),
+            f AS (SELECT user_id, min(day) AS cohort_day FROM e
+              GROUP BY 1),
+            a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+                (e.day - f.cohort_day) // 7 AS week_offset
+              FROM e JOIN f USING (user_id))
+            SELECT cohort_day, week_offset, count(*) AS n_users
+            FROM a GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
     rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames,
-    dppJoin, intervalOverlap)
+    dppJoin, intervalOverlap, funnel, retention)
 }
