@@ -542,7 +542,72 @@ object Similarity {
               neighbor_id, sim
             FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank"""))
 
+  /** ANN index-quality diagnostic: recall@5 of the LSH index (v4's
+    * path) against exact brute force (v1's path), per query — the
+    * evaluation harness an ANN deployment runs before trusting an
+    * index, expressed in-engine so it scales with the corpus instead
+    * of exporting result sets. Both top-k sets use deterministic
+    * id tiebreaks, so the intersection — and the gate hash — is
+    * exact. One fused plan: the exact side ranks all candidates, the
+    * ANN side ranks its bucket, the hit join is per-(query, neighbor). */
+  val annRecallQ: GQuery = GQuery(
+    "v13_ann_recall",
+    (s, d) => {
+      val e = emb(s, d)
+      val q = e.filter(col("vec_id") < 5)
+      val exact = bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val ann = lshTopK(e, q, k = 5, Planes, Dim)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = exact.join(ann, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_true"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"), col("n_true"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          Exact.roundDiv(coalesce(col("n_hit"), lit(0L)) * 1000,
+            col("n_true")).as("recall_permille"))
+        .orderBy(col("query_id"))
+    },
+    Some(s"""WITH b AS (
+              SELECT vec_id, embedding,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(8), j ->
+                    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(64), i ->
+                        CAST(embedding[i+1] AS DOUBLE) *
+                        (CAST(((2654435761 * (j*64 + i + 1)) % 1000000007) % 2001
+                              - 1000 AS DOUBLE) / 1000.0))),
+                      (acc, x) -> acc + x) > 0
+                    THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+                  (acc, x) -> acc + x) AS bucket
+              FROM embeddings),
+            ex AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 5
+              QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round(${sqlCosine("q.embedding", "c.embedding")}, 6)
+                  DESC, c.vec_id) <= 5),
+            ann AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+              FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id != q.vec_id
+              WHERE q.vec_id < 5
+              QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY round(${sqlCosine("q.embedding", "c.embedding")}, 6)
+                  DESC, c.vec_id) <= 5),
+            h AS (SELECT ex.query_id, count(*) AS n_hit
+              FROM ex JOIN ann USING (query_id, neighbor_id)
+              GROUP BY 1),
+            t AS (SELECT query_id, count(*) AS n_true FROM ex GROUP BY 1)
+            SELECT t.query_id, t.n_true,
+              coalesce(h.n_hit, 0) AS n_hit,
+              ${Exact.roundDivSqlPos("coalesce(h.n_hit, 0) * 1000",
+                "t.n_true")} AS recall_permille
+            FROM t LEFT JOIN h USING (query_id)
+            ORDER BY t.query_id"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
     ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
-    kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ)
+    kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ, annRecallQ)
 }
