@@ -607,7 +607,50 @@ object Similarity {
             FROM t LEFT JOIN h USING (query_id)
             ORDER BY t.query_id"""))
 
+  /** Multi-probe ANN top-5: v4's exact-bucket search plus the
+    * Hamming-1 probe shell (Lv et al., VLDB 2007) — the standard
+    * answer to the recall collapse v13 measures. Probe fanout rides
+    * the (tiny) query side only; candidates still arrive by bucket
+    * join. The oracle expands the same planes+1 probe codes with
+    * xor(). */
+  val multiProbeQ: GQuery = GQuery(
+    "v14_multiprobe_topk",
+    (s, d) => {
+      val e = emb(s, d)
+      lshMultiProbeTopK(e, e.filter(col("vec_id") < 5), k = 5, Planes, Dim)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH b AS (
+              SELECT vec_id, embedding,
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(range(8), j ->
+                    CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(range(64), i ->
+                        CAST(embedding[i+1] AS DOUBLE) *
+                        (CAST(((2654435761 * (j*64 + i + 1)) % 1000000007) % 2001
+                              - 1000 AS DOUBLE) / 1000.0))),
+                      (acc, x) -> acc + x) > 0
+                    THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+                  (acc, x) -> acc + x) AS bucket
+              FROM embeddings),
+            probes AS (
+              SELECT vec_id AS query_id, embedding AS qv,
+                CASE WHEN j = 0 THEN bucket
+                  ELSE xor(bucket, CAST(1 AS BIGINT) << (j - 1)) END AS bucket
+              FROM b, unnest(range(9)) AS t(j)
+              WHERE vec_id < 5)
+            SELECT q.query_id,
+              row_number() OVER (PARTITION BY q.query_id
+                ORDER BY round(${sqlCosine("q.qv", "c.embedding")}, 6) DESC,
+                         c.vec_id) AS rank,
+              c.vec_id AS neighbor_id,
+              round(${sqlCosine("q.qv", "c.embedding")}, 6) AS sim
+            FROM probes q JOIN b c ON q.bucket = c.bucket
+              AND c.vec_id != q.query_id
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
     ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
-    kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ, annRecallQ)
+    kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ, annRecallQ, multiProbeQ)
 }

@@ -126,6 +126,35 @@ object VectorFunctions {
     perQueryTopK(scored, k, shards)
   }
 
+  /** Multi-probe LSH top-k: each query probes its own bucket AND every
+    * Hamming-1 neighbor bucket (planes+1 probe codes). Single-bucket
+    * LSH recall collapses when a true neighbor lands one sign-flip
+    * away (the v13 diagnostic measures exactly this); probing the
+    * Hamming-1 shell is the standard recovery (Lv et al., VLDB 2007)
+    * and costs probe-key fanout on the QUERY side only — the corpus
+    * is still bucket-joined, never scanned. The probe codes of one
+    * query are pairwise distinct, so a candidate matches at most one
+    * probe and no dedup pass is needed; ranking is shard-bounded like
+    * every other top-k path. */
+  def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
+    val code = (c: Column) => lshCode(c, planes, dim)
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        code(col(vecCol)).as("b0"))
+      .withColumn("bucket", explode(array(
+        col("b0") +: (0 until planes).map(j =>
+          col("b0").bitwiseXOR(lit(1L << j))): _*)))
+      .select(col("query_id"), col("qv"), col("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      code(col(vecCol)).as("bucket"))
+    val scored = c.join(broadcast(probes), "bucket")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    perQueryTopK(scored, k, shards)
+  }
+
   /** IVF-style coarse assignment: nearest (max-cosine) centroid per
     * vector, deterministic tiebreak on centroid id. Centroids are a
     * small DataFrame (broadcast); assignment is a broadcast join +

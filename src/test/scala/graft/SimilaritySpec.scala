@@ -259,4 +259,30 @@ class SimilaritySpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(one.nonEmpty && one.subsetOf(full.map(_._2)))
   }
+
+  test("multi-probe LSH: candidate superset of exact-bucket, recall never lower") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    def hits(ann: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] = {
+      val exact = bruteForceTopK(e, q, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      ann.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+        .map { case (qid, s) => qid -> (s intersect exact.getOrElse(qid, Set())) }
+    }
+    val single = hits(lshTopK(e, q, k = 5, planes = 8, dim = 64))
+    val multi = hits(lshMultiProbeTopK(e, q, k = 5, planes = 8, dim = 64))
+    // Hamming-1 probing widens the candidate pool, so per-query recall
+    // can only improve (k is unchanged and scoring is identical)
+    for (qid <- single.keys ++ multi.keys) {
+      val s = single.getOrElse(qid, Set()).size
+      val m = multi.getOrElse(qid, Set()).size
+      assert(m >= s, s"query $qid: multi-probe recall $m < single $s")
+    }
+    // and on this fixture it strictly improves in aggregate
+    assert(multi.values.map(_.size).sum > single.values.map(_.size).sum)
+  }
 }
