@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic PageRank in integer fixed-point arithmetic.
+  *
+  * Web-corpus curation weights domains by link authority (the
+  * Common Crawl pipeline's quality prior); the float formulation is
+  * hostile to verification because fp summation order varies with
+  * partitioning. Ranks here are BIGINT micro-units (10^6 = 1.0) and
+  * every step is integer division and integer sums — associative and
+  * commutative, so the result is bit-identical under any partitioning,
+  * any engine (the DuckDB oracle replays the same recurrence), any
+  * cluster size.
+  *
+  * Per iteration (damping d as a per-mille integer):
+  *   contrib(e)   = rank(src) div outdeg(src)
+  *   inSum(v)     = Σ contrib over in-edges of v
+  *   dangShare    = (Σ rank over outdeg-0 nodes) div nNodes
+  *   rank'(v)     = (1000 − d)·unit div 1000
+  *                  + d·(inSum(v) + dangShare) div 1000
+  *
+  * Truncating division loses < 1 micro-unit per term — fixed-point
+  * noise far below any ranking decision, and identically reproduced
+  * everywhere.
+  *
+  * Scale shape: each iteration is ONE shuffle join of edges to ranks
+  * on src (ranks is |V|, edges |E|) plus a keyed sum on dst; the
+  * dangling mass is a broadcast scalar. Ranks persist per iteration
+  * and the previous generation unpersists, so the plan never deepens
+  * past one generation (the connectedComponents re-rooting lesson). */
+object PageRank {
+
+  /** Ranks after `iters` iterations over the DISTINCT edge set, as
+    * (node, rank_micro). Nodes are the union of both endpoint columns;
+    * null endpoints are dropped. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, dampPermille: Int = 850): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
+    require(dampPermille >= 0 && dampPermille <= 1000,
+      s"dampPermille in [0, 1000], got $dampPermille")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .persist()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val nNodes = nodes.count()
+    if (nNodes == 0) {
+      e.unpersist(); nodes.unpersist()
+      return nodes.withColumn("rank_micro", lit(0L)).limit(0)
+    }
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg")).persist()
+    val base = (1000L - dampPermille) * 1000000L / 1000L
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L)).persist()
+    ranks.count()
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, Seq("node"), "left")
+      val dangling = withDeg.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dang"))
+        .head().getLong(0)
+      val dangShare = dangling / nNodes
+      val inSum = e.join(withDeg.filter(col("outdeg").isNotNull),
+          e("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr("rank_micro div outdeg").as("contrib"))
+        .groupBy(col("node"))
+        .agg(sum(col("contrib")).as("in_sum"))
+      val next = nodes.join(inSum, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(
+            s"($dampPermille * (coalesce(in_sum, CAST(0 AS BIGINT)) + " +
+              s"$dangShare)) div 1000"))
+            .as("rank_micro"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
+    }
+    val out = ranks.orderBy(col("node"))
+    e.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    out
+  }
+}

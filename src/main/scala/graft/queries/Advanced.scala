@@ -477,7 +477,55 @@ object Advanced {
             SELECT cohort_day, week_offset, count(*) AS n_users
             FROM a GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  /** Deterministic integer fixed-point PageRank over the observed
+    * customer→supplier trade graph (suppliers offset by 10^6 to keep
+    * the id spaces disjoint) — the link-authority prior a web-corpus
+    * curation pipeline computes, here with BIGINT micro-unit ranks so
+    * fp summation order never enters and the oracle replays the exact
+    * recurrence as unrolled CTE generations. Suppliers have no
+    * out-edges, so the dangling-mass redistribution path is exercised
+    * by construction. */
+  val pageRankQ: GQuery = GQuery(
+    "g1_pagerank",
+    (s, d) => {
+      val edges = Tables.orders(s, d)
+        .join(Tables.lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"))
+      graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 3)
+    }, {
+      val step = (i: Int, prev: String) =>
+        s"""d$i AS (SELECT coalesce(sum(rank_micro), 0) AS dang
+              FROM $prev LEFT JOIN deg USING (node) WHERE outdeg IS NULL),
+            s$i AS (SELECT ed.dst AS node,
+                sum(r.rank_micro // deg.outdeg) AS in_sum
+              FROM ed JOIN $prev r ON ed.src = r.node
+                JOIN deg ON deg.node = ed.src
+              GROUP BY ed.dst),
+            r$i AS (SELECT n2.node,
+                150000 + (850 * (coalesce(s$i.in_sum, 0) +
+                  (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 1000
+                  AS rank_micro
+              FROM nodes n2 LEFT JOIN s$i USING (node))"""
+      Some(s"""WITH ed AS (SELECT DISTINCT o_custkey AS src,
+                l_suppkey + 1000000 AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            nodes AS (SELECT src AS node FROM ed
+              UNION SELECT dst FROM ed),
+            deg AS (SELECT src AS node, count(*) AS outdeg FROM ed
+              GROUP BY 1),
+            nn AS (SELECT count(*) AS n FROM nodes),
+            r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro
+              FROM nodes),
+            ${step(1, "r0")},
+            ${step(2, "r1")},
+            ${step(3, "r2")}
+            SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+            FROM r3 ORDER BY node""")
+    })
+
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
     rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames,
-    dppJoin, intervalOverlap, funnel, retention)
+    dppJoin, intervalOverlap, funnel, retention, pageRankQ)
 }

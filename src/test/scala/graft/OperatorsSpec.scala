@@ -404,6 +404,33 @@ class OperatorsSpec extends SparkSpec {
     assert(med.toSeq == Seq(0.0), med.toSeq.toString)
   }
 
+  test("pageRank: hand-computed ranks, partition-invariant, mass conserved") {
+    import graft.operators.PageRank.pageRank
+    // 1 -> 2, 1 -> 3, 2 -> 3; node 3 dangles
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    // iteration 1 by hand (micro-units, d=850):
+    //   deg(1)=2, deg(2)=1; dang = rank(3) = 1_000_000, share = 333_333
+    //   in(2) = 500_000; in(3) = 500_000 + 1_000_000
+    //   r(1) = 150_000 + 850*333_333 div 1000           = 433_333
+    //   r(2) = 150_000 + 850*(500_000+333_333) div 1000 = 858_333
+    //   r(3) = 150_000 + 850*(1_500_000+333_333) div 1000 = 1_708_333
+    val want1 = Map(1L -> 433333L, 2L -> 858333L, 3L -> 1708333L)
+    for (parts <- Seq(1, 5)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(edges, parts))
+        .toDF("s", "t")
+      val got = pageRank(df, "s", "t", iters = 1)
+        .as[(Long, Long)].collect().toMap
+      assert(got == want1, s"parts=$parts: $got")
+    }
+    // more iterations keep total mass at n * unit (up to div truncation)
+    val r3 = pageRank(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
+      .toDF("s", "t"), "s", "t", iters = 5)
+      .as[(Long, Long)].collect()
+    val total = r3.map(_._2).sum
+    assert(math.abs(total - 3000000L) < 100L, total.toString)
+  }
+
   test("heavyHitters == groupBy-HAVING, partition-invariant, no misses") {
     import graft.operators.HeavyHitters.heavyHitters
     // skewed fixture: key 0 dominates, a mid tier sits just above and
