@@ -25,11 +25,17 @@ import org.apache.spark.sql.functions._
   * noise far below any ranking decision, and identically reproduced
   * everywhere.
   *
-  * Scale shape: each iteration is ONE shuffle join of edges to ranks
-  * on src (ranks is |V|, edges |E|) plus a keyed sum on dst; the
-  * dangling mass is a broadcast scalar. Ranks persist per iteration
-  * and the previous generation unpersists, so the plan never deepens
-  * past one generation (the connectedComponents re-rooting lesson). */
+  * Scale shape: each iteration is ONE Spark job whose only large
+  * exchange is the keyed sum of |E| (dst, contrib) pairs. The ranks
+  * generation carries its node's outdeg (static — joined once at
+  * setup, never re-joined), the dangling mass rides along as a
+  * broadcast one-row aggregate of the cached ranks (no driver
+  * round-trip between jobs), and the edge set is pre-hash-partitioned
+  * on src so a sort-merge plan never re-shuffles |E| payloads when
+  * ranks outgrows the broadcast threshold. Ranks persist per
+  * iteration and the previous generation unpersists, so the plan
+  * never deepens past one generation (the connectedComponents
+  * re-rooting lesson). */
 object PageRank {
 
   /** Ranks after `iters` iterations over the DISTINCT edge set, as
@@ -40,48 +46,59 @@ object PageRank {
     require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
     require(dampPermille >= 0 && dampPermille <= 1000,
       s"dampPermille in [0, 1000], got $dampPermille")
+    // repartition BEFORE distinct: hash(src) satisfies the (src, dst)
+    // clustering requirement (same src → same partition), so the
+    // dedup aggregates in place — one |E| shuffle instead of two
     val e = edges
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
       .distinct()
       .persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
-    val nNodes = nodes.count()
+      .union(e.select(col("dst").as("node"))).distinct()
+    // (node, outdeg) with outdeg NULL for dangling nodes — static
+    // across iterations, so joined exactly once, here
+    val nodesDeg = nodes
+      .join(e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("outdeg")),
+        Seq("node"), "left")
+      .persist()
+    val nNodes = nodesDeg.count()
     if (nNodes == 0) {
-      e.unpersist(); nodes.unpersist()
-      return nodes.withColumn("rank_micro", lit(0L)).limit(0)
+      e.unpersist(); nodesDeg.unpersist()
+      return nodesDeg.select(col("node"))
+        .withColumn("rank_micro", lit(0L)).limit(0)
     }
-    val outdeg = e.groupBy(col("src").as("node"))
-      .agg(count(lit(1)).as("outdeg")).persist()
     val base = (1000L - dampPermille) * 1000000L / 1000L
-    var ranks = nodes.withColumn("rank_micro", lit(1000000L)).persist()
+    var ranks = nodesDeg.withColumn("rank_micro", lit(1000000L)).persist()
     ranks.count()
     for (_ <- 1 to iters) {
-      val withDeg = ranks.join(outdeg, Seq("node"), "left")
-      val dangling = withDeg.filter(col("outdeg").isNull)
+      // one-row dangling-mass aggregate over the cached generation;
+      // broadcast below so the scalar never detours through the driver
+      val dang = ranks.filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank_micro")), lit(0L)).as("dang"))
-        .head().getLong(0)
-      val dangShare = dangling / nNodes
-      val inSum = e.join(withDeg.filter(col("outdeg").isNotNull),
-          e("src") === col("node"))
+      val live = ranks.filter(col("outdeg").isNotNull)
+      val inSum = e.join(live, e("src") === live("node"))
         .select(col("dst").as("node"),
           expr("rank_micro div outdeg").as("contrib"))
         .groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_sum"))
-      val next = nodes.join(inSum, Seq("node"), "left")
-        .select(col("node"),
+      val next = nodesDeg.join(inSum, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"), col("outdeg"),
           (lit(base) + expr(
             s"($dampPermille * (coalesce(in_sum, CAST(0 AS BIGINT)) + " +
-              s"$dangShare)) div 1000"))
+              s"(dang div CAST($nNodes AS BIGINT)))) div 1000"))
             .as("rank_micro"))
         .persist()
       next.count()
       ranks.unpersist()
       ranks = next
     }
-    val out = ranks.orderBy(col("node"))
-    e.unpersist(); outdeg.unpersist(); nodes.unpersist()
+    val out = ranks.select(col("node"), col("rank_micro"))
+      .orderBy(col("node"))
+    e.unpersist(); nodesDeg.unpersist()
     out
   }
 }
