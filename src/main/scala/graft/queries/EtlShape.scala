@@ -473,8 +473,52 @@ object EtlShape {
               ON a.id < b.id AND a.id % 2 = b.id % 2
             ORDER BY id_a, id_b"""))
 
+  /** MV1: incremental aggregate materialized view — the O(delta)
+    * refresh a 100 TB warehouse needs (a per-batch full re-aggregate
+    * is the one thing that cannot ship at scale). The gate drives the
+    * full lifecycle: initial full compute, an append refreshed by
+    * reading ONLY the new files, a row delete that invalidates the
+    * stored partials (falls back to one full recompute), and a final
+    * append on the new basis. The oracle aggregates the equivalent
+    * final live set directly. */
+  val incrementalView: GQuery = GQuery(
+    "mv1_incremental_view",
+    (s, d) => {
+      import graft.io.IncrementalAggView.AggSpec
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv1").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      val t = new graft.io.ManagedParquetTable(s, root + "/orders_t")
+      val v = new graft.io.IncrementalAggView(s, root + "/orders_t",
+        root + "/orders_v", Seq("o_orderpriority"),
+        Seq(AggSpec("count", "", "cnt"),
+          AggSpec("sum", "price_cents", "sum_cents"),
+          AggSpec("min", "price_cents", "min_cents"),
+          AggSpec("max", "price_cents", "max_cents")))
+      t.append(o.filter(col("o_orderkey") % 3 === 0))
+      v.refresh() // initial: full compute, basis = first batch
+      t.append(o.filter(col("o_orderkey") % 3 === 1))
+      v.refresh() // incremental: aggregates ONLY the appended files
+      t.deleteWhere(col("o_orderkey") % 10 === 0) // removes basis files
+      t.append(o.filter(col("o_orderkey") % 3 === 2))
+      v.refresh() // full fallback: partials are unattributable
+      v.read().orderBy(col("o_orderpriority"))
+    },
+    Some("""WITH live AS (SELECT o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM orders
+              WHERE o_orderkey % 3 = 2 OR o_orderkey % 10 <> 0)
+            SELECT o_orderpriority, count(*) AS cnt,
+              CAST(sum(price_cents) AS BIGINT) AS sum_cents,
+              min(price_cents) AS min_cents,
+              max(price_cents) AS max_cents
+            FROM live GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
-      cdcApply, bloomPrunedScan, imageNearDupsQ)
+      cdcApply, bloomPrunedScan, imageNearDupsQ, incrementalView)
 }

@@ -623,4 +623,61 @@ class IoSpec extends SparkSpec {
     val statsDirs = try statsStream.count() finally statsStream.close()
     assert(statsDirs == 1, s"expected 1 live stats sidecar, got $statsDirs")
   }
+
+  test("MV1: incremental view merges only appended files; removal falls back") {
+    import graft.io.IncrementalAggView
+    import graft.io.IncrementalAggView.AggSpec
+    val root = tmp("mv")
+    val t = new ManagedParquetTable(spark, s"$root/t")
+    def view() = new IncrementalAggView(spark, s"$root/t", s"$root/v",
+      Seq("g"), Seq(AggSpec("count", "", "cnt"),
+        AggSpec("sum", "v", "s"), AggSpec("min", "v", "mn"),
+        AggSpec("max", "v", "mx")))
+
+    t.append(Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("g", "v"))
+    val v1 = view()
+    v1.refresh()
+    assert(v1.lastRefresh == "full")
+    assert(v1.read().as[(String, Long, Long, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 3L, 1L, 2L), ("b", 1L, 10L, 10L, 10L)))
+
+    // append → incremental merge; a second refresh with no change is a noop
+    t.append(Seq(("a", 5L), ("c", 7L)).toDF("g", "v"))
+    v1.refresh()
+    assert(v1.lastRefresh == "incremental")
+    assert(v1.read().as[(String, Long, Long, Long, Long)].collect().toSet ==
+      Set(("a", 3L, 8L, 1L, 5L), ("b", 1L, 10L, 10L, 10L),
+        ("c", 1L, 7L, 7L, 7L)))
+    v1.refresh()
+    assert(v1.lastRefresh == "noop")
+
+    // a NEW instance (fresh process) resumes incrementally from the
+    // manifest — the basis survives the instance, not just the JVM state
+    t.append(Seq(("b", 20L)).toDF("g", "v"))
+    val v2 = view()
+    v2.refresh()
+    assert(v2.lastRefresh == "incremental")
+
+    // deleting rows rewrites segments: partials are unattributable, so
+    // the next refresh recomputes fully and is again exact
+    t.deleteWhere(col("v") === 2L)
+    v2.refresh()
+    assert(v2.lastRefresh == "full")
+    assert(v2.read().as[(String, Long, Long, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 6L, 1L, 5L), ("b", 2L, 30L, 10L, 20L),
+        ("c", 1L, 7L, 7L, 7L)))
+
+    // all-null aggregate input stays null through an incremental merge
+    val t2 = new ManagedParquetTable(spark, s"$root/t2")
+    t2.append(Seq(("a", None: Option[Long])).toDF("g", "v"))
+    val v3 = new IncrementalAggView(spark, s"$root/t2", s"$root/v2",
+      Seq("g"), Seq(AggSpec("sum", "v", "s"), AggSpec("count", "", "cnt")))
+    v3.refresh()
+    t2.append(Seq(("a", None: Option[Long]), ("b", Some(1L))).toDF("g", "v"))
+    v3.refresh()
+    assert(v3.lastRefresh == "incremental")
+    val rows = v3.read().collect().map(r =>
+      (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
+    assert(rows == Set(("a", None, 2L), ("b", Some(1L), 1L)))
+  }
 }
