@@ -677,6 +677,34 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     live.toSeq.sorted
   }
 
+  /** File-granularity change feed between delta-log `version`
+    * (exclusive) and the current snapshot: rows in files added since
+    * are tagged `_change_type` 'insert', rows in files removed since
+    * 'delete'. A rewriting commit (delete-where / merge / compact)
+    * reports at file granularity — unchanged rows of a rewritten file
+    * appear as a delete+insert pair — the same contract as Delta's
+    * version diff without the change-data feed enabled. Downstream
+    * consumers that need net-row changes anti-join the two sides;
+    * consumers of append-only tables (the ingest norm) get exact row
+    * inserts with no rewrite noise. */
+  def changesSince(version: Long): DataFrame = {
+    val before = deltaSnapshotFiles(Some(version)).toSet
+    val now = deltaSnapshotFiles().toSet
+    def readSet(files: Seq[String], tag: String): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => s"$path/$f"): _*)
+        .withColumn("_change_type", lit(tag)))
+    (readSet((now -- before).toSeq.sorted, "insert"),
+        readSet((before -- now).toSeq.sorted, "delete")) match {
+      case (Some(a), Some(r)) => a.unionByName(r, allowMissingColumns = true)
+      case (Some(a), None) => a
+      case (None, Some(r)) => r
+      case (None, None) =>
+        read().withColumn("_change_type", lit("insert")).limit(0)
+    }
+  }
+
   /** Time travel: the table as of delta-log `version` (0-based — the
     * n-th commit). Data files must still exist (vacuum's grace window
     * bounds how far back travel reaches, as in real Delta). */

@@ -517,8 +517,50 @@ object EtlShape {
             FROM live GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** Shared fixture for the version-history gates: three appends of
+    * the orders table split by o_orderkey mod 3 → delta versions
+    * 0, 1, 2. */
+  private def threeAppendTable(s: SparkSession, d: String) = {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vh").toString
+    val o = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderpriority"),
+      Exact.cents(col("o_totalprice")).as("price_cents"))
+    val t = new graft.io.ManagedParquetTable(s, root + "/orders_t")
+    for (m <- 0 to 2) t.append(o.filter(col("o_orderkey") % 3 === m))
+    t
+  }
+
+  /** S27: version-diff change feed — `changesSince(v)` resolves the
+    * file-set delta between a historical snapshot and now and tags
+    * rows insert/delete, the outgoing-CDC complement of the incoming
+    * CDC apply (s25). Append-only history → exact row inserts. */
+  val versionChanges: GQuery = GQuery(
+    "s27_version_changes",
+    (s, d) => threeAppendTable(s, d).changesSince(0L)
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+              'insert' AS _change_type
+            FROM orders WHERE o_orderkey % 3 IN (1, 2)
+            ORDER BY o_orderkey"""))
+
+  /** S28: time travel — `readAt(v)` reconstructs the historical
+    * snapshot from the delta-log mirror (checkpoint + commit replay),
+    * the contract `bronze/test7.py:76-80` exercises against real
+    * Delta with versionAsOf. */
+  val timeTravel: GQuery = GQuery(
+    "s28_time_travel",
+    (s, d) => threeAppendTable(s, d).readAt(1L)
+      .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_orderpriority,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders WHERE o_orderkey % 3 IN (0, 1)
+            ORDER BY o_orderkey"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
-      cdcApply, bloomPrunedScan, imageNearDupsQ, incrementalView)
+      cdcApply, bloomPrunedScan, imageNearDupsQ, incrementalView,
+      versionChanges, timeTravel)
 }

@@ -624,6 +624,29 @@ class IoSpec extends SparkSpec {
     assert(statsDirs == 1, s"expected 1 live stats sidecar, got $statsDirs")
   }
 
+  test("S27: changesSince tags appends insert and rewrites delete+insert") {
+    val t = new ManagedParquetTable(spark, tmp("cdf") + "/t")
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v")) // delta v0
+    t.append(Seq((3, "c")).toDF("id", "v")) // v1
+    // append-only diff: exact row inserts
+    assert(t.changesSince(0L).select("id", "_change_type")
+      .as[(Int, String)].collect().toSet == Set((3, "insert")))
+    // no change → empty frame, schema preserved
+    val none = t.changesSince(1L)
+    assert(none.count() == 0 &&
+      none.columns.toSeq == Seq("id", "v", "_change_type"))
+    // delete rewrites the snapshot: prior rows report delete, the
+    // survivors re-report insert (file-granularity contract)
+    t.deleteWhere(col("id") === 1) // v2
+    assert(t.changesSince(1L).select("id", "_change_type")
+      .as[(Int, String)].collect().toSet ==
+      Set((1, "delete"), (2, "delete"), (3, "delete"),
+        (2, "insert"), (3, "insert")))
+    // and the full-history diff nets to the current snapshot's adds
+    assert(t.changesSince(0L).filter(col("_change_type") === "insert")
+      .select("id").as[Int].collect().toSet == Set(2, 3))
+  }
+
   test("MV1: incremental view merges only appended files; removal falls back") {
     import graft.io.IncrementalAggView
     import graft.io.IncrementalAggView.AggSpec
