@@ -404,20 +404,24 @@ object TpcH {
   val q21WaitingSupplier: GQuery = GQuery(
     "q21_waiting_supplier",
     (s, d) => {
-      val po = li(s, d)
+      // one lineitem pass, one wide shuffle: repartition by orderkey
+      // up front — hash(l_orderkey) satisfies the (l_orderkey,
+      // l_suppkey) grouping AND every per-order window below, so the
+      // per-order max / supplier count / at-max count all evaluate in
+      // place instead of re-shuffling (the two-aggregate + self-join
+      // formulation scanned lineitem twice and shuffled five times)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_orderkey"))
+      val win = li(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .repartition(col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("smax"))
-      val om = po.groupBy(col("l_orderkey").as("ok"))
-        .agg(max(col("smax")).as("omax"), count(lit(1)).as("nsupp"))
-      val win = po.join(om,
-          col("l_orderkey") === col("ok") && col("smax") === col("omax") &&
-            col("nsupp") >= 2)
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val strict = win.groupBy(col("l_orderkey").as("sk_ok"))
-        .agg(count(lit(1)).as("n_at_max"))
+        .withColumn("omax", max(col("smax")).over(w))
+        .withColumn("nsupp", count(lit(1)).over(w))
+        .filter(col("smax") === col("omax") && col("nsupp") >= 2)
+      win.withColumn("n_at_max", count(lit(1)).over(w))
         .filter(col("n_at_max") === 1)
-        .select(col("sk_ok"))
-      win.join(strict, col("l_orderkey") === col("sk_ok"))
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .join(broadcast(supp(s, d).select(col("s_suppkey"), col("s_name"))),
