@@ -187,6 +187,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q21: one lineitem scan, one wide exchange feeds the window chain") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = SparkEntry.queries("q21_waiting_supplier")(spark, sf)
+    val qe = df.queryExecution
+    // one scan: the rewrite must not regress to the two-aggregate
+    // self-join form that read lineitem twice
+    val liScans =
+      scans(df).count(_.metadata("Location").contains("lineitem"))
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans")
+    // hash(l_orderkey) serves the grouping and all three per-order
+    // windows in place: the whole plan carries at most 3 exchanges
+    // (fact repartition, final suppkey agg, top-k ordering)
+    val ex = qe.sparkPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(ex.size <= 3, s"q21 planned ${ex.size} exchanges:\n$ex")
+  }
+
   test("gate queries keep pushdown through their own plans (p8, w2)") {
     val p8 = SparkEntry.queries("p8_watermark_filter")(spark, sf)
     val p8scan = scans(p8).find(_.metadata("Location").contains("events"))
