@@ -690,6 +690,21 @@ class IoSpec extends SparkSpec {
       Set(("a", 2L, 6L, 1L, 5L), ("b", 2L, 30L, 10L, 20L),
         ("c", 1L, 7L, 7L, 7L)))
 
+    // crash window: a refresh that died AFTER writing its state dir
+    // but BEFORE the manifest flip leaves an orphan the next refresh
+    // ignores — the manifest still pairs the old state with the old
+    // basis, so re-running derives the same delta (idempotent, no
+    // double count) and the orphan is just unreferenced garbage
+    t.append(Seq(("c", 100L)).toDF("g", "v"))
+    Files.createDirectories(Paths.get(s"$root/v/state-0-crashed"))
+    Files.writeString(Paths.get(s"$root/v/state-0-crashed/part-junk"), "x")
+    val v4 = view()
+    v4.refresh()
+    assert(v4.lastRefresh == "incremental")
+    assert(v4.read().filter(col("g") === "c")
+      .as[(String, Long, Long, Long, Long)].collect().toSet ==
+      Set(("c", 2L, 107L, 7L, 100L)))
+
     // all-null aggregate input stays null through an incremental merge
     val t2 = new ManagedParquetTable(spark, s"$root/t2")
     t2.append(Seq(("a", None: Option[Long])).toDF("g", "v"))
