@@ -17,8 +17,9 @@ import org.apache.spark.sql.functions._
   * recompute and resumes incrementally from there.
   *
   * Only decomposable aggregates are offered — count / sum / min / max
-  * (avg is sum÷count at read time) — because exactly these merge by
-  * re-aggregating partials. The merge is the same `groupBy` the
+  * (avg is sum÷count at read time), plus `hll` distinct-count SKETCH
+  * state (exact distinct is not decomposable; its HLL sketch is) —
+  * because exactly these merge by re-aggregating partials. The merge is the same `groupBy` the
   * engine runs everywhere else: union the state with the delta
   * partials and fold (sum of sums, sum of counts, min of mins, max of
   * maxes); Catalyst plans it as one map-side-combined shuffle of
@@ -59,11 +60,23 @@ final class IncrementalAggView(
   @volatile var lastRefresh: String = ""
 
   /** Current materialized state: groupCols ++ one column per AggSpec.
+    * `hll` columns are raw binary sketches here — see [[readFinal]].
     * Fails if the view has never been refreshed. */
   def read(): DataFrame = {
     val (state, _) = loadManifest().getOrElse(
       sys.error(s"view at $viewPath has never been refreshed"))
     spark.read.parquet(s"$viewPath/$state")
+  }
+
+  /** [[read]] with sketch states finalized: `hll` columns become their
+    * distinct-count estimates (long); all other columns pass through. */
+  def readFinal(): DataFrame = {
+    val cols = groupCols.map(col) ++ aggs.map {
+      case AggSpec("hll", _, out) =>
+        expr(s"hll_sketch_estimate(`$out`)").as(out)
+      case a => col(a.outName)
+    }
+    read().select(cols: _*)
   }
 
   /** Bring the state up to the table's current snapshot. */
@@ -100,9 +113,15 @@ final class IncrementalAggView(
       case AggSpec("sum", in, out) => sum(col(in)).as(out)
       case AggSpec("min", in, out) => min(col(in)).as(out)
       case AggSpec("max", in, out) => max(col(in)).as(out)
+      // distinct counts are NOT decomposable exactly, but their HLL
+      // sketches are: register-wise max union makes per-file partials
+      // mergeable, which is how a 100 TB table keeps daily-unique
+      // metrics without ever rescanning history
+      case AggSpec("hll", in, out) =>
+        expr(s"hll_sketch_agg(`$in`)").as(out)
       case AggSpec(kind, _, _) =>
         sys.error(s"unsupported aggregate kind '$kind' " +
-          "(decomposable kinds: count, sum, min, max)")
+          "(decomposable kinds: count, sum, min, max, hll)")
     }
     df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
   }
@@ -114,6 +133,8 @@ final class IncrementalAggView(
       case AggSpec("sum", _, out) => sum(col(out)).as(out)
       case AggSpec("min", _, out) => min(col(out)).as(out)
       case AggSpec("max", _, out) => max(col(out)).as(out)
+      case AggSpec("hll", _, out) =>
+        expr(s"hll_union_agg(`$out`)").as(out)
       case AggSpec(kind, _, _) => sys.error(s"unsupported kind '$kind'")
     }
     a.unionByName(b).groupBy(groupCols.map(col): _*)
@@ -173,7 +194,8 @@ final class IncrementalAggView(
 }
 
 object IncrementalAggView {
-  /** One decomposable aggregate: kind ∈ {count, sum, min, max};
-    * inputCol is ignored for count. */
+  /** One decomposable aggregate: kind ∈ {count, sum, min, max, hll};
+    * inputCol is ignored for count. `hll` stores a mergeable binary
+    * sketch, finalized to an estimate by [[IncrementalAggView.readFinal]]. */
   final case class AggSpec(kind: String, inputCol: String, outName: String)
 }

@@ -517,6 +517,43 @@ object EtlShape {
             FROM live GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** MV2: sketch-state materialized view — per-priority distinct
+    * customers kept fresh by MERGING HLL sketches of only the
+    * appended files (exact distinct is not decomposable; its sketch
+    * is — register-wise max union). This is the daily-uniques-
+    * without-rescan pattern; contract mirrors a2b: exact counts must
+    * hash-match, the sketch estimate must land within 5%. */
+  val incrementalDistinct: GQuery = GQuery(
+    "mv2_incremental_distinct",
+    (s, d) => {
+      import graft.io.IncrementalAggView.AggSpec
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv2").toString
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_custkey"))
+      val t = new graft.io.ManagedParquetTable(s, root + "/orders_t")
+      val v = new graft.io.IncrementalAggView(s, root + "/orders_t",
+        root + "/orders_v", Seq("o_orderpriority"),
+        Seq(AggSpec("hll", "o_custkey", "cust_sketch")))
+      for (m <- 0 to 2) {
+        t.append(o.filter(col("o_orderkey") % 3 === m))
+        v.refresh() // full once, then sketch-merge per append
+      }
+      val exact = t.read().groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_cust"))
+      exact.join(v.readFinal(), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), col("n_cust"),
+          (abs(col("cust_sketch") - col("n_cust")) * 100 <=
+            col("n_cust") * 5).as("within_5pct"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority,
+              count(DISTINCT o_custkey) AS n_cust,
+              true AS within_5pct
+            FROM orders GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   /** Shared fixture for the version-history gates: three appends of
     * the orders table split by o_orderkey mod 3 → delta versions
     * 0, 1, 2. */
@@ -562,5 +599,5 @@ object EtlShape {
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
       cdcApply, bloomPrunedScan, imageNearDupsQ, incrementalView,
-      versionChanges, timeTravel)
+      incrementalDistinct, versionChanges, timeTravel)
 }

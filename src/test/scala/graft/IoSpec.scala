@@ -647,6 +647,32 @@ class IoSpec extends SparkSpec {
       .select("id").as[Int].collect().toSet == Set(2, 3))
   }
 
+  test("MV2: hll sketch state merges incrementally == one-shot sketch") {
+    import graft.io.IncrementalAggView
+    import graft.io.IncrementalAggView.AggSpec
+    val root = tmp("mvh")
+    val t = new ManagedParquetTable(spark, s"$root/t")
+    val v = new IncrementalAggView(spark, s"$root/t", s"$root/v",
+      Seq("g"), Seq(AggSpec("hll", "u", "sk")))
+    // batches overlap in users: the union must dedup across batches,
+    // which only works if sketch MERGE (not sum) is the fold
+    t.append(Seq(("a", 1L), ("a", 2L), ("b", 9L)).toDF("g", "u"))
+    v.refresh()
+    t.append(Seq(("a", 2L), ("a", 3L), ("b", 9L)).toDF("g", "u"))
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+    val got = v.readFinal().as[(String, Long)].collect().toMap
+    // register-wise max union == sketch of the unioned data, so the
+    // incrementally merged estimate equals the one-shot estimate
+    val oneShot = t.read()
+      .groupBy(col("g")).agg(expr("hll_sketch_estimate(hll_sketch_agg(u))")
+        .cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(got == oneShot, s"merged=$got oneShot=$oneShot")
+    // and at this cardinality the estimate is exact
+    assert(got == Map("a" -> 3L, "b" -> 1L), got.toString)
+  }
+
   test("MV1: incremental view merges only appended files; removal falls back") {
     import graft.io.IncrementalAggView
     import graft.io.IncrementalAggView.AggSpec
