@@ -40,9 +40,21 @@ object PageRank {
 
   /** Ranks after `iters` iterations over the DISTINCT edge set, as
     * (node, rank_micro). Nodes are the union of both endpoint columns;
-    * null endpoints are dropped. */
+    * null endpoints are dropped.
+    *
+    * Adaptive small-graph cutover (same shape and default bound as
+    * connectedComponents'): the distinct edge set is persisted before
+    * the loop anyway, so when it is under `localEdgeThreshold`
+    * integral-id edges the whole recurrence runs as one driver-side
+    * array sweep (~16 B/edge collected, ≈128 MB at the 8M default —
+    * inside the 1 GB spark.driver.maxResultSize default) instead of
+    * O(iters) shuffle jobs. Integer fixed-point arithmetic makes the
+    * two legs BIT-IDENTICAL — there is no fp summation order to
+    * diverge on — and OperatorsSpec forces and equates both. Graphs
+    * beyond the bound take the distributed loop unchanged. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, dampPermille: Int = 850): DataFrame = {
+      iters: Int, dampPermille: Int = 850,
+      localEdgeThreshold: Long = 8000000L): DataFrame = {
     require(iters >= 1 && iters <= 50, s"iters in [1, 50], got $iters")
     require(dampPermille >= 0 && dampPermille <= 1000,
       s"dampPermille in [0, 1000], got $dampPermille")
@@ -55,6 +67,18 @@ object PageRank {
       .repartition(col("src"))
       .distinct()
       .persist()
+    // node type parity with the distributed path: union(src, dst)
+    // coerces to the WIDER endpoint type, so the local leg casts its
+    // long-indexed output back to exactly that
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val endTypes = e.schema.fields.map(_.dataType)
+    val integralId = endTypes.forall {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (integralId && e.count() <= localEdgeThreshold)
+      return localPageRank(e, endTypes.maxBy(_.defaultSize), iters,
+        dampPermille)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // (node, outdeg) with outdeg NULL for dangling nodes — static
@@ -100,5 +124,86 @@ object PageRank {
       .orderBy(col("node"))
     e.unpersist(); nodesDeg.unpersist()
     out
+  }
+
+  /** Driver-side leg of [[pageRank]]'s small-graph cutover: the
+    * identical integer recurrence over index-compressed arrays — one
+    * contrib sweep per iteration, no per-iteration jobs at all.
+    * `e` is the caller's persisted distinct (src, dst) frame; released
+    * here. Result is re-distributed via parallelize so the output is a
+    * self-contained leaf like the distributed path's persisted ranks. */
+  private def localPageRank(e: DataFrame,
+      idType: org.apache.spark.sql.types.DataType, iters: Int,
+      dampPermille: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = e.sparkSession
+    val pairs = e.select(col("src").cast("long"), col("dst").cast("long"))
+      .collect()
+    e.unpersist(false)
+    // index-compress node ids (insertion order is irrelevant: every
+    // per-node term is independent, the only cross-node reductions are
+    // integer sums)
+    val idx = scala.collection.mutable.LongMap.empty[Int]
+    def ensure(x: Long): Int =
+      idx.getOrElse(x, { val i = idx.size; idx.update(x, i); i })
+    val srcIdx = new Array[Int](pairs.length)
+    val dstIdx = new Array[Int](pairs.length)
+    var i = 0
+    while (i < pairs.length) {
+      srcIdx(i) = ensure(pairs(i).getLong(0))
+      dstIdx(i) = ensure(pairs(i).getLong(1))
+      i += 1
+    }
+    val n = idx.size
+    if (n == 0) {
+      val schema = StructType(Seq(
+        StructField("node", LongType, nullable = true),
+        StructField("rank_micro", LongType, nullable = false)))
+      return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+        .select(col("node").cast(idType).as("node"), col("rank_micro"))
+    }
+    val outdeg = new Array[Long](n)
+    i = 0
+    while (i < pairs.length) { outdeg(srcIdx(i)) += 1L; i += 1 }
+    val base = (1000L - dampPermille) * 1000000L / 1000L
+    var ranks = Array.fill(n)(1000000L)
+    for (_ <- 1 to iters) {
+      var dang = 0L
+      var v = 0
+      while (v < n) { if (outdeg(v) == 0L) dang += ranks(v); v += 1 }
+      val dangShare = dang / n
+      // contrib(src) = rank div outdeg, computed once per src
+      val contrib = new Array[Long](n)
+      v = 0
+      while (v < n) {
+        if (outdeg(v) != 0L) contrib(v) = ranks(v) / outdeg(v)
+        v += 1
+      }
+      val inSum = new Array[Long](n)
+      i = 0
+      while (i < pairs.length) {
+        inSum(dstIdx(i)) += contrib(srcIdx(i)); i += 1
+      }
+      val next = new Array[Long](n)
+      v = 0
+      while (v < n) {
+        next(v) = base + dampPermille * (inSum(v) + dangShare) / 1000L
+        v += 1
+      }
+      ranks = next
+    }
+    val rows: Seq[Row] =
+      idx.iterator.map { case (id, ix) => Row(id, ranks(ix)) }.toSeq
+    val slices = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.length / 65536 + 1))
+    val schema = StructType(Seq(
+      StructField("node", LongType, nullable = true),
+      StructField("rank_micro", LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, slices),
+        schema)
+      .select(col("node").cast(idType).as("node"), col("rank_micro"))
+      .orderBy(col("node"))
   }
 }

@@ -415,13 +415,16 @@ class OperatorsSpec extends SparkSpec {
     //   r(2) = 150_000 + 850*(500_000+333_333) div 1000 = 858_333
     //   r(3) = 150_000 + 850*(1_500_000+333_333) div 1000 = 1_708_333
     val want1 = Map(1L -> 433333L, 2L -> 858333L, 3L -> 1708333L)
-    for (parts <- Seq(1, 5)) {
+    // threshold 0 forces the distributed loop; the default takes the
+    // driver-side cutover — integer fixed-point makes them BIT-identical
+    for (parts <- Seq(1, 5); thresh <- Seq(0L, 8000000L)) {
       val df = spark.createDataFrame(
         spark.sparkContext.parallelize(edges, parts))
         .toDF("s", "t")
-      val got = pageRank(df, "s", "t", iters = 1)
+      val got = pageRank(df, "s", "t", iters = 1,
+          localEdgeThreshold = thresh)
         .as[(Long, Long)].collect().toMap
-      assert(got == want1, s"parts=$parts: $got")
+      assert(got == want1, s"parts=$parts thresh=$thresh: $got")
     }
     // more iterations keep total mass at n * unit (up to div truncation)
     val r3 = pageRank(Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L))
@@ -429,6 +432,23 @@ class OperatorsSpec extends SparkSpec {
       .as[(Long, Long)].collect()
     val total = r3.map(_._2).sum
     assert(math.abs(total - 3000000L) < 100L, total.toString)
+    // both legs agree on a bigger random-ish graph, with dangling nodes,
+    // multi-iteration — and on MIXED-width ids (int src, long dst: node
+    // type must come out long on both paths)
+    val big = (0 until 3000).map { i =>
+      (i % 97, ((i * 31 + 7) % 211).toLong)
+    }
+    val bigDf = big.toDF("s", "t")
+    val local = pageRank(bigDf, "s", "t", iters = 4)
+    val dist = pageRank(bigDf, "s", "t", iters = 4,
+      localEdgeThreshold = 0L)
+    assert(local.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(dist.schema("node").dataType ==
+      org.apache.spark.sql.types.LongType)
+    val lm = local.as[(Long, Long)].collect().toMap
+    val dm = dist.as[(Long, Long)].collect().toMap
+    assert(lm == dm, s"local/distributed diverge: ${lm.size}/${dm.size}")
   }
 
   test("heavyHitters == groupBy-HAVING, partition-invariant, no misses") {
