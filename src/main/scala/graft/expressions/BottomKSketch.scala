@@ -111,3 +111,66 @@ object BottomKSketch {
   def bottomk_sketch(c: Column, k: Int): Column =
     column(BottomKSketchAgg(expression(c), k).toAggregateExpression())
 }
+
+/** Set-operation estimates from two bottom-k sketches — Jaccard,
+  * intersection and union cardinality WITHOUT touching the raw sets
+  * again (Beyer et al., "On Synopses for Distinct-Value Estimation
+  * Under Multiset Operations", SIGMOD'07: the combined bottom-k of a
+  * union is computable from the two sketches alone, and the fraction
+  * of it landing in both input sketches estimates the Jaccard).
+  *
+  * At 100 TB this is the shape that answers "how much do corpus A and
+  * corpus B overlap?" from two k-long arrays: each side aggregates its
+  * own sketch (one pass, mergeable, bounded memory), the combine is a
+  * single cross join of two one-row frames. The deterministic affine
+  * hash keeps every output reproducible bit-for-bit in plain SQL, so
+  * the whole estimate — not just its error band — is oracle-checkable.
+  *
+  * All arithmetic is integer (`div`), rounding is the repo's rational
+  * convention floor((2·num·10³ + den) / (2·den)):
+  *   m         = |bottom-k of hash(A) ∪ hash(B)|
+  *   kth       = largest hash in that combined sketch (0 when empty)
+  *   x_common  = how many of the m combined hashes appear in BOTH
+  *               input sketches
+  *   union_est = m exactly when m < k (sketches saw everything),
+  *               else (k−1)·p div kth
+  *   inter_est = x_common (exact mode) | x_common·union_est div k
+  *   jacc_permille = rational-rounded 1000·x_common/denominator
+  *               (denominator = m exact mode, else k)
+  */
+object SketchSetOps {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** One-row (m, kth, x_common, union_est, inter_est, jacc_permille)
+    * over the distinct sets of `a.aCol` and `b.bCol`. */
+  def estimate(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"sketch set ops need k >= 2, got $k")
+    val ska = a.agg(BottomKSketch.bottomk_sketch(col(aCol), k).as("ska"))
+      .select(col("ska.hashes").as("ha"))
+    val skb = b.agg(BottomKSketch.bottomk_sketch(col(bCol), k).as("skb"))
+      .select(col("skb.hashes").as("hb"))
+    ska.crossJoin(skb)
+      .select(
+        expr(s"slice(array_sort(array_union(ha, hb)), 1, $k)").as("u"),
+        col("ha"), col("hb"))
+      .select(
+        size(col("u")).cast("long").as("m"),
+        expr("CASE WHEN size(u) > 0 THEN element_at(u, size(u)) " +
+          "ELSE CAST(0 AS BIGINT) END").as("kth"),
+        size(expr("array_intersect(array_intersect(u, ha), hb)"))
+          .cast("long").as("x_common"))
+      .select(col("m"), col("kth"), col("x_common"),
+        expr(s"CASE WHEN m < $k THEN m ELSE " +
+          s"(${k - 1} * CAST(1000000007 AS BIGINT)) div kth END")
+          .as("union_est"))
+      .select(col("m"), col("kth"), col("x_common"), col("union_est"),
+        expr(s"CASE WHEN m < $k THEN x_common " +
+          s"ELSE (x_common * union_est) div $k END").as("inter_est"),
+        expr(s"CASE WHEN m = 0 THEN CAST(0 AS BIGINT) ELSE " +
+          s"(2 * x_common * 1000 + (CASE WHEN m < $k THEN m ELSE $k END)) " +
+          s"div (2 * (CASE WHEN m < $k THEN m ELSE $k END)) END")
+          .as("jacc_permille"))
+  }
+}

@@ -283,6 +283,55 @@ object Relational {
             FROM r WHERE rn <= 16
             GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** Corpus-overlap estimation from sketches alone (SURVEY §2.9 scale
+    * ops): how much do the part sets of two selective order slices
+    * overlap? Each side aggregates a 256-hash bottom-k sketch in one
+    * pass; Jaccard / intersection / union estimates come out of the
+    * two arrays — the raw sets are never rescanned or shuffled. The
+    * deterministic affine hash makes every output column (not just an
+    * error band) replayable in SQL — the oracle rebuilds both sketches
+    * and the combined bottom-k relationally. */
+  val qSketchSetOps: GQuery = GQuery(
+    "a19_sketch_set_ops",
+    (s, d) => {
+      val a = li(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") <= 5)
+        .select(col("l_partkey"))
+      val b = li(s, d)
+        .filter(col("l_returnflag") === "A" && col("l_quantity") >= 46)
+        .select(col("l_partkey"))
+      graft.expressions.SketchSetOps.estimate(a, "l_partkey",
+        b, "l_partkey", k = 256)
+    },
+    Some("""WITH ha AS (SELECT DISTINCT
+              (654435747 * l_partkey +
+                (CAST(40503 AS BIGINT) * 69069) % 1000000007) % 1000000007 AS h
+              FROM lineitem WHERE l_returnflag = 'R' AND l_quantity <= 5
+              ORDER BY h LIMIT 256),
+            hb AS (SELECT DISTINCT
+              (654435747 * l_partkey +
+                (CAST(40503 AS BIGINT) * 69069) % 1000000007) % 1000000007 AS h
+              FROM lineitem WHERE l_returnflag = 'A' AND l_quantity >= 46
+              ORDER BY h LIMIT 256),
+            u AS (SELECT h FROM
+              (SELECT h FROM ha UNION SELECT h FROM hb) t
+              ORDER BY h LIMIT 256),
+            s AS (SELECT count(*) AS m, coalesce(max(h), 0) AS kth FROM u),
+            x AS (SELECT count(*) AS x_common FROM u
+              WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+            e AS (SELECT m, kth, x_common,
+              CASE WHEN m < 256 THEN m
+                ELSE (255 * CAST(1000000007 AS BIGINT)) // kth END AS union_est
+              FROM s, x)
+            SELECT m, kth, x_common, union_est,
+              CASE WHEN m < 256 THEN x_common
+                ELSE (x_common * union_est) // 256 END AS inter_est,
+              CASE WHEN m = 0 THEN 0 ELSE
+                (2 * x_common * 1000 + (CASE WHEN m < 256 THEN m ELSE 256 END))
+                // (2 * (CASE WHEN m < 256 THEN m ELSE 256 END)) END
+                AS jacc_permille
+            FROM e"""))
+
   /** A14: Count-Min frequency sketch — custom TypedImperativeAggregate
     * with the deterministic affine hash family, so the ENTIRE cell
     * grid is oracle-checkable: DuckDB re-addresses every (depth, cell)
@@ -891,6 +940,6 @@ object Relational {
     qDupCheck, qGroupedPct, qJoinEnrich, qScalarSubquery, qSemi, qAnti,
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
     qUnion, qSetDiff,
-    qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qCmsSketch,
-    qRowLookup, qHead, qHllUnion)
+    qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qSketchSetOps,
+    qCmsSketch, qRowLookup, qHead, qHllUnion)
 }

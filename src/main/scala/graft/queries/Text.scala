@@ -700,9 +700,29 @@ object Text {
             FROM tok t JOIN cnt c USING (term), tot
             GROUP BY t.doc_id ORDER BY t.doc_id"""))
 
+  /** Deterministic weighted sample (sequential Poisson / order
+    * sampling): draw 200 documents with inclusion probability growing
+    * ∝ n_chars — the "sample long documents preferentially" draw of a
+    * mixing pipeline — reproducible across engines because the
+    * priority is exact integer arithmetic on the affine hash, never a
+    * float. Top-n executes as TakeOrderedAndProject (per-partition
+    * heaps), not a global sort. */
+  val weightedSampleQ: GQuery = GQuery(
+    "p16_weighted_sample",
+    (s, d) => graft.operators.Sampling
+      .weightedSample(docs(s, d), "doc_id", "n_chars", n = 200)
+      .select(col("doc_id"), col("n_chars"), col("sample_priority"))
+      .orderBy(col("sample_priority"), col("doc_id")),
+    Some("""SELECT doc_id, n_chars,
+              ((654435747 * doc_id +
+                (CAST(40503 AS BIGINT) * 69069) % 1000000007) % 1000000007
+                * 1000000) // n_chars AS sample_priority
+            FROM documents WHERE n_chars > 0
+            ORDER BY sample_priority, doc_id LIMIT 200"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
-      chunking, corpusCuration, stratifiedSampleQ, sequencePackingQ,
-      tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ, curriculumQ,
-      budgetSelectQ, splitAssignQ, surprisalQ)
+      chunking, corpusCuration, stratifiedSampleQ, weightedSampleQ,
+      sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
+      curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ)
 }

@@ -498,4 +498,79 @@ class OperatorsSpec extends SparkSpec {
       .as[(Array[Byte], Long)].collect()
     assert(fb.length == 1 && fb.head._1.toSeq == Seq[Byte](1, 2, 3))
   }
+
+  test("weightedSample: local replay, weight monotone, partition-invariant") {
+    import graft.operators.Sampling.weightedSample
+    val P = 1000000007L
+    val A = 2654435761L % P
+    val B = 40503L * 69069L % P
+    def prio(id: Long, w: Long): Long = ((A * id + B) % P) * 1000000L / w
+    val rows = (1L to 500L).map(i => (i, (i % 7) + 1L))
+    // exact local replay of the quantized-priority order draw
+    val want = rows.map { case (id, w) => (id, w, prio(id, w)) }
+      .sortBy(t => (t._3, t._1)).take(50)
+    for (parts <- Seq(1, 7)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, parts)).toDF("id", "w")
+      val got = weightedSample(df, "id", "w", 50)
+        .select($"id", $"w", $"sample_priority")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got.sortBy(t => (t._3, t._1)) == want, s"parts=$parts")
+    }
+    // weight monotonicity: scaling one row's weight far up pulls it in
+    val boosted = rows.map { case (id, w) => if (id == 499L) (id, 100000L)
+      else (id, w) }.toDF("id", "w")
+    val ids = weightedSample(boosted, "id", "w", 50)
+      .select($"id").as[Long].collect().toSet
+    assert(ids.contains(499L))
+    // null / non-positive weights never qualify
+    val edge = Seq((1L, Some(5L)), (2L, None), (3L, Some(0L)),
+      (4L, Some(-2L))).toDF("id", "w")
+    assert(weightedSample(edge, "id", "w", 10)
+      .select($"id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("sketchSetOps: exact mode, estimate mode, disjoint/identical sets") {
+    import graft.expressions.SketchSetOps.estimate
+    val P = 1000000007L
+    val A = 2654435761L % P
+    val B = 40503L * 69069L % P
+    def h(x: Long): Long = (A * x + B) % P
+    def run(a: Seq[Long], b: Seq[Long], k: Int, parts: Int = 3)
+        : (Long, Long, Long, Long, Long, Long) = {
+      val da = spark.createDataFrame(
+        spark.sparkContext.parallelize(a.map(Tuple1(_)), parts)).toDF("v")
+      val db = spark.createDataFrame(
+        spark.sparkContext.parallelize(b.map(Tuple1(_)), parts)).toDF("v")
+      estimate(da, "v", db, "v", k)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    }
+    // exact mode (m < k): every field is hand-computable
+    val a = Seq(1L, 2L, 3L, 4L, 2L)
+    val b = Seq(3L, 4L, 5L)
+    val union = (a ++ b).distinct.map(h).sorted
+    val inter = a.toSet.intersect(b.toSet).size.toLong
+    val (m, kth, x, uEst, iEst, jacc) = run(a, b, k = 64)
+    assert(m == union.length && kth == union.max)
+    assert(x == inter && uEst == union.length && iEst == inter)
+    assert(jacc == (2 * x * 1000 + m) / (2 * m))
+    // disjoint sets: zero overlap everywhere
+    val (_, _, x0, _, i0, j0) = run(Seq(1L, 2L), Seq(10L, 20L), k = 64)
+    assert(x0 == 0L && i0 == 0L && j0 == 0L)
+    // identical sets: jaccard rounds to exactly 1000 in both modes
+    assert(run(1L to 10L, 1L to 10L, k = 64)._6 == 1000L)
+    assert(run(1L to 500L, 1L to 500L, k = 16)._6 == 1000L)
+    // estimate mode (m == k): replay the estimator locally
+    val bigA = (1L to 400L)
+    val bigB = (201L to 600L)
+    val k2 = 32
+    val ha = bigA.map(h).sorted.take(k2)
+    val hb = bigB.map(h).sorted.take(k2)
+    val comb = (ha ++ hb).distinct.sorted.take(k2)
+    val xe = comb.count(v => ha.contains(v) && hb.contains(v)).toLong
+    val ue = (k2 - 1) * P / comb.max
+    val got = run(bigA, bigB, k2, parts = 5)
+    assert(got == (k2.toLong, comb.max, xe, ue, xe * ue / k2,
+      (2 * xe * 1000 + k2) / (2 * k2)), got.toString)
+  }
 }
