@@ -446,6 +446,39 @@ object Advanced {
             UNION ALL SELECT '3_purchase', count(*) FROM p
             ORDER BY stage"""))
 
+  /** Time-series downsampling to OHLC bars (the metrics-pipeline
+    * resample): one hour × event_type buckets, open/close = value at
+    * the lowest/highest event_id in the bucket (arrival order — ids
+    * are unique, so the bars are fully deterministic with no
+    * composite-key tiebreak needed in either engine), high/low/count,
+    * and an exact-cents volume sum. ONE aggregation: min_by/max_by are
+    * codegen'd catalyst aggregates, so the plan is a single partial →
+    * final hash aggregate on (event_type, hour) — no window sort, one
+    * shuffle, map-side combinable at any scale. */
+  val timeResample: GQuery = GQuery(
+    "w10_time_resample",
+    (s, d) => Tables.events(s, d)
+      .withColumn("bucket_us",
+        unix_micros(date_trunc("hour", col("ts"))))
+      .withColumn("v_c", Exact.cents(col("value")))
+      .groupBy(col("event_type"), col("bucket_us"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min_by(col("value"), col("event_id")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("event_id")).as("close"),
+        (sum(col("v_c")) / 100.0).as("sum_value"))
+      .orderBy(col("event_type"), col("bucket_us")),
+    Some(s"""SELECT event_type,
+              epoch_us(date_trunc('hour', ts)) AS bucket_us,
+              count(*) AS n_events,
+              arg_min(value, event_id) AS open,
+              max(value) AS high, min(value) AS low,
+              arg_max(value, event_id) AS close,
+              sum(${Exact.centsSql("value")}) / 100.0 AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   /** Cohort retention matrix: users grouped by first-activity day,
     * counted as retained in each subsequent week they reappear.
     * Calendar-free integer bucketing (epoch-day cohort, integer-divide
@@ -527,5 +560,5 @@ object Advanced {
 
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
     rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames,
-    dppJoin, intervalOverlap, funnel, retention, pageRankQ)
+    dppJoin, intervalOverlap, funnel, retention, pageRankQ, timeResample)
 }
