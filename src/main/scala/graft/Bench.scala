@@ -53,6 +53,16 @@ object Bench {
     // warm the REAL m3 path (cached SPI providers + converter), not
     // AudioSystem's registry, which the catalog no longer touches
     graft.multimodal.Multimodal.probeDecode(graft.etl.DataGen.audioBytes(1L))
+    // iterative-operator machinery (persist/unpersist generations,
+    // LongMap index compression, the driver-sweep JIT, parallelize →
+    // createDataFrame re-distribution): first use otherwise bills
+    // ~4-5 s to g1/d7/d10. A 60-edge ring is pure class-load/JIT warm-up.
+    val warmEdges = spark.range(60).selectExpr("id AS src", "(id + 1) % 60 AS dst")
+    graft.operators.PageRank.pageRank(warmEdges, "src", "dst", iters = 2)
+      .queryExecution.toRdd.count()
+    graft.dedup.Dedup.connectedComponents(warmEdges, "src", "dst")
+      .queryExecution.toRdd.count()
+    spark.catalog.clearCache()
     // local-iteration filter: SPARK_GRAFT_ONLY=d7_x,d10_y runs a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
