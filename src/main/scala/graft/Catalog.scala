@@ -48,17 +48,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long (legacy conf), keep the
-    * exact value as `ts_ns` for ordering/compare parity with DuckDB's ns
-    * precision, and expose `ts` as a µs-truncated proper timestamp
-    * (F1 semantics: epoch → timestamp, µs-preserving — SURVEY.md §2.4). */
+  /** The `events.parquet` timestamp column has shipped in two physical
+    * encodings across testdata generations: TIMESTAMP(NANOS) (which
+    * Spark's vectorized reader only accepts as raw int64 via the
+    * nanosAsLong legacy conf) and plain µs TIMESTAMP_NTZ. Normalize both
+    * to the SAME logical schema so every downstream query/oracle pair is
+    * encoding-independent:
+    *   - `ts_ns`: epoch nanoseconds as BIGINT — exact ordering/compare
+    *     parity with DuckDB's ns precision (µs data is ×1000, lossless);
+    *   - `ts`: proper µs timestamp (F1 semantics — SURVEY.md §2.4). NTZ
+    *     is cast under the engine-wide UTC session timezone, so the
+    *     instant matches DuckDB's naive-as-UTC reading (epoch_ms etc.). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case _ =>
+        val asTs = col("ts").cast(TimestampType)
+        raw.withColumn("ts_ns", unix_micros(asTs) * 1000L)
+          .withColumn("ts", asTs)
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
