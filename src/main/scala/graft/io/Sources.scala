@@ -203,26 +203,24 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val conjuncts = FileStats.prunableConjuncts(read(), pred)
     if (conjuncts.isEmpty) return (files, files.size)
     val stats = liveStats()
-    val blooms = liveBlooms()
+    val bloomDead = bloomDeadFiles(conjuncts)
     val kept = files.filter { f =>
       val rangeOk = stats.get(f) match {
         case None => true // no stats recorded: never skip
         case Some(cols) => conjuncts.forall(FileStats.mayMatch(cols, _))
       }
       // bloom tier: an equality conjunct with a negative membership
-      // probe is a PROOF of absence (blooms have no false negatives)
-      rangeOk && conjuncts.forall { c =>
-        if (c.op != "=") true
-        else blooms.get((f, c.colName.toLowerCase)) match {
-          case None => true // no bloom for (file, col): never skip
-          case Some(bf) => bf.mightContainLong(FileStats.hashLiteral(c))
-        }
-      }
+      // probe is a PROOF of absence (blooms have no false negatives);
+      // files with no sketch can never be proven dead
+      rangeOk && !bloomDead(f)
     }
     (kept, files.size)
   }
 
-  private def bloomDir = Paths.get(path, "_graft_blooms")
+  // leaf dir deliberately NOT underscore-prefixed (the parent hides it
+  // from recursive root scans; an underscore LEAF would make Spark log
+  // a spurious "All paths were ignored" on every sidecar read)
+  private def bloomDir = Paths.get(path, "_graft_blooms", "idx")
 
   /** Per-(file, column) BLOOM file-skipping tier — the equality
     * complement of the min/max sidecar: after an overlapping ingest or
@@ -232,12 +230,14 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * saw v (no false negatives — a negative probe is a proof). This is
     * Delta's bloom-filter index / parquet bloom in sidecar form.
     *
-    * Opt-in and rebuilt by one table scan per call (unlike the footer
-    * stats, values must actually be read): one distributed pass per
-    * column, partial sketches per file via the native
-    * BloomFilterAggregate over xxhash64 — only O(numBits) per (file,
-    * column) ever reaches the driver or disk. Call after (re)writes;
-    * files written later simply have no bloom and are never skipped. */
+    * Opt-in and rebuilt by ONE table scan per call regardless of how
+    * many columns are indexed (unlike the footer stats, values must
+    * actually be read): a single distributed pass aggregates every
+    * column's BloomFilterAggregate over xxhash64 per file, and the
+    * (file, column, sketch) sidecar rows are shaped and written on the
+    * executors — no sketch byte ever reaches the driver. Call after
+    * (re)writes; files written later simply have no bloom and are
+    * never skipped. */
   def buildBloomIndex(cols: Seq[String],
       expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.01): Unit = {
     require(cols.nonEmpty, "buildBloomIndex requires at least one column")
@@ -250,45 +250,66 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val files = segs.flatMap(segmentFiles).map(_._1)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItemsPerFile, fpp)
-    val rows = cols.flatMap { c =>
+    val aggs = cols.map { c =>
       val agg = new BloomFilterAggregate(
         expression(column(new XxHash64(Seq(expression(col(c)))))),
         CatLit(expectedItemsPerFile), CatLit(numBits))
-      read()
-        .groupBy(input_file_name().as("_abs"))
-        .agg(column(agg.toAggregateExpression()).as("_bf"))
-        .collect()
-        .flatMap { r =>
-          val abs = r.getString(0)
-          val sketch = r.getAs[Array[Byte]](1)
-          files.find(rel => abs.endsWith(rel))
-            .filter(_ => sketch != null)
-            .map(rel => Row(rel, c.toLowerCase, sketch))
-        }
+      column(agg.toAggregateExpression()).as(s"_bf_$c")
     }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("file",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("col",
-        org.apache.spark.sql.types.StringType, nullable = false),
-      org.apache.spark.sql.types.StructField("sketch",
-        org.apache.spark.sql.types.BinaryType, nullable = false)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.mode("overwrite").parquet(bloomDir.toString)
+    val perFile = read()
+      .groupBy(input_file_name().as("_abs"))
+      .agg(aggs.head, aggs.tail: _*)
+    val relByFile = spark.sparkContext.broadcast(files)
+    val lcCols = cols.map(_.toLowerCase)
+    val sidecarRows = perFile.rdd.flatMap { r =>
+      val abs = r.getString(0)
+      relByFile.value.find(rel => abs.endsWith(rel)).toSeq.flatMap { rel =>
+        lcCols.indices.flatMap { i =>
+          Option(r.getAs[Array[Byte]](i + 1)).map(sk => Row(rel, lcCols(i), sk))
+        }
+      }
+    }
+    spark.createDataFrame(sidecarRows, bloomSchema)
+      .coalesce(8).write.mode("overwrite").parquet(bloomDir.toString)
   }
 
-  /** Bloom sidecar loaded for probing, keyed (relative file, lc col).
-    * Missing/unreadable sidecar → empty map → no bloom skipping. */
-  private def liveBlooms()
-      : Map[(String, String), org.apache.spark.util.sketch.BloomFilter] = {
-    if (!Files.isDirectory(bloomDir)) return Map.empty
-    try spark.read.parquet(bloomDir.toString).collect().map { r =>
-      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("sketch")))
-      (r.getAs[String]("file"), r.getAs[String]("col")) -> bf
-    }.toMap
-    catch { case _: Throwable => Map.empty }
+  private val bloomSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("col",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("sketch",
+      org.apache.spark.sql.types.BinaryType, nullable = false)))
+
+  /** Distributed bloom probe: the set of live files PROVEN dead for the
+    * given conjuncts. Sketches are deserialized and probed on the
+    * executors; only the (short) list of dead file names is collected —
+    * the driver never materializes the sidecar, so probe memory is
+    * O(dead files), not O(files × cols × numBits). Missing/unreadable
+    * sidecar → empty set → no bloom skipping. */
+  private def bloomDeadFiles(
+      conjuncts: Seq[FileStats.Conjunct]): String => Boolean = {
+    val probes = conjuncts.filter(_.op == "=")
+      .map(c => c.colName.toLowerCase -> FileStats.hashLiteral(c))
+    if (probes.isEmpty || !Files.isDirectory(bloomDir))
+      return (_: String) => false
+    val byCol = probes.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val byColBc = spark.sparkContext.broadcast(byCol)
+    val dead: Set[String] =
+      try spark.read.parquet(bloomDir.toString)
+        .filter(org.apache.spark.sql.functions.col("col")
+          .isin(byCol.keys.toSeq: _*))
+        .select("file", "col", "sketch")
+        .rdd.flatMap { r =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](2)))
+          val hashes = byColBc.value.getOrElse(r.getString(1), Nil)
+          // negative membership on ANY equality conjunct proves absence
+          if (hashes.exists(h => !bf.mightContainLong(h))) Some(r.getString(0))
+          else None
+        }.distinct().collect().toSet
+      catch { case _: Throwable => Set.empty[String] }
+    dead
   }
 
   /** Z-order layout shaping shared by clustered overwrite/compact. */

@@ -92,6 +92,57 @@ class IoSpec extends SparkSpec {
     assert(t.readWhere(col("id") === 42L).count() == 2)
   }
 
+  test("bloom index: ONE data scan per build (any column count); probe " +
+    "never collects the sidecar to the driver") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val t = new ManagedParquetTable(spark, tmp("mptb1") + "/tbl")
+    val n = 50000
+    t.append((0 until n).map(i => (i.toLong, s"v$i", i % 97))
+      .toDF("id", "v", "g").coalesce(2))
+
+    @volatile var recordsRead = 0L
+    @volatile var resultBytes = 0L
+    val listener = new SparkListener {
+      override def onTaskEnd(e: SparkListenerTaskEnd): Unit =
+        Option(e.taskMetrics).foreach { m =>
+          recordsRead += m.inputMetrics.recordsRead
+          resultBytes += m.resultSize
+        }
+    }
+    def settle(): Unit = { // listener bus is async; let events drain
+      var last = -1L
+      var same = 0
+      while (same < 3) {
+        Thread.sleep(120)
+        val cur = recordsRead + resultBytes
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+    }
+
+    // big sketches make a driver-side sidecar collect unmissable:
+    // optimalNumOfBits(1<<20, 0.01) ≈ 1.2 MB per (file, col) sketch
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      recordsRead = 0; resultBytes = 0
+      t.buildBloomIndex(Seq("id", "v", "g"))
+      settle()
+      // 3 indexed columns over 2 files of 50k rows: one pass reads n
+      // records; the per-column build of old read 3n
+      assert(recordsRead <= (n * 1.5).toLong,
+        s"bloom build must scan the table ONCE, read $recordsRead records")
+
+      recordsRead = 0; resultBytes = 0
+      val (kept, total) = t.pruneFiles(col("id") === -1L)
+      assert(total == 2 && kept.isEmpty,
+        s"id=-1 must be bloom-proven dead in both files: $kept")
+      settle()
+      // the sidecar holds 6 sketches ≈ 7 MB; a probe that ships only
+      // dead-file NAMES to the driver stays well under one sketch
+      assert(resultBytes < 600L * 1024,
+        s"probe shipped $resultBytes bytes to the driver — sidecar collect?")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("applyCdc folds create/update/delete to final state; later seq wins") {
     import graft.streaming.BronzeIngest
     val changes = Seq(
