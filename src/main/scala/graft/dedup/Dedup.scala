@@ -624,6 +624,61 @@ object Dedup {
       .withColumn("n_dup", coalesce(col("n_dup"), lit(0L)))
   }
 
+  /** Exact substring-level dedup — the published ExactSubstr method
+    * (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better"), re-expressed for token granularity: any token
+    * span of length ≥ k that occurs at least twice in the corpus
+    * (any doc, any position — self-repeats count) is erased from
+    * EVERY occurrence; a doc's surviving text is its remaining tokens
+    * joined by single spaces.
+    *
+    * Window↔span equivalence that makes this exact: a duplicated span
+    * of b−a ≥ k tokens duplicates every k-window starting in
+    * [a, b−k], and conversely any token inside a duplicated k-window
+    * lies inside a duplicated span ≥ k — so the union of duplicated
+    * k-window ranges [pos, pos+k) IS the union of maximal duplicate
+    * spans ≥ k. Flag window starts, erase their union.
+    *
+    * Scale shape (vs the paper's monolithic suffix array, which needs
+    * the whole corpus concatenated on one machine): window occurrence
+    * counting shuffles fixed-width (id, pos, h1, h2) tuples — the
+    * token TEXT never shuffles. One map-side-combined count keyed on
+    * a 2×64-bit shingle key, a semi-join back, one per-doc flag
+    * aggregate, and the erase step is per-row array logic. A
+    * cross-window 128-bit key collision needs ~2^64 DISTINCT windows
+    * to reach even 1% probability — beyond any corpus.
+    *
+    * Returns (idCol, n_tokens, n_dup_windows, n_removed, clean_text),
+    * one row per input doc. */
+  def substringDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 5): DataFrame = {
+    require(k >= 2, "substring dedup needs windows of at least 2 tokens")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val sh = docs
+      .select(col(idCol), posexplode(wordShingles(col(textCol), k)))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("col")).as("_h1"),
+        xxhash64(lit("graft-es2"), col("col")).as("_h2"))
+    val dup = sh.groupBy(col("_h1"), col("_h2"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+      .select(col("_h1"), col("_h2"))
+    val flags = sh.join(dup, Seq("_h1", "_h2"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("_flags"))
+    val covered: Column => Column = j =>
+      exists(col("_flags"), p => p <= j && j < p + lit(k))
+    base.join(flags, Seq(idCol), "left")
+      .withColumn("_flags",
+        coalesce(col("_flags"), array().cast("array<int>")))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_flags")).cast("long").as("n_dup_windows"),
+        size(filter(col("_toks"), (_, i) => covered(i)))
+          .cast("long").as("n_removed"),
+        array_join(filter(col("_toks"), (_, i) => !covered(i)), " ")
+          .as("clean_text"))
+  }
+
   // ---- SimHash ----
 
   /** 32-bit SimHash over whitespace tokens: bit b set iff the sum of

@@ -520,6 +520,40 @@ object Dedup {
             FROM sh LEFT JOIN cnt ON sh.doc_id = cnt.doc_id
             ORDER BY sh.doc_id"""))
 
+  /** D18: exact substring-level dedup (Lee et al. 2022 ExactSubstr at
+    * token granularity) — every token span ≥ 5 occurring twice anywhere
+    * in the corpus is erased from all occurrences. The oracle replays
+    * the identical window rule in SQL, down to the surviving text, so
+    * the gate hash-checks the actual cleaned corpus, not just counts. */
+  val substringDedupQ: GQuery = GQuery(
+    "d18_substring_dedup",
+    (s, d) =>
+      D.substringDedup(docs(s, d), k = 5).orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            w AS (SELECT doc_id, toks,
+                list_transform(range(greatest(len(toks) - 4, 0)),
+                  j -> {'p': j, 's': array_to_string(toks[j+1:j+5], ' ')}) AS ws
+              FROM t),
+            sh AS (SELECT doc_id, unnest(ws, recursive := true) FROM w),
+            dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+            flags AS (SELECT doc_id, list_sort(list(p)) AS flags
+                      FROM sh JOIN dup USING (s) GROUP BY doc_id),
+            fin AS (SELECT t.doc_id, toks, coalesce(flags, []) AS flags,
+                list_filter(list_transform(range(len(toks)),
+                  j -> CASE WHEN len(list_filter(coalesce(flags, []),
+                         p -> p <= j AND j < p + 5)) > 0
+                       THEN NULL ELSE toks[j+1] END),
+                  x -> x IS NOT NULL) AS kept
+              FROM t LEFT JOIN flags USING (doc_id))
+            SELECT doc_id,
+              CAST(len(toks) AS BIGINT) AS n_tokens,
+              CAST(len(flags) AS BIGINT) AS n_dup_windows,
+              CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+              -- array_to_string([]) is NULL in DuckDB; Spark's
+              -- array_join([]) is '' — pin the Spark semantics
+              coalesce(array_to_string(kept, ' '), '') AS clean_text
+            FROM fin ORDER BY doc_id"""))
+
   /** D16: per-source dedup-rate report — the curation dashboard number
     * every corpus pipeline publishes ("how duplicated is each crawl
     * slice?"). Survivors come from the exact-dedup rule (global min-id
@@ -564,5 +598,5 @@ object Dedup {
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
     simhashDedupQ, minhashDedupQ, bloomDecontaminateQ, duplicatePassagesQ,
-    dedupReport, overlapFractionQ)
+    dedupReport, overlapFractionQ, substringDedupQ)
 }

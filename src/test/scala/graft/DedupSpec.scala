@@ -158,6 +158,43 @@ class DedupSpec extends SparkSpec {
     assert(got(4) == ((5L, 0L, 0L)))
   }
 
+  test("substringDedup: overlapping spans merge, self-repeats count, " +
+    "k-1 spans survive, full erasure allowed") {
+    // k=3. Planted structure (tokens are single letters for clarity):
+    //  - docs 10/11 share "a b c d" (two overlapping dup 3-windows ->
+    //    one merged 4-token span) at DIFFERENT positions
+    //  - doc 12 self-repeats "p q r" twice (within-doc duplication)
+    //  - docs 13/14 share only the 2-token span "y z": below k, kept
+    //  - doc 15 is entirely one duplicated window of doc 10's "a b c"?
+    //    no — it IS exactly "a b c", so the whole doc is erased
+    //  - doc 16 has <k tokens and no windows at all
+    val corpus = Seq(
+      (10L, "a b c d u1 u2 u3"),
+      (11L, "v1 v2 a b c d v3"),
+      (12L, "p q r w1 p q r"),
+      (13L, "w2 w3 y z w4"),
+      (14L, "w5 y z w6 w7"),
+      (15L, "a b c"),
+      (16L, "t1 t2")).toDF("doc_id", "text")
+    val got = D.substringDedup(corpus, k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      // windows "a b c" (10,11,15) and "b c d" (10,11) dup -> merged
+      // span [0,4) in doc 10, [2,6) in doc 11
+      (10L, 7L, 2L, 4L, "u1 u2 u3"),
+      (11L, 7L, 2L, 4L, "v1 v2 v3"),
+      // "p q r" occurs twice WITHIN doc 12: both occurrences erased
+      (12L, 7L, 2L, 6L, "w1"),
+      // 2-token overlap "y z" is below k: nothing flagged
+      (13L, 5L, 0L, 0L, "w2 w3 y z w4"),
+      (14L, 5L, 0L, 0L, "w5 y z w6 w7"),
+      // the whole doc was one duplicated window: empty survivor
+      (15L, 3L, 1L, 3L, ""),
+      // shorter than k: no windows, untouched
+      (16L, 2L, 0L, 0L, "t1 t2")))
+  }
+
   test("tfIdfTopK ranks rare terms above common, ties on term asc") {
     val corpus = Seq(
       (1L, "apple apple banana common common common"),
