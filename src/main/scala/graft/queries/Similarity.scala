@@ -36,6 +36,14 @@ object Similarity {
         ELSE ${sqlDot(a, b)} /
           (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})) END"""
 
+  /** DuckDB fragment: sequential-fold squared L2 distance. */
+  private def sqlSqDistD(a: String, b: String, n: Int): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list_transform(range($n), i ->
+           (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) *
+           (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)))),
+         (acc, x) -> acc + x)"""
+
   /** Exact brute-force cosine top-10 for query vectors (vec_id < 5). */
   val bruteTopK: GQuery = GQuery(
     "v1_cosine_topk",
@@ -542,6 +550,86 @@ object Similarity {
               neighbor_id, sim
             FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank"""))
 
+  /** v15: RESIDUAL IVF-PQ (Jégou TPAMI 2011 §IV — the FAISS
+    * billion-scale configuration): vectors are PQ-encoded as residuals
+    * v − c(list) and scored as dot(q,c) + ADC(q, r̂), same code bytes
+    * as v12. Centroids are vec_ids 16..31 (NOT the 16 lowest) so the
+    * iters=0 residual codebook — the 16 lowest-id residuals — is
+    * non-degenerate. The oracle replays assignment, residual
+    * subtraction, residual codebook + encode, probe selection with the
+    * exact dot(q,c) seed, and the seeded s-ordered LUT fold. */
+  val ivfPqResidualTopKQ: GQuery = GQuery(
+    "v15_ivfpq_residual",
+    (s, d) => {
+      val e = emb(s, d)
+      val cents = e.filter(col("vec_id") >= 16 && col("vec_id") < 32)
+      val cbs = pqTrainResidual(e, cents, m = 4, ksub = 16, iters = 0,
+        dim = Dim)
+      ivfPqResidualTopK(e, e.filter(col("vec_id") < 3), cents, cbs,
+        m = 4, ksub = 16, dim = Dim, k = 10, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH kbase AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            subs AS (SELECT unnest(range(4)) AS s),
+            bsub AS (SELECT b.id, t.s, b.v[t.s*16+1 : t.s*16+16] AS sv
+              FROM kbase b CROSS JOIN subs t),
+            cents AS (SELECT id AS centroid_id, v AS cv FROM kbase
+              WHERE id >= 16 AND id < 32),
+            asg AS (SELECT id, centroid_id FROM (
+              SELECT b.id, c.centroid_id,
+                row_number() OVER (PARTITION BY b.id
+                  ORDER BY round(${sqlCosine("b.v", "c.cv")}, 6) DESC,
+                           c.centroid_id) AS rn
+              FROM kbase b CROSS JOIN cents c) z WHERE rn = 1),
+            res AS (SELECT a.id, a.centroid_id,
+                list_transform(range(64), i -> b.v[i+1] - c.cv[i+1]) AS rv
+              FROM asg a JOIN kbase b ON b.id = a.id
+              JOIN cents c ON c.centroid_id = a.centroid_id),
+            rsub AS (SELECT r.id, t.s, r.rv[t.s*16+1 : t.s*16+16] AS sv
+              FROM res r CROSS JOIN subs t),
+            init AS (SELECT id, rv FROM res ORDER BY id LIMIT 16),
+            cb AS (SELECT t.s,
+                row_number() OVER (PARTITION BY t.s ORDER BY b.id) - 1
+                  AS code,
+                b.rv[t.s*16+1 : t.s*16+16] AS cv
+              FROM init b CROSS JOIN subs t),
+            enc AS (SELECT id, s, code FROM (
+              SELECT t.id, t.s, c.code,
+                row_number() OVER (PARTITION BY t.id, t.s
+                  ORDER BY round(${sqlSqDistD("t.sv", "c.cv", 16)}, 6) ASC,
+                           c.code) AS rn
+              FROM rsub t JOIN cb c ON c.s = t.s) z WHERE rn = 1),
+            probes AS (SELECT query_id, centroid_id, qdotc FROM (
+              SELECT q.id AS query_id, c.centroid_id,
+                ${sqlDot("q.v", "c.cv")} AS qdotc,
+                row_number() OVER (PARTITION BY q.id
+                  ORDER BY round(${sqlCosine("q.v", "c.cv")}, 6) DESC,
+                           c.centroid_id) AS rn
+              FROM kbase q CROSS JOIN cents c WHERE q.id < 3) z
+              WHERE rn <= 2),
+            pd AS (SELECT q.id AS query_id, e.id AS neighbor_id,
+                p.qdotc, e.s, ${sqlDotD("q.sv", "c.cv", 16)} AS pdot
+              FROM bsub q
+              JOIN probes p ON p.query_id = q.id
+              JOIN asg a ON a.centroid_id = p.centroid_id
+                AND a.id != q.id
+              JOIN enc e ON e.id = a.id AND e.s = q.s
+              JOIN cb c ON c.s = e.s AND c.code = e.code
+              WHERE q.id < 3),
+            sc AS (SELECT query_id, neighbor_id,
+                round(list_reduce(list_prepend(qdotc,
+                  list(pdot ORDER BY s)), (acc, x) -> acc + x), 6) AS sim
+              FROM pd GROUP BY query_id, neighbor_id, qdotc)
+            SELECT query_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank,
+              neighbor_id, sim
+            FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank"""))
+
   /** ANN index-quality diagnostic: recall@5 of the LSH index (v4's
     * path) against exact brute force (v1's path), per query — the
     * evaluation harness an ANN deployment runs before trusting an
@@ -652,5 +740,6 @@ object Similarity {
 
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
     ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
-    kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ, annRecallQ, multiProbeQ)
+    kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ, annRecallQ, multiProbeQ,
+    ivfPqResidualTopKQ)
 }

@@ -28,6 +28,15 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Squared L2 distance (double fold, index order). */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity; 0 when either vector has zero norm. Native
     * single-pass kernel ([[cosineHof]] is the composed reference form —
     * same sequential fold order, bit-identical). */
@@ -424,14 +433,15 @@ object VectorFunctions {
     * lookup tables. The whole codebook is m·ksub·(dim/m) doubles —
     * quantizer driver state, same as [[kmeansFit]]'s centroid matrix. */
   def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int, dim: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim ($dim) must split into m ($m) equal subspaces")
     val sd = dim / m
     val subs = (0 until m).map { s =>
       kmeansFit(
         corpus.select(col(idCol),
           slice(col(vecCol), s * sd + 1, sd).as(vecCol)),
-        ksub, iters, idCol, vecCol)
+        ksub, iters, idCol, vecCol, metric)
         .withColumn("sub", lit(s))
     }
     val w = Window.partitionBy(col("sub")).orderBy(col("centroid_id"))
@@ -476,6 +486,34 @@ object VectorFunctions {
         acc => acc("code"))
     })
 
+  /** Row-local PQ code array choosing the MIN-L2 sub-centroid (rounded
+    * squared distance, lowest code on ties) — the encode metric for
+    * RESIDUAL codes: residuals carry position, not direction, so the
+    * cosine argmax (direction-only) mis-scales reconstructions; min-L2
+    * is what Jégou TPAMI 2011 and FAISS quantize by. */
+  private def pqCodesL2Expr(v: Column, cbLit: Column, m: Int, ksub: Int,
+      sd: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), s => {
+      val sv = slice(v, s * sd + 1, lit(sd))
+      val cbs = element_at(cbLit, (s + 1).cast("int"))
+      aggregate(
+        sequence(lit(0), lit(ksub - 1)),
+        struct(lit(Double.MaxValue).as("d2"), lit(0).cast("int").as("code")),
+        (acc, j) => {
+          val cv = element_at(cbs, (j + 1).cast("int"))
+          val d2j = round(aggregate(
+            zip_with(sv, cv, (x, y) => {
+              val diff = x.cast("double") - y.cast("double")
+              diff * diff
+            }),
+            lit(0.0), (a, x) => a + x), 6)
+          when(d2j < acc("d2"),
+            struct(d2j.as("d2"), j.cast("int").as("code")))
+            .otherwise(acc)
+        },
+        acc => acc("code"))
+    })
+
   /** Row-local ADC lookup table for query vector `v`: cell s·ksub+j =
     * dot(sub-vector s of v, centroid j of subspace s). */
   private def pqLutExpr(v: Column, cbLit: Column, m: Int, sd: Int): Column =
@@ -484,11 +522,12 @@ object VectorFunctions {
         dot(slice(v, s * sd + 1, lit(sd)), cvec))))
 
   /** Ordered (s = 0..m-1) fold of LUT lookups for a code array — the
-    * deterministic ADC score. */
+    * deterministic ADC score. `init` seeds the fold (residual search
+    * seeds with the query·centroid term; plain ADC with 0). */
   private def pqScoreExpr(lut: Column, codes: Column, m: Int,
-      ksub: Int): Column =
+      ksub: Int, init: Column = lit(0.0)): Column =
     round(
-      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      aggregate(sequence(lit(0), lit(m - 1)), init.cast("double"), (acc, s) =>
         acc + element_at(lut,
           (s * ksub + element_at(codes, (s + 1).cast("int")) + 1)
             .cast("int"))),
@@ -562,6 +601,79 @@ object VectorFunctions {
     perQueryTopK(scored, k, shards)
   }
 
+  /** Per-vector IVF residual (Jégou et al. TPAMI 2011 §IV): assign each
+    * vector to its nearest coarse centroid and return v − c(list(v)) —
+    * the quantity residual PQ encodes. Residuals cluster tightly around
+    * the origin regardless of where each list sits in space, so a
+    * shared PQ codebook spends its ksub^m cells on LOCAL structure —
+    * that concentration is where FAISS's billion-scale accuracy at
+    * equal code bytes comes from. One corpus pass (broadcast-centroid
+    * argmax, row-local subtraction); the corpus never shuffles. */
+  def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("cv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("sim").desc, col("centroid_id"))
+    corpus.select(col(idCol), col(vecCol)).crossJoin(broadcast(c))
+      .withColumn("sim", round(cosine(col(vecCol), col("cv")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"),
+        zip_with(col(vecCol), col("cv"),
+          (a, b) => a.cast("double") - b.cast("double")).as(vecCol))
+  }
+
+  /** [[pqTrain]] over IVF residuals instead of raw vectors — the
+    * codebook half of residual IVF-PQ. Trains by L2 (not cosine):
+    * residuals carry position, and PQ reconstruction error is an L2
+    * objective — cosine-training a residual codebook measurably hurts
+    * recall (direction clusters, positional encode). */
+  def pqTrainResidual(corpus: DataFrame, centroids: DataFrame, m: Int,
+      ksub: Int, iters: Int, dim: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqTrain(
+      ivfResiduals(corpus, centroids, idCol, vecCol)
+        .select(col(idCol), col(vecCol)),
+      m, ksub, iters, dim, idCol, vecCol, metric = "l2")
+
+  /** Residual IVF-PQ search: vectors are stored as PQ codes of their
+    * residual v − c(list), so dot(q, v) ≈ dot(q, c) + dot(q, r̂) — the
+    * first term is exact per probed list (one dot against nlist
+    * centroids, already paid by probe selection) and the second is the
+    * standard ADC lookup-table fold seeded with it. Same probe/assign/
+    * broadcast shape as [[ivfPqTopK]]; the only extra work is the
+    * row-local residual subtraction at encode time and one double add
+    * at score time — equal code bytes, strictly more faithful scores. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
+      dim: Int, k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
+    val sd = dim / m
+    val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
+    val c = centroids.select(col(idCol).as("centroid_id"),
+      col(vecCol).as("cv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        pqLutExpr(col(vecCol), cbLit, m, sd).as("lut"))
+      .crossJoin(broadcast(c))
+      .withColumn("csim", round(cosine(col("qv"), col("cv")), 6))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("lut"), col("centroid_id"),
+        dot(col("qv"), col("cv")).as("qdotc"))
+    val assigned = ivfResiduals(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
+        pqCodesL2Expr(col(vecCol), cbLit, m, ksub, sd).as("codes"))
+    val scored = broadcast(probes).join(assigned, "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim",
+        pqScoreExpr(col("lut"), col("codes"), m, ksub, col("qdotc")))
+    perQueryTopK(scored, k, shards)
+  }
+
   /** Lloyd's k-means over an embedding column — the trainer for the
     * IVF coarse quantizer ([[ivfAssign]]'s centroid input). Each
     * iteration is one distributed pass: broadcast-centroid assignment
@@ -579,8 +691,11 @@ object VectorFunctions {
     * on samples at 100 TB scale, where that bound is the sample size
     * over k. Empty clusters keep their previous position. */
   def kmeansFit(corpus: DataFrame, k: Int, iters: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      metric: String = "cosine"): DataFrame = {
     require(k >= 1 && iters >= 0, "k >= 1 and iters >= 0 required")
+    require(metric == "cosine" || metric == "l2",
+      s"metric must be cosine or l2, got $metric")
     val spark = corpus.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
@@ -599,10 +714,17 @@ object VectorFunctions {
     for (_ <- 0 until iters) {
       val cdf = toDf(centroids)
         .select(col("centroid_id"), col("centroid").as("_cv"))
-      val w = Window.partitionBy(col("_id"))
-        .orderBy(col("sim").desc, col("centroid_id"))
+      // cosine clusters direction (raw embeddings); l2 clusters
+      // position (residuals — the Lloyd's objective PQ reconstruction
+      // error actually minimizes). Same rounded-score + id tiebreak.
+      val w = Window.partitionBy(col("_id")).orderBy(
+        if (metric == "cosine") col("sim").desc else col("sim").asc,
+        col("centroid_id"))
+      val scoreExpr =
+        if (metric == "cosine") round(cosine(col("_v"), col("_cv")), 6)
+        else round(sqDist(col("_v"), col("_cv")), 6)
       val assigned = base.crossJoin(broadcast(cdf))
-        .withColumn("sim", round(cosine(col("_v"), col("_cv")), 6))
+        .withColumn("sim", scoreExpr)
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
         .select(col("centroid_id"), col("_id"), col("_v"))
       val upd = assigned

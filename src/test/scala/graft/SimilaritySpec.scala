@@ -260,6 +260,44 @@ class SimilaritySpec extends SparkSpec {
     assert(one.nonEmpty && one.subsetOf(full.map(_._2)))
   }
 
+  test("residual IVF-PQ: recall@10 beats plain IVF-PQ at equal code " +
+    "bytes and equal nprobe") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 8)
+    val truth = bruteForceTopK(e, q, k = 10)
+      .select(col("query_id"), col("neighbor_id"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    def recall(ann: org.apache.spark.sql.DataFrame): Int = {
+      val got = ann.select(col("query_id"), col("neighbor_id"))
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      truth.map { case (qid, t) =>
+        (got.getOrElse(qid, Set.empty[Long]) intersect t).size }.sum
+    }
+    // "current": v12's shipping configuration (raw lowest-id coarse
+    // centroids, untrained cosine codebook) — m=4 x ksub=16 = 4-bit
+    // codes, 16 bytes/vector either way
+    val plain = recall(ivfPqTopK(e, q, e.filter(col("vec_id") < 16),
+      pqTrain(e, m = 4, ksub = 16, iters = 0, dim = 64),
+      m = 4, ksub = 16, dim = 64, k = 10, nprobe = 2))
+    // residual variant brings its trained quantizers (training is part
+    // of the method): Lloyd's coarse centroids, L2 residual codebook
+    val cents = kmeansFit(e, k = 16, iters = 5)
+      .select(col("centroid_id").as("vec_id"),
+        col("centroid").as("embedding"))
+    val resid = recall(ivfPqResidualTopK(e, q, cents,
+      pqTrainResidual(e, cents, m = 4, ksub = 16, iters = 0, dim = 64),
+      m = 4, ksub = 16, dim = 64, k = 10, nprobe = 2))
+    val total = truth.values.map(_.size).sum
+    info(s"recall@10: plain=$plain residual=$resid of $total")
+    assert(resid >= plain,
+      s"residual IVF-PQ recall ($resid/$total) must be >= plain " +
+        s"($plain/$total) at equal code bytes")
+    // and on this corpus it strictly improves
+    assert(resid > plain)
+  }
+
   test("multi-probe LSH: candidate superset of exact-bucket, recall never lower") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 5)
