@@ -2,7 +2,7 @@ package graft.io
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate materialized view over a [[ManagedParquetTable]].
@@ -10,34 +10,52 @@ import org.apache.spark.sql.functions._
   * A warehouse-scale table cannot re-aggregate 100 TB on every ingest
   * batch. `refresh()` therefore diffs the table's delta-log file
   * snapshot against the file set the stored state was computed from
-  * (its *basis*): appended files are partial-aggregated alone and
-  * merged into the state — O(new data), never O(table). Any commit
-  * that removed files (overwrite, delete, merge, compact) makes the
-  * stored partials unattributable, so refresh falls back to ONE full
-  * recompute and resumes incrementally from there.
+  * (its *basis*) and processes only the difference:
+  *
+  *  - **Appended files** are partial-aggregated alone and merged into
+  *    the state — O(new data), never O(table).
+  *  - **Removed files** (narrowed delete, compaction, merge) are
+  *    handled from the *per-file partials store* kept alongside the
+  *    state: every refresh also persists one partial-aggregate row per
+  *    (source file, group). A removal then SUBTRACTS the removed
+  *    files' count/sum partials from the state — reading only those
+  *    partials — and for the groups whose min/max could have been
+  *    attained by a removed row (removed-partial min ≤ state min, or
+  *    max ≥ state max) or that carry a sketch (HLL registers cannot
+  *    subtract), re-merges JUST those groups from the surviving
+  *    files' partials. The table data itself is never rescanned:
+  *    worst case is O(partials) = O(files × groups-per-file), which at
+  *    100 TB is orders of magnitude below a rescan.
   *
   * Only decomposable aggregates are offered — count / sum / min / max
   * (avg is sum÷count at read time), plus `hll` distinct-count SKETCH
   * state (exact distinct is not decomposable; its HLL sketch is) —
-  * because exactly these merge by re-aggregating partials. The merge is the same `groupBy` the
-  * engine runs everywhere else: union the state with the delta
-  * partials and fold (sum of sums, sum of counts, min of mins, max of
-  * maxes); Catalyst plans it as one map-side-combined shuffle of
-  * |groups| rows, not |rows|.
+  * because exactly these merge by re-aggregating partials. The merge
+  * is the same `groupBy` the engine runs everywhere else: union the
+  * state with the delta partials and fold (sum of sums, sum of counts,
+  * min of mins, max of maxes); Catalyst plans it as one
+  * map-side-combined shuffle of |groups| rows, not |rows|.
+  *
+  * Subtraction exactness: counts and integral/decimal sums subtract
+  * exactly; a hidden per-sum non-null count restores NULL when a
+  * removal eliminates a group's last non-null value. Floating-point
+  * sums may accumulate the usual rounding drift any incremental
+  * maintenance scheme has; use decimals where exactness matters.
   *
   * Crash safety mirrors the table itself (reference behavior:
   * `bronze/redPandaToDeltaLake.py` relies on Delta's atomic commit):
-  * state parquet and its basis publish together through one
-  * write-temp-then-rename manifest flip, so an interrupted refresh
-  * leaves the previous consistent (state, basis) pair and re-running
-  * refresh re-derives the same delta — idempotent, never
-  * double-counted. Superseded state dirs are swept on later refreshes
-  * after a grace window (vacuum semantics: a concurrent reader that
-  * resolved the old manifest can still finish).
+  * state parquet, partials dirs, and the basis publish together
+  * through one write-temp-then-rename manifest flip, so an interrupted
+  * refresh leaves the previous consistent (state, basis, partials)
+  * triple and re-running refresh re-derives the same delta —
+  * idempotent, never double-counted. Superseded state/partials dirs
+  * are swept on later refreshes after a grace window (vacuum
+  * semantics: a concurrent reader that resolved the old manifest can
+  * still finish).
   *
   * The view *definition* (group keys + agg specs) lives with the
   * caller, as in code-defined-view systems: the manifest records only
-  * state location and basis files.
+  * state location, basis files, and partials dirs.
   */
 final class IncrementalAggView(
     spark: SparkSession,
@@ -59,13 +77,25 @@ final class IncrementalAggView(
     * "full" | "incremental" | "noop" | "" (never ran). */
   @volatile var lastRefresh: String = ""
 
+  // hidden bookkeeping columns, persisted in state AND partials but
+  // never surfaced by read(): group row count (drop-group detection +
+  // count-subtract), one non-null count per sum (NULL restoration)
+  private val RowN = "__graft_n"
+  private def nnOf(out: String) = s"__graft_nn_$out"
+  private val SrcCol = "__graft_src" // partials only: relative source file
+  private val hiddenCols: Seq[String] =
+    RowN +: aggs.collect { case AggSpec("sum", _, out) => nnOf(out) }
+  private val stateCols: Seq[String] =
+    groupCols ++ aggs.map(_.outName) ++ hiddenCols
+
   /** Current materialized state: groupCols ++ one column per AggSpec.
     * `hll` columns are raw binary sketches here — see [[readFinal]].
     * Fails if the view has never been refreshed. */
   def read(): DataFrame = {
-    val (state, _) = loadManifest().getOrElse(
+    val m = loadManifest().getOrElse(
       sys.error(s"view at $viewPath has never been refreshed"))
-    spark.read.parquet(s"$viewPath/$state")
+    spark.read.parquet(s"$viewPath/${m.state}")
+      .select((groupCols ++ aggs.map(_.outName)).map(col): _*)
   }
 
   /** [[read]] with sketch states finalized: `hll` columns become their
@@ -84,79 +114,205 @@ final class IncrementalAggView(
     val nowFiles = table.deltaSnapshotFiles().toSet
     require(nowFiles.nonEmpty, s"table at $tablePath has no data files")
     loadManifest() match {
-      case Some((state, basis)) if (basis -- nowFiles).isEmpty =>
-        val added = (nowFiles -- basis).toSeq.sorted
-        if (added.isEmpty) { lastRefresh = "noop"; return }
-        val delta = partialAgg(readFiles(added))
-        val merged = mergePartials(
-          spark.read.parquet(s"$viewPath/$state"), delta)
-        publish(merged, nowFiles)
+      case Some(m) =>
+        val added = (nowFiles -- m.basis).toSeq.sorted
+        val removed = (m.basis -- nowFiles).toSeq.sorted
+        if (added.isEmpty && removed.isEmpty) { lastRefresh = "noop"; return }
+        if (removed.nonEmpty && m.partials.isEmpty) {
+          // legacy manifest without a partials store: one last rebuild
+          fullRebuild(nowFiles); return
+        }
+        var st = spark.read.parquet(s"$viewPath/${m.state}")
+        var dirs = m.partials
+        if (removed.nonEmpty)
+          st = applyRemovals(st, dirs, m.basis, removed.toSet)
+        if (added.nonEmpty) {
+          val pd = writePartials(added)
+          dirs = dirs :+ pd
+          st = mergeStates(st,
+            collapse(spark.read.parquet(s"$viewPath/$pd")))
+        }
+        publish(st, nowFiles, dirs, m)
         lastRefresh = "incremental"
-      case _ =>
-        // no state yet, or files were removed since the basis:
-        // partials cannot be subtracted — recompute once from scratch
-        publish(partialAgg(readFiles(nowFiles.toSeq.sorted)), nowFiles)
-        lastRefresh = "full"
+      case None => fullRebuild(nowFiles)
     }
   }
 
   // ---- internals ---------------------------------------------------------
 
+  private def fullRebuild(nowFiles: Set[String]): Unit = {
+    val pd = writePartials(nowFiles.toSeq.sorted)
+    publish(collapse(spark.read.parquet(s"$viewPath/$pd")),
+      nowFiles, Seq(pd), loadManifest().orNull)
+    lastRefresh = "full"
+  }
+
   private def readFiles(rel: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true")
       .parquet(rel.map(f => s"$tablePath/$f"): _*)
 
-  /** One partial-aggregation pass producing the state schema. */
-  private def partialAgg(df: DataFrame): DataFrame = {
-    val exprs = aggs.map {
-      case AggSpec("count", _, out) => count(lit(1)).as(out)
-      case AggSpec("sum", in, out) => sum(col(in)).as(out)
-      case AggSpec("min", in, out) => min(col(in)).as(out)
-      case AggSpec("max", in, out) => max(col(in)).as(out)
+  /** Table-relative source file of each row (strips URI scheme + root). */
+  private def relSrc: Column = {
+    val abs = Paths.get(tablePath).toAbsolutePath.toString
+    regexp_replace(input_file_name(),
+      "^(file:(//)?)?" + java.util.regex.Pattern.quote(abs) + "/", "")
+  }
+
+  /** ONE scan of `rel`: per-(file, group) partials → new pfile dir. */
+  private def writePartials(rel: Seq[String]): String = {
+    val exprs = aggs.flatMap {
+      case AggSpec("count", _, out) => Seq(count(lit(1)).as(out))
+      case AggSpec("sum", in, out) =>
+        Seq(sum(col(in)).as(out), count(col(in)).as(nnOf(out)))
+      case AggSpec("min", in, out) => Seq(min(col(in)).as(out))
+      case AggSpec("max", in, out) => Seq(max(col(in)).as(out))
       // distinct counts are NOT decomposable exactly, but their HLL
       // sketches are: register-wise max union makes per-file partials
       // mergeable, which is how a 100 TB table keeps daily-unique
       // metrics without ever rescanning history
       case AggSpec("hll", in, out) =>
-        expr(s"hll_sketch_agg(`$in`)").as(out)
+        Seq(expr(s"hll_sketch_agg(`$in`)").as(out))
       case AggSpec(kind, _, _) =>
         sys.error(s"unsupported aggregate kind '$kind' " +
           "(decomposable kinds: count, sum, min, max, hll)")
-    }
-    df.groupBy(groupCols.map(col): _*).agg(exprs.head, exprs.tail: _*)
-  }
-
-  /** Fold two partial states: counts and sums add, min/max fold. */
-  private def mergePartials(a: DataFrame, b: DataFrame): DataFrame = {
-    val exprs = aggs.map {
-      case AggSpec("count", _, out) => sum(col(out)).as(out)
-      case AggSpec("sum", _, out) => sum(col(out)).as(out)
-      case AggSpec("min", _, out) => min(col(out)).as(out)
-      case AggSpec("max", _, out) => max(col(out)).as(out)
-      case AggSpec("hll", _, out) =>
-        expr(s"hll_union_agg(`$out`)").as(out)
-      case AggSpec(kind, _, _) => sys.error(s"unsupported kind '$kind'")
-    }
-    a.unionByName(b).groupBy(groupCols.map(col): _*)
+    } :+ count(lit(1)).as(RowN)
+    val pd = s"pfile-${System.nanoTime()}"
+    readFiles(rel).withColumn(SrcCol, relSrc)
+      .groupBy((SrcCol +: groupCols).map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
+      .write.mode("overwrite").parquet(s"$viewPath/$pd")
+    pd
   }
 
-  /** Atomically flip (state dir, basis) and sweep superseded state. */
-  private def publish(df: DataFrame, basis: Set[String]): Unit = {
+  /** Fold expressions over partial/state rows (same names in → out). */
+  private def mergeExprs: Seq[Column] = aggs.flatMap {
+    case AggSpec("count", _, out) => Seq(sum(col(out)).as(out))
+    case AggSpec("sum", _, out) =>
+      Seq(sum(col(out)).as(out), sum(col(nnOf(out))).as(nnOf(out)))
+    case AggSpec("min", _, out) => Seq(min(col(out)).as(out))
+    case AggSpec("max", _, out) => Seq(max(col(out)).as(out))
+    case AggSpec("hll", _, out) =>
+      Seq(expr(s"hll_union_agg(`$out`)").as(out))
+    case AggSpec(kind, _, _) => sys.error(s"unsupported kind '$kind'")
+  } :+ sum(col(RowN)).as(RowN)
+
+  /** Collapse partials (or a union of states) to one row per group. */
+  private def collapse(p: DataFrame): DataFrame = {
+    val es = mergeExprs
+    p.groupBy(groupCols.map(col): _*).agg(es.head, es.tail: _*)
+      .select(stateCols.map(col): _*)
+  }
+
+  private def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    collapse(a.select(stateCols.map(col): _*)
+      .unionByName(b.select(stateCols.map(col): _*)))
+
+  private def readPartials(dirs: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true")
+      .parquet(dirs.map(d => s"$viewPath/$d"): _*)
+
+  private def filesDf(names: Seq[String]): DataFrame = {
+    import spark.implicits._
+    names.toDF(SrcCol)
+  }
+
+  /** Removal maintenance without touching the table: subtract the
+    * removed files' partials; re-merge from surviving partials only
+    * the groups whose min/max/sketch a removed row could have set. */
+  private def applyRemovals(st: DataFrame, dirs: Seq[String],
+      basis: Set[String], removed: Set[String]): DataFrame = {
+    // partials dirs can hold rows for files superseded long ago —
+    // always restrict to the basis being maintained
+    val p = readPartials(dirs)
+    val inBasis = p.join(broadcast(filesDf(basis.toSeq.sorted)),
+      Seq(SrcCol), "left_semi")
+    val removedP = inBasis.join(broadcast(filesDf(removed.toSeq.sorted)),
+      Seq(SrcCol), "left_semi")
+    val survivingP = inBasis.join(broadcast(filesDf(removed.toSeq.sorted)),
+      Seq(SrcCol), "left_anti")
+    // collapse removed partials to one row per group, prefixed
+    val rPrefixed = collapse(removedP).select(
+      stateCols.map(c => col(c).as(s"__r_$c")): _*)
+    val joined = st.join(rPrefixed,
+      groupCols.map(c => col(c) <=> col(s"__r_$c")).reduce(_ && _),
+      "left")
+    val touched = col(s"__r_$RowN").isNotNull
+    // a removed row can only have set the group min/max if the removed
+    // partial's min/max reaches the state's (ties must recompute: the
+    // same value may or may not survive elsewhere); sketches always
+    // recompute (HLL registers are max-folded, not invertible)
+    val needsRemerge = aggs.collect {
+      case AggSpec("min", _, out) =>
+        coalesce(col(s"__r_$out") <= col(out), lit(false))
+      case AggSpec("max", _, out) =>
+        coalesce(col(s"__r_$out") >= col(out), lit(false))
+      case AggSpec("hll", _, _) => lit(true)
+    }.foldLeft(lit(false))(_ || _)
+    val expensive = touched && needsRemerge
+    // cheap path: untouched groups pass through (coalesce makes the
+    // subtraction a no-op); touched-but-safe groups subtract
+    val adjusted = aggs.flatMap {
+      case AggSpec("count", _, out) =>
+        Seq((col(out) - coalesce(col(s"__r_$out"), lit(0))).as(out))
+      case AggSpec("sum", _, out) =>
+        val nn = col(nnOf(out)) - coalesce(col(s"__r_${nnOf(out)}"), lit(0))
+        Seq(when(nn === 0, lit(null))
+            .otherwise(col(out) - coalesce(col(s"__r_$out"), lit(0))).as(out),
+          nn.as(nnOf(out)))
+      case a => Seq(col(a.outName))
+    }
+    val newN = (col(RowN) - coalesce(col(s"__r_$RowN"), lit(0))).as(RowN)
+    val keep = joined.filter(!expensive)
+      .select(groupCols.map(col) ++ adjusted :+ newN: _*)
+      .filter(col(RowN) > 0)
+    val keys = joined.filter(expensive).select(groupCols.map(col): _*)
+    val remerged = collapse(survivingP.join(keys,
+      groupCols.map(c => survivingP(c) <=> keys(c)).reduce(_ && _),
+      "left_semi"))
+    keep.select(stateCols.map(col): _*)
+      .unionByName(remerged.select(stateCols.map(col): _*))
+  }
+
+  /** Atomically flip (state, basis, partials); consolidate the
+    * partials store when it fragments; sweep superseded dirs. */
+  private def publish(df: DataFrame, basis: Set[String],
+      pdirs: Seq[String], prev: Manifest): Unit = {
     Files.createDirectories(Paths.get(viewPath))
     val stateDir = s"state-${System.nanoTime()}"
-    df.write.mode("overwrite").parquet(s"$viewPath/$stateDir")
+    df.select(stateCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$viewPath/$stateDir")
+    // many small pfile dirs degrade listing and read fan-out exactly
+    // like the table's own small-file problem → compact periodically
+    val dirs = if (pdirs.size < 16) pdirs else {
+      val cd = s"pfile-${System.nanoTime()}"
+      readPartials(pdirs)
+        .join(broadcast(filesDf(basis.toSeq.sorted)), Seq(SrcCol), "left_semi")
+        .write.mode("overwrite").parquet(s"$viewPath/$cd")
+      Seq(cd)
+    }
     val json = s"""{"state":"$stateDir","basis":[""" +
-      basis.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]}"
+      basis.toSeq.sorted.map("\"" + _ + "\"").mkString(",") +
+      s"""],"partials":[""" +
+      dirs.map("\"" + _ + "\"").mkString(",") + "]}"
     val tmp = Paths.get(viewPath, s"_graft_view_manifest.tmp.${System.nanoTime()}")
     Files.writeString(tmp, json)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    sweep(keep = stateDir)
+    // grace window runs from the moment a dir became unreferenced, not
+    // from its creation — touch the newly superseded ones
+    val keepDirs = dirs.toSet + stateDir
+    val superseded = Option(prev).toSeq.flatMap(m => m.state +: m.partials)
+      .filterNot(keepDirs.contains)
+    superseded.foreach { d =>
+      val pth = Paths.get(viewPath, d)
+      if (Files.exists(pth)) Files.setLastModifiedTime(pth,
+        java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    }
+    sweep(keepDirs)
   }
 
-  /** Remove unreferenced state-* dirs older than the grace window. */
-  private def sweep(keep: String, graceMs: Long = 15 * 60 * 1000L): Unit = {
+  /** Remove unreferenced state/pfile dirs past the grace window. */
+  private def sweep(keep: Set[String], graceMs: Long = 15 * 60 * 1000L): Unit = {
     val cutoff = System.currentTimeMillis() - graceMs
     val dir = Paths.get(viewPath)
     if (!Files.isDirectory(dir)) return
@@ -164,7 +320,8 @@ final class IncrementalAggView(
     while (it.hasNext) {
       val p = it.next()
       val n = p.getFileName.toString
-      if (n.startsWith("state-") && n != keep &&
+      if ((n.startsWith("state-") || n.startsWith("pfile-")) &&
+          !keep.contains(n) &&
           Files.getLastModifiedTime(p).toMillis < cutoff)
         deleteRecursively(p)
     }
@@ -178,18 +335,19 @@ final class IncrementalAggView(
     Files.deleteIfExists(p)
   }
 
-  /** (state dir, basis file set) from the committed manifest, if any. */
-  private def loadManifest(): Option[(String, Set[String])] =
+  /** Committed manifest: state dir, basis file set, partials dirs. */
+  private def loadManifest(): Option[Manifest] =
     if (!Files.exists(manifest)) None
     else {
       val s = Files.readString(manifest)
       val state = """"state":"([^"]+)"""".r.findFirstMatchIn(s)
         .map(_.group(1)).getOrElse(return None)
-      val basis = """"basis":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-        .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
-          .stripSuffix("\"")).filter(_.nonEmpty).toSet)
-        .getOrElse(Set.empty[String])
-      Some((state, basis))
+      def strList(key: String): Seq[String] =
+        (s""""$key":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+          .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+      Some(Manifest(state, strList("basis").toSet, strList("partials")))
     }
 }
 
@@ -198,4 +356,7 @@ object IncrementalAggView {
     * inputCol is ignored for count. `hll` stores a mergeable binary
     * sketch, finalized to an estimate by [[IncrementalAggView.readFinal]]. */
   final case class AggSpec(kind: String, inputCol: String, outName: String)
+
+  private final case class Manifest(
+    state: String, basis: Set[String], partials: Seq[String])
 }

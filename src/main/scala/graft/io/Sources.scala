@@ -416,18 +416,58 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
-  /** W1's DELETE-last-N shape: rewrite the survivors into a fresh
-    * segment and commit (the Delta `DELETE WHERE` equivalent). The scan
-    * reads the old snapshot's immutable segments while writing the new
-    * one, so concurrent readers stay consistent throughout. */
+  /** W1's DELETE shape, narrowed to the segments that actually contain
+    * matching rows (real Delta's file-granular copy-on-write): one scan
+    * finds the hit files, only THEIR segments are rewritten, and a
+    * segment whose rows all match is dropped from the snapshot with no
+    * rewrite at all. Untouched segments stay live under their original
+    * identity — what keeps downstream file-diff consumers (change feed
+    * s27, incremental MV refresh) O(delta). A scattered predicate still
+    * rewrites everything, exactly as real Delta without deletion
+    * vectors; an aligned/ranged one touches only what it must. A delete
+    * matching nothing commits nothing. Rows where the predicate is
+    * NULL survive (SQL DELETE semantics: only condition IS TRUE
+    * deletes). The scan reads the old snapshot's immutable segments
+    * while writing the new one, so concurrent readers stay consistent
+    * throughout. */
   def deleteWhere(condition: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val doomed = coalesce(condition, lit(false))
+    deleteCore(_.filter(doomed), _.filter(not(doomed)))
+  }
+
+  /** Shared narrow-delete core. `doomed` selects the rows to delete,
+    * `survivors` their complement; both must be pure row filters. */
+  private def deleteCore(doomed: DataFrame => DataFrame,
+      survivors: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
     val prev = snapshot().map(_._2).getOrElse(Seq.empty)
-    val survivors = read().filter(!condition)
-    val seg = writeSegment(survivors)
-    commit(Seq(seg), "delete")
-    mirrorDeltaLog("delete", added = segmentFiles(seg),
-      removed = prev.flatMap(segmentFiles).map(_._1),
-      schemaJson = survivors.schema.json)
+    require(prev.nonEmpty, s"no committed snapshot at $path")
+    // one scan, bounded output: at most one URI per live data file
+    val hitFiles = doomed(read().withColumn("__graft_file", input_file_name()))
+      .select(col("__graft_file")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = prev.filter(seg => hitFiles.exists(_.contains(s"/$seg/")))
+    if (affected.isEmpty) return // nothing matched: no commit, no rewrite
+    val affectedRead = spark.read.option("mergeSchema", "true")
+      .parquet(affected.map(s => s"$path/$s"): _*)
+    val surv = survivors(affectedRead)
+    // a fully-matched segment set with no survivors still commits one
+    // empty segment so the table keeps a readable schema
+    val keepSeg = !surv.isEmpty || affected == prev
+    val kept = prev.filterNot(affected.contains)
+    if (keepSeg) {
+      val seg = writeSegment(surv)
+      commit(kept :+ seg, "delete")
+      mirrorDeltaLog("delete", added = segmentFiles(seg),
+        removed = affected.flatMap(segmentFiles).map(_._1),
+        schemaJson = surv.schema.json)
+    } else {
+      commit(kept, "delete")
+      mirrorDeltaLog("delete", added = Nil,
+        removed = affected.flatMap(segmentFiles).map(_._1),
+        schemaJson = surv.schema.json)
+    }
   }
 
   /** Delta-style MERGE (upsert): rows of `updates` REPLACE current rows
@@ -457,20 +497,16 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   }
 
   /** Key-set delete: remove every row whose key appears in `keys` —
-    * the DELETE half of a CDC apply. Anti-join, not isin: the key set
-    * is a DataFrame of any size, never collected to the driver. One
-    * atomic commit like [[deleteWhere]]. */
+    * the DELETE half of a CDC apply. Semi/anti-join, not isin: the key
+    * set is a DataFrame of any size, never collected to the driver.
+    * Narrowed like [[deleteWhere]]: only segments holding matched keys
+    * rewrite; one atomic commit. */
   def deleteMatching(keys: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "deleteMatching requires at least one key column")
     import org.apache.spark.sql.functions.col
-    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
-    val survivors = read().join(
-      keys.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val seg = writeSegment(survivors)
-    commit(Seq(seg), "delete")
-    mirrorDeltaLog("delete", added = segmentFiles(seg),
-      removed = prev.flatMap(segmentFiles).map(_._1),
-      schemaJson = survivors.schema.json)
+    val k = keys.select(keyCols.map(col): _*)
+    deleteCore(_.join(k, keyCols, "left_semi"),
+      _.join(k, keyCols, "left_anti"))
   }
 
   // ---- Delta-protocol commit mirror -------------------------------------

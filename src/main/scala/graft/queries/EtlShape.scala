@@ -476,11 +476,15 @@ object EtlShape {
   /** MV1: incremental aggregate materialized view — the O(delta)
     * refresh a 100 TB warehouse needs (a per-batch full re-aggregate
     * is the one thing that cannot ship at scale). The gate drives the
-    * full lifecycle: initial full compute, an append refreshed by
-    * reading ONLY the new files, a row delete that invalidates the
-    * stored partials (falls back to one full recompute), and a final
-    * append on the new basis. The oracle aggregates the equivalent
-    * final live set directly. */
+    * full lifecycle: initial full compute, appends refreshed by
+    * reading ONLY the new files, an aligned delete whose dropped
+    * segment is maintained purely from stored per-file partials
+    * (count/sum subtract; min/max groups the removed rows could have
+    * set re-merge from surviving partials — the table is never
+    * rescanned), and a scattered delete whose rewrite flows through
+    * the same removal+append machinery. Both removal refreshes are
+    * REQUIRED to resolve incrementally. The oracle aggregates the
+    * equivalent final live set directly. */
   val incrementalView: GQuery = GQuery(
     "mv1_incremental_view",
     (s, d) => {
@@ -498,18 +502,30 @@ object EtlShape {
           AggSpec("min", "price_cents", "min_cents"),
           AggSpec("max", "price_cents", "max_cents")))
       t.append(o.filter(col("o_orderkey") % 3 === 0))
-      v.refresh() // initial: full compute, basis = first batch
+      v.refresh() // initial: full compute + per-file partials
       t.append(o.filter(col("o_orderkey") % 3 === 1))
       v.refresh() // incremental: aggregates ONLY the appended files
-      t.deleteWhere(col("o_orderkey") % 10 === 0) // removes basis files
       t.append(o.filter(col("o_orderkey") % 3 === 2))
-      v.refresh() // full fallback: partials are unattributable
+      v.refresh()
+      // aligned delete: the %3==1 batch's segment drops whole (no
+      // rewrite) → pure partials-subtract refresh, no table rescan
+      t.deleteWhere(col("o_orderkey") % 3 === 1)
+      v.refresh()
+      require(v.lastRefresh == "incremental",
+        s"aligned removal must refresh incrementally, got ${v.lastRefresh}")
+      // scattered delete: every remaining segment is affected (real
+      // Delta without deletion vectors rewrites the same); removals
+      // resolve from partials, rewritten survivors merge as appends
+      t.deleteWhere(col("o_orderkey") % 10 === 0)
+      v.refresh()
+      require(v.lastRefresh == "incremental",
+        s"scattered removal must refresh incrementally, got ${v.lastRefresh}")
       v.read().orderBy(col("o_orderpriority"))
     },
     Some("""WITH live AS (SELECT o_orderpriority,
               CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
               FROM orders
-              WHERE o_orderkey % 3 = 2 OR o_orderkey % 10 <> 0)
+              WHERE o_orderkey % 3 <> 1 AND o_orderkey % 10 <> 0)
             SELECT o_orderpriority, count(*) AS cnt,
               CAST(sum(price_cents) AS BIGINT) AS sum_cents,
               min(price_cents) AS min_cents,

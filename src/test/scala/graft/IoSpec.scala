@@ -686,13 +686,14 @@ class IoSpec extends SparkSpec {
     val none = t.changesSince(1L)
     assert(none.count() == 0 &&
       none.columns.toSeq == Seq("id", "v", "_change_type"))
-    // delete rewrites the snapshot: prior rows report delete, the
-    // survivors re-report insert (file-granularity contract)
+    // delete rewrites ONLY the segments containing matches: rows of
+    // the affected segment report delete, its survivors re-report
+    // insert, and untouched segments (id=3) emit NOTHING — the
+    // narrowed copy-on-write keeps the change feed O(delta)
     t.deleteWhere(col("id") === 1) // v2
     assert(t.changesSince(1L).select("id", "_change_type")
       .as[(Int, String)].collect().toSet ==
-      Set((1, "delete"), (2, "delete"), (3, "delete"),
-        (2, "insert"), (3, "insert")))
+      Set((1, "delete"), (2, "delete"), (2, "insert")))
     // and the full-history diff nets to the current snapshot's adds
     assert(t.changesSince(0L).filter(col("_change_type") === "insert")
       .select("id").as[Int].collect().toSet == Set(2, 3))
@@ -724,7 +725,7 @@ class IoSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 1L), got.toString)
   }
 
-  test("MV1: incremental view merges only appended files; removal falls back") {
+  test("MV1: appends merge only new files; removals maintain from per-file partials") {
     import graft.io.IncrementalAggView
     import graft.io.IncrementalAggView.AggSpec
     val root = tmp("mv")
@@ -758,11 +759,14 @@ class IoSpec extends SparkSpec {
     v2.refresh()
     assert(v2.lastRefresh == "incremental")
 
-    // deleting rows rewrites segments: partials are unattributable, so
-    // the next refresh recomputes fully and is again exact
+    // deleting rows rewrites only the affected segment; the refresh
+    // handles the removed files from stored per-file partials —
+    // subtract for count/sum, per-group re-merge from surviving
+    // partials where the removed rows could have set min/max — and
+    // never rescans the table
     t.deleteWhere(col("v") === 2L)
     v2.refresh()
-    assert(v2.lastRefresh == "full")
+    assert(v2.lastRefresh == "incremental")
     assert(v2.read().as[(String, Long, Long, Long, Long)].collect().toSet ==
       Set(("a", 2L, 6L, 1L, 5L), ("b", 2L, 30L, 10L, 20L),
         ("c", 1L, 7L, 7L, 7L)))
@@ -794,5 +798,60 @@ class IoSpec extends SparkSpec {
     val rows = v3.read().collect().map(r =>
       (r.getString(0), Option(r.get(1)), r.getLong(2))).toSet
     assert(rows == Set(("a", None, 2L), ("b", Some(1L), 1L)))
+  }
+
+  test("MV removal refresh reads only stored partials — proven by hiding the table data") {
+    import graft.io.IncrementalAggView
+    import graft.io.IncrementalAggView.AggSpec
+    val root = tmp("mvp")
+    val t = new ManagedParquetTable(spark, s"$root/t")
+    val v = new IncrementalAggView(spark, s"$root/t", s"$root/v",
+      Seq("g"), Seq(AggSpec("count", "", "cnt"), AggSpec("sum", "v", "s")))
+    t.append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))  // segment X
+    t.append(Seq(("a", 10L), ("c", 5L)).toDF("g", "v")) // segment Y
+    v.refresh()
+    // aligned delete: every row of X matches, none of Y → X drops
+    // from the snapshot whole, nothing is rewritten or added
+    t.deleteWhere(col("v") < 3L)
+    // make ANY table-data access impossible: hide every segment dir
+    // (the delta log stays — the snapshot resolves from it alone)
+    Files.createDirectories(Paths.get(s"$root/hidden"))
+    val segIt = Files.list(Paths.get(s"$root/t")).iterator()
+    while (segIt.hasNext) {
+      val p = segIt.next()
+      if (p.getFileName.toString.startsWith("seg-"))
+        Files.move(p, Paths.get(s"$root/hidden", p.getFileName.toString))
+    }
+    // count/sum subtract needs exactly the REMOVED files' partials:
+    // the refresh succeeds with zero table data on disk
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+    assert(v.read().as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 10L), ("c", 1L, 5L)))
+  }
+
+  test("narrowed delete: no-match commits nothing; aligned drop adds no files; schema survives delete-all") {
+    val t = new ManagedParquetTable(spark, tmp("nd") + "/tbl")
+    t.append(Seq((1, "a"), (2, "b")).toDF("id", "v"))
+    t.append(Seq((5, "e")).toDF("id", "v"))
+    val before = t.deltaSnapshotFiles().toSet
+    t.deleteWhere(col("id") > 100) // no match → no commit at all
+    assert(t.deltaSnapshotFiles().toSet == before)
+    // match confined to the second segment, which matches WHOLLY →
+    // dropped from the snapshot with no rewrite: nothing new appears
+    t.deleteWhere(col("id") === 5)
+    val after = t.deltaSnapshotFiles().toSet
+    assert(after.subsetOf(before) && after != before)
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq == Seq(1, 2))
+    // partial match rewrites only the affected segment
+    t.deleteWhere(col("id") === 1)
+    assert(t.read().select("id").as[Int].collect().toSeq == Seq(2))
+    // NULL predicate rows survive (SQL DELETE: only IS TRUE deletes)
+    t.append(Seq((Option.empty[Int], "n")).toDF("id", "v"))
+    t.deleteWhere(col("id") < 100)
+    assert(t.read().select("v").as[String].collect().toSeq == Seq("n"))
+    // delete-everything keeps a readable schema via one empty segment
+    t.deleteWhere(org.apache.spark.sql.functions.lit(true))
+    assert(t.read().count() == 0 && t.read().columns.toSeq == Seq("id", "v"))
   }
 }
