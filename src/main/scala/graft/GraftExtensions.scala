@@ -78,6 +78,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(1).eval().asInstanceOf[Number].intValue,
           exprs(2).eval().asInstanceOf[Number].intValue)
       }))
+    // graft_heavy_hitters(col, k): Misra-Gries frequent-items summary,
+    // array<struct<key, lb>> with every key of count > N/(k+1)
+    // guaranteed present; k must be a foldable integer (summary
+    // capacity is part of the aggregate, not data)
+    e.injectFunction((FunctionIdentifier("graft_heavy_hitters"),
+      info("graft_heavy_hitters"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "graft_heavy_hitters(col, kLiteral)")
+        expressions.MisraGriesAgg(exprs.head,
+          exprs(1).eval().asInstanceOf[Number].intValue)
+      }))
   }
 }
 

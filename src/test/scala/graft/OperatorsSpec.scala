@@ -499,6 +499,32 @@ class OperatorsSpec extends SparkSpec {
     assert(fb.length == 1 && fb.head._1.toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("graft_heavy_hitters aggregate: per-group SQL, lb bound, string keys") {
+    // the summary is a registered aggregate, so it composes per-group
+    // in plain SQL — the shape the mapPartitions formulation couldn't
+    val rows = Seq.fill(50)(("g1", "a")) ++
+      (1 to 40).map(i => ("g1", s"t$i")) ++
+      Seq.fill(60)(("g2", "b")) ++
+      (1 to 30).map(i => ("g2", s"u$i"))
+    rows.toDF("g", "k").createOrReplaceTempView("hh_in")
+    val out = spark.sql(
+      "SELECT g, graft_heavy_hitters(k, 8) AS s FROM hh_in GROUP BY g")
+      .select(col("g"), explode(col("s")).as("e"))
+      .select(col("g"), col("e.key"), col("e.lb"))
+      .as[(String, String, Long)].collect()
+    // each group aggregates N=90 rows with k=8 → error ≤ N/(k+1) = 10:
+    // the dominant key must be present with lb ≥ C − 10, and no
+    // group's summary may exceed k entries
+    val g1a = out.filter(t => t._1 == "g1" && t._2 == "a")
+    val g2b = out.filter(t => t._1 == "g2" && t._2 == "b")
+    assert(g1a.nonEmpty && g1a.head._3 >= 40L, out.mkString(","))
+    assert(g2b.nonEmpty && g2b.head._3 >= 50L, out.mkString(","))
+    assert(out.count(_._1 == "g1") <= 8 && out.count(_._1 == "g2") <= 8)
+    // output is deterministically ordered: lb desc, then key asc
+    val g1lbs = out.filter(_._1 == "g1").map(_._3).toSeq
+    assert(g1lbs == g1lbs.sortBy(-_))
+  }
+
   test("weightedSample: local replay, weight monotone, partition-invariant") {
     import graft.operators.Sampling.weightedSample
     val P = 1000000007L
