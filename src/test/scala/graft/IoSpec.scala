@@ -854,4 +854,39 @@ class IoSpec extends SparkSpec {
     t.deleteWhere(org.apache.spark.sql.functions.lit(true))
     assert(t.read().count() == 0 && t.read().columns.toSeq == Seq("id", "v"))
   }
+
+  test("delta-log interop: independent JSON replay matches the writer's resolvers at every version") {
+    import graft.tools.DeltaLogReplay
+    val dir = tmp("dlr") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    // 13 commits of every kind — appends, narrowed + scattered deletes,
+    // overwrite, merge, compaction — crossing the checkpoint-10
+    // boundary so the writer's resolver uses checkpoint + tail replay
+    // while the independent reader replays pure JSON from version 0
+    for (i <- 0 until 6)
+      t.append(spark.range(i * 10, i * 10 + 10).toDF("id")) // v0..v5
+    t.deleteWhere(col("id") >= 50)                          // v6: aligned
+    t.deleteWhere(col("id") % 7 === 0)                      // v7: scattered
+    t.overwrite(spark.range(0, 25).toDF("id"))              // v8
+    t.merge(spark.range(20, 30).toDF("id"), Seq("id"))      // v9
+    t.append(spark.range(100, 110).toDF("id"))              // v10 (checkpoint)
+    t.compact(targetFiles = 1)                              // v11
+    t.append(spark.range(200, 205).toDF("id"))              // v12
+    assert(Files.exists(Paths.get(s"$dir/_delta_log/_last_checkpoint")))
+    // full-history diff: both readers agree on the live set and the
+    // footer row count at EVERY version, not just the head
+    for (v <- 0L to 12L) {
+      assert(DeltaLogReplay.liveFiles(dir, Some(v)).toSet ==
+        t.deltaSnapshotFiles(Some(v)).toSet, s"live-set diverges at v$v")
+      assert(DeltaLogReplay.rowCount(dir, Some(v)) == t.readAt(v).count(),
+        s"row count diverges at v$v")
+    }
+    assert(DeltaLogReplay.liveFiles(dir).toSet ==
+      t.deltaSnapshotFiles().toSet)
+    assert(DeltaLogReplay.rowCount(dir) == t.read().count())
+    // the reader is genuinely independent: corrupting the writer's
+    // manifest does not change what the replay resolves
+    Files.writeString(Paths.get(s"$dir/_graft_manifest"), "{garbage")
+    assert(DeltaLogReplay.rowCount(dir) == 45L)
+  }
 }
