@@ -26,6 +26,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // the catalog's few global windows are audited-tiny (PlanSpec fails
+    // any NON-allowlisted unpartitioned window), so WindowExec's
+    // "No Partition Defined" warning is pure noise in the bench log
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // warm up the JVM paths whose one-time JIT/registry cost otherwise
     // lands on whichever catalog query happens to run first
     // alphabetically (measured 3-4 s billed to a2b/a8/a10 cold): basic
