@@ -114,6 +114,15 @@ final class IncrementalAggView(
     val nowFiles = table.deltaSnapshotFiles().toSet
     require(nowFiles.nonEmpty, s"table at $tablePath has no data files")
     loadManifest() match {
+      case Some(m) if m.tableDvs != table.dvEntries =>
+        // a deletion-vector commit changes row visibility WITHOUT
+        // changing the file set — the stored per-file partials cover
+        // rows that no longer exist. Conservative: rebuild once
+        // (DV-aware) and resume incrementally on the new tombstone
+        // basis. (Refinement path: tombstoned rows are enumerable per
+        // file, so a future version can subtract them like removed
+        // files.)
+        fullRebuild(nowFiles)
       case Some(m) =>
         val added = (nowFiles -- m.basis).toSeq.sorted
         val removed = (m.basis -- nowFiles).toSeq.sorted
@@ -147,16 +156,12 @@ final class IncrementalAggView(
     lastRefresh = "full"
   }
 
+  /** DV-aware scan of table files: deletion-vector tombstones applied,
+    * rows tagged with their table-relative source file in [[SrcCol]]. */
   private def readFiles(rel: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true")
-      .parquet(rel.map(f => s"$tablePath/$f"): _*)
-
-  /** Table-relative source file of each row (strips URI scheme + root). */
-  private def relSrc: Column = {
-    val abs = Paths.get(tablePath).toAbsolutePath.toString
-    regexp_replace(input_file_name(),
-      "^(file:(//)?)?" + java.util.regex.Pattern.quote(abs) + "/", "")
-  }
+    table.scanPaths(rel.map(f => s"$tablePath/$f"), table.dvEntries,
+      keepPos = true)
+      .withColumnRenamed("__graft_f", SrcCol).drop("__graft_r")
 
   /** ONE scan of `rel`: per-(file, group) partials → new pfile dir. */
   private def writePartials(rel: Seq[String]): String = {
@@ -177,7 +182,7 @@ final class IncrementalAggView(
           "(decomposable kinds: count, sum, min, max, hll)")
     } :+ count(lit(1)).as(RowN)
     val pd = s"pfile-${System.nanoTime()}"
-    readFiles(rel).withColumn(SrcCol, relSrc)
+    readFiles(rel)
       .groupBy((SrcCol +: groupCols).map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
       .write.mode("overwrite").parquet(s"$viewPath/$pd")
@@ -293,7 +298,9 @@ final class IncrementalAggView(
     val json = s"""{"state":"$stateDir","basis":[""" +
       basis.toSeq.sorted.map("\"" + _ + "\"").mkString(",") +
       s"""],"partials":[""" +
-      dirs.map("\"" + _ + "\"").mkString(",") + "]}"
+      dirs.map("\"" + _ + "\"").mkString(",") +
+      s"""],"tdvs":[""" +
+      table.dvEntries.map("\"" + _ + "\"").mkString(",") + "]}"
     val tmp = Paths.get(viewPath, s"_graft_view_manifest.tmp.${System.nanoTime()}")
     Files.writeString(tmp, json)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
@@ -347,7 +354,8 @@ final class IncrementalAggView(
           .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
             .stripSuffix("\"")).filter(_.nonEmpty))
           .getOrElse(Seq.empty)
-      Some(Manifest(state, strList("basis").toSet, strList("partials")))
+      Some(Manifest(state, strList("basis").toSet, strList("partials"),
+        strList("tdvs")))
     }
 }
 
@@ -358,5 +366,6 @@ object IncrementalAggView {
   final case class AggSpec(kind: String, inputCol: String, outName: String)
 
   private final case class Manifest(
-    state: String, basis: Set[String], partials: Seq[String])
+    state: String, basis: Set[String], partials: Seq[String],
+    tableDvs: Seq[String])
 }

@@ -114,14 +114,32 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       Some((ver, segs))
     }
 
+  /** Deletion-vector entries ("mirrorVer:dvDir") from the committed
+    * manifest. Entries are append-only across the table's life: an
+    * entry whose rows' files have since been rewritten or dropped is
+    * inert (its (file, row) keys can never match a live scan — segment
+    * names are nanotime-unique), and keeping it is what lets
+    * [[readAt]] apply the tombstones that were active at ANY
+    * historical version. */
+  private[io] def dvEntries: Seq[String] =
+    if (!Files.exists(manifest)) Seq.empty
+    else """"dvs":\[([^\]]*)\]""".r
+      .findFirstMatchIn(Files.readString(manifest))
+      .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+
   /** Atomically publish a new snapshot (write-temp + rename). */
-  private def commit(segments: Seq[String], mode: String): Unit = {
+  private def commit(segments: Seq[String], mode: String,
+      dvs: Option[Seq[String]] = None): Unit = {
     Files.createDirectories(Paths.get(path))
     val snap = snapshot()
     val prevSegs = snap.map(_._2).getOrElse(Seq.empty)
     val ver = snap.map(_._1 + 1).getOrElse(1L)
+    val dvList = dvs.getOrElse(dvEntries)
     val json = s"""{"version":$ver,"mode":"$mode","segments":[""" +
-      segments.map("\"" + _ + "\"").mkString(",") + "]}"
+      segments.map("\"" + _ + "\"").mkString(",") +
+      s"""],"dvs":[""" + dvList.map("\"" + _ + "\"").mkString(",") + "]}"
     val tmp = Paths.get(path, s"_graft_manifest.tmp.${System.nanoTime()}")
     Files.writeString(tmp, json)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
@@ -191,8 +209,8 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val (kept, total) = pruneFiles(pred)
     if (kept.isEmpty && total > 0) read().filter(pred).filter(lit(false))
     else if (kept.size == total) read().filter(pred)
-    else spark.read.option("mergeSchema", "true")
-      .parquet(kept.map(f => s"$path/$f"): _*).filter(pred)
+    else scanPaths(kept.map(f => s"$path/$f"), dvEntries,
+      keepPos = false).filter(pred)
   }
 
   /** (files kept after stats pruning, total live files). */
@@ -241,13 +259,12 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   def buildBloomIndex(cols: Seq[String],
       expectedItemsPerFile: Long = 1L << 20, fpp: Double = 0.01): Unit = {
     require(cols.nonEmpty, "buildBloomIndex requires at least one column")
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.{XxHash64, Literal => CatLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val segs = snapshot().map(_._2).getOrElse(Seq.empty)
     require(segs.nonEmpty, s"no committed snapshot at $path")
-    val files = segs.flatMap(segmentFiles).map(_._1)
     val numBits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItemsPerFile, fpp)
     val aggs = cols.map { c =>
@@ -256,17 +273,17 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
         CatLit(expectedItemsPerFile), CatLit(numBits))
       column(agg.toAggregateExpression()).as(s"_bf_$c")
     }
-    val perFile = read()
-      .groupBy(input_file_name().as("_abs"))
+    // group on the provenance column (input_file_name is undefined
+    // through the dv anti-join); sketches then cover only LIVE rows,
+    // so a fully-tombstoned value proves dead — correct skipping
+    val perFile = scanSegments(segs, dvEntries, keepPos = true)
+      .groupBy(col("__graft_f").as("_rel"))
       .agg(aggs.head, aggs.tail: _*)
-    val relByFile = spark.sparkContext.broadcast(files)
     val lcCols = cols.map(_.toLowerCase)
     val sidecarRows = perFile.rdd.flatMap { r =>
-      val abs = r.getString(0)
-      relByFile.value.find(rel => abs.endsWith(rel)).toSeq.flatMap { rel =>
-        lcCols.indices.flatMap { i =>
-          Option(r.getAs[Array[Byte]](i + 1)).map(sk => Row(rel, lcCols(i), sk))
-        }
+      val rel = r.getString(0)
+      lcCols.indices.flatMap { i =>
+        Option(r.getAs[Array[Byte]](i + 1)).map(sk => Row(rel, lcCols(i), sk))
       }
     }
     spark.createDataFrame(sidecarRows, bloomSchema)
@@ -400,8 +417,90 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   def read(): DataFrame = {
     val segs = snapshot().map(_._2).getOrElse(Seq.empty)
     require(segs.nonEmpty, s"no committed snapshot at $path")
-    spark.read.option("mergeSchema", "true")
-      .parquet(segs.map(s => s"$path/$s"): _*)
+    scanSegments(segs, dvEntries, keepPos = false)
+  }
+
+  // ---- deletion vectors --------------------------------------------------
+
+  private def dvRoot = Paths.get(path, "_graft_dv")
+
+  /** Hidden per-row provenance columns used to apply deletion vectors:
+    * table-relative file path + row position within the file. Both
+    * sides of the tombstone join derive them with the SAME expressions,
+    * so equality is representation-stable. */
+  private def posCols: Seq[(String, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.functions.{col, regexp_replace}
+    val abs = Paths.get(path).toAbsolutePath.toString
+    Seq(
+      "__graft_f" -> regexp_replace(col("_metadata.file_path"),
+        "^(file:(//)?)?" + java.util.regex.Pattern.quote(abs) + "/", ""),
+      "__graft_r" -> col("_metadata.row_index"))
+  }
+
+  /** Tombstone set of the given dv entries as (__graft_f, __graft_r). */
+  private def dvFrame(entries: Seq[String]): DataFrame =
+    spark.read.parquet(entries.map(e =>
+        s"$path/_graft_dv/${e.split(":", 2)(1)}"): _*)
+      .toDF("__graft_f", "__graft_r")
+
+  /** Scan segment dirs with deletion vectors applied (anti-join on the
+    * (file, row) tombstone set — AQE broadcasts it when small). With
+    * `keepPos` the provenance columns stay in the output. */
+  private[io] def scanSegments(segs: Seq[String], dvs: Seq[String],
+      keepPos: Boolean): DataFrame =
+    scanPaths(segs.map(s => s"$path/$s"), dvs, keepPos)
+
+  /** As [[scanSegments]] for explicit file/dir paths under the table. */
+  private[io] def scanPaths(paths: Seq[String], dvs: Seq[String],
+      keepPos: Boolean): DataFrame = {
+    val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    if (dvs.isEmpty && !keepPos) return base
+    val withPos = posCols.foldLeft(base) { case (df, (n, c)) =>
+      df.withColumn(n, c)
+    }
+    val filtered =
+      if (dvs.isEmpty) withPos
+      else withPos.join(dvFrame(dvs), Seq("__graft_f", "__graft_r"),
+        "left_anti")
+    if (keepPos) filtered else filtered.drop("__graft_f", "__graft_r")
+  }
+
+  /** DELETE as row tombstones — the deletion-vector form: ONE scan
+    * finds the doomed (file, row) positions, which persist as a tiny
+    * sidecar the read path anti-joins; NO segment is rewritten, ever.
+    * This is the scattered-delete answer [[deleteWhere]] cannot give
+    * (a predicate touching every file forces it to rewrite the whole
+    * table — exactly real Delta without deletion vectors): cost is
+    * O(matched rows), not O(table). Reads, time travel, the change
+    * feed and downstream rewrites all honor the tombstones; a
+    * rewriting commit (delete/merge/compact/overwrite) reads through
+    * them, so its output has the tombstoned rows physically removed
+    * and the then-inert entries are kept only for time travel. A
+    * delete matching nothing commits nothing. NULL predicates follow
+    * SQL DELETE (only IS TRUE deletes). */
+  def deleteWhereDV(condition: org.apache.spark.sql.Column): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val snap = snapshot()
+    val segs = snap.map(_._2).getOrElse(Seq.empty)
+    require(segs.nonEmpty, s"no committed snapshot at $path")
+    val doomed = scanSegments(segs, dvEntries, keepPos = true)
+      .filter(coalesce(condition, lit(false)))
+      .select(col("__graft_f"), col("__graft_r"))
+    if (doomed.isEmpty) return
+    Files.createDirectories(dvRoot)
+    val dir = s"dv-${System.nanoTime()}"
+    doomed.write.mode("overwrite").parquet(s"$path/_graft_dv/$dir")
+    // the entry records the MIRROR version this commit creates (commit
+    // files are 0-based and count manifest commits), so readAt can
+    // scope tombstones to any historical version
+    val mirrorVer = snap.map(_._1).getOrElse(0L) // = next mirror file no.
+    commit(segs, "delete-dv", Some(dvEntries :+ s"$mirrorVer:$dir"))
+    // structural mirror: the protocol's DV form needs reader-version-3
+    // feature flags; this mirror stays at reader v1, so a DV delete is
+    // a data-changing commit with no file actions (external FILE-level
+    // replays see an unchanged file set; row counts come from reads)
+    mirrorDeltaLog("delete", added = Nil, removed = Nil,
+      schemaJson = read().schema.json)
   }
 
   /** S10: healthy = manifest present, readable, non-empty. */
@@ -440,17 +539,21 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * `survivors` their complement; both must be pure row filters. */
   private def deleteCore(doomed: DataFrame => DataFrame,
       survivors: DataFrame => DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     val prev = snapshot().map(_._2).getOrElse(Seq.empty)
     require(prev.nonEmpty, s"no committed snapshot at $path")
-    // one scan, bounded output: at most one URI per live data file
-    val hitFiles = doomed(read().withColumn("__graft_file", input_file_name()))
-      .select(col("__graft_file")).distinct()
+    val dvs = dvEntries
+    // one scan, bounded output: at most one rel path per live data file
+    // (position columns, not input_file_name: the latter is undefined
+    // through the deletion-vector anti-join)
+    val hitFiles = doomed(scanSegments(prev, dvs, keepPos = true))
+      .select(col("__graft_f")).distinct()
       .collect().map(_.getString(0)).toSet
-    val affected = prev.filter(seg => hitFiles.exists(_.contains(s"/$seg/")))
+    val affected = prev.filter(seg => hitFiles.exists(_.startsWith(s"$seg/")))
     if (affected.isEmpty) return // nothing matched: no commit, no rewrite
-    val affectedRead = spark.read.option("mergeSchema", "true")
-      .parquet(affected.map(s => s"$path/$s"): _*)
+    // rewrite reads THROUGH the tombstones: a dv-deleted row of an
+    // affected segment must never be resurrected by the survivor copy
+    val affectedRead = scanSegments(affected, dvs, keepPos = false)
     val surv = survivors(affectedRead)
     // a fully-matched segment set with no survivors still commits one
     // empty segment so the table keeps a readable schema
@@ -747,19 +850,35 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   def changesSince(version: Long): DataFrame = {
     val before = deltaSnapshotFiles(Some(version)).toSet
     val now = deltaSnapshotFiles().toSet
-    def readSet(files: Seq[String], tag: String): Option[DataFrame] =
-      if (files.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => s"$path/$f"): _*)
-        .withColumn("_change_type", lit(tag)))
-    (readSet((now -- before).toSeq.sorted, "insert"),
-        readSet((before -- now).toSeq.sorted, "delete")) match {
-      case (Some(a), Some(r)) => a.unionByName(r, allowMissingColumns = true)
-      case (Some(a), None) => a
-      case (None, Some(r)) => r
-      case (None, None) =>
-        read().withColumn("_change_type", lit("insert")).limit(0)
-    }
+    val dvs = dvEntries
+    val dvAtV = dvs.filter(_.split(":", 2)(0).toLong <= version)
+    val dvNew = dvs.filter(_.split(":", 2)(0).toLong > version)
+    // inserts: rows of files added since, as visible NOW (all current
+    // tombstones applied — a row added then dv-deleted inside the
+    // window nets to nothing). deletes from removed files: rows as
+    // visible at `version` (tombstones at-or-before it applied).
+    val inserts =
+      if ((now -- before).isEmpty) None
+      else Some(scanPaths((now -- before).toSeq.sorted.map(f => s"$path/$f"),
+        dvs, keepPos = false).withColumn("_change_type", lit("insert")))
+    val fileDeletes =
+      if ((before -- now).isEmpty) None
+      else Some(scanPaths((before -- now).toSeq.sorted.map(f => s"$path/$f"),
+        dvAtV, keepPos = false).withColumn("_change_type", lit("delete")))
+    // row-level deletes: tombstones committed inside the window on
+    // files live at BOTH ends — the rows still exist physically, so
+    // the feed can state them exactly (real Delta needs CDF for this)
+    val common = (before & now).toSeq.sorted
+    val dvDeletes =
+      if (dvNew.isEmpty || common.isEmpty) None
+      else Some(scanPaths(common.map(f => s"$path/$f"), dvAtV,
+          keepPos = true)
+        .join(dvFrame(dvNew), Seq("__graft_f", "__graft_r"), "left_semi")
+        .drop("__graft_f", "__graft_r")
+        .withColumn("_change_type", lit("delete")))
+    Seq(inserts, fileDeletes, dvDeletes).flatten
+      .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .getOrElse(read().withColumn("_change_type", lit("insert")).limit(0))
   }
 
   /** Time travel: the table as of delta-log `version` (0-based — the
@@ -769,8 +888,11 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val files = deltaSnapshotFiles(Some(version))
     require(files.nonEmpty,
       s"version $version of $path resolves to no data files")
-    spark.read.option("mergeSchema", "true")
-      .parquet(files.map(f => s"$path/$f"): _*)
+    // tombstones are version-scoped: apply exactly the dv commits at or
+    // before the target (entries for files dead at that version are
+    // inert — their keys match nothing in the scan)
+    val dvs = dvEntries.filter(_.split(":", 2)(0).toLong <= version)
+    scanPaths(files.map(f => s"$path/$f"), dvs, keepPos = false)
   }
 
   /** Newest (table id, schemaString) already in the log, if any. */

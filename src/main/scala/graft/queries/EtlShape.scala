@@ -611,9 +611,50 @@ object EtlShape {
             FROM orders WHERE o_orderkey % 3 IN (0, 1)
             ORDER BY o_orderkey"""))
 
+  /** S29: deletion vectors — a scattered DELETE lands as row
+    * tombstones (one scan → (file, row) sidecar the read path
+    * anti-joins) instead of a whole-table rewrite, the real-Delta DV
+    * answer to the copy-on-write cliff. The gate stacks two scattered
+    * DV deletes — REQUIRING the file set to stay byte-identical — and
+    * then runs a rewriting delete over the tombstoned segments, which
+    * must not resurrect any tombstoned row. The oracle states the
+    * final live set relationally. */
+  val deletionVectors: GQuery = GQuery(
+    "s29_deletion_vectors",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_s29").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderpriority"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      val t = new graft.io.ManagedParquetTable(s, root + "/orders_t")
+      for (m <- 0 to 2) t.append(o.filter(col("o_orderkey") % 3 === m))
+      val before = t.deltaSnapshotFiles().toSet
+      t.deleteWhereDV(col("o_orderkey") % 10 === 0) // touches every file
+      t.deleteWhereDV(col("price_cents") < 3000000L) // tombstones stack
+      require(t.deltaSnapshotFiles().toSet == before,
+        "a DV delete must not add, remove or rewrite any data file")
+      // rewriting delete over tombstoned segments: survivors are read
+      // THROUGH the tombstones (resurrection would break the oracle)
+      t.deleteWhere(col("o_orderkey") % 3 === 1)
+      t.read().groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price_cents")).as("sum_cents"))
+        .orderBy(col("o_orderpriority"))
+    },
+    Some("""SELECT o_orderpriority, count(*) AS cnt,
+              CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+            FROM orders
+            WHERE o_orderkey % 10 <> 0
+              AND CAST(round(o_totalprice * 100) AS BIGINT) >= 3000000
+              AND o_orderkey % 3 <> 1
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
       cdcApply, bloomPrunedScan, imageNearDupsQ, incrementalView,
-      incrementalDistinct, versionChanges, timeTravel)
+      incrementalDistinct, versionChanges, timeTravel, deletionVectors)
 }

@@ -889,4 +889,73 @@ class IoSpec extends SparkSpec {
     Files.writeString(Paths.get(s"$dir/_graft_manifest"), "{garbage")
     assert(DeltaLogReplay.rowCount(dir) == 45L)
   }
+
+  test("deletion vectors: scattered delete rewrites nothing; reads, travel, feed, rewrites honor tombstones") {
+    val t = new ManagedParquetTable(spark, tmp("dv") + "/tbl")
+    t.append((0 until 10).map(i => (i, s"v$i")).toDF("id", "v"))   // mv 0
+    t.append((10 until 20).map(i => (i, s"v$i")).toDF("id", "v"))  // mv 1
+    val filesBefore = t.deltaSnapshotFiles().toSet
+    // scattered predicate hits every file — the rewrite form would
+    // copy the whole table; the DV form writes only tombstones
+    t.deleteWhereDV(col("id") % 3 === 0)                           // mv 2
+    assert(t.deltaSnapshotFiles().toSet == filesBefore, "no file may change")
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq ==
+      (0 until 20).filter(_ % 3 != 0))
+    // no-match DV delete commits nothing
+    val v0 = t.version
+    t.deleteWhereDV(col("id") > 999)
+    assert(t.version == v0)
+    // second DV delete stacks; earlier tombstones are not re-deleted
+    t.deleteWhereDV(col("id") % 5 === 1)                           // mv 3
+    val want = (0 until 20).filter(i => i % 3 != 0 && i % 5 != 1)
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq == want)
+    // time travel scopes tombstones to their commit version
+    assert(t.readAt(1L).count() == 20)
+    assert(t.readAt(2L).select("id").as[Int].collect().sorted.toSeq ==
+      (0 until 20).filter(_ % 3 != 0))
+    // change feed reports the window's tombstoned rows as row-level
+    // deletes (files unchanged → no rewrite noise)
+    val feed = t.changesSince(2L).select("id", "_change_type")
+      .as[(Int, String)].collect().toSet
+    assert(feed == (0 until 20).filter(i => i % 3 != 0 && i % 5 == 1)
+      .map((_, "delete")).toSet, feed.toString)
+    // stats-pruned reads apply tombstones too
+    assert(t.readWhere(col("id") < 100).select("id").as[Int]
+      .collect().sorted.toSeq == want)
+    // a rewriting delete on a tombstoned segment must not resurrect
+    // dv-deleted rows: delete id>=15 rewrites the second segment,
+    // whose survivors must exclude the earlier tombstones
+    t.deleteWhere(col("id") >= 15)                                 // mv 4
+    val want2 = want.filter(_ < 15)
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq == want2)
+    // compact reads through tombstones and physically drops them
+    t.compact(targetFiles = 1)
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq == want2)
+    // historical reads still work after the rewrites (entries kept)
+    assert(t.readAt(2L).count() == (0 until 20).count(_ % 3 != 0))
+  }
+
+  test("deletion vectors: incremental view detects tombstone commits and never serves stale state") {
+    import graft.io.IncrementalAggView
+    import graft.io.IncrementalAggView.AggSpec
+    val root = tmp("dvmv")
+    val t = new ManagedParquetTable(spark, s"$root/t")
+    val v = new IncrementalAggView(spark, s"$root/t", s"$root/v",
+      Seq("g"), Seq(AggSpec("count", "", "cnt"), AggSpec("sum", "x", "s")))
+    t.append(Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("g", "x"))
+    v.refresh()
+    // DV delete changes visibility with NO file diff: a naive basis
+    // check would no-op and serve stale sums
+    t.deleteWhereDV(col("x") === 2L)
+    v.refresh()
+    assert(v.lastRefresh == "full") // conservative tombstone rebuild
+    assert(v.read().as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 1L), ("b", 1L, 10L)))
+    // and the new tombstone basis resumes incrementally
+    t.append(Seq(("a", 5L)).toDF("g", "x"))
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+    assert(v.read().as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 6L), ("b", 1L, 10L)))
+  }
 }
