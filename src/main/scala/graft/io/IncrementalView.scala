@@ -109,24 +109,36 @@ final class IncrementalAggView(
     read().select(cols: _*)
   }
 
-  /** Bring the state up to the table's current snapshot. */
+  /** Bring the state up to the table's current snapshot. A
+    * deletion-vector commit changes row visibility WITHOUT changing
+    * the file set, so dv-touched basis files are refreshed as a
+    * remove + re-add: their STORED partials subtract (count/sum; the
+    * usual min/max/sketch groups re-merge from surviving partials)
+    * and ONE scan of just those files rebuilds their partials
+    * DV-applied — O(touched files), never O(table). */
   def refresh(): Unit = {
     val nowFiles = table.deltaSnapshotFiles().toSet
     require(nowFiles.nonEmpty, s"table at $tablePath has no data files")
     loadManifest() match {
-      case Some(m) if m.tableDvs != table.dvEntries =>
-        // a deletion-vector commit changes row visibility WITHOUT
-        // changing the file set — the stored per-file partials cover
-        // rows that no longer exist. Conservative: rebuild once
-        // (DV-aware) and resume incrementally on the new tombstone
-        // basis. (Refinement path: tombstoned rows are enumerable per
-        // file, so a future version can subtract them like removed
-        // files.)
-        fullRebuild(nowFiles)
       case Some(m) =>
-        val added = (nowFiles -- m.basis).toSeq.sorted
-        val removed = (m.basis -- nowFiles).toSeq.sorted
-        if (added.isEmpty && removed.isEmpty) { lastRefresh = "noop"; return }
+        val curDvs = table.dvEntries
+        val newDvs = curDvs.filterNot(m.tableDvs.contains)
+        if (!m.tableDvs.forall(curDvs.contains) ||
+            (newDvs.nonEmpty && m.partials.isEmpty)) {
+          // tombstones vanished (manifest rolled back / legacy store):
+          // the stored partials are unattributable — rebuild once
+          fullRebuild(nowFiles); return
+        }
+        // files whose visibility the new tombstones changed, still in
+        // both the basis and the live set, re-aggregate in place
+        val dvTouched: Set[String] =
+          if (newDvs.isEmpty) Set.empty
+          else table.dvTouchedFiles(newDvs).toSet & nowFiles & m.basis
+        val added = ((nowFiles -- m.basis) ++ dvTouched).toSeq.sorted
+        val removed = ((m.basis -- nowFiles) ++ dvTouched).toSeq.sorted
+        if (added.isEmpty && removed.isEmpty && newDvs.isEmpty) {
+          lastRefresh = "noop"; return
+        }
         if (removed.nonEmpty && m.partials.isEmpty) {
           // legacy manifest without a partials store: one last rebuild
           fullRebuild(nowFiles); return
@@ -135,12 +147,27 @@ final class IncrementalAggView(
         var dirs = m.partials
         if (removed.nonEmpty)
           st = applyRemovals(st, dirs, m.basis, removed.toSet)
-        if (added.nonEmpty) {
-          val pd = writePartials(added)
-          dirs = dirs :+ pd
+        val newPd = if (added.isEmpty) None else Some(writePartials(added))
+        newPd.foreach { pd =>
           st = mergeStates(st,
             collapse(spark.read.parquet(s"$viewPath/$pd")))
         }
+        if (dvTouched.nonEmpty) {
+          // partials-store hygiene: a dv-touched file keeps its NAME,
+          // so its stale pre-tombstone partial rows must be dropped
+          // explicitly (the basis filter cannot tell them apart) —
+          // consolidate to one dir of trusted rows
+          val keep = (m.basis & nowFiles) -- dvTouched
+          val cd = s"pfile-${System.nanoTime()}"
+          val trusted = readPartials(dirs)
+            .join(broadcast(filesDf(keep.toSeq.sorted)), Seq(SrcCol),
+              "left_semi")
+          newPd.map(pd => trusted.unionByName(
+              spark.read.parquet(s"$viewPath/$pd")))
+            .getOrElse(trusted)
+            .write.mode("overwrite").parquet(s"$viewPath/$cd")
+          dirs = Seq(cd)
+        } else dirs = dirs ++ newPd
         publish(st, nowFiles, dirs, m)
         lastRefresh = "incremental"
       case None => fullRebuild(nowFiles)

@@ -437,6 +437,13 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       "__graft_r" -> col("_metadata.row_index"))
   }
 
+  /** Distinct table-relative files named by the given dv entries —
+    * the files whose visibility a tombstone commit changed. Driver-
+    * bounded by live file count, like every file list here. */
+  private[io] def dvTouchedFiles(entries: Seq[String]): Seq[String] =
+    dvFrame(entries).select("__graft_f").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+
   /** Tombstone set of the given dv entries as (__graft_f, __graft_r). */
   private def dvFrame(entries: Seq[String]): DataFrame =
     spark.read.parquet(entries.map(e =>

@@ -935,27 +935,39 @@ class IoSpec extends SparkSpec {
     assert(t.readAt(2L).count() == (0 until 20).count(_ % 3 != 0))
   }
 
-  test("deletion vectors: incremental view detects tombstone commits and never serves stale state") {
+  test("deletion vectors: incremental view re-aggregates only tombstone-touched files") {
     import graft.io.IncrementalAggView
     import graft.io.IncrementalAggView.AggSpec
     val root = tmp("dvmv")
     val t = new ManagedParquetTable(spark, s"$root/t")
     val v = new IncrementalAggView(spark, s"$root/t", s"$root/v",
-      Seq("g"), Seq(AggSpec("count", "", "cnt"), AggSpec("sum", "x", "s")))
-    t.append(Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("g", "x"))
+      Seq("g"), Seq(AggSpec("count", "", "cnt"),
+        AggSpec("sum", "x", "s"), AggSpec("min", "x", "mn")))
+    t.append(Seq(("a", 1L), ("a", 2L), ("b", 10L)).toDF("g", "x")) // seg1
+    t.append(Seq(("a", 7L), ("c", 5L)).toDF("g", "x"))             // seg2
     v.refresh()
     // DV delete changes visibility with NO file diff: a naive basis
-    // check would no-op and serve stale sums
-    t.deleteWhereDV(col("x") === 2L)
-    v.refresh()
-    assert(v.lastRefresh == "full") // conservative tombstone rebuild
-    assert(v.read().as[(String, Long, Long)].collect().toSet ==
-      Set(("a", 1L, 1L), ("b", 1L, 10L)))
-    // and the new tombstone basis resumes incrementally
-    t.append(Seq(("a", 5L)).toDF("g", "x"))
+    // check would no-op and serve stale aggregates. The refresh
+    // treats the touched file as remove + re-add: its stored partial
+    // subtracts, ONE scan of just that file rebuilds it DV-applied
+    t.deleteWhereDV(col("x") === 2L) // touches seg1 only
     v.refresh()
     assert(v.lastRefresh == "incremental")
-    assert(v.read().as[(String, Long, Long)].collect().toSet ==
-      Set(("a", 2L, 6L), ("b", 1L, 10L)))
+    assert(v.read().as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 8L, 1L), ("b", 1L, 10L, 10L), ("c", 1L, 5L, 5L)))
+    // appends resume incrementally on the new tombstone basis
+    t.append(Seq(("b", 3L)).toDF("g", "x"))                        // seg3
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+    assert(v.read().as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 8L, 1L), ("b", 2L, 13L, 3L), ("c", 1L, 5L, 5L)))
+    // STORE HYGIENE: dropping the dv-touched segment must subtract its
+    // POST-tombstone partial — a stale pre-tombstone row would
+    // over-subtract ((a,2) again) and corrupt the state
+    t.deleteWhere(col("x") === 1L || col("x") === 10L) // seg1's live rows
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+    assert(v.read().as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("a", 1L, 7L, 7L), ("b", 1L, 3L, 3L), ("c", 1L, 5L, 5L)))
   }
 }
