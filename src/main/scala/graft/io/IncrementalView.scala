@@ -139,8 +139,11 @@ final class IncrementalAggView(
         if (added.isEmpty && removed.isEmpty && newDvs.isEmpty) {
           lastRefresh = "noop"; return
         }
-        if (removed.nonEmpty && m.partials.isEmpty) {
-          // legacy manifest without a partials store: one last rebuild
+        if (m.partials.isEmpty) {
+          // legacy manifest without a partials store: ANY maintenance
+          // (append included — mergeStates selects the hidden
+          // bookkeeping columns, which a legacy state parquet lacks)
+          // takes the one-time full rebuild that re-establishes them
           fullRebuild(nowFiles); return
         }
         var st = spark.read.parquet(s"$viewPath/${m.state}")
@@ -186,8 +189,8 @@ final class IncrementalAggView(
   /** DV-aware scan of table files: deletion-vector tombstones applied,
     * rows tagged with their table-relative source file in [[SrcCol]]. */
   private def readFiles(rel: Seq[String]): DataFrame =
-    table.scanPaths(rel.map(f => s"$tablePath/$f"), table.dvEntries,
-      keepPos = true)
+    table.scanPaths(rel.map(f => s"$tablePath/$f"),
+      table.liveDvEntriesFor(rel), keepPos = true)
       .withColumnRenamed("__graft_f", SrcCol).drop("__graft_r")
 
   /** ONE scan of `rel`: per-(file, group) partials → new pfile dir. */

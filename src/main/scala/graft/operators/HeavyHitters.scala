@@ -63,9 +63,12 @@ object HeavyHitters {
     val n = keyed.count()
     if (n == 0) return exact.limit(0)
     // capacity so that the merged summary's error N/(k+1) < minFreq:
-    // every key with true count > minFreq is guaranteed a candidate
+    // every key with true count > minFreq is guaranteed a candidate.
+    // The sketch path is additionally capped at MisraGriesAgg's own
+    // capacity ceiling (1<<22) regardless of maxCandidateBound — past
+    // either bound the exact plan is the documented graceful fallback
     val kL = math.max(2L, (n + minFreq - 1) / minFreq)
-    if (kL > maxCandidateBound) return exact
+    if (kL > math.min(maxCandidateBound, 1L << 22)) return exact
     val candidates = keyed
       .agg(mg_summary(col(keyCol), kL.toInt).as("s"))
       .select(explode(col("s")).as("e"))

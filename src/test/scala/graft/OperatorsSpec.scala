@@ -497,6 +497,12 @@ class OperatorsSpec extends SparkSpec {
     val fb = heavyHitters(binDf, "k", 10L, maxCandidateBound = 1L)
       .as[(Array[Byte], Long)].collect()
     assert(fb.length == 1 && fb.head._1.toSeq == Seq[Byte](1, 2, 3))
+    // a caller-raised bound above the sketch's own 2^22 capacity must
+    // ALSO fall back to the exact plan (not throw in MisraGriesAgg):
+    // kL here is ~4.3M > 2^22 while maxCandidateBound permits it
+    val huge = spark.range((1L << 22) + 100000).toDF("k")
+    assert(heavyHitters(huge, "k", 1L, maxCandidateBound = 1L << 40)
+      .count() == 0L) // all keys unique: none strictly above freq 1
   }
 
   test("graft_heavy_hitters aggregate: per-group SQL, lb bound, string keys") {
