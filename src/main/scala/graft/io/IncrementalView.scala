@@ -399,3 +399,154 @@ object IncrementalAggView {
     state: String, basis: Set[String], partials: Seq[String],
     tableDvs: Seq[String])
 }
+
+/** JOIN-aware incremental materialized view: fact ⟕ broadcast dims →
+  * aggregate — the reference's gold shape (gold/bronzeToGold.py:132-163
+  * + FormulaePowerBI.txt:1-19: activity fact joined to the HR and sport
+  * dimension tables, then grouped measures) and the MV every real
+  * warehouse maintains.
+  *
+  * The decomposition that makes BOTH change axes cheap: an inner
+  * [[IncrementalAggView]] aggregates the FACT ALONE, keyed by its
+  * dim-join FK columns (aggregate-below-join pushdown — valid because
+  * every dim attribute is functionally determined by the FK, so
+  * fact rows sharing FKs land in the same final group). The dims join
+  * INTO that state at finalize time, over O(|distinct FKs|) rows:
+  *
+  *  - a FACT append/delete maintains the inner view from per-file
+  *    partials — O(delta), the fact is never rescanned;
+  *  - a DIM change needs NO fact-side maintenance at all: the
+  *    finalize re-joins current dims against the (bounded) inner
+  *    state and re-folds — the "bounded re-merge", O(state + dims).
+  *
+  * The finalized result (finalGroupCols + one column per agg) is
+  * itself materialized under `viewPath` with the dim versions in the
+  * manifest, so an unchanged world is a noop. Aggregates re-fold from
+  * fact-grain partials (sum of sums / counts, min of mins, max of
+  * maxes, HLL register union) — exactly the decomposable set the
+  * inner view supports. SQL NULL semantics carry through: a final
+  * group whose inner sums are all NULL folds to NULL (sum ignores
+  * NULLs), counts never null. */
+final class IncrementalJoinAggView(
+    spark: SparkSession,
+    factPath: String,
+    viewPath: String,
+    factKeyCols: Seq[String],
+    dims: Seq[IncrementalJoinAggView.Dim],
+    finalGroupCols: Seq[String],
+    aggs: Seq[IncrementalAggView.AggSpec]) {
+  import IncrementalAggView.AggSpec
+  import IncrementalJoinAggView.JManifest
+
+  require(finalGroupCols.nonEmpty, "at least one final group column")
+
+  /** Fact-grain state, keyed by the FK columns; partials per fact
+    * file — the machinery that keeps fact maintenance O(delta). */
+  private val inner = new IncrementalAggView(spark, factPath,
+    s"$viewPath/fact_state", factKeyCols, aggs)
+
+  private def manifest = Paths.get(viewPath, "_graft_jview_manifest")
+
+  /** "full" | "incremental" (fact delta) | "dim-remerge" (dims only) |
+    * "noop" | "" (never ran). */
+  @volatile var lastRefresh: String = ""
+
+  private def dimTables = dims.map(d => new ManagedParquetTable(spark, d.path))
+
+  def read(): DataFrame = {
+    val m = loadJManifest().getOrElse(
+      sys.error(s"join view at $viewPath has never been refreshed"))
+    spark.read.parquet(s"$viewPath/${m.state}")
+  }
+
+  def refresh(): Unit = {
+    inner.refresh()
+    val innerHow = inner.lastRefresh
+    val dvs = dimTables.map(_.version)
+    val prev = loadJManifest()
+    if (innerHow == "noop" && prev.exists(_.dimVers == dvs)) {
+      lastRefresh = "noop"; return
+    }
+    // finalize over the INNER STATE (O(|distinct FKs|) rows), never
+    // the fact: dims broadcast into it, then one re-fold
+    val joined = dims.zip(dimTables).foldLeft(inner.read()) {
+      case (df, (d, t)) =>
+        df.join(broadcast(t.read()
+          .select((d.joinCols ++ d.attrCols).map(col): _*)),
+          d.joinCols, "left")
+    }
+    val exprs = aggs.map {
+      case AggSpec("count", _, out) => sum(col(out)).as(out)
+      case AggSpec("sum", _, out) => sum(col(out)).as(out)
+      case AggSpec("min", _, out) => min(col(out)).as(out)
+      case AggSpec("max", _, out) => max(col(out)).as(out)
+      case AggSpec("hll", _, out) => expr(s"hll_union_agg(`$out`)").as(out)
+      case AggSpec(kind, _, _) => sys.error(s"unsupported kind '$kind'")
+    }
+    val fin = joined.groupBy(finalGroupCols.map(col): _*)
+      .agg(exprs.head, exprs.tail: _*)
+    val stateDir = s"final-${System.nanoTime()}"
+    Files.createDirectories(Paths.get(viewPath))
+    fin.write.mode("overwrite").parquet(s"$viewPath/$stateDir")
+    val json = s"""{"state":"$stateDir","dimvers":[""" +
+      dvs.mkString(",") + "]}"
+    val tmp = Paths.get(viewPath,
+      s"_graft_jview_manifest.tmp.${System.nanoTime()}")
+    Files.writeString(tmp, json)
+    Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    prev.map(_.state).filter(_ != stateDir).foreach { d =>
+      val p = Paths.get(viewPath, d)
+      if (Files.exists(p)) Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis()))
+    }
+    sweepFinals(stateDir)
+    lastRefresh = if (innerHow == "noop") "dim-remerge" else innerHow
+  }
+
+  /** Remove superseded final-state dirs past a grace window. */
+  private def sweepFinals(keep: String,
+      graceMs: Long = 15 * 60 * 1000L): Unit = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    val dir = Paths.get(viewPath)
+    if (!Files.isDirectory(dir)) return
+    val s = Files.list(dir)
+    try {
+      val it = s.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n.startsWith("final-") && n != keep &&
+            Files.getLastModifiedTime(p).toMillis < cutoff) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      }
+    } finally s.close()
+  }
+
+  private def loadJManifest(): Option[JManifest] =
+    if (!Files.exists(manifest)) None
+    else {
+      val s = Files.readString(manifest)
+      val state = """"state":"([^"]+)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse(return None)
+      val vers = """"dimvers":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+        .map(_.group(1).split(",").toSeq.map(_.trim)
+          .filter(_.nonEmpty).map(_.toLong))
+        .getOrElse(Seq.empty)
+      Some(JManifest(state, vers))
+    }
+}
+
+object IncrementalJoinAggView {
+  /** One broadcast dimension: a [[ManagedParquetTable]] at `path`
+    * whose `joinCols` (named as they appear on the FACT side — rename
+    * at dim-table build time) equi-join the inner state; `attrCols`
+    * are the attributes carried into the final grouping. */
+  final case class Dim(path: String, joinCols: Seq[String],
+      attrCols: Seq[String])
+
+  private final case class JManifest(state: String, dimVers: Seq[Long])
+}

@@ -299,6 +299,27 @@ object FileStats {
     }
   }
 
+  /** Distributed file-pruning pass: evaluate the conjuncts over the
+    * stats sidecar rows on the EXECUTORS and ship only the names of
+    * files PROVEN dead — O(dead files) driver state instead of
+    * O(files × cols) (the bloom probe's shape, applied to the range
+    * tier; at 10⁶ files × several columns a full sidecar collect is
+    * hundreds of MB of planning state per query). Files with no stats
+    * rows never appear and are therefore never skipped. */
+  def deadFiles(spark: SparkSession, statsDirs: Seq[String],
+      conjuncts: Seq[Conjunct]): Set[String] = {
+    import org.apache.spark.sql.Encoders
+    val cs = spark.sparkContext.broadcast(conjuncts)
+    spark.read.schema(schema).parquet(statsDirs: _*)
+      .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)
+      .mapGroups { (f: String, it: Iterator[Row]) =>
+        val cols = it.map(fromRow).map(c => c.col -> c).toMap
+        if (cs.value.forall(mayMatch(cols, _))) "" else f
+      }(Encoders.STRING)
+      .filter((f: String) => f.nonEmpty)
+      .collect().toSet
+  }
+
   /** Driver-side xxhash64 of a conjunct's literal — the IDENTICAL hash
     * the bloom index build applied to the column values (XxHash64 over
     * the same data type, default seed), so a driver probe agrees with

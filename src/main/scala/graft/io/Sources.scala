@@ -114,20 +114,58 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       Some((ver, segs))
     }
 
-  /** Deletion-vector entries ("mirrorVer:dvDir") from the committed
+  /** Deletion-vector entries ("mirrorVer:dvDir:seg1;seg2" — the third
+    * field records the segment dirs the entry's tombstones touch;
+    * entries written before that upgrade lack it) from the committed
     * manifest. Entries are append-only across the table's life: an
     * entry whose rows' files have since been rewritten or dropped is
     * inert (its (file, row) keys can never match a live scan — segment
     * names are nanotime-unique), and keeping it is what lets
     * [[readAt]] apply the tombstones that were active at ANY
-    * historical version. */
-  private[io] def dvEntries: Seq[String] =
+    * historical version. The HOT read path never pays for history:
+    * see [[liveDvEntries]]. */
+  private[graft] def dvEntries: Seq[String] =
     if (!Files.exists(manifest)) Seq.empty
     else """"dvs":\[([^\]]*)\]""".r
       .findFirstMatchIn(Files.readString(manifest))
       .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
         .stripSuffix("\"")).filter(_.nonEmpty))
       .getOrElse(Seq.empty)
+
+  /** Parsed dv entry. `touched` is None for legacy entries (unknown
+    * touch set → conservatively treated as always-live). */
+  private[io] final case class DvEntry(ver: Long, dir: String,
+      touched: Option[Set[String]])
+
+  private[io] def parseDv(e: String): DvEntry = {
+    val parts = e.split(":", 3)
+    DvEntry(parts(0).toLong, parts(1),
+      if (parts.length < 3) None
+      else Some(parts(2).split(";").filter(_.nonEmpty).toSet))
+  }
+
+  /** The dv entries that can still affect a scan of `segs`: an entry
+    * whose recorded touch set no longer intersects them is INERT (its
+    * (file, row) keys cannot match any scanned row — segment names are
+    * nanotime-unique) and its sidecar is never opened. This is what
+    * bounds scan cost by LIVE tombstones on a CDC-heavy table whose
+    * manifest holds years of dv commits: rewrites (delete / merge /
+    * compact / [[compactDeletes]]) retire entries from the hot path
+    * automatically, while [[readAt]] alone consults the full
+    * historical list. */
+  private[graft] def liveDvEntries(segs: Seq[String]): Seq[String] =
+    touchingDv(dvEntries, segs.toSet)
+
+  /** [[liveDvEntries]] narrowed further to the segments of the given
+    * table-relative files — for callers scanning a file subset. */
+  private[io] def liveDvEntriesFor(relFiles: Seq[String]): Seq[String] =
+    touchingDv(dvEntries, relFiles.map(_.split("/")(0)).toSet)
+
+  /** Of `entries`, those whose touch set intersects `segs` (legacy
+    * entries with no recorded touch set are conservatively kept). */
+  private def touchingDv(entries: Seq[String],
+      segs: Set[String]): Seq[String] =
+    entries.filter(e => parseDv(e).touched.forall(_.exists(segs.contains)))
 
   /** Atomically publish a new snapshot (write-temp + rename). */
   private def commit(segments: Seq[String], mode: String,
@@ -185,20 +223,6 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     stats
   }
 
-  /** Statistics of every live file, keyed by relative path. Segments
-    * predating the sidecar (or whose sidecar was lost) contribute no
-    * entries — their files are simply never skipped. */
-  private def liveStats(): Map[String, Map[String, FileStats.ColStats]] = {
-    val segs = snapshot().map(_._2).getOrElse(Seq.empty)
-    val dirs = segs.map(s => statsDir.resolve(s))
-      .filter(Files.isDirectory(_)).map(_.toString)
-    if (dirs.isEmpty) Map.empty
-    else spark.read.parquet(dirs: _*).collect()
-      .map(FileStats.fromRow)
-      .groupBy(_.file)
-      .map { case (f, cs) => f -> cs.map(c => c.col -> c).toMap }
-  }
-
   /** S22: statistics-pruned read. Plans the scan over ONLY the files
     * whose footer min/max could satisfy `pred` (simple comparison
     * conjuncts; see [[FileStats.prunableConjuncts]]), then re-applies
@@ -209,29 +233,31 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     val (kept, total) = pruneFiles(pred)
     if (kept.isEmpty && total > 0) read().filter(pred).filter(lit(false))
     else if (kept.size == total) read().filter(pred)
-    else scanPaths(kept.map(f => s"$path/$f"), dvEntries,
+    else scanPaths(kept.map(f => s"$path/$f"), liveDvEntriesFor(kept),
       keepPos = false).filter(pred)
   }
 
-  /** (files kept after stats pruning, total live files). */
+  /** (files kept after stats pruning, total live files). Both pruning
+    * tiers evaluate DISTRIBUTEDLY over their sidecars and ship only
+    * proven-dead file names to the driver — planning state is O(dead
+    * files), never O(files × cols), at any table size. A file with no
+    * stats rows (segment predating the sidecar, or a lost sidecar) is
+    * simply never skipped; the bloom tier likewise only ever proves
+    * absence (negative membership on an equality conjunct — blooms
+    * have no false negatives). */
   def pruneFiles(pred: org.apache.spark.sql.Column): (Seq[String], Int) = {
     val segs = snapshot().map(_._2).getOrElse(Seq.empty)
     require(segs.nonEmpty, s"no committed snapshot at $path")
     val files = segs.flatMap(segmentFiles).map(_._1)
     val conjuncts = FileStats.prunableConjuncts(read(), pred)
     if (conjuncts.isEmpty) return (files, files.size)
-    val stats = liveStats()
+    val statsDirs = segs.map(s => statsDir.resolve(s))
+      .filter(Files.isDirectory(_)).map(_.toString)
+    val statsDead: Set[String] =
+      if (statsDirs.isEmpty) Set.empty
+      else FileStats.deadFiles(spark, statsDirs, conjuncts)
     val bloomDead = bloomDeadFiles(conjuncts)
-    val kept = files.filter { f =>
-      val rangeOk = stats.get(f) match {
-        case None => true // no stats recorded: never skip
-        case Some(cols) => conjuncts.forall(FileStats.mayMatch(cols, _))
-      }
-      // bloom tier: an equality conjunct with a negative membership
-      // probe is a PROOF of absence (blooms have no false negatives);
-      // files with no sketch can never be proven dead
-      rangeOk && !bloomDead(f)
-    }
+    val kept = files.filter(f => !statsDead(f) && !bloomDead(f))
     (kept, files.size)
   }
 
@@ -239,6 +265,19 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   // from recursive root scans; an underscore LEAF would make Spark log
   // a spurious "All paths were ignored" on every sidecar read)
   private def bloomDir = Paths.get(path, "_graft_blooms", "idx")
+
+  /** Bloom sidecar to probe: `idx/` when present, else the pre-idx
+    * layout that wrote part files directly under `_graft_blooms` — a
+    * table indexed by the older code keeps its skipping (instead of it
+    * silently turning off) until [[buildBloomIndex]] re-runs. */
+  private def bloomProbeDir: Option[java.nio.file.Path] = {
+    if (Files.isDirectory(bloomDir)) return Some(bloomDir)
+    val legacy = Paths.get(path, "_graft_blooms")
+    if (Files.isDirectory(legacy) &&
+        listDir(legacy).exists(_.getFileName.toString.endsWith(".parquet")))
+      Some(legacy)
+    else None
+  }
 
   /** Per-(file, column) BLOOM file-skipping tier — the equality
     * complement of the min/max sidecar: after an overlapping ingest or
@@ -276,7 +315,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // group on the provenance column (input_file_name is undefined
     // through the dv anti-join); sketches then cover only LIVE rows,
     // so a fully-tombstoned value proves dead — correct skipping
-    val perFile = scanSegments(segs, dvEntries, keepPos = true)
+    val perFile = scanSegments(segs, liveDvEntries(segs), keepPos = true)
       .groupBy(col("__graft_f").as("_rel"))
       .agg(aggs.head, aggs.tail: _*)
     val lcCols = cols.map(_.toLowerCase)
@@ -288,6 +327,12 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     }
     spark.createDataFrame(sidecarRows, bloomSchema)
       .coalesce(8).write.mode("overwrite").parquet(bloomDir.toString)
+    // a rebuild retires any pre-idx-layout sidecar files lingering at
+    // the legacy root (idx/ shadows them on probe, but leaving them
+    // invites a stale fallback if idx/ is ever lost)
+    listDir(Paths.get(path, "_graft_blooms"))
+      .filterNot(Files.isDirectory(_))
+      .foreach(Files.deleteIfExists(_))
   }
 
   private val bloomSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -308,12 +353,13 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       conjuncts: Seq[FileStats.Conjunct]): String => Boolean = {
     val probes = conjuncts.filter(_.op == "=")
       .map(c => c.colName.toLowerCase -> FileStats.hashLiteral(c))
-    if (probes.isEmpty || !Files.isDirectory(bloomDir))
+    val probeDir = bloomProbeDir
+    if (probes.isEmpty || probeDir.isEmpty)
       return (_: String) => false
     val byCol = probes.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     val byColBc = spark.sparkContext.broadcast(byCol)
     val dead: Set[String] =
-      try spark.read.parquet(bloomDir.toString)
+      try spark.read.parquet(probeDir.get.toString)
         .filter(org.apache.spark.sql.functions.col("col")
           .isin(byCol.keys.toSeq: _*))
         .select("file", "col", "sketch")
@@ -417,7 +463,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   def read(): DataFrame = {
     val segs = snapshot().map(_._2).getOrElse(Seq.empty)
     require(segs.nonEmpty, s"no committed snapshot at $path")
-    scanSegments(segs, dvEntries, keepPos = false)
+    scanSegments(segs, liveDvEntries(segs), keepPos = false)
   }
 
   // ---- deletion vectors --------------------------------------------------
@@ -447,7 +493,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   /** Tombstone set of the given dv entries as (__graft_f, __graft_r). */
   private def dvFrame(entries: Seq[String]): DataFrame =
     spark.read.parquet(entries.map(e =>
-        s"$path/_graft_dv/${e.split(":", 2)(1)}"): _*)
+        s"$path/_graft_dv/${parseDv(e).dir}"): _*)
       .toDF("__graft_f", "__graft_r")
 
   /** Scan segment dirs with deletion vectors applied (anti-join on the
@@ -486,28 +532,122 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * delete matching nothing commits nothing. NULL predicates follow
     * SQL DELETE (only IS TRUE deletes). */
   def deleteWhereDV(condition: org.apache.spark.sql.Column): Unit = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    deleteDVCore(_.filter(coalesce(condition, lit(false))))
+  }
+
+  /** Key-set DV delete: tombstone every row whose key appears in
+    * `keys` — [[deleteMatching]]'s semantics at [[deleteWhereDV]]'s
+    * cost, the shape a STREAMING CDC delete needs (a micro-batch of
+    * scattered tombstones must not rewrite the table it trickles
+    * into). Semi-join, never collected; O(matched rows) like every
+    * dv commit. */
+  def deleteMatchingDV(keys: DataFrame, keyCols: Seq[String]): Unit = {
+    require(keyCols.nonEmpty, "deleteMatchingDV requires at least one key column")
+    import org.apache.spark.sql.functions.col
+    val k = keys.select(keyCols.map(col): _*)
+    deleteDVCore(_.join(k, keyCols, "left_semi"))
+  }
+
+  /** Shared dv-delete core; `doomed` must be a pure row filter. */
+  private def deleteDVCore(doomed: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.col
     val snap = snapshot()
     val segs = snap.map(_._2).getOrElse(Seq.empty)
     require(segs.nonEmpty, s"no committed snapshot at $path")
-    val doomed = scanSegments(segs, dvEntries, keepPos = true)
-      .filter(coalesce(condition, lit(false)))
+    val doomedRows = doomed(scanSegments(segs, liveDvEntries(segs),
+        keepPos = true))
       .select(col("__graft_f"), col("__graft_r"))
-    if (doomed.isEmpty) return
+    if (doomedRows.isEmpty) return
     Files.createDirectories(dvRoot)
     val dir = s"dv-${System.nanoTime()}"
-    doomed.write.mode("overwrite").parquet(s"$path/_graft_dv/$dir")
+    doomedRows.write.mode("overwrite").parquet(s"$path/_graft_dv/$dir")
+    // the touched segments are recorded in the entry so later reads
+    // can prove it inert once every one of them is rewritten/dropped
+    val touched = spark.read.parquet(s"$path/_graft_dv/$dir")
+      .select(col("__graft_f")).distinct()
+      .collect().map(_.getString(0).split("/")(0)).distinct.sorted
     // the entry records the MIRROR version this commit creates (commit
     // files are 0-based and count manifest commits), so readAt can
     // scope tombstones to any historical version
     val mirrorVer = snap.map(_._1).getOrElse(0L) // = next mirror file no.
-    commit(segs, "delete-dv", Some(dvEntries :+ s"$mirrorVer:$dir"))
+    commit(segs, "delete-dv",
+      Some(dvEntries :+ s"$mirrorVer:$dir:${touched.mkString(";")}"))
     // structural mirror: the protocol's DV form needs reader-version-3
     // feature flags; this mirror stays at reader v1, so a DV delete is
     // a data-changing commit with no file actions (external FILE-level
-    // replays see an unchanged file set; row counts come from reads)
+    // replays see an unchanged file set). The sidecar dir is named in
+    // commitInfo.userMetadata — informational per the protocol (real
+    // Delta readers ignore commitInfo), but it lets a graft-aware
+    // replay (tools/DeltaLogReplay) apply the tombstones and agree
+    // with the writer's row counts at every version.
     mirrorDeltaLog("delete", added = Nil, removed = Nil,
-      schemaJson = read().schema.json)
+      schemaJson = read().schema.json, userMetadata = s"graft-dv:$dir")
+  }
+
+  /** REORG-style tombstone purge: rewrite every live segment whose
+    * tombstoned-row fraction reaches `threshold`, folding its deletion
+    * vectors into a physical rewrite (one commit). The rewritten
+    * segments' dv entries drop out of [[liveDvEntries]] automatically
+    * — after a purge the hot read path anti-joins ONLY tombstones of
+    * still-live segments, so scan cost tracks live deletes, not table
+    * history ([[readAt]] keeps the full list). The mirror emits the
+    * remove+add actions with dataChange=false (the logical content is
+    * unchanged), which is also where a footer-based external replay
+    * re-converges with reality for rows it could not see leave
+    * (reader-v1 mirrors carry no dv file actions).
+    * Returns the number of segments rewritten. */
+  def compactDeletes(threshold: Double = 0.3): Int = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    import org.apache.spark.sql.functions.{col, count, lit, split}
+    val segs = snapshot().map(_._2).getOrElse(Seq.empty)
+    if (segs.isEmpty) return 0
+    val live = liveDvEntries(segs)
+    if (live.isEmpty) return 0
+    // tombstones per segment (sidecars are tiny; one distributed pass)
+    val tombs = dvFrame(live)
+      .groupBy(split(col("__graft_f"), "/").getItem(0).as("seg"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // physical rows per candidate segment from parquet FOOTERS only
+    val affected = segs.filter { s =>
+      val tn = tombs.getOrElse(s, 0L)
+      tn > 0 && {
+        val rows = segmentFiles(s).map(f => footerRowCount(f._1)).sum
+        rows > 0 && tn.toDouble / rows >= threshold
+      }
+    }
+    if (affected.isEmpty) return 0
+    val survivors = scanSegments(affected, live, keepPos = false)
+    val kept = segs.filterNot(affected.contains)
+    // a fully-tombstoned segment set still commits one (possibly
+    // empty) segment when nothing else remains, keeping the schema
+    if (!survivors.isEmpty || kept.isEmpty) {
+      val seg = writeSegment(survivors)
+      commit(kept :+ seg, "reorg")
+      mirrorDeltaLog("reorg", added = segmentFiles(seg),
+        removed = affected.flatMap(segmentFiles).map(_._1),
+        schemaJson = survivors.schema.json, dataChange = false)
+    } else {
+      commit(kept, "reorg")
+      mirrorDeltaLog("reorg", added = Nil,
+        removed = affected.flatMap(segmentFiles).map(_._1),
+        schemaJson = survivors.schema.json, dataChange = false)
+    }
+    affected.size
+  }
+
+  /** Footer-only row count of one table-relative parquet file. */
+  private def footerRowCount(rel: String): Long = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.hadoop.fs.{Path => HadoopPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HadoopPath(s"$path/$rel"), spark.sessionState.newHadoopConf()))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
   }
 
   /** S10: healthy = manifest present, readable, non-empty. */
@@ -549,7 +689,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     import org.apache.spark.sql.functions.col
     val prev = snapshot().map(_._2).getOrElse(Seq.empty)
     require(prev.nonEmpty, s"no committed snapshot at $path")
-    val dvs = dvEntries
+    val dvs = liveDvEntries(prev)
     // one scan, bounded output: at most one rel path per live data file
     // (position columns, not input_file_name: the latter is undefined
     // through the deletion-vector anti-join)
@@ -586,23 +726,37 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * snapshot until the new one swaps in, exactly like overwrite.
     * Column contract: `updates` has the table's schema (whenMatched
     * update-all + whenNotMatched insert-all semantics, the common Delta
-    * MERGE form). The anti-join keeps only unmatched current rows, so
-    * the rewrite is current ⟕̸ updates ∪ updates. At 100 TB real Delta
-    * narrows the rewrite to files containing matched keys — with the
-    * stats sidecar that refinement drops in here naturally; the commit
-    * protocol (and hence reader-visible semantics) is identical. */
+    * MERGE form). NARROWED like [[deleteWhere]] (real Delta's
+    * file-granular copy-on-write): one scan finds the files holding
+    * matched keys, only THEIR segments rewrite — survivors (read
+    * through any tombstones) land in the same fresh segment as the
+    * updates, untouched segments keep their identity. A micro-batch
+    * upsert into a 100 TB table therefore costs O(matched files +
+    * batch), not O(table) — and downstream file-diff consumers (change
+    * feed, incremental MV refresh) stay O(delta). */
   def merge(updates: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     import org.apache.spark.sql.functions.col
     val prev = snapshot().map(_._2).getOrElse(Seq.empty)
-    val current = read()
-    val kept = current.join(
-      updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val merged = kept.unionByName(updates)
+    require(prev.nonEmpty, s"no committed snapshot at $path")
+    val dvs = liveDvEntries(prev)
+    val k = updates.select(keyCols.map(col): _*)
+    // one scan, bounded output: at most one rel path per live file
+    val hitFiles = scanSegments(prev, dvs, keepPos = true)
+      .join(k, keyCols, "left_semi")
+      .select(col("__graft_f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val affected = prev.filter(seg => hitFiles.exists(_.startsWith(s"$seg/")))
+    val kept = prev.filterNot(affected.contains)
+    val merged =
+      if (affected.isEmpty) updates
+      else scanSegments(affected, dvs, keepPos = false)
+        .join(k, keyCols, "left_anti")
+        .unionByName(updates)
     val seg = writeSegment(merged)
-    commit(Seq(seg), "merge")
+    commit(kept :+ seg, "merge")
     mirrorDeltaLog("merge", added = segmentFiles(seg),
-      removed = prev.flatMap(segmentFiles).map(_._1),
+      removed = affected.flatMap(segmentFiles).map(_._1),
       schemaJson = merged.schema.json)
   }
 
@@ -864,23 +1018,33 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // tombstones applied — a row added then dv-deleted inside the
     // window nets to nothing). deletes from removed files: rows as
     // visible at `version` (tombstones at-or-before it applied).
+    // each scan covers a known file subset, so only the dv entries
+    // whose touch set intersects it are opened (bounded like read())
+    def segsOf(files: Iterable[String]) = files.map(_.split("/")(0)).toSet
+    val addedF = (now -- before).toSeq.sorted
+    val removedF = (before -- now).toSeq.sorted
     val inserts =
-      if ((now -- before).isEmpty) None
-      else Some(scanPaths((now -- before).toSeq.sorted.map(f => s"$path/$f"),
-        dvs, keepPos = false).withColumn("_change_type", lit("insert")))
+      if (addedF.isEmpty) None
+      else Some(scanPaths(addedF.map(f => s"$path/$f"),
+        touchingDv(dvs, segsOf(addedF)), keepPos = false)
+        .withColumn("_change_type", lit("insert")))
     val fileDeletes =
-      if ((before -- now).isEmpty) None
-      else Some(scanPaths((before -- now).toSeq.sorted.map(f => s"$path/$f"),
-        dvAtV, keepPos = false).withColumn("_change_type", lit("delete")))
+      if (removedF.isEmpty) None
+      else Some(scanPaths(removedF.map(f => s"$path/$f"),
+        touchingDv(dvAtV, segsOf(removedF)), keepPos = false)
+        .withColumn("_change_type", lit("delete")))
     // row-level deletes: tombstones committed inside the window on
     // files live at BOTH ends — the rows still exist physically, so
     // the feed can state them exactly (real Delta needs CDF for this)
     val common = (before & now).toSeq.sorted
+    val dvNewTouching =
+      if (common.isEmpty) Seq.empty else touchingDv(dvNew, segsOf(common))
     val dvDeletes =
-      if (dvNew.isEmpty || common.isEmpty) None
-      else Some(scanPaths(common.map(f => s"$path/$f"), dvAtV,
-          keepPos = true)
-        .join(dvFrame(dvNew), Seq("__graft_f", "__graft_r"), "left_semi")
+      if (dvNewTouching.isEmpty || common.isEmpty) None
+      else Some(scanPaths(common.map(f => s"$path/$f"),
+          touchingDv(dvAtV, segsOf(common)), keepPos = true)
+        .join(dvFrame(dvNewTouching), Seq("__graft_f", "__graft_r"),
+          "left_semi")
         .drop("__graft_f", "__graft_r")
         .withColumn("_change_type", lit("delete")))
     Seq(inserts, fileDeletes, dvDeletes).flatten

@@ -570,6 +570,80 @@ object EtlShape {
             FROM orders GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** MV3: JOIN-aware incremental MV — the reference's gold shape
+    * (fact ⟕ two dims → grouped measures, gold/bronzeToGold.py:132-163)
+    * maintained incrementally on BOTH axes: fact appends/deletes
+    * refresh O(delta) from per-file partials (inner fact-grain state
+    * keyed by the FK), and a DIM UPDATE re-merges only the bounded
+    * state — the fact table is never rescanned for either (the spec
+    * proves it by hiding the fact segments during the dim refresh).
+    * Lifecycle: three fact appends, a dim update moving every 100th
+    * customer to nation 0, then a scattered fact delete. The oracle
+    * states the final joined aggregate with the dim update applied
+    * relationally. */
+  val joinView: GQuery = GQuery(
+    "mv3_join_view",
+    (s, d) => {
+      import graft.io.IncrementalAggView.AggSpec
+      import graft.io.IncrementalJoinAggView
+      import graft.io.IncrementalJoinAggView.Dim
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_mv3").toString
+      val o = Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        Exact.cents(col("o_totalprice")).as("price_cents"))
+      val factT = new graft.io.ManagedParquetTable(s, root + "/orders_t")
+      // dims as managed tables, join columns renamed to the fact side
+      val custT = new graft.io.ManagedParquetTable(s, root + "/cust_t")
+      custT.overwrite(Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")))
+      val natT = new graft.io.ManagedParquetTable(s, root + "/nat_t")
+      natT.overwrite(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nationkey"), col("n_name")))
+      val v = new IncrementalJoinAggView(s, root + "/orders_t",
+        root + "/orders_v", Seq("o_custkey"),
+        Seq(Dim(root + "/cust_t", Seq("o_custkey"), Seq("c_nationkey")),
+          Dim(root + "/nat_t", Seq("c_nationkey"), Seq("n_name"))),
+        Seq("n_name"),
+        Seq(AggSpec("count", "", "cnt"),
+          AggSpec("sum", "price_cents", "sum_cents")))
+      for (m <- 0 to 2) {
+        factT.append(o.filter(col("o_orderkey") % 3 === m))
+        v.refresh()
+      }
+      require(v.lastRefresh == "incremental",
+        s"fact appends must refresh incrementally, got ${v.lastRefresh}")
+      // dim update: every 100th customer moves to nation 0 — no
+      // fact-side work, just the bounded state re-merge
+      custT.merge(Tables.customer(s, d)
+        .filter(col("c_custkey") % 100 === 0)
+        .select(col("c_custkey").as("o_custkey"),
+          (col("c_nationkey") * 0).as("c_nationkey")),
+        Seq("o_custkey"))
+      v.refresh()
+      require(v.lastRefresh == "dim-remerge",
+        s"dim update must resolve as dim-remerge, got ${v.lastRefresh}")
+      // scattered fact delete flows through the partials machinery
+      factT.deleteWhere(col("o_orderkey") % 10 === 0)
+      v.refresh()
+      require(v.lastRefresh == "incremental",
+        s"fact delete must refresh incrementally, got ${v.lastRefresh}")
+      v.read().orderBy(col("n_name"))
+    },
+    Some("""WITH cust AS (SELECT c_custkey,
+              CASE WHEN c_custkey % 100 = 0 THEN 0
+                   ELSE c_nationkey END AS c_nationkey
+              FROM customer),
+            live AS (SELECT o_custkey,
+              CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+              FROM orders WHERE o_orderkey % 10 <> 0)
+            SELECT n.n_name, count(*) AS cnt,
+              CAST(sum(l.price_cents) AS BIGINT) AS sum_cents
+            FROM live l
+            LEFT JOIN cust c ON l.o_custkey = c.c_custkey
+            LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name"""))
+
   /** Shared fixture for the version-history gates: three appends of
     * the orders table split by o_orderkey mod 3 → delta versions
     * 0, 1, 2. */
@@ -656,5 +730,6 @@ object EtlShape {
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
       cdcApply, bloomPrunedScan, imageNearDupsQ, incrementalView,
-      incrementalDistinct, versionChanges, timeTravel, deletionVectors)
+      incrementalDistinct, joinView, versionChanges, timeTravel,
+      deletionVectors)
 }

@@ -148,6 +148,38 @@ object BronzeIngest {
     if (!dels.isEmpty) table.deleteMatching(dels, keyCols)
   }
 
+  /** [[upsertCdcBatch]] with the delete half landing as DELETION
+    * VECTORS: a micro-batch of scattered streaming tombstones writes
+    * O(matched rows) — `deleteMatching`'s copy-on-write form rewrites
+    * every segment holding a matched key, which at streaming cadence
+    * against a 100 TB table is a continuous table rewrite. Upserts
+    * still MERGE (narrowed); deletes tombstone via
+    * [[graft.io.ManagedParquetTable.deleteMatchingDV]]; then
+    * `compactDeletes(purgeThreshold)` folds any segment whose
+    * tombstone fraction crossed the threshold into a physical rewrite,
+    * so dv accumulation stays bounded across the stream's life
+    * (without it, years of micro-batch deletes would pile sidecars
+    * onto every scan). Effectively-once under checkpoint replay for
+    * the same reason as the rewriting form: a replayed merge is
+    * idempotent, and a replayed delete matches no live rows (they are
+    * already tombstoned), committing nothing. */
+  def upsertCdcBatchDV(table: graft.io.ManagedParquetTable,
+      changes: DataFrame, keyCols: Seq[String], seqCol: String,
+      opCol: String, purgeThreshold: Double = 0.5): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+    val ups = latest.filter(col(opCol) =!= "d")
+      .drop("_rn", opCol, seqCol)
+    val dels = latest.filter(col(opCol) === "d")
+      .select(keyCols.map(col): _*)
+    if (!ups.isEmpty) table.merge(ups, keyCols)
+    if (!dels.isEmpty) table.deleteMatchingDV(dels, keyCols)
+    table.compactDeletes(purgeThreshold)
+  }
+
   /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with
     * checkpointed watermark state — strictly stronger than the
     * reference's in-memory processed_ids set (lost on restart,

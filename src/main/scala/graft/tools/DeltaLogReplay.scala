@@ -29,6 +29,13 @@ object DeltaLogReplay {
   private val CommitName = """(\d{20})\.json""".r
   private val AddPath = """"add"\s*:\s*\{\s*"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
   private val RemovePath = """"remove"\s*:\s*\{\s*"path"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+  // a reader-v1 mirror cannot carry protocol deletion-vector file
+  // actions; the writer instead names the tombstone sidecar in
+  // commitInfo.userMetadata (informational per the protocol — real
+  // Delta readers ignore commitInfo, so conformance is unharmed).
+  // A graft-aware replay applies them and agrees with the writer's
+  // ROW counts, not just its file sets.
+  private val DvMarker = """"userMetadata"\s*:\s*"graft-dv:([^"\\]+)"""".r
 
   private def unescape(s: String): String = {
     val sb = new StringBuilder(s.length)
@@ -92,18 +99,85 @@ object DeltaLogReplay {
     live.toSeq.sorted
   }
 
-  /** Row count of the replayed snapshot from parquet footers only —
-    * no data pages, no SparkSession. */
+  /** Row count of the replayed snapshot: parquet footers of the live
+    * files, MINUS the deletion-vector tombstones the commit log's
+    * graft-dv markers name that still target a live file (a tombstone
+    * of a file later rewritten/purged died with it — the rewrite
+    * physically dropped the row and the log recorded the remove+add).
+    * No SparkSession; the dv sidecars are read with parquet-mr's
+    * example API. */
   def rowCount(tablePath: String,
-      asOfVersion: Option[Long] = None): Long =
-    liveFiles(tablePath, asOfVersion).map { rel =>
-      import org.apache.hadoop.fs.{Path => HadoopPath}
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      val conf = new org.apache.hadoop.conf.Configuration()
+      asOfVersion: Option[Long] = None): Long = {
+    val live = liveFiles(tablePath, asOfVersion).toSet
+    val footer = live.toSeq.map(rel => footerRows(s"$tablePath/$rel")).sum
+    val cs = commits(tablePath)
+    val upto = asOfVersion.map(_.toInt + 1).getOrElse(cs.size)
+    val dvDirs = cs.take(upto).flatMap { case (_, p) =>
+      Files.readAllLines(p).asScala.flatMap(l =>
+        DvMarker.findFirstMatchIn(l).map(m => unescape(m.group(1))))
+    }
+    // pairs are disjoint across commits by construction (a dv delete
+    // scans through prior tombstones), but a Set keeps the subtraction
+    // honest even against a buggy writer
+    val dead = scala.collection.mutable.HashSet.empty[(String, Long)]
+    dvDirs.foreach { d =>
+      readDvPairs(Paths.get(tablePath, "_graft_dv", d)).foreach {
+        case (f, r) => if (live(f)) dead += ((f, r))
+      }
+    }
+    footer - dead.size
+  }
+
+  private def footerRows(abs: String): Long = {
+    import org.apache.hadoop.fs.{Path => HadoopPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+      new HadoopPath(abs), conf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+    finally reader.close()
+  }
+
+  /** (file, row) tombstone pairs of one dv sidecar dir, read with the
+    * parquet-mr example API (no Spark). */
+  private def readDvPairs(dir: java.nio.file.Path): Seq[(String, Long)] = {
+    import org.apache.hadoop.fs.{Path => HadoopPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.ColumnIOFactory
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val parts = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toList
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    parts.foreach { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
-        new HadoopPath(s"$tablePath/$rel"), conf))
-      try reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-      finally reader.close()
-    }.sum
+        new HadoopPath(p.toString), conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val fIdx = schema.getFieldIndex("__graft_f")
+        val rIdx = schema.getFieldIndex("__graft_r")
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val rr = new ColumnIOFactory().getColumnIO(schema)
+            .getRecordReader(pages, new GroupRecordConverter(schema))
+          var i = 0L
+          val n = pages.getRowCount
+          while (i < n) {
+            val g = rr.read()
+            out += ((g.getString(fIdx, 0), g.getLong(rIdx, 0)))
+            i += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+      } finally reader.close()
+    }
+    out.toSeq
+  }
 }

@@ -92,6 +92,40 @@ class IoSpec extends SparkSpec {
     assert(t.readWhere(col("id") === 42L).count() == 2)
   }
 
+  test("bloom probe falls back to the pre-idx sidecar layout; rebuild retires it") {
+    val dir = tmp("mptbl") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 to 100 by 2).map(i => (i.toLong, s"e$i")).toDF("id", "v")
+      .coalesce(1))
+    t.append((1 to 101 by 2).map(i => (i.toLong, s"o$i")).toDF("id", "v")
+      .coalesce(1))
+    t.buildBloomIndex(Seq("id"), expectedItemsPerFile = 1024)
+    // degrade to the legacy layout: part files directly under
+    // _graft_blooms, no idx/ subdir — what the pre-idx code wrote
+    val idx = Paths.get(dir, "_graft_blooms", "idx")
+    val root = Paths.get(dir, "_graft_blooms")
+    val moved = Files.list(idx).iterator()
+    while (moved.hasNext) {
+      val p = moved.next()
+      Files.move(p, root.resolve(p.getFileName))
+    }
+    Files.delete(idx)
+    val (kept, total) = t.pruneFiles(col("id") === 42L)
+    assert(total == 2 && kept.size == 1,
+      s"legacy sidecar must keep bloom skipping alive: $kept")
+    // a rebuild writes idx/ AND retires the legacy part files so a
+    // later idx/ loss cannot resurrect a stale sidecar
+    t.buildBloomIndex(Seq("id"), expectedItemsPerFile = 1024)
+    assert(Files.isDirectory(idx))
+    val leftovers = Files.list(root).iterator()
+    var staleFiles = 0
+    while (leftovers.hasNext)
+      if (!Files.isDirectory(leftovers.next())) staleFiles += 1
+    assert(staleFiles == 0, "rebuild must retire legacy sidecar files")
+    val (kept2, _) = t.pruneFiles(col("id") === 42L)
+    assert(kept2.size == 1)
+  }
+
   test("bloom index: ONE data scan per build (any column count); probe " +
     "never collects the sidecar to the driver") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
@@ -699,6 +733,39 @@ class IoSpec extends SparkSpec {
       .select("id").as[Int].collect().toSet == Set(2, 3))
   }
 
+  test("MV: legacy manifest (no partials) with only APPENDS rebuilds once instead of failing") {
+    import graft.io.IncrementalAggView
+    import graft.io.IncrementalAggView.AggSpec
+    val root = tmp("mvleg")
+    val t = new ManagedParquetTable(spark, s"$root/t")
+    t.append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    // hand-build what the pre-partials code left behind: a state
+    // parquet WITHOUT the hidden bookkeeping columns and a manifest
+    // with no "partials" key
+    Files.createDirectories(Paths.get(s"$root/v"))
+    Seq(("a", 1L, 1L), ("b", 1L, 2L)).toDF("g", "cnt", "s")
+      .write.parquet(s"$root/v/state-legacy")
+    val basis = t.deltaSnapshotFiles()
+      .map("\"" + _ + "\"").mkString(",")
+    Files.writeString(Paths.get(s"$root/v/_graft_view_manifest"),
+      s"""{"state":"state-legacy","basis":[$basis]}""")
+    val v = new IncrementalAggView(spark, s"$root/t", s"$root/v",
+      Seq("g"), Seq(AggSpec("count", "", "cnt"), AggSpec("sum", "v", "s")))
+    // append-only maintenance on the legacy store: the old guard only
+    // rebuilt on REMOVALS, so this path crashed selecting __graft_n
+    t.append(Seq(("a", 5L)).toDF("g", "v"))
+    v.refresh()
+    assert(v.lastRefresh == "full",
+      s"legacy manifest + append must take the one-time rebuild, got ${v.lastRefresh}")
+    assert(v.read().as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 6L), ("b", 1L, 2L)))
+    // and the rebuild re-established partials: the next append is
+    // incremental again
+    t.append(Seq(("c", 9L)).toDF("g", "v"))
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+  }
+
   test("MV2: hll sketch state merges incrementally == one-shot sketch") {
     import graft.io.IncrementalAggView
     import graft.io.IncrementalAggView.AggSpec
@@ -890,6 +957,32 @@ class IoSpec extends SparkSpec {
     assert(DeltaLogReplay.rowCount(dir) == 45L)
   }
 
+  test("delta-log interop: replay agrees ACROSS dv commits and a tombstone purge") {
+    import graft.tools.DeltaLogReplay
+    val dir = tmp("dlrdv") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append(spark.range(0, 50).toDF("id"))     // v0
+    t.append(spark.range(50, 100).toDF("id"))   // v1
+    // dv commits change ROW visibility with no file actions — exactly
+    // the commit kind a footer-only replay used to misread; the
+    // graft-dv marker in commitInfo closes that gap
+    t.deleteWhereDV(col("id") % 10 === 0)       // v2
+    t.deleteWhereDV(col("id") % 7 === 1)        // v3
+    t.append(spark.range(100, 120).toDF("id"))  // v4
+    // purge folds both segments' tombstones into a rewrite (remove+add
+    // at dataChange=false): the replay sees the rows leave via file
+    // actions and must stop double-subtracting their dead tombstones
+    assert(t.compactDeletes(0.05) == 2)         // v5
+    t.deleteWhereDV(col("id") === 55)           // v6
+    for (v <- 0L to 6L) {
+      assert(DeltaLogReplay.liveFiles(dir, Some(v)).toSet ==
+        t.deltaSnapshotFiles(Some(v)).toSet, s"live-set diverges at v$v")
+      assert(DeltaLogReplay.rowCount(dir, Some(v)) == t.readAt(v).count(),
+        s"row count diverges at v$v")
+    }
+    assert(DeltaLogReplay.rowCount(dir) == t.read().count())
+  }
+
   test("deletion vectors: scattered delete rewrites nothing; reads, travel, feed, rewrites honor tombstones") {
     val t = new ManagedParquetTable(spark, tmp("dv") + "/tbl")
     t.append((0 until 10).map(i => (i, s"v$i")).toDF("id", "v"))   // mv 0
@@ -969,5 +1062,154 @@ class IoSpec extends SparkSpec {
     assert(v.lastRefresh == "incremental")
     assert(v.read().as[(String, Long, Long, Long)].collect().toSet ==
       Set(("a", 1L, 7L, 7L), ("b", 1L, 3L, 3L), ("c", 1L, 5L, 5L)))
+  }
+
+  test("MV3 join view: fact refreshes O(delta); a dim update re-merges with the fact segments HIDDEN") {
+    import graft.io.{IncrementalAggView, IncrementalJoinAggView}
+    import graft.io.IncrementalAggView.AggSpec
+    import graft.io.IncrementalJoinAggView.Dim
+    val root = tmp("mv3")
+    val factT = new ManagedParquetTable(spark, s"$root/fact")
+    val dimT = new ManagedParquetTable(spark, s"$root/dim")
+    dimT.overwrite(Seq((1L, "x"), (2L, "y"), (3L, "y")).toDF("fk", "name"))
+    val v = new IncrementalJoinAggView(spark, s"$root/fact",
+      s"$root/view", Seq("fk"),
+      Seq(Dim(s"$root/dim", Seq("fk"), Seq("name"))),
+      Seq("name"),
+      Seq(AggSpec("count", "", "cnt"), AggSpec("sum", "a", "s"),
+        AggSpec("min", "a", "mn")))
+    factT.append(Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("fk", "a"))
+    v.refresh()
+    assert(v.lastRefresh == "full")
+    factT.append(Seq((2L, 7L), (3L, 100L)).toDF("fk", "a"))
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+    assert(v.read().as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("x", 2L, 30L, 10L), ("y", 3L, 112L, 5L)))
+    v.refresh()
+    assert(v.lastRefresh == "noop")
+    // DIM UPDATE with the fact table's data segments physically hidden:
+    // the re-merge must succeed from the inner state + dims alone —
+    // the hard proof the fact is never rescanned on the dim axis
+    dimT.merge(Seq((3L, "z")).toDF("fk", "name"), Seq("fk"))
+    val factDir = Paths.get(s"$root/fact")
+    val segs = Files.list(factDir).iterator()
+    val hidden = scala.collection.mutable.ArrayBuffer.empty[(java.nio.file.Path, java.nio.file.Path)]
+    while (segs.hasNext) {
+      val p = segs.next()
+      if (p.getFileName.toString.startsWith("seg-")) {
+        val h = p.resolveSibling("hidden_" + p.getFileName.toString)
+        Files.move(p, h)
+        hidden += ((h, p))
+      }
+    }
+    try {
+      v.refresh()
+      assert(v.lastRefresh == "dim-remerge")
+      assert(v.read().as[(String, Long, Long, Long)].collect().toSet ==
+        Set(("x", 2L, 30L, 10L), ("y", 2L, 12L, 5L), ("z", 1L, 100L, 100L)))
+    } finally hidden.foreach { case (h, p) => Files.move(h, p) }
+    // the fact axis still works after restore (delete → partials path)
+    factT.deleteWhere(col("a") === 20L)
+    v.refresh()
+    assert(v.lastRefresh == "incremental")
+    assert(v.read().as[(String, Long, Long, Long)].collect().toSet ==
+      Set(("x", 1L, 10L, 10L), ("y", 2L, 12L, 5L), ("z", 1L, 100L, 100L)))
+  }
+
+  test("dv read path is bounded by LIVE tombstones: 50 dv commits + rewrites leave inert entries unopened") {
+    val dir = tmp("dvb") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 until 100).map(i => (i, i % 10)).toDF("id", "g")
+      .coalesce(1)) // seg A
+    t.append((100 until 200).map(i => (i, i % 10)).toDF("id", "g")
+      .coalesce(1)) // seg B
+    // 50 dv commits, all confined to segment A — years of CDC history
+    // in miniature
+    for (k <- 0 until 50) t.deleteWhereDV(col("id") === k)
+    assert(t.dvEntries.size == 50)
+    val segsAll = t.deltaSnapshotFiles().map(_.split("/")(0)).distinct
+    assert(t.liveDvEntries(segsAll).size == 50) // all still live
+    // a rewriting delete confined to segment A retires ALL of them
+    // from the hot path (the historical list is untouched)
+    t.deleteWhere(col("id") < 100)
+    val segsNow = t.deltaSnapshotFiles().map(_.split("/")(0)).distinct
+    assert(t.dvEntries.size == 50, "history must be kept for readAt")
+    assert(t.liveDvEntries(segsNow).isEmpty,
+      s"all 50 entries are inert after the rewrite: ${t.liveDvEntries(segsNow)}")
+    // PHYSICAL proof the hot path opens no tombstone sidecar: stash
+    // the whole _graft_dv tree away — read/readWhere/changes must all
+    // still work and be exact
+    val dvRoot = Paths.get(dir, "_graft_dv")
+    val stash = Paths.get(dir + ".dvstash")
+    Files.move(dvRoot, stash)
+    try {
+      assert(t.read().count() == 100)
+      assert(t.readWhere(col("id") >= 150).count() == 50)
+    } finally Files.move(stash, dvRoot)
+    // history intact: at the version before the rewrite, tombstones
+    // 0..49 apply (the sidecars are needed and back in place)
+    val preRewrite = 51L // v0,v1 appends + 50 dv commits → last dv = v51
+    assert(t.readAt(preRewrite).count() == 150)
+  }
+
+  test("stats pruning: distributed evaluation matches driver semantics incl. stats-less files") {
+    val dir = tmp("dsp") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .coalesce(1))   // seg A: ids 0..99
+    t.append((100 until 200).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .coalesce(1))   // seg B: ids 100..199
+    t.append((200 until 300).map(i => (i.toLong, s"c$i")).toDF("id", "v")
+      .coalesce(1))   // seg C: sidecar will be LOST
+    // lose C's stats sidecar: its file must degrade to never-skipped
+    val segC = t.deltaSnapshotFiles().map(_.split("/")(0)).distinct.last
+    val scDir = Paths.get(dir, "_graft_stats", segC)
+    assert(Files.isDirectory(scDir))
+    val it = Files.walk(scDir).sorted(java.util.Comparator.reverseOrder())
+    it.forEach(p => Files.delete(p))
+    val (kept, total) = t.pruneFiles(col("id") === 150L)
+    assert(total == 3 && kept.size == 2,
+      s"A is proven dead, B matches, stats-less C must be kept: $kept")
+    assert(t.readWhere(col("id") === 150L).count() == 1)
+    // a predicate no file can satisfy prunes everything WITH stats
+    val (kept2, _) = t.pruneFiles(col("id") === -5L)
+    assert(kept2.size == 1, s"only the stats-less file survives: $kept2")
+    assert(t.readWhere(col("id") === -5L).count() == 0)
+  }
+
+  test("compactDeletes: only over-threshold segments rewrite; fold is exact; history survives") {
+    val dir = tmp("dvc") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 until 100).map(i => (i, "a")).toDF("id", "s")
+      .coalesce(1))            // seg A: will be 40% tombstoned
+    t.append((100 until 200).map(i => (i, "b")).toDF("id", "s")
+      .coalesce(1))            // seg B: 5% tombstoned
+    t.append((200 until 300).map(i => (i, "c")).toDF("id", "s")
+      .coalesce(1))            // seg C: untouched
+    t.deleteWhereDV(col("id") < 40)                    // seg A only
+    t.deleteWhereDV(col("id").between(100, 104))       // seg B only
+    val before = t.deltaSnapshotFiles().toSet
+    assert(t.compactDeletes(0.3) == 1, "only seg A crosses 30%")
+    val after = t.deltaSnapshotFiles().toSet
+    // B and C kept their identity; A was rewritten
+    assert((before & after).size == 2, s"B and C must not rewrite: $after")
+    assert((after -- before).size == 1)
+    // fold is exact and idempotent
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq ==
+      ((40 until 100) ++ (105 until 300)))
+    assert(t.compactDeletes(0.3) == 0, "second purge is a no-op")
+    // entry hygiene: A's entry is inert, B's stays live (under its
+    // threshold, tombstones still needed)
+    val segsNow = after.map(_.split("/")(0)).toSeq.distinct
+    assert(t.liveDvEntries(segsNow).size == 1,
+      s"only seg B's entry stays hot: ${t.liveDvEntries(segsNow)}")
+    // the purge commit is mirrored with remove+add (dataChange=false):
+    // time travel to the pre-purge version still shows tombstoned state
+    assert(t.readAt(4L).select("id").as[Int].collect().sorted.toSeq ==
+      ((40 until 100) ++ (105 until 300))) // v0..2 appends, v3,v4 dv
+    assert(t.readAt(3L).count() == 260)
+    // and a fresh reader instance agrees end-to-end
+    assert(new ManagedParquetTable(spark, dir).read().count() == 255)
   }
 }

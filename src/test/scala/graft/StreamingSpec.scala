@@ -339,6 +339,63 @@ class StreamingSpec extends SparkSpec {
       Seq((0L, 5L), (1L, 11L), (3L, 30L), (4L, 40L)))
   }
 
+  test("ST13: streaming CDC deletes land as deletion vectors; replay is effectively-once; purge bounds accumulation") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.ManagedParquetTable
+    import graft.streaming.BronzeIngest
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_cdcdv").toString
+    val t = new ManagedParquetTable(spark, s"$dir/tbl")
+    t.overwrite((0L until 10L).map(k => (k, k * 10)).toDF("key", "val"))
+    val in = MemoryStream[(Long, Long, String, Long)]
+    val q = in.toDF().toDF("key", "seq", "op", "val")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        // high threshold: no purge yet — the dv entries must be
+        // visible to the assertions below
+        BronzeIngest.upsertCdcBatchDV(t, batch, Seq("key"), "seq", "op",
+          purgeThreshold = 0.95)
+      }.start()
+    in.addData((1L, 1L, "u", 11L), (10L, 2L, "c", 100L),
+      (2L, 3L, "d", 0L), (3L, 4L, "d", 0L))
+    q.processAllAvailable()
+    q.stop()
+    val want1 = Seq((0L, 0L), (1L, 11L)) ++
+      (4L until 10L).map(k => (k, k * 10)) :+ (10L, 100L)
+    assert(t.read().as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      want1.sortBy(_._1))
+    // the deletes arrived as tombstones, not rewrites
+    assert(t.dvEntries.size == 1, s"one dv commit expected: ${t.dvEntries}")
+    // REPLAY the same batch (foreachBatch re-delivery after a crash
+    // between sink commit and checkpoint commit): the merge re-applies
+    // idempotently and the deletes match no LIVE rows — no new dv
+    // commit, no content change
+    val vBefore = t.version
+    val replay = Seq((1L, 1L, "u", 11L), (10L, 2L, "c", 100L),
+      (2L, 3L, "d", 0L), (3L, 4L, "d", 0L)).toDF("key", "seq", "op", "val")
+    BronzeIngest.upsertCdcBatchDV(t, replay, Seq("key"), "seq", "op",
+      purgeThreshold = 0.95)
+    assert(t.dvEntries.size == 1, "replayed deletes must not re-tombstone")
+    assert(t.version == vBefore + 1, // the idempotent merge commit only
+      s"replay must add exactly the merge commit: $vBefore -> ${t.version}")
+    assert(t.read().as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      want1.sortBy(_._1))
+    // delete-dense batch at a working threshold: the purge folds the
+    // tombstones into a rewrite and retires the entries from the hot
+    // path — accumulation stays bounded across the stream's life
+    val dense = (4L until 9L).zipWithIndex.map { case (k, i) =>
+      (k, 100L + i, "d", 0L) }.toDF("key", "seq", "op", "val")
+    BronzeIngest.upsertCdcBatchDV(t, dense, Seq("key"), "seq", "op",
+      purgeThreshold = 0.3)
+    assert(t.read().as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      Seq((0L, 0L), (1L, 11L), (9L, 90L), (10L, 100L)))
+    val segsNow = t.deltaSnapshotFiles().map(_.split("/")(0)).distinct
+    assert(t.liveDvEntries(segsNow).isEmpty,
+      s"purge must retire folded tombstones: ${t.liveDvEntries(segsNow)}")
+  }
+
   test("ST10: streaming session windows merge within gap, split beyond, finalize on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
