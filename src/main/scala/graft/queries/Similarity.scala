@@ -738,8 +738,77 @@ object Similarity {
             QUALIFY rank <= 5
             ORDER BY query_id, rank"""))
 
+  /** v16: INCREMENTAL index maintenance — the stored quantized index
+    * (v9) kept fresh from the source table's change feed instead of
+    * rebuilt: three appends refresh O(delta); a dv delete and a
+    * scattered rewriting delete both drop index rows without an index
+    * rebuild. quantizeU8 is row-local (no training pass), so the
+    * maintained index is EXACTLY rebuild-equivalent — the oracle
+    * recomputes the quantization facts relationally over the final
+    * live set, so any divergence between maintenance and rebuild
+    * hash-fails. */
+  val indexUpdateQ: GQuery = GQuery(
+    "v16_index_update",
+    (s, d) => {
+      val e = emb(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_v16").toString
+      val src = new graft.io.ManagedParquetTable(s, root + "/emb_t")
+      val idx = new graft.similarity.IncrementalVectorIndex(
+        s, root + "/emb_t", root + "/emb_idx")
+      src.append(e.filter(col("vec_id") % 3 === 0))
+      idx.refresh() // initial: full encode
+      src.append(e.filter(col("vec_id") % 3 === 1))
+      idx.refresh()
+      require(idx.lastRefresh == "incremental",
+        s"append must refresh incrementally, got ${idx.lastRefresh}")
+      src.append(e.filter(col("vec_id") % 3 === 2))
+      idx.refresh()
+      // dv delete: row visibility changes with no file diff — the
+      // index drops the rows as key tombstones, no rebuild
+      src.deleteWhereDV(col("vec_id") % 5 === 3)
+      idx.refresh()
+      require(idx.lastRefresh == "incremental",
+        s"dv delete must refresh incrementally, got ${idx.lastRefresh}")
+      // scattered rewriting delete: delete+insert file pairs net to
+      // replace; pure deletes drop
+      src.deleteWhere(col("vec_id") % 7 === 2)
+      idx.refresh()
+      require(idx.lastRefresh == "incremental",
+        s"rewrite delete must refresh incrementally, got ${idx.lastRefresh}")
+      idx.read()
+        .select(col("vec_id"),
+          round(col("vmin"), 6).as("vmin"),
+          round(col("vmax"), 6).as("vmax"),
+          aggregate(col("codes"), lit(0L),
+            (a, c) => a + c.cast("long")).as("code_sum"),
+          size(filter(col("codes"),
+            c => c === 0 || c === 255)).cast("long").as("n_extreme"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH e AS (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+              WHERE vec_id % 5 <> 3 AND vec_id % 7 <> 2),
+            m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+              FROM e),
+            q AS (SELECT vec_id, mn, mx,
+              CASE WHEN mx = mn THEN list_transform(v,
+                x -> CASE WHEN x IS NULL THEN NULL ELSE 0 END)
+              ELSE list_transform(v, x ->
+                CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INTEGER))
+              END AS codes
+              FROM m)
+            SELECT vec_id, round(mn, 6) AS vmin, round(mx, 6) AS vmax,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(codes, c -> CAST(c AS BIGINT))),
+                (a, b) -> a + b) AS BIGINT) AS code_sum,
+              CAST(len(list_filter(codes, c -> c = 0 OR c = 255)) AS BIGINT)
+                AS n_extreme
+            FROM q ORDER BY vec_id"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
     ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
     kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ, annRecallQ, multiProbeQ,
-    ivfPqResidualTopKQ)
+    ivfPqResidualTopKQ, indexUpdateQ)
 }

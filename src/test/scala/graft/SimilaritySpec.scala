@@ -231,6 +231,52 @@ class SimilaritySpec extends SparkSpec {
       "incrementally-maintained index must search identically to a rebuild")
   }
 
+  test("IncrementalVectorIndex: change-feed maintenance is exactly rebuild-equivalent") {
+    import graft.io.ManagedParquetTable
+    import graft.similarity.IncrementalVectorIndex
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivi").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalVectorIndex(spark, s"$root/t", s"$root/idx")
+    src.append(e.filter($"vec_id" % 2 === 0))
+    idx.refresh()
+    assert(idx.lastRefresh == "full")
+    src.append(e.filter($"vec_id" % 2 === 1))
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    idx.refresh()
+    assert(idx.lastRefresh == "noop")
+    // dv delete and a scattered rewriting delete both maintain
+    src.deleteWhereDV($"vec_id" % 5 === 0)
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    src.deleteWhere($"vec_id" % 7 === 1)
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    // content identity vs a from-scratch rebuild of the live set —
+    // not merely search-equivalence: (id, codes, vmin, vmax) rows match
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getSeq[Int](1).toList,
+        r.getDouble(2), r.getDouble(3))
+    val maintained = idx.read()
+      .select($"vec_id", $"codes", $"vmin", $"vmax")
+      .collect().map(key).toSet
+    val rebuilt = buildQuantizedIndex(src.read())
+      .select($"vec_id", $"codes", $"vmin", $"vmax")
+      .collect().map(key).toSet
+    assert(maintained == rebuilt,
+      s"maintained ${maintained.size} vs rebuilt ${rebuilt.size}")
+    // and the index search over the maintained table equals the rebuild
+    val live = src.read()
+    val qs = live.filter($"vec_id" < 12)
+    def rows(i: org.apache.spark.sql.DataFrame) =
+      storedQuantizedTopK(i, live, qs, kCand = 20, k = 5)
+        .select($"query_id", $"rank", $"neighbor_id", $"sim")
+        .as[(Long, Int, Long, Double)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(rows(idx.read()) == rows(buildQuantizedIndex(live)))
+  }
+
   test("IVF-PQ with every list probed equals full ADC; fewer probes give a subset") {
     val corpus = Seq(
       (0L, Seq(1f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)),
