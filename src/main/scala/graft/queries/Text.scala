@@ -720,9 +720,61 @@ object Text {
             FROM documents WHERE n_chars > 0
             ORDER BY sample_priority, doc_id LIMIT 200"""))
 
+  /** t14: positional phrase search over the inverted token index —
+    * every document containing "big order scan" as consecutive tokens
+    * (anchor-intersection, one shuffle; see text/InvertedIndex.scala).
+    * Oracle enumerates token windows in DuckDB directly. */
+  val phraseIndexQ: GQuery = GQuery(
+    "t14_phrase_index",
+    (s, d) => {
+      val idx = graft.text.InvertedIndex.postings(
+        docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id")
+      graft.text.InvertedIndex.phraseSearch(idx, "big order scan")
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            m AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS anchor
+              FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+              WHERE i + 2 <= len(toks)
+                AND toks[i] = 'big' AND toks[i+1] = 'order'
+                AND toks[i+2] = 'scan')
+            SELECT doc_id, count(*) AS n_hits, min(anchor) AS first_pos
+            FROM m GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** t15: BM25-ranked retrieval (k1=1.2, b=0.75) for a bag-of-words
+    * query, integer-exact scoring (pseudo-idf (N·1000)//df, saturation
+    * cleared of fractions by ×10T — see text/InvertedIndex.scala). */
+  val bm25Q: GQuery = GQuery(
+    "t15_bm25",
+    (s, d) => graft.text.InvertedIndex.bm25TopK(
+      docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id",
+      "hash join table", k = 20),
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+            corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS BIGINT) AS tt FROM lens),
+            tf AS (SELECT doc_id, tok AS token,
+              CAST(count(*) AS BIGINT) AS tf
+              FROM t, unnest(toks) AS u(tok)
+              WHERE tok IN ('hash', 'join', 'table') GROUP BY 1, 2),
+            dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+            sc AS (SELECT doc_id,
+              (((n * 1000) // df) * (tf * 22 * tt))
+                // (10 * tt * tf + 3 * tt + 9 * dl * n) AS s
+              FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id),
+                corpus),
+            agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score,
+              count(*) AS n_terms FROM sc GROUP BY 1),
+            r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC,
+              doc_id) AS BIGINT) AS rank, doc_id, score, n_terms FROM agg)
+            SELECT rank, doc_id, score, n_terms FROM r
+            WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, weightedSampleQ,
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
-      curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ)
+      curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
+      bm25Q)
 }

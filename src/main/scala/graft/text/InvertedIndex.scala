@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted token index + positional phrase search + BM25 ranking — the
+  * targeted-retrieval layer of a training-data pipeline (find every
+  * document containing a benchmark phrase / rank candidates for a query)
+  * WITHOUT a full corpus scan per question.
+  *
+  * Scale design (the 100 TB shape):
+  *   - The index is FLAT postings `(token, doc_id, pos)` — never
+  *     `collect_list` per token: stop-word posting lists ("the") would
+  *     be single-row gigabyte arrays, while flat rows spread across
+  *     partitions like any other table.
+  *   - Persisted indexes are hash-bucketed BY TOKEN into `bucket=N/`
+  *     partition dirs; a phrase/keyword query reads ONLY the buckets its
+  *     query tokens hash to (partition pruning — see IoSpec), so probe
+  *     cost tracks the query's posting lists, not the corpus.
+  *   - Phrase matching is ONE shuffle: each posting row for a query
+  *     token proposes the anchor positions `pos - offset` it supports
+  *     (a token appearing at several phrase offsets proposes several),
+  *     and `groupBy(doc, anchor)` counts distinct supported offsets —
+  *     `== k` iff every phrase slot matched. No k-way self-join of the
+  *     postings table, no per-document array materialization.
+  *   - BM25 uses integer-exact arithmetic (the t8 tf-idf house rule):
+  *     pseudo-idf `(N·1000)//df` and the k1=1.2/b=0.75 saturation term
+  *     cleared of fractions by scaling with `10·T` (T = corpus token
+  *     count), so every engine computes bit-identical BIGINT scores —
+  *     no float log in the gate path.
+  *
+  * Reference ground: the reference has no retrieval layer (its corpus is
+  * 1,623 rows); this is part of the beyond-reference LLM-pipeline brief.
+  * Algorithms are textbook IR (positional intersection: Manning et al.,
+  * IIR §2.4; BM25: Robertson & Zaragoza 2009).
+  */
+object InvertedIndex {
+
+  /** Flat positional postings of `docs`: one row per token occurrence,
+    * `(token, doc_id, pos)` with `pos` the 0-based ordinal in the
+    * whitespace-token stream of the lowercased text. */
+  def postings(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** Normalized query/phrase tokens (same pipeline as [[postings]]). */
+  def queryTokens(phrase: String): Seq[String] =
+    phrase.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+
+  /** Documents containing `phrase` as CONSECUTIVE tokens, with the
+    * occurrence count and first match position. Output:
+    * `(doc_id, n_hits, first_pos)`.
+    *
+    * One wide shuffle on `(doc_id, anchor)`; postings are first narrowed
+    * to the phrase's tokens (bucket-pruned when `idx` is a persisted
+    * index opened via [[openBuckets]]). */
+  def phraseSearch(idx: DataFrame, phrase: String): DataFrame = {
+    val toks = queryTokens(phrase)
+    require(toks.nonEmpty, "empty phrase")
+    val k = toks.length
+    // token -> every phrase offset it fills (repeats handled: "a b a"
+    // gives a -> [0, 2]); a tiny literal frame, broadcast onto postings
+    val offsets = toks.zipWithIndex
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+      .flatMap { case (t, offs) => offs.map(o => (t, o)) }
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val offDf = offsets.toDF("__q_token", "__q_off")
+    idx
+      .join(broadcast(offDf), col("token") === col("__q_token"))
+      .select(col("doc_id"),
+        (col("pos") - col("__q_off")).as("anchor"), col("__q_off"))
+      .where(col("anchor") >= 0)
+      // an anchor is a phrase occurrence iff all k offsets are supported
+      .groupBy(col("doc_id"), col("anchor"))
+      .agg(count_distinct(col("__q_off")).as("__n_off"))
+      .where(col("__n_off") === k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+  }
+
+  /** Number of `bucket=` partition dirs a persisted index uses. */
+  val DefaultBuckets = 64
+
+  /** Token -> persisted-index bucket (xxhash64, non-negative mod). */
+  private def bucketOf(token: Column, nBuckets: Int): Column =
+    pmod(xxhash64(token), lit(nBuckets.toLong))
+
+  /** Persist `postings` hash-bucketed by token: parquet partitioned by
+    * `bucket`, so opening with a token filter prunes to the matching
+    * dirs. Within each bucket, rows are sorted by (token, doc_id, pos)
+    * for run-length/dictionary-friendly pages. */
+  def writeBuckets(postings: DataFrame, path: String,
+      nBuckets: Int = DefaultBuckets): Unit =
+    postings
+      .withColumn("bucket", bucketOf(col("token"), nBuckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("token", "doc_id", "pos")
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Open a persisted index narrowed to `tokens`: the bucket predicate
+    * is partition-pruned (only the needed `bucket=` dirs are listed and
+    * read) and the token predicate is pushed to parquet. */
+  def openBuckets(spark: SparkSession, path: String, tokens: Seq[String],
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(tokens.nonEmpty, "empty token list")
+    // evaluate the bucket hash through the engine itself so driver-side
+    // planning can never drift from the executor-side write path
+    import spark.implicits._
+    val buckets = tokens.toDF("token")
+      .select(bucketOf(col("token"), nBuckets)).distinct()
+      .collect().map(_.getLong(0)) // ≤ |query| values — planning-sized
+    spark.read.parquet(path)
+      .where(col("bucket").isin(buckets: _*) && col("token").isin(tokens: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+  }
+
+  /** BM25-ranked top-k documents for a bag-of-words query, with
+    * integer-exact scoring (see object doc). Output:
+    * `(rank, doc_id, score, n_terms)` ordered by rank, where
+    * score = Σ_t (N·1000 // df_t) · tf·22·T // (10·T·tf + 3·T + 9·dl·N)
+    * — BM25 with k1=1.2, b=0.75, pseudo-idf N/df scaled ×1000, every
+    * division a BIGINT floor. Ties rank by doc_id. */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      query: String, k: Int): DataFrame = {
+    val terms = queryTokens(query).distinct
+    require(terms.nonEmpty, "empty query")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val lens = toks.select(col("doc_id"), size(col("__toks")).cast("long").as("dl"))
+    // two corpus scalars (N docs, T tokens) — a one-row broadcast frame
+    val corpus = lens.agg(count(lit(1)).as("__n"), sum(col("dl")).as("__t"))
+    val tf = toks
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .where(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), "token")
+      // dl join is doc_id-keyed corpus-vs-matches: left to AQE — tf is
+      // query-narrowed so it usually broadcasts, but a stop-word query
+      // legitimately degrades to a shuffle join instead of OOMing
+      .join(lens, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .withColumn("__s",
+        expr("(((__n * 1000) div df) * (tf * 22 * __t)) div " +
+          "(10 * __t * tf + 3 * __t + 9 * dl * __n)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__s")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("score"), col("n_terms"))
+  }
+}

@@ -1,0 +1,137 @@
+package graft
+
+import graft.text.InvertedIndex
+import org.apache.spark.sql.functions._
+
+/** Inverted-index specs: phrase semantics (repeats, overlaps, edges),
+  * a brute-force differential on real testdata, persisted-bucket
+  * partition pruning (the probe must read ONLY the query tokens'
+  * bucket dirs), and integer-BM25 invariants. */
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def idxOf(rows: Seq[(Long, String)]) =
+    InvertedIndex.postings(rows.toDF("doc_id", "text"), "text", "doc_id")
+
+  test("phrase search: overlaps, repeated tokens, case/space normalize") {
+    val idx = idxOf(Seq(
+      (1L, "a b a b a"), // "a b a" occurs at 0 AND 2 (overlapping)
+      (2L, "  A  b   a  x"), // normalization: anchors survive ws/case
+      (3L, "b a b"), // contains "a b" at 1 but not "a b a"
+      (4L, "a"), // shorter than the phrase
+      (5L, "")))
+    val got = InvertedIndex.phraseSearch(idx, "A  b a")
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, p) => d -> ((n, p)) }.toMap
+    assert(got === Map(1L -> ((2L, 0L)), 2L -> ((1L, 0L))))
+  }
+
+  test("phrase with a repeated token requires BOTH slots to match") {
+    val idx = idxOf(Seq((1L, "x y x"), (2L, "x y z")))
+    val got = InvertedIndex.phraseSearch(idx, "x y x")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
+  }
+
+  test("differential: anchor-intersection == brute-force sliding window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val phrase = "big order scan"
+    val got = InvertedIndex.phraseSearch(
+      InvertedIndex.postings(docs, "text", "doc_id"), phrase)
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, n, p) => d -> ((n, p)) }.toMap
+    // brute force: slide over the token arrays on the driver
+    val toks = InvertedIndex.queryTokens(phrase)
+    val brute = docs.collect().flatMap { r =>
+      val ts = r.getString(1).toLowerCase.trim.split("\\s+")
+        .filter(_.nonEmpty).toSeq
+      val anchors = (0 to ts.length - toks.length)
+        .filter(a => toks.indices.forall(i => ts(a + i) == toks(i)))
+      if (anchors.isEmpty) None
+      else Some(r.getLong(0) -> ((anchors.size.toLong, anchors.min.toLong)))
+    }.toMap
+    assert(brute.nonEmpty, "fixture phrase must occur at sf0.001")
+    assert(got === brute)
+  }
+
+  test("persisted index: probe reads ONLY the query tokens' buckets") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(100)
+    val post = InvertedIndex.postings(docs, "text", "doc_id")
+    InvertedIndex.writeBuckets(post, dir, nBuckets = 16)
+    val toks = InvertedIndex.queryTokens("big order scan")
+    val opened = InvertedIndex.openBuckets(spark, dir, toks, nBuckets = 16)
+    // compute the expected bucket set through the engine's own hash
+    val expected = toks.toDF("token")
+      .select(pmod(xxhash64($"token"), lit(16L))).as[Long]
+      .collect().toSet
+    // inputFiles ignores partition pruning — read the EXECUTED plan's
+    // selected partition dirs instead
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = opened.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    val readBuckets = scan.selectedPartitions.toPartitionArray.map { f =>
+      val p = f.urlEncodedPath
+      val m = "bucket=(\\d+)".r.findFirstMatchIn(p)
+      assert(m.isDefined, s"non-partitioned file read: $p")
+      m.get.group(1).toLong
+    }.toSet
+    assert(readBuckets.subsetOf(expected),
+      s"probe read buckets $readBuckets beyond the query's $expected")
+    // and the pruned probe agrees with the in-memory index
+    val a = InvertedIndex.phraseSearch(opened, "big order scan")
+      .as[(Long, Long, Long)].collect().toSet
+    val b = InvertedIndex.phraseSearch(post, "big order scan")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("bm25: monotone in tf, bounded by idf·(k1+1) equivalent, ties by doc_id") {
+    val docs = Seq(
+      (1L, "q q q q filler filler filler filler"),
+      (2L, "q filler filler filler filler filler filler filler"),
+      (3L, "filler filler filler filler filler filler filler filler"),
+      (4L, "q filler filler filler filler filler filler filler"))
+      .toDF("doc_id", "text")
+    val got = InvertedIndex.bm25TopK(docs, "text", "doc_id", "q", k = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    // only q-bearing docs score; higher tf ranks first; tie 2-vs-4 by id
+    assert(got.map(_._2).toSeq === Seq(1L, 2L, 4L))
+    assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    val scores = got.map(_._3)
+    assert(scores(0) > scores(1) && scores(1) == scores(2))
+    // integer-BM25 per-term score is < idf_m · (k1+1): s < idf · 11/5
+    val idf = (4L * 1000L) / 3L
+    assert(scores.forall(_ <= idf * 11L / 5L + 1))
+  }
+
+  test("bm25 differential on testdata: engine == driver-side recompute") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val query = "hash join table"
+    val got = InvertedIndex.bm25TopK(docs, "text", "doc_id", query, k = 15)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val terms = InvertedIndex.queryTokens(query).distinct
+    val all = docs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq)
+    val n = all.length.toLong
+    val t = all.map(_._2.size.toLong).sum
+    val dfm = terms.map(w =>
+      w -> all.count(_._2.contains(w)).toLong).toMap
+    val exp = all.flatMap { case (id, ts) =>
+      val dl = ts.size.toLong
+      val per = terms.flatMap { w =>
+        val tf = ts.count(_ == w).toLong
+        if (tf == 0) None
+        else Some((n * 1000L / dfm(w)) * (tf * 22L * t) /
+          (10L * t * tf + 3L * t + 9L * dl * n))
+      }
+      if (per.isEmpty) None else Some((id, per.sum, per.size.toLong))
+    }.sortBy { case (id, s, _) => (-s, id) }.take(15).zipWithIndex
+      .map { case ((id, s, nt), i) => (i + 1L, id, s, nt) }.toSeq
+    assert(got === exp)
+  }
+}
