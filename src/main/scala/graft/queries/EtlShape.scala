@@ -726,10 +726,42 @@ object EtlShape {
             GROUP BY o_orderpriority
             ORDER BY o_orderpriority"""))
 
+  /** S30: SCD Type 2 dimension build — orders replayed as each
+    * customer's order-priority change feed; one row per contiguous run
+    * of equal priority with its validity interval (operators/Scd.scala;
+    * incremental applyDelta path spec-verified in ScdSpec). The oracle
+    * replays the identical run-collapse with window functions. */
+  val scd2Build: GQuery = GQuery(
+    "s30_scd2",
+    (s, d) => graft.operators.Scd.scd2(
+      Tables.orders(s, d).select(
+        col("o_custkey").as("custkey"),
+        col("o_orderpriority").as("priority"),
+        col("o_orderdate").as("ts"),
+        col("o_orderkey").as("oid")),
+      keyCols = Seq("custkey"), attrCols = Seq("priority"),
+      tsCol = "ts", idCol = "oid")
+      .orderBy(col("custkey"), col("valid_from"), col("change_id")),
+    Some("""WITH c AS (SELECT o_custkey AS custkey,
+              o_orderpriority AS priority, o_orderdate AS ts,
+              o_orderkey AS oid FROM orders),
+            l AS (SELECT *, lag(priority) OVER
+                (PARTITION BY custkey ORDER BY ts, oid) AS prev FROM c),
+            ch AS (SELECT custkey, priority, ts, oid FROM l
+              WHERE prev IS NULL OR prev <> priority),
+            v AS (SELECT custkey, priority, oid AS change_id,
+                ts AS valid_from,
+                lead(ts) OVER (PARTITION BY custkey ORDER BY ts, oid)
+                  AS valid_to
+              FROM ch)
+            SELECT custkey, priority, change_id, valid_from, valid_to,
+              (valid_to IS NULL) AS is_current
+            FROM v ORDER BY custkey, valid_from, change_id"""))
+
   val all: Seq[GQuery] =
     Seq(goldEnrich, multimodalMeta, imageDecode, audioDecode, ingestReplay,
       unionScan, prunedScan, partitionedScan, bucketedJoin, mergeUpsert,
       cdcApply, bloomPrunedScan, imageNearDupsQ, incrementalView,
       incrementalDistinct, joinView, versionChanges, timeTravel,
-      deletionVectors)
+      deletionVectors, scd2Build)
 }
