@@ -933,6 +933,62 @@ object Relational {
               min(o_orderstatus), max(o_orderstatus) FROM orders
             ORDER BY column_name"""))
 
+  /** Point-in-time enrichment: 2000+ orders pick up the customer's
+    * standing order-priority AS OF the order date from an SCD2 dimension
+    * built over the pre-2000 feed (operators/Scd.scala + AsOfJoin — the
+    * single-shuffle alternative to a fact×dim interval join, which at
+    * 100 TB would materialize the fact-to-every-historical-version pair
+    * space before filtering). Oracle: run-collapse in SQL, then a
+    * correlated LATERAL top-1 per fact. */
+  val qPitJoin: GQuery = GQuery(
+    "j11_pit_join",
+    (s, d) => {
+      val o = ord(s, d)
+      val cut = lit("2000-01-01").cast("timestamp")
+      val dim = graft.operators.Scd.scd2(
+        o.filter(col("o_orderdate") < cut).select(
+          col("o_custkey").as("custkey"),
+          col("o_orderpriority").as("priority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ts"),
+          col("o_orderkey").as("oid")),
+        keyCols = Seq("custkey"), attrCols = Seq("priority"),
+        tsCol = "ts", idCol = "oid")
+        .select(col("custkey"), col("priority"),
+          col("valid_from").as("ts"), col("change_id"))
+      val facts = o.filter(col("o_orderdate") >= cut).select(
+        col("o_orderkey"), col("o_custkey").as("custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("ts"))
+      graft.operators.AsOfJoin
+        .asofJoin(facts, dim, key = "custkey", ts = "ts",
+          rightTiebreak = "change_id", rightCols = Seq("priority"))
+        .select(col("o_orderkey"), col("custkey"),
+          col("ts").as("order_ts_us"),
+          // -1/'NONE' sentinels: nullable int64 degrades to float64 in
+          // pandas-style comparators (j6 house rule)
+          coalesce(col("asof_ts"), lit(-1L)).as("prio_since_us"),
+          coalesce(col("asof_priority"), lit("NONE")).as("prio_asof"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH c AS (SELECT o_custkey AS custkey,
+              o_orderpriority AS priority, epoch_us(o_orderdate) AS ts,
+              o_orderkey AS oid FROM orders
+              WHERE o_orderdate < TIMESTAMP '2000-01-01'),
+            l AS (SELECT *, lag(priority) OVER
+                (PARTITION BY custkey ORDER BY ts, oid) AS prev FROM c),
+            ch AS (SELECT custkey, priority, ts, oid FROM l
+              WHERE prev IS NULL OR prev <> priority),
+            f AS (SELECT o_orderkey, o_custkey AS custkey,
+                epoch_us(o_orderdate) AS ts FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+            SELECT f.o_orderkey, f.custkey, f.ts AS order_ts_us,
+              coalesce(p.ts, -1) AS prio_since_us,
+              coalesce(p.priority, 'NONE') AS prio_asof
+            FROM f LEFT JOIN LATERAL (
+              SELECT ts, priority FROM ch
+              WHERE ch.custkey = f.custkey AND ch.ts <= f.ts
+              ORDER BY ts DESC, oid DESC LIMIT 1) p ON true
+            ORDER BY f.o_orderkey"""))
+
   val all: Seq[GQuery] = Seq(
     q1Agg, q3Shipping, q5LocalSupplier, q10Returned, q12Priority, q14Promo,
     q18LargeVolume, qMode, qColumnProfile, qHeavyHitters,
@@ -941,5 +997,5 @@ object Relational {
     qWatermarkFilter, qDedupFirstSeen, qTopN, qLastKPerKey, qTopNPerKey,
     qUnion, qSetDiff,
     qOrderedExport, qAsof, qApproxDistinct, qBottomKSketch, qSketchSetOps,
-    qCmsSketch, qRowLookup, qHead, qHllUnion)
+    qCmsSketch, qRowLookup, qHead, qHllUnion, qPitJoin)
 }
