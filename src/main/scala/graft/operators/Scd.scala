@@ -85,6 +85,16 @@ object Scd {
       attrCols: Seq[String], tsCol: String, idCol: String): DataFrame = {
     val touched = delta.select(keyCols.map(col): _*).distinct()
     val keep = current.join(broadcast(touched), keyCols, "left_anti")
+    keep.unionByName(
+      rebuildKeys(current, delta, keyCols, attrCols, tsCol, idCol))
+  }
+
+  /** Just the rebuilt rows for the keys `delta` mentions — the piece a
+    * streaming sink swaps in place (delete touched keys + append this)
+    * without ever planning the untouched-rows branch. */
+  def rebuildKeys(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], tsCol: String, idCol: String): DataFrame = {
+    val touched = delta.select(keyCols.map(col): _*).distinct()
     // affected history, re-expressed as change rows: every stored
     // change point IS an observed state (ts=valid_from, id=change_id)
     val history = current.join(broadcast(touched), keyCols, "left_semi")
@@ -92,7 +102,7 @@ object Scd {
         col("valid_from").as(tsCol) :+ col("change_id").as(idCol): _*)
     val feed = history.unionByName(
       delta.select((keyCols ++ attrCols ++ Seq(tsCol, idCol)).map(col): _*))
-    keep.unionByName(scd2(feed, keyCols, attrCols, tsCol, idCol))
+    scd2(feed, keyCols, attrCols, tsCol, idCol)
   }
 
   /** Point-in-time join helper: the dimension rows valid at `asOf`

@@ -396,6 +396,58 @@ class StreamingSpec extends SparkSpec {
       s"purge must retire folded tombstones: ${t.liveDvEntries(segsNow)}")
   }
 
+  test("ST14: streaming SCD2 sink — per-batch rebuild touches only the batch's keys; replay idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.ManagedParquetTable
+    import graft.streaming.BronzeIngest
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_scd2s").toString
+    val t = new ManagedParquetTable(spark, s"$dir/dim")
+    val in = MemoryStream[(Long, String, Long, Long)]
+    val q = in.toDF().toDF("k", "attr", "ts", "id")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        BronzeIngest.scd2Batch(t, batch, Seq("k"), Seq("attr"), "ts", "id")
+      }.start()
+    def state(): Seq[(Long, String, Long, Long, Option[Long], Boolean)] =
+      t.read().collect().map { r =>
+        (r.getAs[Long]("k"), r.getAs[String]("attr"),
+          r.getAs[Long]("change_id"), r.getAs[Long]("valid_from"),
+          Option(r.getAs[Any]("valid_to")).map(_.asInstanceOf[Long]),
+          r.getAs[Boolean]("is_current"))
+      }.toSeq.sortBy(x => (x._1, x._4, x._3))
+    in.addData((1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (2L, "X", 10L, 102L))
+    q.processAllAvailable()
+    assert(state() == Seq(
+      (1L, "A", 100L, 10L, None, true), (2L, "X", 102L, 10L, None, true)))
+    // batch 2 touches keys 1 and 3 only: key 2's row must survive the
+    // swap untouched (the O(touched-keys) contract)
+    in.addData((1L, "B", 30L, 103L), (3L, "Y", 5L, 104L))
+    q.processAllAvailable()
+    q.stop()
+    val want = Seq(
+      (1L, "A", 100L, 10L, Some(30L), false),
+      (1L, "B", 103L, 30L, None, true),
+      (2L, "X", 102L, 10L, None, true),
+      (3L, "Y", 104L, 5L, None, true))
+    assert(state() == want)
+    // sink state == batch build over the full feed
+    val full = graft.operators.Scd.scd2(
+      Seq((1L, "A", 10L, 100L), (1L, "A", 20L, 101L), (2L, "X", 10L, 102L),
+        (1L, "B", 30L, 103L), (3L, "Y", 5L, 104L)).toDF("k", "attr", "ts", "id"),
+      Seq("k"), Seq("attr"), "ts", "id")
+    assert(t.read().except(full).isEmpty && full.except(t.read()).isEmpty)
+    // REPLAY batch 2 (foreachBatch re-delivery): each replayed row sorts
+    // adjacent to the change point it already created and collapses —
+    // state must not change
+    BronzeIngest.scd2Batch(t,
+      Seq((1L, "B", 30L, 103L), (3L, "Y", 5L, 104L)).toDF("k", "attr", "ts", "id"),
+      Seq("k"), Seq("attr"), "ts", "id")
+    assert(state() == want)
+  }
+
   test("ST10: streaming session windows merge within gap, split beyond, finalize on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
