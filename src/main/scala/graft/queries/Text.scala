@@ -771,10 +771,55 @@ object Text {
             SELECT rank, doc_id, score, n_terms FROM r
             WHERE rank <= 20 ORDER BY rank"""))
 
+  /** t16: BM25 served from the MAINTAINED persisted index — build on
+    * 2/3 of the corpus, append the rest (new bucket files only), then
+    * tombstone every doc_id ≡ 7 (mod 10) without rewriting a bucket
+    * (the index-side deletion-vector mirror). The probe reads the query
+    * terms' buckets + a one-row corpus sidecar, so its cost is
+    * O(query-term postings) at any corpus size. The oracle is t15's
+    * scoring restricted to the live documents. */
+  val bm25IndexedQ: GQuery = GQuery(
+    "t16_bm25_indexed",
+    (s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_t16").toString
+      val docsDf = docs(s, d).select(col("doc_id"), col("text"))
+      val I = graft.text.InvertedIndex
+      I.buildIndex(docsDf.where(col("doc_id") % 3 =!= 2),
+        "text", "doc_id", dir)
+      I.appendDocs(docsDf.where(col("doc_id") % 3 === 2),
+        "text", "doc_id", dir)
+      I.deleteDocs(docsDf.where(col("doc_id") % 10 === 7),
+        "text", "doc_id", dir)
+      I.bm25TopKIndexed(s, dir, "hash join table", k = 20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents
+              WHERE doc_id % 10 <> 7),
+            lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+            corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS BIGINT) AS tt FROM lens),
+            tf AS (SELECT doc_id, tok AS token,
+              CAST(count(*) AS BIGINT) AS tf
+              FROM t, unnest(toks) AS u(tok)
+              WHERE tok IN ('hash', 'join', 'table') GROUP BY 1, 2),
+            dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+            sc AS (SELECT doc_id,
+              (((n * 1000) // df) * (tf * 22 * tt))
+                // (10 * tt * tf + 3 * tt + 9 * dl * n) AS s
+              FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id),
+                corpus),
+            agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score,
+              count(*) AS n_terms FROM sc GROUP BY 1),
+            r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC,
+              doc_id) AS BIGINT) AS rank, doc_id, score, n_terms FROM agg)
+            SELECT rank, doc_id, score, n_terms FROM r
+            WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, weightedSampleQ,
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
-      bm25Q)
+      bm25Q, bm25IndexedQ)
 }

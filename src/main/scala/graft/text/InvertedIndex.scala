@@ -117,6 +117,146 @@ object InvertedIndex {
       .select(col("token"), col("doc_id"), col("pos"))
   }
 
+  // ---------------------------------------------------------------------
+  // Persisted retrieval index: postings carry the doc length, so a BM25
+  // probe needs NOTHING doc-keyed beyond the query terms' own buckets.
+  // ---------------------------------------------------------------------
+
+  /** Build a complete retrieval index under `path`:
+    *   - `postings/`  — bucketed flat postings EXTENDED with the doc's
+    *     token count `dl` (denormalized on purpose: within a bucket rows
+    *     sort by (token, doc_id), so `dl` run-length-encodes to almost
+    *     nothing, and carrying it means a BM25 probe never joins a
+    *     corpus-sized doc-length table — the probe's input is exactly
+    *     the query terms' posting lists);
+    *   - `corpus/`    — one-row corpus scalars (n_docs, n_tokens);
+    *   - `tombstones/` is absent until [[deleteDocs]] writes one.
+    * Per-term document frequency is NOT stored: a probe derives
+    * `df = count_distinct(doc_id)` from the very postings it already
+    * read, which is exact by construction. */
+  def buildIndex(docs: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val post = toks.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"),
+      posexplode(col("__toks")).as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"),
+        col("dl"))
+    writeBuckets(post, s"$path/postings", nBuckets)
+    toks.select(size(col("__toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+  }
+
+  /** Append new documents to an index built by [[buildIndex]]: their
+    * postings land as new files in the token buckets they hash to (no
+    * existing file is touched) and the corpus scalars gain a delta row
+    * ([[corpusStats]] sums the rows at probe time). O(new docs). */
+  def appendDocs(docs: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("__toks"))
+    val post = toks.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"),
+      posexplode(col("__toks")).as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"),
+        col("dl"))
+    post
+      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("token", "doc_id", "pos")
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    toks.select(size(col("__toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .coalesce(1).write.mode("append").parquet(s"$path/corpus")
+  }
+
+  /** Remove documents from the index WITHOUT rewriting any bucket: the
+    * doc ids land in a tombstone sidecar (with their token counts, so
+    * the corpus scalars adjust exactly) that probes anti-join — the
+    * inverted-index mirror of the table layer's deletion vectors.
+    * `docs` must carry the SAME (textCol, idCol) the doc was indexed
+    * with (the dl is re-derived). O(deleted docs) per call; a corpus
+    * with heavy churn should periodically [[buildIndex]] fresh. */
+  def deleteDocs(docs: DataFrame, textCol: String, idCol: String,
+      path: String): Unit =
+    docs.select(col(idCol).as("doc_id"),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+  }
+
+  /** Live corpus scalars `(n_docs, n_tokens)`: build row + append deltas,
+    * minus tombstoned docs. A one-row frame for broadcasting. */
+  def corpusStats(spark: SparkSession, path: String): DataFrame = {
+    val base = spark.read.parquet(s"$path/corpus")
+      .agg(sum(col("n_docs")).as("__n"), sum(col("n_tokens")).as("__t"))
+    tombstones(spark, path) match {
+      case None => base
+      case Some(ts) =>
+        val dead = ts.agg(count(lit(1)).as("__dn"), sum(col("dl")).as("__dt"))
+        base.crossJoin(dead).select(
+          (col("__n") - col("__dn")).as("__n"),
+          (col("__t") - coalesce(col("__dt"), lit(0L))).as("__t"))
+    }
+  }
+
+  /** Query-term postings from a persisted index: bucket-pruned, token
+    * filter pushed to parquet, tombstoned docs anti-joined out
+    * (broadcast — tombstone lists are probe-small by contract). */
+  def openIndex(spark: SparkSession, path: String, tokens: Seq[String],
+      nBuckets: Int = DefaultBuckets): DataFrame = {
+    require(tokens.nonEmpty, "empty token list")
+    import spark.implicits._
+    val buckets = tokens.toDF("token")
+      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong))).distinct()
+      .collect().map(_.getLong(0))
+    val post = spark.read.parquet(s"$path/postings")
+      .where(col("bucket").isin(buckets: _*) && col("token").isin(tokens: _*))
+      .select(col("token"), col("doc_id"), col("pos"), col("dl"))
+    tombstones(spark, path) match {
+      case None => post
+      case Some(ts) =>
+        post.join(broadcast(ts.select(col("doc_id"))), Seq("doc_id"),
+          "left_anti")
+    }
+  }
+
+  /** BM25 top-k served ENTIRELY from the persisted index: reads the
+    * query terms' buckets and the one-row corpus sidecar, nothing else —
+    * probe cost is O(query-term postings) regardless of corpus size.
+    * Bit-identical to [[bm25TopK]] over the same live documents (same
+    * integer-exact scoring; df derived from the probed postings). */
+  def bm25TopKIndexed(spark: SparkSession, path: String, query: String,
+      k: Int, nBuckets: Int = DefaultBuckets): DataFrame = {
+    val terms = queryTokens(query).distinct
+    require(terms.nonEmpty, "empty query")
+    val post = openIndex(spark, path, terms, nBuckets)
+    val tf = post.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf
+      .join(broadcast(df), "token")
+      .crossJoin(broadcast(corpusStats(spark, path)))
+      .withColumn("__s",
+        expr("(((__n * 1000) div df) * (tf * 22 * __t)) div " +
+          "(10 * __t * tf + 3 * __t + 9 * dl * __n)"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__s")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("rank").cast("long").as("rank"), col("doc_id"),
+        col("score"), col("n_terms"))
+  }
+
   /** BM25-ranked top-k documents for a bag-of-words query, with
     * integer-exact scoring (see object doc). Output:
     * `(rank, doc_id, score, n_terms)` ordered by rank, where

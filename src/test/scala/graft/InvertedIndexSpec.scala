@@ -134,4 +134,75 @@ class InvertedIndexSpec extends SparkSpec {
       .map { case ((id, s, nt), i) => (i + 1L, id, s, nt) }.toSeq
     assert(got === exp)
   }
+
+  test("indexed bm25 == direct bm25; probe still bucket-pruned after append") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx2").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    InvertedIndex.buildIndex(docs, "text", "doc_id", dir, nBuckets = 16)
+    val query = "hash join table"
+    val a = InvertedIndex.bm25TopKIndexed(spark, dir, query, k = 15,
+      nBuckets = 16).as[(Long, Long, Long, Long)].collect().toSeq
+    val b = InvertedIndex.bm25TopK(docs, "text", "doc_id", query, k = 15)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a === b)
+    // the indexed probe reads only the query terms' buckets
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val probe = InvertedIndex.openIndex(spark, dir,
+      InvertedIndex.queryTokens(query).distinct, nBuckets = 16)
+    val expected = InvertedIndex.queryTokens(query).distinct.toDF("token")
+      .select(pmod(xxhash64($"token"), lit(16L))).as[Long].collect().toSet
+    val scan = probe.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    val readBuckets = scan.selectedPartitions.toPartitionArray.map { f =>
+      "bucket=(\\d+)".r.findFirstMatchIn(f.urlEncodedPath).get.group(1).toLong
+    }.toSet
+    assert(readBuckets.subsetOf(expected), s"$readBuckets vs $expected")
+  }
+
+  test("incremental index: append + tombstone == fresh build on the live set") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx3").toString
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_invidx4").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // lifecycle: build on 2/3 of the corpus, append the rest, tombstone
+    // every doc_id % 10 == 7 — no bucket file is rewritten at any step
+    InvertedIndex.buildIndex(docs.where($"doc_id" % 3 =!= 2),
+      "text", "doc_id", dir, nBuckets = 16)
+    val before = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified()).toMap
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 3 === 2),
+      "text", "doc_id", dir, nBuckets = 16)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 7),
+      "text", "doc_id", dir)
+    val after = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles())
+      .map(f => f.getPath -> f.lastModified()).toMap
+    assert(before.forall { case (p, m) => after.get(p).contains(m) },
+      "append/tombstone must not rewrite existing bucket files")
+    val live = docs.where($"doc_id" % 10 =!= 7)
+    InvertedIndex.buildIndex(live, "text", "doc_id", fresh, nBuckets = 16)
+    for (q <- Seq("hash join table", "big order scan")) {
+      val inc = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20,
+        nBuckets = 16).as[(Long, Long, Long, Long)].collect().toSeq
+      val ref = InvertedIndex.bm25TopKIndexed(spark, fresh, q, k = 20,
+        nBuckets = 16).as[(Long, Long, Long, Long)].collect().toSeq
+      assert(inc === ref, s"query '$q' diverged after incremental update")
+      assert(inc.nonEmpty)
+    }
+    // phrase search through the same maintained index: tombstoned docs
+    // must not surface
+    val ph = InvertedIndex.phraseSearch(
+      InvertedIndex.openIndex(spark, dir,
+        InvertedIndex.queryTokens("big order scan"), nBuckets = 16),
+      "big order scan").select($"doc_id").as[Long].collect().toSet
+    val phRef = InvertedIndex.phraseSearch(
+      InvertedIndex.postings(live, "text", "doc_id"), "big order scan")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(ph === phRef)
+  }
 }

@@ -98,7 +98,8 @@ class PlanSpec extends SparkSpec {
       "t12_curriculum" -> "Ranking histogram offsets (bounded coarse keys)",
       "c3_budget_select" -> "Ranking histogram offsets (bounded coarse keys)",
       "f16_sequential_id" -> "25-row lookup frame (reference-exact)",
-      "t15_bm25" -> "row_number over the top-k frame AFTER limit(k) (≤20 rows)")
+      "t15_bm25" -> "row_number over the top-k frame AFTER limit(k) (≤20 rows)",
+      "t16_bm25_indexed" -> "row_number over the top-k frame AFTER limit(k) (≤20 rows)")
     val found = Catalog.all.map { q =>
       q.name -> q.run(spark, sf).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
