@@ -816,10 +816,40 @@ object Text {
             SELECT rank, doc_id, score, n_terms FROM r
             WHERE rank <= 20 ORDER BY rank"""))
 
+  /** t17: N-phrase decontamination probe in ONE pass — every phrase in
+    * the benchmark set matched against the corpus with a single
+    * (doc, phrase, anchor) shuffle (InvertedIndex.multiPhraseSearch);
+    * probing more phrases adds broadcast rows, not jobs. Oracle: one
+    * token-window enumeration per phrase, unioned. */
+  val multiPhraseQ: GQuery = {
+    val phrases = Seq("big order scan", "slow hash batch", "filter merge data")
+    def oracleFor(pid: Int): String = {
+      val toks = phrases(pid).split(" ")
+      val conds = toks.zipWithIndex
+        .map { case (t, o) => s"toks[i+$o] = '$t'" }.mkString(" AND ")
+      s"""SELECT doc_id, CAST($pid AS BIGINT) AS phrase_id,
+            count(*) AS n_hits, min(anchor) AS first_pos
+          FROM (SELECT doc_id, CAST(i - 1 AS BIGINT) AS anchor
+            FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+            WHERE i + ${toks.length - 1} <= len(toks) AND $conds) m$pid
+          GROUP BY doc_id"""
+    }
+    GQuery(
+      "t17_multi_phrase",
+      (s, d) => graft.text.InvertedIndex.multiPhraseSearch(
+        graft.text.InvertedIndex.postings(
+          docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id"),
+        phrases)
+        .orderBy(col("doc_id"), col("phrase_id")),
+      Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents)
+              ${phrases.indices.map(oracleFor).mkString(" UNION ALL ")}
+              ORDER BY doc_id, phrase_id"""))
+  }
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, weightedSampleQ,
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
-      bm25Q, bm25IndexedQ)
+      bm25Q, bm25IndexedQ, multiPhraseQ)
 }

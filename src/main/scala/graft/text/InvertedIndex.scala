@@ -73,13 +73,60 @@ object InvertedIndex {
       .select(col("doc_id"),
         (col("pos") - col("__q_off")).as("anchor"), col("__q_off"))
       .where(col("anchor") >= 0)
-      // an anchor is a phrase occurrence iff all k offsets are supported
+      // an anchor is a phrase occurrence iff all k offsets are supported.
+      // Plain count, not count_distinct: within a (doc, anchor) group an
+      // offset o pins pos = anchor + o, and (doc_id, pos) keys exactly
+      // one posting row joined to exactly one (token, o) query row — a
+      // duplicate offset is structurally impossible, and count_distinct
+      // would cost a second wide exchange (distinct-agg expansion)
       .groupBy(col("doc_id"), col("anchor"))
-      .agg(count_distinct(col("__q_off")).as("__n_off"))
+      .agg(count(lit(1)).as("__n_off"))
       .where(col("__n_off") === k)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
   }
+
+  /** All of `phrases` matched in ONE pass: the postings join a single
+    * broadcast (token → phrase, offset, len) frame and one
+    * `(doc, phrase, anchor)` shuffle scores every phrase at once —
+    * probing N benchmark phrases costs one job, not N (the
+    * index-accelerated decontamination shape: at 100 TB the corpus-side
+    * postings are read once per QUERY BATCH, and only the union of the
+    * phrases' tokens at that). Output:
+    * `(doc_id, phrase_id, n_hits, first_pos)`; `phrase_id` is the
+    * 0-based position in `phrases`. */
+  def multiPhraseSearch(idx: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "no phrases")
+    val rows = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      val toks = queryTokens(p)
+      require(toks.nonEmpty, s"empty phrase at $pid")
+      toks.zipWithIndex.map { case (t, o) =>
+        (pid.toLong, t, o.toLong, toks.length.toLong)
+      }
+    }
+    val spark = idx.sparkSession
+    import spark.implicits._
+    val offDf = rows.toDF("__pid", "__q_token", "__q_off", "__k")
+    idx
+      .join(broadcast(offDf), col("token") === col("__q_token"))
+      .select(col("doc_id"), col("__pid"),
+        (col("pos") - col("__q_off")).as("anchor"), col("__q_off"), col("__k"))
+      .where(col("anchor") >= 0)
+      // plain count per (doc, phrase, anchor): same uniqueness argument
+      // as [[phraseSearch]] — (doc_id, pos=anchor+off) keys one posting
+      // row and (pid, off) keys one query row
+      .groupBy(col("doc_id"), col("__pid"), col("anchor"))
+      .agg(count(lit(1)).as("__n_off"), max(col("__k")).as("__k2"))
+      .where(col("__n_off") === col("__k2"))
+      .groupBy(col("doc_id"), col("__pid"))
+      .agg(count(lit(1)).as("n_hits"), min(col("anchor")).as("first_pos"))
+      .withColumnRenamed("__pid", "phrase_id")
+  }
+
+  /** Union of every phrase's token set — the narrowing set to pass
+    * [[openBuckets]]/[[openIndex]] before a [[multiPhraseSearch]]. */
+  def phraseTokens(phrases: Seq[String]): Seq[String] =
+    phrases.flatMap(queryTokens).distinct
 
   /** Number of `bucket=` partition dirs a persisted index uses. */
   val DefaultBuckets = 64

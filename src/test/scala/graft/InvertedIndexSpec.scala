@@ -89,6 +89,35 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("multiPhraseSearch == per-phrase phraseSearch, one broadcast join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val idx = InvertedIndex.postings(docs, "text", "doc_id")
+    val phrases = Seq("big order scan", "group slow spark", "a a a")
+    val multi = InvertedIndex.multiPhraseSearch(idx, phrases)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val single = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      InvertedIndex.phraseSearch(idx, p)
+        .as[(Long, Long, Long)].collect()
+        .map { case (d, n, fp) => (d, pid.toLong, n, fp) }
+    }.toSet
+    assert(multi === single)
+    assert(multi.exists(_._2 == 0L), "fixture phrase 0 must occur")
+    // one job for N phrases: a single shuffle feeds every phrase's score
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try InvertedIndex.multiPhraseSearch(idx, phrases)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    val ex = plan.collect { case e: ShuffleExchangeExec => e }
+    // one wide (doc,pid,anchor) exchange over the postings plus one
+    // tiny (doc,pid) exchange over CONFIRMED occurrences — phrase count
+    // never multiplies the wide pass
+    assert(ex.size <= 2, s"expected ≤2 exchanges for 3 phrases, got ${ex.size}")
+  }
+
   test("bm25: monotone in tf, bounded by idf·(k1+1) equivalent, ties by doc_id") {
     val docs = Seq(
       (1L, "q q q q filler filler filler filler"),
