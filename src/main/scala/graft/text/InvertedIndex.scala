@@ -176,11 +176,21 @@ object InvertedIndex {
     *     nothing, and carrying it means a BM25 probe never joins a
     *     corpus-sized doc-length table — the probe's input is exactly
     *     the query terms' posting lists);
-    *   - `corpus/`    — one-row corpus scalars (n_docs, n_tokens);
+    *   - `corpus/`    — one row of corpus scalars (n_docs, n_tokens)
+    *     PER build/append commit; the row count doubles as the index
+    *     GENERATION counter;
     *   - `tombstones/` is absent until [[deleteDocs]] writes one.
     * Per-term document frequency is NOT stored: a probe derives
     * `df = count_distinct(doc_id)` from the very postings it already
-    * read, which is exact by construction. */
+    * read, which is exact by construction.
+    *
+    * Generations make delete + re-insert of the same doc id sound: every
+    * posting row carries the generation it was written at, a tombstone
+    * records the generation it was issued at, and a tombstone kills only
+    * OLDER postings of its doc (`gen < tombstone.gen`) — exactly the
+    * version-scoped semantics of the table layer's deletion vectors, so
+    * a rewriting table commit (survivors re-emitted by the change feed
+    * as delete + insert) round-trips through [[applyChanges]]. */
   def buildIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = DefaultBuckets): Unit = {
     val toks = docs.select(col(idCol).as("doc_id"),
@@ -189,12 +199,21 @@ object InvertedIndex {
       size(col("__toks")).cast("long").as("dl"),
       posexplode(col("__toks")).as(Seq("pos", "token")))
       .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"),
-        col("dl"))
+        col("dl"), lit(0L).as("gen"))
     writeBuckets(post, s"$path/postings", nBuckets)
+    toks.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"), lit(0L).as("gen"))
+      .write.mode("overwrite").parquet(s"$path/doclen")
     toks.select(size(col("__toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
   }
+
+  /** Current index generation = number of build/append commits (each
+    * writes exactly one corpus row; single-writer contract as the
+    * table layer). Planning-sized read. */
+  def generation(spark: SparkSession, path: String): Long =
+    spark.read.parquet(s"$path/corpus").count()
 
   /** Append new documents to an index built by [[buildIndex]]: their
     * postings land as new files in the token buckets they hash to (no
@@ -202,18 +221,22 @@ object InvertedIndex {
     * ([[corpusStats]] sums the rows at probe time). O(new docs). */
   def appendDocs(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val gen = generation(docs.sparkSession, path)
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__toks"))
     val post = toks.select(col("doc_id"),
       size(col("__toks")).cast("long").as("dl"),
       posexplode(col("__toks")).as(Seq("pos", "token")))
       .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"),
-        col("dl"))
+        col("dl"), lit(gen).as("gen"))
     post
       .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
       .repartition(col("bucket"))
       .sortWithinPartitions("token", "doc_id", "pos")
       .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    toks.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"))
+      .write.mode("append").parquet(s"$path/doclen")
     toks.select(size(col("__toks")).cast("long").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
       .coalesce(1).write.mode("append").parquet(s"$path/corpus")
@@ -223,14 +246,42 @@ object InvertedIndex {
     * doc ids land in a tombstone sidecar (with their token counts, so
     * the corpus scalars adjust exactly) that probes anti-join — the
     * inverted-index mirror of the table layer's deletion vectors.
-    * `docs` must carry the SAME (textCol, idCol) the doc was indexed
-    * with (the dl is re-derived). O(deleted docs) per call; a corpus
+    * Only doc ids CURRENTLY LIVE in the index tombstone (the request
+    * semi-joins the doclen sidecar): a change feed may report deletes
+    * for row versions the index never saw (a file added and rewritten
+    * inside one feed window), and a replayed delete batch must not
+    * double-subtract — filtering against membership makes both no-ops,
+    * with the subtracted `dl` taken from the INDEXED content, not the
+    * feed's. The tombstone is stamped with the current generation and
+    * kills only older postings of its doc, so a subsequent
+    * [[appendDocs]] re-insert is live. Cost: one narrow (doc_id, dl,
+    * gen) sidecar scan per maintenance call — probes never pay it. The
+    * delete batch is broadcast (trickle-sized by contract); a corpus
     * with heavy churn should periodically [[buildIndex]] fresh. */
   def deleteDocs(docs: DataFrame, textCol: String, idCol: String,
-      path: String): Unit =
-    docs.select(col(idCol).as("doc_id"),
-      size(TextFunctions.tokens(col(textCol))).cast("long").as("dl"))
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    val gen = generation(spark, path)
+    val victims = liveDocLens(spark, path)
+      .join(broadcast(docs.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("dl"), lit(gen).as("gen"))
+    victims.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  /** The live (doc_id, dl, gen) membership rows: doclen sidecar minus
+    * generation-scoped tombstones. */
+  private def liveDocLens(spark: SparkSession, path: String): DataFrame = {
+    val dls = spark.read.parquet(s"$path/doclen")
+    tombstones(spark, path) match {
+      case None => dls
+      case Some(ts) =>
+        dls.join(
+          broadcast(ts.select(col("doc_id").as("__td"), col("gen").as("__tg"))),
+          col("doc_id") === col("__td") && col("gen") < col("__tg"),
+          "left_anti")
+    }
+  }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -238,8 +289,30 @@ object InvertedIndex {
     if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
   }
 
-  /** Live corpus scalars `(n_docs, n_tokens)`: build row + append deltas,
-    * minus tombstoned docs. A one-row frame for broadcasting. */
+  /** Maintain the index from a managed document table's change feed
+    * (the t16 lifecycle driven by the lakehouse layer, mirroring the
+    * ANN index's v16 path): inserts append postings, deletes tombstone —
+    * O(changed docs), no bucket rewritten. `changes` is
+    * `ManagedParquetTable.changesSince` output (`_change_type`
+    * insert/delete) over a table carrying (idCol, textCol). */
+  def applyChanges(changes: DataFrame, textCol: String, idCol: String,
+      path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    val ins = changes.where(col("_change_type") === "insert")
+      .select(col(idCol), col(textCol))
+    val del = changes.where(col("_change_type") === "delete")
+      .select(col(idCol), col(textCol))
+    // deletes FIRST: the tombstones stamp the pre-append generation, so
+    // the appends (same doc id or not) stay live — a rewriting table
+    // commit's survivor rows (delete + insert pairs) round-trip
+    if (!del.isEmpty) deleteDocs(del, textCol, idCol, path)
+    if (!ins.isEmpty) appendDocs(ins, textCol, idCol, path, nBuckets)
+  }
+
+  /** Live corpus scalars `(n_docs, n_tokens)`: build/append delta rows
+    * minus tombstoned docs — one-row frames only, because [[deleteDocs]]
+    * guarantees every tombstone subtracts an actually-indexed doc
+    * exactly once (with its indexed dl). A one-row frame for
+    * broadcasting. */
   def corpusStats(spark: SparkSession, path: String): DataFrame = {
     val base = spark.read.parquet(s"$path/corpus")
       .agg(sum(col("n_docs")).as("__n"), sum(col("n_tokens")).as("__t"))
@@ -265,13 +338,19 @@ object InvertedIndex {
       .collect().map(_.getLong(0))
     val post = spark.read.parquet(s"$path/postings")
       .where(col("bucket").isin(buckets: _*) && col("token").isin(tokens: _*))
-      .select(col("token"), col("doc_id"), col("pos"), col("dl"))
-    tombstones(spark, path) match {
+      .select(col("token"), col("doc_id"), col("pos"), col("dl"), col("gen"))
+    val live = tombstones(spark, path) match {
       case None => post
       case Some(ts) =>
-        post.join(broadcast(ts.select(col("doc_id"))), Seq("doc_id"),
+        // generation-scoped: a tombstone kills only OLDER postings of
+        // its doc (equi on doc_id + gen guard — BroadcastHashJoin with
+        // a residual condition, tombstone lists are probe-small)
+        post.join(
+          broadcast(ts.select(col("doc_id").as("__td"), col("gen").as("__tg"))),
+          col("doc_id") === col("__td") && col("gen") < col("__tg"),
           "left_anti")
     }
+    live.drop("gen")
   }
 
   /** BM25 top-k served ENTIRELY from the persisted index: reads the

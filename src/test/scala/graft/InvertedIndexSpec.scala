@@ -118,6 +118,32 @@ class InvertedIndexSpec extends SparkSpec {
     assert(ex.size <= 2, s"expected ≤2 exchanges for 3 phrases, got ${ex.size}")
   }
 
+  test("index maintained from the table change feed == fresh build on the snapshot") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_invidx5").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val t = new graft.io.ManagedParquetTable(spark, s"$root/docs")
+    t.append(docs.where($"doc_id" % 3 =!= 2))
+    val v0 = t.version
+    InvertedIndex.buildIndex(t.read(), "text", "doc_id", s"$root/idx",
+      nBuckets = 16)
+    // table evolves: an append commit and a delete commit
+    t.append(docs.where($"doc_id" % 3 === 2))
+    t.deleteWhere($"doc_id" % 10 === 7)
+    InvertedIndex.applyChanges(t.changesSince(v0), "text", "doc_id",
+      s"$root/idx", nBuckets = 16)
+    InvertedIndex.buildIndex(t.read(), "text", "doc_id", s"$root/fresh",
+      nBuckets = 16)
+    val q = "hash join table"
+    val inc = InvertedIndex.bm25TopKIndexed(spark, s"$root/idx", q, k = 20,
+      nBuckets = 16).as[(Long, Long, Long, Long)].collect().toSeq
+    val ref = InvertedIndex.bm25TopKIndexed(spark, s"$root/fresh", q, k = 20,
+      nBuckets = 16).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(inc === ref)
+    assert(inc.nonEmpty)
+  }
+
   test("bm25: monotone in tf, bounded by idf·(k1+1) equivalent, ties by doc_id") {
     val docs = Seq(
       (1L, "q q q q filler filler filler filler"),
