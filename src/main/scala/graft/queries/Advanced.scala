@@ -558,7 +558,68 @@ object Advanced {
             FROM r3 ORDER BY node""")
     })
 
+  /** A20: ranking-function trio — ntile quartiles, percent_rank and
+    * cume_dist per market segment ordered by (acctbal, custkey). The
+    * two ratio functions are IEEE divisions of identical exact integer
+    * operands in both engines, scaled ×10⁶ and floored to BIGINT so the
+    * hash compare never touches float formatting. One shuffle on the
+    * partition key serves all three. */
+  val rankingTrio: GQuery = GQuery(
+    "a20_ranking_trio",
+    (s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank_ppm",
+          floor(percent_rank().over(w) * 1000000L).cast("long"))
+        .withColumn("cume_ppm",
+          floor(cume_dist().over(w) * 1000000L).cast("long"))
+        .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    },
+    Some("""SELECT c_mktsegment, c_custkey, c_acctbal,
+              CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+              CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT)
+                AS pct_rank_ppm,
+              CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT)
+                AS cume_ppm
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+              ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_mktsegment, c_acctbal, c_custkey"""))
+
+  /** J12: FULL OUTER join with key coalescing — early-era vs late-era
+    * per-customer order counts, keys surviving from EITHER side (the
+    * one join shape no other gate exercises; Spark's Seq-key join form
+    * coalesces the key columns exactly as the oracle's USING does).
+    * -1 sentinels keep the nullable int64 columns exact. */
+  val fullOuter: GQuery = GQuery(
+    "j12_full_outer",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val early = o.filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("early_cnt"))
+      val late = o.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("late_cnt"))
+      early.join(late, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          coalesce(col("early_cnt"), lit(-1L)).as("early_cnt"),
+          coalesce(col("late_cnt"), lit(-1L)).as("late_cnt"))
+        .orderBy(col("o_custkey"))
+    },
+    Some("""WITH e AS (SELECT o_custkey, count(*) AS early_cnt FROM orders
+              WHERE o_orderdate < TIMESTAMP '1997-01-01' GROUP BY 1),
+            l AS (SELECT o_custkey, count(*) AS late_cnt FROM orders
+              WHERE o_orderdate >= TIMESTAMP '2000-01-01' GROUP BY 1)
+            SELECT o_custkey,
+              coalesce(early_cnt, -1) AS early_cnt,
+              coalesce(late_cnt, -1) AS late_cnt
+            FROM e FULL OUTER JOIN l USING (o_custkey)
+            ORDER BY o_custkey"""))
+
   val all: Seq[GQuery] = Seq(sessionize, percentiles, approxPercentiles,
     rollupQ, cubeQ, pivot, rangeJoin, skewJoin, groupingSetsQ, windowFrames,
-    dppJoin, intervalOverlap, funnel, retention, pageRankQ, timeResample)
+    dppJoin, intervalOverlap, funnel, retention, pageRankQ, timeResample,
+    rankingTrio, fullOuter)
 }
