@@ -308,6 +308,48 @@ object InvertedIndex {
     if (!ins.isEmpty) appendDocs(ins, textCol, idCol, path, nBuckets)
   }
 
+  /** REORG the index: rewrite every bucket to its LIVE postings
+    * (generation-scoped tombstones applied), consolidate the per-commit
+    * append files each bucket accumulated, fold the corpus delta rows
+    * to one, reset generations to 0 and drop the tombstone sidecar —
+    * the index-side `compactDeletes`. One full postings scan; run it
+    * when tombstones or append-file counts cross an operational
+    * threshold so PROBE cost stays flat across the index's life. The
+    * swap is directory-level (single-writer contract, same as the
+    * maintenance ops); a crash mid-swap is recovered by rebuilding —
+    * the index is a derived artifact of the document table. */
+  def compactIndex(spark: SparkSession, path: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(path).getFileSystem(conf)
+    val livePost = {
+      val post = spark.read.parquet(s"$path/postings")
+      tombstones(spark, path) match {
+        case None => post
+        case Some(ts) =>
+          post.join(
+            broadcast(ts.select(col("doc_id").as("__td"),
+              col("gen").as("__tg"))),
+            col("doc_id") === col("__td") && col("gen") < col("__tg"),
+            "left_anti")
+      }
+    }.select(col("token"), col("doc_id"), col("pos"), col("dl"),
+      lit(0L).as("gen"))
+    writeBuckets(livePost, s"$path/postings.compact", nBuckets)
+    liveDocLens(spark, path)
+      .select(col("doc_id"), col("dl"), lit(0L).as("gen"))
+      .write.mode("overwrite").parquet(s"$path/doclen.compact")
+    spark.read.parquet(s"$path/doclen.compact")
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus.compact")
+    for (d <- Seq("postings", "doclen", "corpus")) {
+      fs.delete(new Path(s"$path/$d"), true)
+      fs.rename(new Path(s"$path/$d.compact"), new Path(s"$path/$d"))
+    }
+    fs.delete(new Path(s"$path/tombstones"), true)
+  }
+
   /** Live corpus scalars `(n_docs, n_tokens)`: build/append delta rows
     * minus tombstoned docs — one-row frames only, because [[deleteDocs]]
     * guarantees every tombstone subtracts an actually-indexed doc

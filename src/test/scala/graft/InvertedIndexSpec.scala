@@ -144,6 +144,51 @@ class InvertedIndexSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("compactIndex folds tombstones and append files; probes unchanged") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx6").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    // churn: build, two appends, two tombstone batches
+    InvertedIndex.buildIndex(docs.where($"doc_id" % 4 === 0),
+      "text", "doc_id", dir, nBuckets = 8)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 4 === 1),
+      "text", "doc_id", dir, nBuckets = 8)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 4 >= 2),
+      "text", "doc_id", dir, nBuckets = 8)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 7),
+      "text", "doc_id", dir)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 3),
+      "text", "doc_id", dir)
+    val q = "hash join table"
+    val before = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20,
+      nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    val filesBefore = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    InvertedIndex.compactIndex(spark, dir, nBuckets = 8)
+    val after = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20,
+      nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(after === before)
+    assert(before.nonEmpty)
+    val ph = InvertedIndex.phraseSearch(
+      InvertedIndex.openIndex(spark, dir,
+        InvertedIndex.queryTokens("big order scan"), nBuckets = 8),
+      "big order scan").count()
+    val phRef = InvertedIndex.phraseSearch(InvertedIndex.postings(
+      docs.where($"doc_id" % 10 =!= 7 && $"doc_id" % 10 =!= 3),
+      "text", "doc_id"), "big order scan").count()
+    assert(ph == phRef)
+    // physical state: tombstones gone, generation reset, fewer files
+    assert(!new java.io.File(s"$dir/tombstones").exists())
+    assert(InvertedIndex.generation(spark, dir) == 1L)
+    val filesAfter = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles())
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesAfter < filesBefore,
+      s"compaction must consolidate: $filesBefore -> $filesAfter")
+  }
+
   test("bm25: monotone in tf, bounded by idf·(k1+1) equivalent, ties by doc_id") {
     val docs = Seq(
       (1L, "q q q q filler filler filler filler"),
