@@ -83,8 +83,12 @@ object Scd {
     * schema. Untouched keys pass through without a window pass. */
   def applyDelta(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String], tsCol: String, idCol: String): DataFrame = {
+    // no forced broadcast on the touched-key set: a trickle batch
+    // broadcasts under AQE anyway, and a bulk backfill's key set must
+    // be allowed to degrade to a shuffle join instead of OOMing the
+    // driver at 100 TB
     val touched = delta.select(keyCols.map(col): _*).distinct()
-    val keep = current.join(broadcast(touched), keyCols, "left_anti")
+    val keep = current.join(touched, keyCols, "left_anti")
     keep.unionByName(
       rebuildKeys(current, delta, keyCols, attrCols, tsCol, idCol))
   }
@@ -96,8 +100,9 @@ object Scd {
       attrCols: Seq[String], tsCol: String, idCol: String): DataFrame = {
     val touched = delta.select(keyCols.map(col): _*).distinct()
     // affected history, re-expressed as change rows: every stored
-    // change point IS an observed state (ts=valid_from, id=change_id)
-    val history = current.join(broadcast(touched), keyCols, "left_semi")
+    // change point IS an observed state (ts=valid_from, id=change_id).
+    // AQE picks the semi-join strategy (see applyDelta's note)
+    val history = current.join(touched, keyCols, "left_semi")
       .select((keyCols ++ attrCols).map(col) :+
         col("valid_from").as(tsCol) :+ col("change_id").as(idCol): _*)
     val feed = history.unionByName(
