@@ -416,7 +416,7 @@ object WindowedStats {
 
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       within: String = "10 minutes",
-      watermark: String = "10 minutes"): DataFrame = {
+      watermark: String = "10 minutes", joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark)
       .select(col(key).as("l_key"), col("ts").as("l_ts"),
         struct(left.columns.map(col): _*).as("l"))
@@ -426,6 +426,19 @@ object WindowedStats {
     l.join(r,
       col("l_key") === col("r_key") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $within"),
+      joinType)
   }
+
+  /** ST9, LEFT OUTER form: every left row eventually emits — matched
+    * rows as they pair, UNMATCHED rows with a null right side once the
+    * watermark passes `l_ts + within` (Spark can only then prove no
+    * match can still arrive; the interval bound is what makes the
+    * promise finite). The funnel-breakage feed: impressions with no
+    * conversion inside the window, emitted exactly once, state still
+    * bounded by watermark + interval. */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame, key: String,
+      within: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    intervalJoin(left, right, key, within, watermark, "left_outer")
 }

@@ -519,4 +519,53 @@ class StreamingSpec extends SparkSpec {
     val progress = q.lastProgress
     assert(progress == null || progress.stateOperators != null)
   }
+
+  test("ST9 left outer: unmatched left rows emit nulls only after the " +
+    "watermark proves no match can arrive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_ssjlo").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    def ts(plusMin: Int) =
+      new java.sql.Timestamp(t0.getTime + plusMin * 60000L)
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = WindowedStats.intervalJoinLeftOuter(
+      views.toDF().toDF("user_id", "ts", "view_id"),
+      clicks.toDF().toDF("user_id", "ts", "click_id"),
+      key = "user_id", within = "10 minutes", watermark = "10 minutes")
+      .select(col("l.view_id"), col("r.click_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjlo")
+      .option("checkpointLocation", s"$dir/ck")
+      .trigger(Trigger.ProcessingTime("1 second")).start()
+    // u1 converts in-window; u2 never converts — its null row may only
+    // surface once the watermark passes t0 + within
+    views.addData((1L, ts(0), "v1"), (2L, ts(0), "v2"))
+    clicks.addData((1L, ts(5), "c1"))
+    q.processAllAvailable()
+    val early = spark.table("ssjlo")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(early == Set(("v1", Some("c1")))
+      || early == Set.empty[(String, Option[String])],
+      s"v2's null row must NOT emit before the watermark: $early")
+    // advance BOTH watermarks far past t0 + within: v2 completes as
+    // unmatched (u3's click finds no view and drops — left outer, not full)
+    views.addData((9L, ts(60), "v9"))
+    clicks.addData((3L, ts(60), "c3"))
+    q.processAllAvailable()
+    // one more batch so the outer-null emission (driven by the new
+    // watermark) lands in the sink
+    views.addData((9L, ts(61), "v9b"))
+    clicks.addData((9L, ts(120), "c9"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssjlo")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(got.contains(("v1", Some("c1")))) // matched pair
+    assert(got.contains(("v2", None)), // completed-as-unmatched
+      s"unmatched left row never emitted: $got")
+    assert(!got.exists(p => p._2.contains("c3")),
+      "a right row without a left match must not emit in a LEFT outer join")
+  }
 }
