@@ -100,6 +100,23 @@ class OperatorPropertySpec extends SparkSpec {
     }
   }
 
+  test("random instants: snapshotAt == driver point-in-time lookup (3 seeds)") {
+    for (seed <- 31L to 33L) {
+      val rows = sample(feedGen, seed).zipWithIndex
+        .map { case ((k, a, ts), i) => (k, a, ts, 1000L + i) }
+      val dim = runScd2(rows)
+      val ref = refScd2(rows)
+      for (t <- Seq(-1L, 0L, 7L, 30L, 60L, 99L)) {
+        val got = Scd.snapshotAt(dim, lit(t))
+          .select("k", "attr").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+        val want = ref.filter(r =>
+          r._4 <= t && r._5.forall(_ > t)).map(r => (r._1, r._2))
+        assert(got == want, s"seed $seed asOf $t diverged")
+      }
+    }
+  }
+
   test("random docs: phrase + multi-phrase == brute-force windows") {
     val docGen = Gen.listOfN(300,
       Gen.chooseNum(0, 12).flatMap(n =>
