@@ -123,10 +123,11 @@ final class IncrementalAggView(
       case Some(m) =>
         val curDvs = table.dvEntries
         val newDvs = curDvs.filterNot(m.tableDvs.contains)
-        if (!m.tableDvs.forall(curDvs.contains) ||
-            (newDvs.nonEmpty && m.partials.isEmpty)) {
+        if (!m.tableDvs.forall(curDvs.contains)) {
           // tombstones vanished (manifest rolled back / legacy store):
-          // the stored partials are unattributable — rebuild once
+          // the stored partials are unattributable — rebuild once.
+          // (A legacy manifest with NEW dvs needs no clause here: the
+          // unconditional partials-empty rebuild below covers it.)
           fullRebuild(nowFiles); return
         }
         // files whose visibility the new tombstones changed, still in
@@ -372,6 +373,13 @@ final class IncrementalAggView(
     Files.deleteIfExists(p)
   }
 
+  /** Identity of the committed state publish (the state dir name) —
+    * changes on every successful refresh that wrote new state. Lets a
+    * DERIVED consumer (the join view) detect "the inner state moved
+    * but my own finalize never ran" after a crash between the two
+    * commits. */
+  def stateId: Option[String] = loadManifest().map(_.state)
+
   /** Committed manifest: state dir, basis file set, partials dirs. */
   private def loadManifest(): Option[Manifest] =
     if (!Files.exists(manifest)) None
@@ -464,7 +472,15 @@ final class IncrementalJoinAggView(
     val innerHow = inner.lastRefresh
     val dvs = dimTables.map(_.version)
     val prev = loadJManifest()
-    if (innerHow == "noop" && prev.exists(_.dimVers == dvs)) {
+    val innerId = inner.stateId.getOrElse("")
+    // noop ONLY when the published final state was derived from the
+    // inner state THAT EXISTS NOW: a crash between the inner commit
+    // and this manifest's publish otherwise leaves the view serving
+    // stale results while every later refresh reports noop. Legacy
+    // manifests (no innerstate recorded) conservatively re-finalize
+    // once.
+    if (innerHow == "noop" && prev.exists(m =>
+        m.dimVers == dvs && m.innerState == innerId)) {
       lastRefresh = "noop"; return
     }
     // finalize over the INNER STATE (O(|distinct FKs|) rows), never
@@ -488,8 +504,8 @@ final class IncrementalJoinAggView(
     val stateDir = s"final-${System.nanoTime()}"
     Files.createDirectories(Paths.get(viewPath))
     fin.write.mode("overwrite").parquet(s"$viewPath/$stateDir")
-    val json = s"""{"state":"$stateDir","dimvers":[""" +
-      dvs.mkString(",") + "]}"
+    val json = s"""{"state":"$stateDir","innerstate":"$innerId"""" +
+      s""","dimvers":[""" + dvs.mkString(",") + "]}"
     val tmp = Paths.get(viewPath,
       s"_graft_jview_manifest.tmp.${System.nanoTime()}")
     Files.writeString(tmp, json)
@@ -519,8 +535,10 @@ final class IncrementalJoinAggView(
         val n = p.getFileName.toString
         if (n.startsWith("final-") && n != keep &&
             Files.getLastModifiedTime(p).toMillis < cutoff) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          val w = Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.delete(f))
+          finally w.close()
         }
       }
     } finally s.close()
@@ -536,7 +554,9 @@ final class IncrementalJoinAggView(
         .map(_.group(1).split(",").toSeq.map(_.trim)
           .filter(_.nonEmpty).map(_.toLong))
         .getOrElse(Seq.empty)
-      Some(JManifest(state, vers))
+      val innerState = """"innerstate":"([^"]+)"""".r.findFirstMatchIn(s)
+        .map(_.group(1)).getOrElse("") // legacy: unknown → re-finalize
+      Some(JManifest(state, vers, innerState))
     }
 }
 
@@ -548,5 +568,6 @@ object IncrementalJoinAggView {
   final case class Dim(path: String, joinCols: Seq[String],
       attrCols: Seq[String])
 
-  private final case class JManifest(state: String, dimVers: Seq[Long])
+  private final case class JManifest(state: String, dimVers: Seq[Long],
+      innerState: String)
 }

@@ -752,7 +752,10 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       if (affected.isEmpty) updates
       else scanSegments(affected, dvs, keepPos = false)
         .join(k, keyCols, "left_anti")
-        .unionByName(updates)
+        // allowMissingColumns: the affected segments may predate a
+        // schema evolution (S7) — survivors null-fill columns only the
+        // updates carry, and vice versa, instead of failing the merge
+        .unionByName(updates, allowMissingColumns = true)
     val seg = writeSegment(merged)
     commit(kept :+ seg, "merge")
     mirrorDeltaLog("merge", added = segmentFiles(seg),

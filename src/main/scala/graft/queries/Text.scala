@@ -790,7 +790,7 @@ object Text {
       I.appendDocs(docsDf.where(col("doc_id") % 3 === 2),
         "text", "doc_id", dir)
       I.deleteDocs(docsDf.where(col("doc_id") % 10 === 7),
-        "text", "doc_id", dir)
+        "doc_id", dir)
       I.bm25TopKIndexed(s, dir, "hash join table", k = 20)
     },
     Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents

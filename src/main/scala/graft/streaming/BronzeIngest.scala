@@ -183,35 +183,30 @@ object BronzeIngest {
   /** ST14: the per-micro-batch half of a streaming SCD2 dimension sink —
     * fold the batch's observed states into a managed table holding the
     * versioned dimension (operators/Scd.scala schema). Per batch:
-    * [[graft.operators.Scd.applyDelta]] rebuilds ONLY the keys the batch
-    * mentions, then the touched keys' old rows swap for the rebuilt ones
-    * (anti-join delete + append — two commits, same visibility contract
-    * as [[upsertCdcBatch]]). Untouched keys are never read, rewritten or
-    * windowed, so per-batch cost tracks the batch's key set, not the
-    * dimension's history — the property that lets a 100 TB dimension
-    * absorb a trickle CDC stream.
+    * [[graft.operators.Scd.rebuildKeys]] rebuilds ONLY the keys the
+    * batch mentions, and a single MERGE swaps them in (merge replaces
+    * every stored row sharing a rebuilt key — exactly the SCD2 swap —
+    * in ONE atomic commit, so there is no crash window where a key's
+    * history has been deleted but its rebuilt rows not yet written).
+    * Untouched keys are never read, rewritten or windowed, so per-batch
+    * cost tracks the batch's key set, not the dimension's history — the
+    * property that lets a 100 TB dimension absorb a trickle CDC stream.
     *
     * Effectively-once under checkpoint replay WITHOUT extra state: a
     * replayed batch's rows are re-presented to [[graft.operators.Scd.scd2]]
     * alongside the change points they already created; each duplicate
     * sorts adjacent to its original with equal attributes and collapses,
-    * so the rebuilt history is identical (run-collapse is idempotent).
-    * Inherits applyDelta's monotone-per-key timestamp contract. */
+    * so the rebuilt history is identical (run-collapse is idempotent and
+    * the merge commit is too). Inherits applyDelta's monotone-per-key
+    * timestamp contract. */
   def scd2Batch(table: graft.io.ManagedParquetTable, batch: DataFrame,
       keyCols: Seq[String], attrCols: Seq[String], tsCol: String,
       idCol: String): Unit = {
     if (batch.isEmpty) return
-    if (table.exists) {
-      val rebuilt = graft.operators.Scd.rebuildKeys(
-        table.read(), batch, keyCols, attrCols, tsCol, idCol)
-        .cache() // the delete below changes table.read()'s file set
-      rebuilt.count()
-      try {
-        table.deleteMatching(
-          batch.select(keyCols.map(col): _*).distinct(), keyCols)
-        table.append(rebuilt)
-      } finally rebuilt.unpersist()
-    } else
+    if (table.exists)
+      table.merge(graft.operators.Scd.rebuildKeys(
+        table.read(), batch, keyCols, attrCols, tsCol, idCol), keyCols)
+    else
       table.append(
         graft.operators.Scd.scd2(batch, keyCols, attrCols, tsCol, idCol))
   }

@@ -140,12 +140,12 @@ object InvertedIndex {
     * dirs. Within each bucket, rows are sorted by (token, doc_id, pos)
     * for run-length/dictionary-friendly pages. */
   def writeBuckets(postings: DataFrame, path: String,
-      nBuckets: Int = DefaultBuckets): Unit =
+      nBuckets: Int = DefaultBuckets, mode: String = "overwrite"): Unit =
     postings
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions("token", "doc_id", "pos")
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.mode(mode).partitionBy("bucket").parquet(path)
 
   /** Open a persisted index narrowed to `tokens`: the bucket predicate
     * is partition-pruned (only the needed `bucket=` dirs are listed and
@@ -193,20 +193,32 @@ object InvertedIndex {
     * as delete + insert) round-trips through [[applyChanges]]. */
   def buildIndex(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = DefaultBuckets): Unit = {
+    // a rebuild over an existing path must drop the tombstone sidecar:
+    // its generation stamps are relative to the OLD corpus rows, and a
+    // stale higher-gen tombstone would silently kill fresh gen-0
+    // postings (postings/doclen/corpus are overwritten below)
+    val spark = docs.sparkSession
+    val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true)
+    // one tokenize pass feeds all three artifacts (postings, doclen,
+    // corpus scalars) — without the cache each write re-reads and
+    // re-tokenizes the full document set
     val toks = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
-    val post = toks.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl"),
-      posexplode(col("__toks")).as(Seq("pos", "token")))
-      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"),
-        col("dl"), lit(0L).as("gen"))
-    writeBuckets(post, s"$path/postings", nBuckets)
-    toks.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl"), lit(0L).as("gen"))
-      .write.mode("overwrite").parquet(s"$path/doclen")
-    toks.select(size(col("__toks")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+      TextFunctions.tokens(col(textCol)).as("__toks")).cache()
+    try {
+      val post = toks.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "token")))
+        .select(col("token"), col("doc_id"),
+          col("pos").cast("long").as("pos"), col("dl"), lit(0L).as("gen"))
+      writeBuckets(post, s"$path/postings", nBuckets)
+      toks.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"), lit(0L).as("gen"))
+        .write.mode("overwrite").parquet(s"$path/doclen")
+      toks.select(size(col("__toks")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+    } finally toks.unpersist()
   }
 
   /** Current index generation = number of build/append commits (each
@@ -223,43 +235,41 @@ object InvertedIndex {
       path: String, nBuckets: Int = DefaultBuckets): Unit = {
     val gen = generation(docs.sparkSession, path)
     val toks = docs.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__toks"))
-    val post = toks.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl"),
-      posexplode(col("__toks")).as(Seq("pos", "token")))
-      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"),
-        col("dl"), lit(gen).as("gen"))
-    post
-      .withColumn("bucket", pmod(xxhash64(col("token")), lit(nBuckets.toLong)))
-      .repartition(col("bucket"))
-      .sortWithinPartitions("token", "doc_id", "pos")
-      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
-    toks.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"))
-      .write.mode("append").parquet(s"$path/doclen")
-    toks.select(size(col("__toks")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-      .coalesce(1).write.mode("append").parquet(s"$path/corpus")
+      TextFunctions.tokens(col(textCol)).as("__toks")).cache()
+    try {
+      val post = toks.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"),
+        posexplode(col("__toks")).as(Seq("pos", "token")))
+        .select(col("token"), col("doc_id"),
+          col("pos").cast("long").as("pos"), col("dl"), lit(gen).as("gen"))
+      writeBuckets(post, s"$path/postings", nBuckets, mode = "append")
+      toks.select(col("doc_id"),
+        size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"))
+        .write.mode("append").parquet(s"$path/doclen")
+      toks.select(size(col("__toks")).cast("long").as("dl"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+        .coalesce(1).write.mode("append").parquet(s"$path/corpus")
+    } finally toks.unpersist()
   }
 
   /** Remove documents from the index WITHOUT rewriting any bucket: the
     * doc ids land in a tombstone sidecar (with their token counts, so
     * the corpus scalars adjust exactly) that probes anti-join — the
     * inverted-index mirror of the table layer's deletion vectors.
-    * Only doc ids CURRENTLY LIVE in the index tombstone (the request
-    * semi-joins the doclen sidecar): a change feed may report deletes
-    * for row versions the index never saw (a file added and rewritten
-    * inside one feed window), and a replayed delete batch must not
+    * A KEY-ONLY operation: only `idCol` is read. Only doc ids
+    * CURRENTLY LIVE in the index tombstone (the request semi-joins the
+    * doclen sidecar): a change feed may report deletes for row
+    * versions the index never saw (a file added and rewritten inside
+    * one feed window), and a replayed delete batch must not
     * double-subtract — filtering against membership makes both no-ops,
-    * with the subtracted `dl` taken from the INDEXED content, not the
-    * feed's. The tombstone is stamped with the current generation and
+    * with the subtracted `dl` taken from the INDEXED content.
+    * The tombstone is stamped with the current generation and
     * kills only older postings of its doc, so a subsequent
     * [[appendDocs]] re-insert is live. Cost: one narrow (doc_id, dl,
     * gen) sidecar scan per maintenance call — probes never pay it. The
     * delete batch is broadcast (trickle-sized by contract); a corpus
     * with heavy churn should periodically [[buildIndex]] fresh. */
-  def deleteDocs(docs: DataFrame, textCol: String, idCol: String,
-      path: String): Unit = {
+  def deleteDocs(docs: DataFrame, idCol: String, path: String): Unit = {
     val spark = docs.sparkSession
     val gen = generation(spark, path)
     val victims = liveDocLens(spark, path)
@@ -304,7 +314,7 @@ object InvertedIndex {
     // deletes FIRST: the tombstones stamp the pre-append generation, so
     // the appends (same doc id or not) stay live — a rewriting table
     // commit's survivor rows (delete + insert pairs) round-trip
-    if (!del.isEmpty) deleteDocs(del, textCol, idCol, path)
+    if (!del.isEmpty) deleteDocs(del, idCol, path)
     if (!ins.isEmpty) appendDocs(ins, textCol, idCol, path, nBuckets)
   }
 

@@ -144,6 +144,28 @@ class InvertedIndexSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("buildIndex over an existing path drops stale tombstones") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx7").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    InvertedIndex.buildIndex(docs, "text", "doc_id", dir, nBuckets = 8)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" < 100), "doc_id", dir)
+    // periodic fresh rebuild at the same path (the documented churn
+    // remedy): the old tombstones' generation stamps are meaningless
+    // against the rebuilt corpus and must not survive
+    InvertedIndex.buildIndex(docs, "text", "doc_id", dir, nBuckets = 8)
+    val stats = InvertedIndex.corpusStats(spark, dir).collect()(0)
+    assert(stats.getLong(0) == docs.count(),
+      s"stale tombstones still subtract: ${stats.getLong(0)}")
+    val got = InvertedIndex.bm25TopKIndexed(spark, dir, "hash join table",
+      k = 15, nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    val ref = InvertedIndex.bm25TopK(docs, "text", "doc_id",
+      "hash join table", k = 15)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === ref)
+  }
+
   test("compactIndex folds tombstones and append files; probes unchanged") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_invidx6").toString
@@ -157,9 +179,9 @@ class InvertedIndexSpec extends SparkSpec {
     InvertedIndex.appendDocs(docs.where($"doc_id" % 4 >= 2),
       "text", "doc_id", dir, nBuckets = 8)
     InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 7),
-      "text", "doc_id", dir)
+      "doc_id", dir)
     InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 3),
-      "text", "doc_id", dir)
+      "doc_id", dir)
     val q = "hash join table"
     val before = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20,
       nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
@@ -278,7 +300,7 @@ class InvertedIndexSpec extends SparkSpec {
     InvertedIndex.appendDocs(docs.where($"doc_id" % 3 === 2),
       "text", "doc_id", dir, nBuckets = 16)
     InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 7),
-      "text", "doc_id", dir)
+      "doc_id", dir)
     val after = new java.io.File(s"$dir/postings").listFiles()
       .filter(_.getName.startsWith("bucket=")).flatMap(_.listFiles())
       .map(f => f.getPath -> f.lastModified()).toMap

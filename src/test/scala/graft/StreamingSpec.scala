@@ -423,10 +423,15 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Seq(
       (1L, "A", 100L, 10L, None, true), (2L, "X", 102L, 10L, None, true)))
     // batch 2 touches keys 1 and 3 only: key 2's row must survive the
-    // swap untouched (the O(touched-keys) contract)
+    // swap untouched (the O(touched-keys) contract). The swap is ONE
+    // atomic merge commit — no crash window between a delete and an
+    // append can lose a key's history
+    val vBefore = t.version
     in.addData((1L, "B", 30L, 103L), (3L, "Y", 5L, 104L))
     q.processAllAvailable()
     q.stop()
+    assert(t.version == vBefore + 1,
+      s"batch swap must be one commit: $vBefore -> ${t.version}")
     val want = Seq(
       (1L, "A", 100L, 10L, Some(30L), false),
       (1L, "B", 103L, 30L, None, true),
