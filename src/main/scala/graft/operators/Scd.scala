@@ -86,19 +86,28 @@ object Scd {
     // no forced broadcast on the touched-key set: a trickle batch
     // broadcasts under AQE anyway, and a bulk backfill's key set must
     // be allowed to degrade to a shuffle join instead of OOMing the
-    // driver at 100 TB
+    // driver at 100 TB. ONE touched-key frame feeds both the anti-join
+    // and the rebuild so the two branches can never disagree on which
+    // keys are kept vs rebuilt (a non-deterministic delta source
+    // evaluated twice could otherwise leave a key in both sets)
     val touched = delta.select(keyCols.map(col): _*).distinct()
     val keep = current.join(touched, keyCols, "left_anti")
     keep.unionByName(
-      rebuildKeys(current, delta, keyCols, attrCols, tsCol, idCol))
+      rebuildTouched(current, delta, touched, keyCols, attrCols, tsCol, idCol))
   }
 
   /** Just the rebuilt rows for the keys `delta` mentions — the piece a
     * streaming sink swaps in place (delete touched keys + append this)
     * without ever planning the untouched-rows branch. */
   def rebuildKeys(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
-      attrCols: Seq[String], tsCol: String, idCol: String): DataFrame = {
-    val touched = delta.select(keyCols.map(col): _*).distinct()
+      attrCols: Seq[String], tsCol: String, idCol: String): DataFrame =
+    rebuildTouched(current, delta,
+      delta.select(keyCols.map(col): _*).distinct(),
+      keyCols, attrCols, tsCol, idCol)
+
+  private def rebuildTouched(current: DataFrame, delta: DataFrame,
+      touched: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      tsCol: String, idCol: String): DataFrame = {
     // affected history, re-expressed as change rows: every stored
     // change point IS an observed state (ts=valid_from, id=change_id).
     // AQE picks the semi-join strategy (see applyDelta's note)

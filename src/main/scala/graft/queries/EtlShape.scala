@@ -748,7 +748,7 @@ object EtlShape {
             l AS (SELECT *, lag(priority) OVER
                 (PARTITION BY custkey ORDER BY ts, oid) AS prev FROM c),
             ch AS (SELECT custkey, priority, ts, oid FROM l
-              WHERE prev IS NULL OR prev <> priority),
+              WHERE prev IS DISTINCT FROM priority),
             v AS (SELECT custkey, priority, oid AS change_id,
                 ts AS valid_from,
                 lead(ts) OVER (PARTITION BY custkey ORDER BY ts, oid)

@@ -976,7 +976,7 @@ object Relational {
             l AS (SELECT *, lag(priority) OVER
                 (PARTITION BY custkey ORDER BY ts, oid) AS prev FROM c),
             ch AS (SELECT custkey, priority, ts, oid FROM l
-              WHERE prev IS NULL OR prev <> priority),
+              WHERE prev IS DISTINCT FROM priority),
             f AS (SELECT o_orderkey, o_custkey AS custkey,
                 epoch_us(o_orderdate) AS ts FROM orders
               WHERE o_orderdate >= TIMESTAMP '2000-01-01')

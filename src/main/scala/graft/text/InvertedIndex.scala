@@ -230,11 +230,34 @@ object InvertedIndex {
   /** Append new documents to an index built by [[buildIndex]]: their
     * postings land as new files in the token buckets they hash to (no
     * existing file is touched) and the corpus scalars gain a delta row
-    * ([[corpusStats]] sums the rows at probe time). O(new docs). */
+    * ([[corpusStats]] sums the rows at probe time). O(new docs) plus
+    * one narrow (doc_id) sidecar scan for the replay guard below.
+    *
+    * REPLAY-SAFE, mirroring [[deleteDocs]]: the batch is anti-joined
+    * against live doclen membership, so re-appending an already-live
+    * doc id (a crash-replayed change-feed window) is a no-op instead
+    * of silently doubling its tf and the corpus scalars. A TOMBSTONED
+    * id is not live, so the delete + re-insert round-trip still lands
+    * its fresh postings. Membership is corpus-keyed and therefore
+    * never broadcast — the guard is one shuffle of the narrow doclen
+    * sidecar per maintenance call; probes never pay it.
+    *
+    * The guard covers WHOLE-WINDOW replays (feed consumer crashed after
+    * this call committed). A crash INSIDE the call, between its three
+    * sidecar writes, leaves a partial batch that replay cannot patch
+    * row-exactly; like a crash mid-[[compactIndex]], recovery is a
+    * rebuild — the index is a derived artifact of the document table. */
   def appendDocs(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = DefaultBuckets): Unit = {
-    val gen = generation(docs.sparkSession, path)
-    val toks = docs.select(col(idCol).as("doc_id"),
+    val spark = docs.sparkSession
+    val gen = generation(spark, path)
+    val fresh = docs.join(
+      liveDocLens(spark, path).select(col("doc_id").as("__live_id")),
+      col(idCol) === col("__live_id"), "left_anti")
+    // a fully-replayed batch appends nothing — and must not bump the
+    // generation with an empty corpus delta row
+    if (fresh.isEmpty) return
+    val toks = fresh.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(col(textCol)).as("__toks")).cache()
     try {
       val post = toks.select(col("doc_id"),
@@ -246,7 +269,12 @@ object InvertedIndex {
       toks.select(col("doc_id"),
         size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"))
         .write.mode("append").parquet(s"$path/doclen")
-      toks.select(size(col("__toks")).cast("long").as("dl"))
+      // corpus delta derived by reading back THIS generation's doclen
+      // rows: `toks` depends (through the replay guard) on the very
+      // sidecar the previous statement appended to, so a cache-miss
+      // recomputation here would anti-join the batch against itself and
+      // write an empty delta — the disk read is immune by construction
+      spark.read.parquet(s"$path/doclen").where(col("gen") === gen)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
         .coalesce(1).write.mode("append").parquet(s"$path/corpus")
     } finally toks.unpersist()
