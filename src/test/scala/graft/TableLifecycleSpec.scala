@@ -1,0 +1,165 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.ManagedParquetTable
+import graft.tools.DeltaLogReplay
+import org.apache.spark.sql.functions._
+
+/** Randomized lifecycle differential for the managed table — the class
+  * of bug the oracle gates cannot see (round-10's review-fix pass found
+  * four: crash windows, schema evolution, stale sidecars, all in
+  * HISTORY interleavings no fixed fixture exercises).
+  *
+  * Seeded histories interleave every commit kind the table supports —
+  * append, schema-evolving append, merge, narrowed delete, DV deletes
+  * (predicate + key-set), compact, tombstone REORG — and after each
+  * history the FULL version axis is checked against an in-memory row
+  * oracle: `readAt(v)` row-exact at every mirror version, the
+  * independent parquet-mr delta-log replay (no Spark, no manifest)
+  * agreeing on live files and row counts, and the final `read()`
+  * row-exact. The oracle applies plain filter/upsert semantics, so any
+  * divergence — a resurrected tombstone, a survivor lost in a narrowed
+  * rewrite, a schema-evolution null-fill gap, a dv entry misapplied to
+  * a historical version — fails with the seed in the message. */
+class TableLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** One modeled row; `w` exists only after the history's schema
+    * evolution (None = the column is absent/null for this row). */
+  private case class MRow(id: Long, v: Long, w: Option[Long])
+
+  private val Histories = 50
+  private val OpsPerHistory = 8
+
+  test(s"randomized differential: $Histories seeded histories, " +
+      "readAt + replay + read vs in-memory oracle at every version") {
+    val root = Files.createTempDirectory("graft_lifecycle").toString
+    for (h <- 0 until Histories) runHistory(h, s"$root/t$h")
+  }
+
+  private def runHistory(seed: Int, dir: String): Unit = {
+    val rnd = new scala.util.Random(seed)
+    val t = new ManagedParquetTable(spark, dir)
+    var oracle = Vector.empty[MRow]      // live rows, id-unique
+    val states = scala.collection.mutable.ArrayBuffer.empty[Vector[MRow]]
+    var nextId = 0L
+    var evolved = false
+
+    def freshRows(n: Int, withW: Boolean): Vector[MRow] = {
+      val rows = (0 until n).map { _ =>
+        val r = MRow(nextId, rnd.nextInt(1000).toLong,
+          if (withW) Some(rnd.nextInt(1000).toLong) else None)
+        nextId += 1
+        r
+      }
+      rows.toVector
+    }
+
+    def toDf(rows: Seq[MRow], withW: Boolean) =
+      if (withW) rows.map(r => (r.id, r.v,
+          r.w.map(java.lang.Long.valueOf).orNull))
+        .toDF("id", "v", "w")
+      else rows.map(r => (r.id, r.v)).toDF("id", "v")
+
+    def commitCheckpointed(op: () => Unit): Unit = {
+      val before = t.version
+      op()
+      // ops that matched nothing / had nothing to do commit nothing —
+      // the state vector only grows when the version does
+      if (t.version > before) {
+        assert(t.version == before + 1, s"seed=$seed: multi-commit op")
+        states += oracle
+      } else states.lastOption.foreach(last =>
+        assert(last == oracle, s"seed=$seed: oracle moved without a commit"))
+    }
+
+    // first op is always an append so every later op has a table
+    val ops = 1 + rnd.nextInt(OpsPerHistory)
+    for (step <- 0 to ops) {
+      val pick = if (step == 0) 0 else rnd.nextInt(8)
+      pick match {
+        case 0 => // plain append (post-evolution it may or may not carry w)
+          val withW = evolved && rnd.nextBoolean()
+          val rows = freshRows(1 + rnd.nextInt(8), withW)
+          commitCheckpointed { () =>
+            t.append(toDf(rows, withW)); oracle ++= rows
+          }
+        case 1 => // schema-evolving append (at most once per history)
+          if (!evolved) {
+            val rows = freshRows(1 + rnd.nextInt(8), withW = true)
+            commitCheckpointed { () =>
+              t.append(toDf(rows, withW = true)); oracle ++= rows
+            }
+            evolved = true
+          }
+        case 2 => // merge: update a random id slice + insert fresh ids
+          val k = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(k)
+          val updated = oracle.filter(_.id % k == r).map(row =>
+            MRow(row.id, rnd.nextInt(1000).toLong,
+              if (evolved) Some(rnd.nextInt(1000).toLong) else None))
+          val inserted = freshRows(rnd.nextInt(4), evolved)
+          val batch = updated ++ inserted
+          if (batch.nonEmpty) commitCheckpointed { () =>
+            t.merge(toDf(batch, evolved), Seq("id"))
+            val byId = batch.map(x => x.id -> x).toMap
+            oracle = oracle.map(x => byId.getOrElse(x.id, x)) ++ inserted
+          }
+        case 3 => // narrowed rewriting delete
+          val k = 2 + rnd.nextInt(6); val r = rnd.nextInt(k)
+          commitCheckpointed { () =>
+            t.deleteWhere(col("id") % k === r)
+            oracle = oracle.filterNot(_.id % k == r)
+          }
+        case 4 => // deletion-vector predicate delete
+          val k = 2 + rnd.nextInt(6); val r = rnd.nextInt(k)
+          commitCheckpointed { () =>
+            t.deleteWhereDV(col("id") % k === r)
+            oracle = oracle.filterNot(_.id % k == r)
+          }
+        case 5 => // deletion-vector key-set delete
+          val victims = oracle.filter(_ => rnd.nextInt(4) == 0).map(_.id)
+          if (victims.nonEmpty) commitCheckpointed { () =>
+            t.deleteMatchingDV(victims.toDF("id"), Seq("id"))
+            val dead = victims.toSet
+            oracle = oracle.filterNot(r => dead(r.id))
+          }
+        case 6 => // OPTIMIZE compaction (logical no-op)
+          if (oracle.nonEmpty) commitCheckpointed { () =>
+            t.compact(targetFiles = 1 + rnd.nextInt(2))
+          }
+        case 7 => // tombstone REORG (logical no-op)
+          commitCheckpointed { () => t.compactDeletes(0.05) }
+      }
+    }
+
+    // ---- the differential: every mirror version, three independent views
+    assert(states.nonEmpty, s"seed=$seed produced no commits")
+    for (m <- states.indices) {
+      val want = states(m).sortBy(_.id)
+      assert(collectRows(t.readAt(m.toLong)) == want,
+        s"seed=$seed: readAt($m) diverges from the oracle")
+      assert(DeltaLogReplay.rowCount(dir, Some(m.toLong)) == want.size,
+        s"seed=$seed: replay row count diverges at v$m")
+      assert(DeltaLogReplay.liveFiles(dir, Some(m.toLong)).toSet ==
+        t.deltaSnapshotFiles(Some(m.toLong)).toSet,
+        s"seed=$seed: replay live-file set diverges at v$m")
+    }
+    assert(collectRows(t.read()) == oracle.sortBy(_.id),
+      s"seed=$seed: final read() diverges from the oracle")
+    assert(DeltaLogReplay.rowCount(dir) == oracle.size,
+      s"seed=$seed: final replay row count diverges")
+  }
+
+  /** Collect as model rows; versions predating the evolution have no
+    * `w` column at all — both shapes normalize to MRow. */
+  private def collectRows(df: org.apache.spark.sql.DataFrame): Vector[MRow] = {
+    val hasW = df.columns.contains("w")
+    val cols = if (hasW) df.select("id", "v", "w") else df.select("id", "v")
+    cols.collect().map { r =>
+      MRow(r.getLong(0), r.getLong(1),
+        if (hasW && !r.isNullAt(2)) Some(r.getLong(2)) else None)
+    }.toVector.sortBy(_.id)
+  }
+}
