@@ -116,21 +116,61 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
 
   /** Deletion-vector entries ("mirrorVer:dvDir:seg1;seg2" — the third
     * field records the segment dirs the entry's tombstones touch;
-    * entries written before that upgrade lack it) from the committed
-    * manifest. Entries are append-only across the table's life: an
-    * entry whose rows' files have since been rewritten or dropped is
-    * inert (its (file, row) keys can never match a live scan — segment
-    * names are nanotime-unique), and keeping it is what lets
-    * [[readAt]] apply the tombstones that were active at ANY
-    * historical version. The HOT read path never pays for history:
-    * see [[liveDvEntries]]. */
-  private[graft] def dvEntries: Seq[String] =
-    if (!Files.exists(manifest)) Seq.empty
-    else """"dvs":\[([^\]]*)\]""".r
-      .findFirstMatchIn(Files.readString(manifest))
-      .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"")).filter(_.nonEmpty))
-      .getOrElse(Seq.empty)
+    * entries written before that upgrade lack it). Entries accumulate
+    * across the table's life (bounded only by [[vacuum]]'s retention
+    * horizon): an entry whose rows' files have since been rewritten or
+    * dropped is inert (its (file, row) keys can never match a live
+    * scan — segment names are nanotime-unique), and keeping it is what
+    * lets [[readAt]] apply the tombstones that were active at ANY
+    * retained historical version. The HOT read path never pays for
+    * history: see [[liveDvEntries]]. The COMMIT path doesn't either:
+    * entries live in `_graft_dvlog/` files the manifest only NAMES
+    * (consolidated every [[DvlogConsolidateAt]] dv commits), so a
+    * non-dv commit rewrites no dv history and a dv commit appends one
+    * tiny file — manifest size tracks live segments, not CDC history. */
+  private[graft] def dvEntries: Seq[String] = {
+    val (inline, files) = dvState
+    inline ++ files.flatMap(readDvlogFile)
+  }
+
+  /** Committed dv bookkeeping: (legacy inline entries, dvlog file
+    * names). Inline entries exist only on manifests written before the
+    * dvlog upgrade; the first dv commit or retention pass migrates
+    * them into a consolidated dvlog file. */
+  private def dvState: (Seq[String], Seq[String]) =
+    if (!Files.exists(manifest)) (Seq.empty, Seq.empty)
+    else {
+      val s = Files.readString(manifest)
+      def field(name: String): Seq[String] =
+        (s""""$name":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+          .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+            .stripSuffix("\"")).filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+      (field("dvs"), field("dvfiles"))
+    }
+
+  private def dvlogDir = Paths.get(path, "_graft_dvlog")
+
+  /** Consolidation cadence: a dv commit folding the named files into
+    * one when their count reaches this keeps manifest-referenced dvlog
+    * files O(1) — same shape as the delta mirror's checkpoint-10. */
+  private val DvlogConsolidateAt = 10
+
+  /** Entry lines of one committed dvlog file. A referenced-but-missing
+    * file is corruption and fails loudly. */
+  private def readDvlogFile(name: String): Seq[String] =
+    Files.readString(dvlogDir.resolve(name)).linesIterator
+      .map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** Write entries to a fresh dvlog file; returns its name. Invisible
+    * to readers until a manifest commit names it (a crash before that
+    * leaves unreferenced garbage that [[vacuum]] reclaims). */
+  private def writeDvlogFile(entries: Seq[String]): String = {
+    Files.createDirectories(dvlogDir)
+    val name = s"dv-${System.nanoTime()}.log"
+    Files.writeString(dvlogDir.resolve(name), entries.mkString("\n"))
+    name
+  }
 
   /** Parsed dv entry. `touched` is None for legacy entries (unknown
     * touch set → conservatively treated as always-live). */
@@ -167,17 +207,19 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       segs: Set[String]): Seq[String] =
     entries.filter(e => parseDv(e).touched.forall(_.exists(segs.contains)))
 
-  /** Atomically publish a new snapshot (write-temp + rename). */
+  /** Atomically publish a new snapshot (write-temp + rename). `dv`
+    * replaces the dv bookkeeping (inline entries, dvlog file names)
+    * when given; by default both carry forward VERBATIM — no dv commit,
+    * no dv rewrite, so commit cost is O(live segments + referenced
+    * dvlog names), never O(table history). */
   private def commit(segments: Seq[String], mode: String,
-      dvs: Option[Seq[String]] = None): Unit = {
+      dv: Option[(Seq[String], Seq[String])] = None): Unit = {
     Files.createDirectories(Paths.get(path))
     val snap = snapshot()
     val prevSegs = snap.map(_._2).getOrElse(Seq.empty)
     val ver = snap.map(_._1 + 1).getOrElse(1L)
-    val dvList = dvs.getOrElse(dvEntries)
-    val json = s"""{"version":$ver,"mode":"$mode","segments":[""" +
-      segments.map("\"" + _ + "\"").mkString(",") +
-      s"""],"dvs":[""" + dvList.map("\"" + _ + "\"").mkString(",") + "]}"
+    val (inline, dvFiles) = dv.getOrElse(dvState)
+    val json = manifestJson(ver, mode, segments, inline, dvFiles)
     val tmp = Paths.get(path, s"_graft_manifest.tmp.${System.nanoTime()}")
     Files.writeString(tmp, json)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
@@ -193,6 +235,14 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
           System.currentTimeMillis()))
     }
   }
+
+  private def manifestJson(ver: Long, mode: String, segments: Seq[String],
+      inlineDvs: Seq[String], dvFiles: Seq[String]): String =
+    s"""{"version":$ver,"mode":"$mode","segments":[""" +
+      segments.map("\"" + _ + "\"").mkString(",") +
+      s"""],"dvs":[""" + inlineDvs.map("\"" + _ + "\"").mkString(",") +
+      s"""],"dvfiles":[""" + dvFiles.map("\"" + _ + "\"").mkString(",") +
+      "]}"
 
   /** Write df into a fresh immutable segment dir; return its name. */
   private def writeSegment(df: DataFrame): String = {
@@ -571,8 +621,25 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // files are 0-based and count manifest commits), so readAt can
     // scope tombstones to any historical version
     val mirrorVer = snap.map(_._1).getOrElse(0L) // = next mirror file no.
-    commit(segs, "delete-dv",
-      Some(dvEntries :+ s"$mirrorVer:$dir:${touched.mkString(";")}"))
+    val entry = s"$mirrorVer:$dir:${touched.mkString(";")}"
+    // the entry rides a fresh dvlog file the commit NAMES — never the
+    // manifest body, so a CDC-heavy table's commit never rewrites its
+    // dv history. At the consolidation cadence (or on the first dv
+    // commit after a legacy inline-dvs manifest) all named files fold
+    // into one, keeping the referenced-file list O(1); the superseded
+    // files are deleted only AFTER the manifest rename (a crash in
+    // between leaves unreferenced garbage for vacuum, never a dangling
+    // reference).
+    val (inline, dvFiles) = dvState
+    if (inline.nonEmpty || dvFiles.size >= DvlogConsolidateAt) {
+      val all = inline ++ dvFiles.flatMap(readDvlogFile) :+ entry
+      val consolidated = writeDvlogFile(all)
+      commit(segs, "delete-dv", Some((Seq.empty, Seq(consolidated))))
+      dvFiles.foreach(f => Files.deleteIfExists(dvlogDir.resolve(f)))
+    } else {
+      val nf = writeDvlogFile(Seq(entry))
+      commit(segs, "delete-dv", Some((Seq.empty, dvFiles :+ nf)))
+    }
     // structural mirror: the protocol's DV form needs reader-version-3
     // feature flags; this mirror stays at reader v1, so a DV delete is
     // a data-changing commit with no file actions (external FILE-level
@@ -811,8 +878,14 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       dataChange: Boolean = true, userMetadata: String = ""): Unit = {
     import scala.jdk.CollectionConverters._
     Files.createDirectories(deltaLogDir)
+    // next version = max existing + 1, NOT the file count: log
+    // retention (vacuum) deletes pre-checkpoint commits, and a count
+    // would then re-issue (and silently clobber) old version numbers
     val version = listDir(deltaLogDir)
-      .count(_.getFileName.toString.matches("\\d{20}\\.json")).toLong
+      .map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.dropRight(5).toLong)
+      .maxOption.map(_ + 1).getOrElse(0L)
     val now = System.currentTimeMillis()
     // stable table id + last-emitted schema live in a sidecar so that
     // schema-evolving appends (S7) re-emit metaData — a Delta reader
@@ -960,12 +1033,18 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * segment retention, exactly as in real Delta. */
   def deltaSnapshotFiles(asOfVersion: Option[Long]): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    val lc = deltaLogDir.resolve("_last_checkpoint")
-    val ckptVer: Option[Long] =
-      (if (Files.exists(lc))
-        """"version":(\d+)""".r.findFirstMatchIn(Files.readString(lc))
-          .map(_.group(1).toLong)
-      else None).filter(v => asOfVersion.forall(v <= _))
+    // newest checkpoint at or before the target, by LISTING checkpoint
+    // files (what real Delta does) rather than trusting only the
+    // `_last_checkpoint` pointer: after log retention the commits
+    // before some historical checkpoint are gone, and a time travel
+    // below the newest checkpoint must seed from an intermediate one
+    // instead of replaying from version 0
+    val ckptVer: Option[Long] = listDir(deltaLogDir)
+      .map(_.getFileName.toString)
+      .flatMap(n => """^(\d{20})\.checkpoint\.parquet$""".r
+        .findFirstMatchIn(n).map(_.group(1).toLong))
+      .filter(v => asOfVersion.forall(v <= _))
+      .maxOption
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     ckptVer.foreach { v =>
       spark.read
@@ -1103,13 +1182,35 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
       StructType(next.fields ++ extra).json
     }
 
-  /** Reclaim segments no committed snapshot references and that have
-    * been UNREFERENCED for at least `graceMs` (commit touches a
-    * segment's mtime when dropping it, so the grace window runs from
-    * the moment a reader could last have resolved the segment —
-    * readers holding a pre-overwrite snapshot within the window keep
-    * their files). */
-  def vacuum(graceMs: Long = 15 * 60 * 1000L): Unit = {
+  /** Reclaim storage the committed snapshot no longer needs.
+    *
+    * Always (bounded by the `graceMs` window — commit touches a
+    * segment's mtime when dropping it, so grace runs from the moment a
+    * reader could last have resolved it; readers holding a
+    * pre-overwrite snapshot within the window keep their files):
+    *   - segment dirs no snapshot references (+ their stats sidecars);
+    *   - `_graft_dvlog` files and `_graft_dv` sidecar dirs no committed
+    *     dv entry references (crash garbage, and — after a retention
+    *     pass — retired history).
+    *
+    * With `retainVersions = Some(r)`, ALSO retire table history beyond
+    * a retention horizon — Delta's own VACUUM contract: [[readAt]] /
+    * [[changesSince]] stay exact for (at least) the `r` newest mirror
+    * versions and error CLEANLY below the horizon; dv entries provably
+    * inert for every retained version leave the manifest (their
+    * sidecars become unreferenced and are reclaimed by the same pass),
+    * and mirror commits + checkpoints below the horizon are deleted.
+    * The horizon snaps DOWN to the newest delta-log checkpoint at or
+    * before `head - r + 1` so every retained version still resolves
+    * from a checkpoint + contiguous tail (no checkpoint that old yet →
+    * retention is a no-op). This is what bounds a CDC-heavy table's
+    * manifest, dvlog and sidecar footprint by the retention window
+    * instead of its lifetime. External FULL-log replays
+    * (tools/DeltaLogReplay) need the pruned commits and are forfeited
+    * beyond the horizon, exactly like readAt. */
+  def vacuum(graceMs: Long = 15 * 60 * 1000L,
+      retainVersions: Option[Long] = None): Unit = {
+    retainVersions.foreach(applyRetention)
     val live = snapshot().map(_._2).getOrElse(Seq.empty).toSet
     // WALL-CLOCK file mtimes, not the nanoTime stamp in the segment
     // name: nanoTime origins are arbitrary per JVM, so a name-stamp
@@ -1126,6 +1227,75 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
         // the segment's stats sidecar dies with it
         deleteRecursively(statsDir.resolve(p.getFileName.toString))
       }
+    // unreferenced dv bookkeeping: dvlog files the manifest doesn't
+    // name and tombstone sidecar dirs no committed entry names
+    val (_, refFiles) = dvState
+    val refSet = refFiles.toSet
+    listDir(dvlogDir)
+      .filterNot(p => refSet(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .foreach(Files.deleteIfExists(_))
+    val refDvDirs = dvEntries.map(parseDv(_).dir).toSet
+    listDir(dvRoot)
+      .filterNot(p => refDvDirs(p.getFileName.toString))
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .foreach(deleteRecursively)
+  }
+
+  /** Retention core (see [[vacuum]]): compute the horizon checkpoint,
+    * drop dv entries inert for every retained version, and prune the
+    * mirror log below the horizon. Rewrites the manifest IN PLACE
+    * (same version — only dv bookkeeping changes; single-writer
+    * contract, atomic rename). */
+  private def applyRetention(retain: Long): Unit = {
+    require(retain >= 1, s"retainVersions must be >= 1, got $retain")
+    val snap = snapshot()
+    if (snap.isEmpty) return
+    val (ver, segs) = snap.get
+    val head = ver - 1 // newest mirror version
+    val requested = head - retain + 1 // oldest version asked to keep
+    if (requested <= 0) return
+    // snap the horizon DOWN to a checkpoint so every retained version
+    // reconstructs from checkpoint + contiguous tail
+    val ckpts = listDir(deltaLogDir)
+      .map(_.getFileName.toString)
+      .flatMap(n => """^(\d{20})\.checkpoint\.parquet$""".r
+        .findFirstMatchIn(n).map(_.group(1).toLong))
+    val cut = ckpts.filter(_ <= requested).maxOption.getOrElse(return)
+    if (cut <= 0) return
+    // dv entries needed by some retained version v >= cut: entries at
+    // or after the cut, plus older entries whose touched segments are
+    // live AT the cut (segment liveness is a contiguous interval, so a
+    // file live at any v >= cut that an old entry touches is live at
+    // the cut too). Legacy entries with no recorded touch set are
+    // conservatively kept.
+    val segsAtCut = deltaSnapshotFiles(Some(cut)).map(_.split("/")(0)).toSet
+    val all = dvEntries
+    val kept = all.filter { e =>
+      val d = parseDv(e)
+      d.ver >= cut || d.touched.forall(_.exists(segsAtCut.contains))
+    }
+    val (inline, dvFiles) = dvState
+    if (kept.size != all.size || inline.nonEmpty || dvFiles.size > 1) {
+      val consolidated =
+        if (kept.isEmpty) Seq.empty[String]
+        else Seq(writeDvlogFile(kept))
+      val tmp = Paths.get(path, s"_graft_manifest.tmp.${System.nanoTime()}")
+      Files.writeString(tmp,
+        manifestJson(ver, "vacuum", segs, Seq.empty, consolidated))
+      Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      dvFiles.foreach(f => Files.deleteIfExists(dvlogDir.resolve(f)))
+    }
+    // prune the mirror log below the horizon checkpoint; readAt below
+    // it now fails the contiguity check with a clean retention error
+    listDir(deltaLogDir).foreach { p =>
+      val n = p.getFileName.toString
+      val v = """^(\d{20})\.json$""".r.findFirstMatchIn(n)
+        .orElse("""^(\d{20})\.checkpoint\.parquet$""".r.findFirstMatchIn(n))
+        .map(_.group(1).toLong)
+      if (v.exists(_ < cut)) Files.deleteIfExists(p)
+    }
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =

@@ -1261,4 +1261,124 @@ class IoSpec extends SparkSpec {
     // and a fresh reader instance agrees end-to-end
     assert(new ManagedParquetTable(spark, dir).read().count() == 255)
   }
+
+  test("dv commit cost tracks live state: entries live in dvlog files the " +
+      "manifest names, consolidated at the cadence; manifest stops growing") {
+    val dir = tmp("dvlog") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 until 2000).map(i => (i, i % 7)).toDF("id", "g")
+      .coalesce(1))
+    for (k <- 0 until 15) t.deleteWhereDV(col("id") === k)
+    val sizeAt15 = Files.size(Paths.get(s"$dir/_graft_manifest"))
+    val logsAt15 = Files.list(Paths.get(s"$dir/_graft_dvlog")).count()
+    for (k <- 15 until 45) t.deleteWhereDV(col("id") === k)
+    // phase-matched size check (15 and 45 are both 4 commits past a
+    // consolidation, so the dvfiles name list has the same length):
+    // the manifest byte size is FLAT as dv history triples — commit
+    // cost no longer rewrites table history
+    val sizeAt45 = Files.size(Paths.get(s"$dir/_graft_manifest"))
+    assert(sizeAt45 <= sizeAt15 + 16,
+      s"manifest grew with dv history: $sizeAt15 -> $sizeAt45 bytes")
+    for (k <- 45 until 50) t.deleteWhereDV(col("id") === k)
+    assert(t.dvEntries.size == 50)
+    val manifestTxt = Files.readString(Paths.get(s"$dir/_graft_manifest"))
+    assert(!manifestTxt.contains("dv-0"), "no inline entries expected")
+    assert(""""dvs":\[\]""".r.findFirstIn(manifestTxt).isDefined,
+      "inline dv list must stay empty on dvlog-era manifests")
+    // consolidation keeps the referenced file count bounded — and the
+    // superseded files were deleted, so the DIRECTORY stays bounded too
+    val logsAt50 = Files.list(Paths.get(s"$dir/_graft_dvlog")).count()
+    assert(logsAt50 <= 11, s"dvlog must consolidate: $logsAt50 files")
+    assert(logsAt15 <= 11, s"dvlog must consolidate: $logsAt15 files")
+    // the full entry history still reads back exactly
+    assert(t.read().count() == 1950)
+    assert(t.readAt(0L).count() == 2000)
+    assert(t.readAt(25L).count() == 2000 - 25)
+  }
+
+  test("legacy inline-dvs manifest: reads work; first dv commit migrates to dvlog") {
+    val dir = tmp("dvmig") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 until 100).map(i => (i, "x")).toDF("id", "s").coalesce(1))
+    t.deleteWhereDV(col("id") < 5)
+    t.deleteWhereDV(col("id") === 50)
+    // rewrite the manifest to the PRE-dvlog shape: entries inline
+    val entries = t.dvEntries
+    assert(entries.size == 2)
+    val mPath = Paths.get(s"$dir/_graft_manifest")
+    val legacy = Files.readString(mPath)
+      .replaceAll(""""dvs":\[[^\]]*\]""",
+        s""""dvs":[${entries.map("\"" + _ + "\"").mkString(",")}]""")
+      .replaceAll(""","dvfiles":\[[^\]]*\]""", "")
+    Files.writeString(mPath, legacy)
+    // kill the dvlog dir entirely — a legacy table has none
+    Files.walk(Paths.get(s"$dir/_graft_dvlog"))
+      .sorted(java.util.Comparator.reverseOrder()).forEach(Files.delete(_))
+    val t2 = new ManagedParquetTable(spark, dir)
+    assert(t2.dvEntries == entries, "inline entries must read back")
+    assert(t2.read().count() == 94)
+    // the next dv commit migrates: inline list empties, entries move
+    // to ONE consolidated dvlog file, nothing is lost
+    t2.deleteWhereDV(col("id") === 60)
+    val after = Files.readString(mPath)
+    assert(""""dvs":\[\]""".r.findFirstIn(after).isDefined,
+      s"inline entries must migrate out: $after")
+    assert(t2.dvEntries.size == 3)
+    assert(t2.read().count() == 93)
+    assert(t2.readAt(1L).count() == 95)
+  }
+
+  test("vacuum retention: aged dv entries + sidecars + mirror commits retire; " +
+      "in-horizon readAt exact, out-of-horizon errors cleanly") {
+    val dir = tmp("dvret") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 until 1000).map(i => (i, i % 10)).toDF("id", "g")
+      .coalesce(1))                                       // v0
+    // 50 scattered dv deletes — years of CDC history in miniature
+    for (k <- 0 until 50) t.deleteWhereDV(col("id") === k) // v1..v50
+    // fold the tombstones physically: every dv entry becomes inert for
+    // the CURRENT snapshot (but not for versions <= 50, where the old
+    // segment is still live — retention may only retire them once the
+    // horizon passes the purge)
+    assert(t.compactDeletes(0.01) == 1)                    // v51
+    for (b <- 0 until 10)
+      t.append((1000 + b * 10 until 1010 + b * 10).map(i => (i, i % 10))
+        .toDF("id", "g").coalesce(1))                      // v52..v61
+    val head = t.version - 1
+    assert(head == 61L)
+    // snapshot expectations BEFORE retention for the in-horizon diff
+    val wantLive = t.read().select("id").as[Int].collect().sorted.toSeq
+    val inHorizon = (60L to head)
+      .map(v => v -> t.readAt(v).count()).toMap
+    val dvDirsBefore = Files.list(Paths.get(s"$dir/_graft_dv")).count()
+    assert(dvDirsBefore == 50)
+    t.vacuum(graceMs = 0, retainVersions = Some(2)) // requested horizon 60
+    // horizon snapped DOWN to the newest checkpoint <= 60 (= 60), which
+    // is PAST the purge: every dv entry touches only the purged segment
+    assert(t.read().select("id").as[Int].collect().sorted.toSeq == wantLive)
+    for ((v, n) <- inHorizon)
+      assert(t.readAt(v).count() == n, s"readAt($v) changed under retention")
+    // out-of-horizon: clean retention error, not silent wrongness
+    val e = intercept[IllegalArgumentException](t.readAt(10L).count())
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    intercept[IllegalArgumentException](t.changesSince(5L).count())
+    // physical retirement: every dv entry predates the cut and is inert
+    // after the purge, so entries, sidecars and old commits are GONE
+    assert(t.dvEntries.isEmpty,
+      s"all entries are inert and pre-cut: ${t.dvEntries}")
+    assert(Files.list(Paths.get(s"$dir/_graft_dv")).count() == 0,
+      "retired tombstone sidecars must leave the disk")
+    val oldCommits = Files.list(Paths.get(s"$dir/_delta_log")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    oldCommits.forEachRemaining(p => names += p.getFileName.toString)
+    assert(!names.exists(n => n.matches("\\d{20}\\.json") &&
+      n.dropRight(5).toLong < 60L), s"pre-cut commits must be pruned")
+    // the table keeps working: version numbering continues (no clobber)
+    t.append((1100 until 1200).map(i => (i, i % 10)).toDF("id", "g"))
+    assert(t.version - 1 == head + 1, "version must continue past retention")
+    assert(t.read().count() == wantLive.size + 100)
+    t.deleteWhereDV(col("id") === 1150)
+    assert(t.read().count() == wantLive.size + 99)
+    assert(t.readAt(head).count() == wantLive.size)
+  }
 }
