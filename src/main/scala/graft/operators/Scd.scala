@@ -30,12 +30,25 @@ import org.apache.spark.sql.functions._
   *     run's head: re-deriving runs from heads + new rows yields the
   *     same runs the full feed would.
   *
-  * Contract: `applyDelta` assumes the usual CDC monotonicity — delta
-  * rows for a key timestamp at-or-after that key's last change point.
-  * A LATE row that lands inside a collapsed historical run can split
-  * it at a position the stored change points no longer witness; feeds
-  * that can deliver late data should rebuild affected keys from the
-  * raw feed ([[scd2]] over the key's full history) instead.
+  * Late-data contract: the fast path ([[applyDelta]]) is exact iff
+  * delta rows for a key timestamp at-or-after that key's last OBSERVED
+  * ts — strictly stronger than "after the last change point", because
+  * observations equal to their predecessor collapse into the stored
+  * run and leave no witness: a late row landing among them splits
+  * history at a position the stored points cannot re-derive. Two
+  * defenses, graded by what the caller can afford:
+  *   - [[LatePolicy.Fail]] detects every delta row landing inside
+  *     CLOSED history (ts before the key's newest stored valid_from —
+  *     the provably-wrong-under-the-fast-path class; see [[lateRows]])
+  *     and aborts the batch loudly. A row that reorders inside the
+  *     OPEN current run against collapsed duplicates is
+  *     indistinguishable from an on-time row using the dimension
+  *     alone and is NOT caught — feeds that can produce those need
+  *     the raw-feed path below.
+  *   - [[applyDeltaFromRaw]] rebuilds every touched key from the
+  *     caller-provided raw feed — exact under ANY delivery order, at
+  *     O(touched keys' raw history) instead of O(touched keys' change
+  *     points).
   *
   * The reference's pipeline keeps only latest state
   * (gold/bronzeToGold.py upsert shape); SCD2 is part of the
@@ -76,13 +89,54 @@ object Scd {
       .drop(tsCol, idCol)
   }
 
+  /** How [[applyDelta]] treats delta rows that violate the late-data
+    * contract (see object doc). */
+  sealed trait LatePolicy
+  object LatePolicy {
+    /** Trust the feed (the default, and the right choice for ordered
+      * CDC streams): no detection pass is spent. */
+    case object Assume extends LatePolicy
+    /** Abort the batch with the late-row count if any delta row lands
+      * inside closed history — quarantine-by-failure: the caller still
+      * holds the batch and routes it to [[applyDeltaFromRaw]] or a
+      * dead-letter store. Costs one aggregate over delta ⋈ per-key
+      * newest-valid_from. */
+    case object Fail extends LatePolicy
+  }
+
+  /** The delta rows that land inside CLOSED history: ts strictly
+    * before their key's newest stored `valid_from`. Every such row
+    * provably breaks the change-point fast path (it belongs to an
+    * interval some stored point has already closed); rows at-or-after
+    * the newest point are indistinguishable from on-time rows here.
+    * One aggregate of `current` + one join, both key-partitioned. */
+  def lateRows(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    val latest = current.groupBy(keyCols.map(col): _*)
+      .agg(max(col("valid_from")).as("__latest_from"))
+    delta.join(latest, keyCols, "inner")
+      .where(col(tsCol) < col("__latest_from"))
+      .drop("__latest_from")
+  }
+
   /** Fold a new batch of change rows into an existing SCD2 dimension,
     * touching only the keys the delta mentions (see object doc for the
-    * monotonicity contract). `current` must have [[scd2]]'s output
-    * schema for the same (keyCols, attrCols); `delta` has the raw feed
-    * schema. Untouched keys pass through without a window pass. */
+    * late-data contract; `onLate` picks the enforcement). `current`
+    * must have [[scd2]]'s output schema for the same (keyCols,
+    * attrCols); `delta` has the raw feed schema. Untouched keys pass
+    * through without a window pass. */
   def applyDelta(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
-      attrCols: Seq[String], tsCol: String, idCol: String): DataFrame = {
+      attrCols: Seq[String], tsCol: String, idCol: String,
+      onLate: LatePolicy = LatePolicy.Assume): DataFrame = {
+    onLate match {
+      case LatePolicy.Assume =>
+      case LatePolicy.Fail =>
+        val n = lateRows(current, delta, keyCols, tsCol).count()
+        require(n == 0,
+          s"$n delta row(s) land inside closed SCD2 history; " +
+            "re-route the batch through applyDeltaFromRaw or drop the " +
+            "late rows explicitly")
+    }
     // no forced broadcast on the touched-key set: a trickle batch
     // broadcasts under AQE anyway, and a bulk backfill's key set must
     // be allowed to degrade to a shuffle join instead of OOMing the
@@ -94,6 +148,27 @@ object Scd {
     val keep = current.join(touched, keyCols, "left_anti")
     keep.unionByName(
       rebuildTouched(current, delta, touched, keyCols, attrCols, tsCol, idCol))
+  }
+
+  /** [[applyDelta]] for feeds that can deliver ARBITRARILY late rows:
+    * every key the delta touches is rebuilt from `raw` — the key's
+    * full observed history (delta rows may but need not be included;
+    * an exact duplicate observation collapses into its run and cannot
+    * change the result) — so the fold equals [[scd2]] over the full
+    * feed under ANY delivery order, proven by ScdSpec's randomized
+    * out-of-order differential. Untouched keys still pass through
+    * without a window pass; the price of exactness is reading the
+    * touched keys' raw history (semi-join-pruned, key-partitioned)
+    * instead of their collapsed change points. */
+  def applyDeltaFromRaw(current: DataFrame, delta: DataFrame,
+      raw: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      tsCol: String, idCol: String): DataFrame = {
+    val touched = delta.select(keyCols.map(col): _*).distinct()
+    val keep = current.join(touched, keyCols, "left_anti")
+    val cols = (keyCols ++ attrCols ++ Seq(tsCol, idCol)).map(col)
+    val feed = raw.select(cols: _*).join(touched, keyCols, "left_semi")
+      .unionByName(delta.select(cols: _*))
+    keep.unionByName(scd2(feed, keyCols, attrCols, tsCol, idCol))
   }
 
   /** Just the rebuilt rows for the keys `delta` mentions — the piece a

@@ -198,7 +198,11 @@ object BronzeIngest {
     * sorts adjacent to its original with equal attributes and collapses,
     * so the rebuilt history is identical (run-collapse is idempotent and
     * the merge commit is too). Inherits applyDelta's monotone-per-key
-    * timestamp contract. */
+    * timestamp contract; note Scd.LatePolicy.Fail is deliberately NOT
+    * wired here — a replayed duplicate of a non-head change point sits
+    * below the key's newest valid_from and would trip it spuriously.
+    * Feeds that deliver genuinely late rows should fold through
+    * Scd.applyDeltaFromRaw against the bronze history instead. */
   def scd2Batch(table: graft.io.ManagedParquetTable, batch: DataFrame,
       keyCols: Seq[String], attrCols: Seq[String], tsCol: String,
       idCol: String): Unit = {

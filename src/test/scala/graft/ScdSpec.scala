@@ -87,6 +87,92 @@ class ScdSpec extends SparkSpec {
     assert(at(1000L) == Seq("B"))
   }
 
+  test("lateRows flags exactly the closed-history violations; Fail aborts, " +
+      "applyDeltaFromRaw heals") {
+    // stored history for k=1: A@[10,30) B@[30,∞); the batch carries one
+    // row inside the CLOSED interval (ts=20), one on the open run
+    // (ts=40), one for a fresh key
+    val cur = dim(Seq((1L, "A", 10L, 100L), (1L, "B", 30L, 101L)))
+    val delta = Seq((1L, "C", 20L, 200L), (1L, "C", 40L, 201L),
+      (2L, "X", 5L, 202L)).toDF("k", "attr", "ts", "id")
+    val late = Scd.lateRows(cur, delta, Seq("k"), "ts")
+      .select("id").as[Long].collect().toSeq
+    assert(late == Seq(200L), s"exactly the ts=20 row is late: $late")
+    val e = intercept[IllegalArgumentException] {
+      Scd.applyDelta(cur, delta, Seq("k"), Seq("attr"), "ts", "id",
+        onLate = Scd.LatePolicy.Fail).count()
+    }
+    assert(e.getMessage.contains("closed SCD2 history"), e.getMessage)
+    // the raw-feed path folds the same batch exactly
+    val raw = Seq((1L, "A", 10L, 100L), (1L, "B", 30L, 101L))
+      .toDF("k", "attr", "ts", "id")
+    val healed = Scd.applyDeltaFromRaw(cur, delta, raw,
+      Seq("k"), Seq("attr"), "ts", "id")
+    val want = Scd.scd2(raw.unionByName(delta),
+      Seq("k"), Seq("attr"), "ts", "id")
+    assert(healed.except(want).isEmpty && want.except(healed).isEmpty)
+  }
+
+  test("late row inside a COLLAPSED run: the change-point fast path is " +
+      "provably wrong there and the raw path is exact — why both exist") {
+    // raw history for k=1: A@10, A@20 (collapses into A's run), so the
+    // stored dimension is just A@[10,∞). A late B@15 must split it into
+    // A@[10,15) B@[15,20) A@[20,∞) — the collapsed A@20 observation has
+    // to REOPEN, which only the raw feed still witnesses
+    val raw = Seq((1L, "A", 10L, 100L), (1L, "A", 20L, 101L))
+      .toDF("k", "attr", "ts", "id")
+    val cur = Scd.scd2(raw, Seq("k"), Seq("attr"), "ts", "id")
+    val delta = Seq((1L, "B", 15L, 200L)).toDF("k", "attr", "ts", "id")
+    val want = asTuples(Scd.scd2(raw.unionByName(delta),
+      Seq("k"), Seq("attr"), "ts", "id"))
+    assert(want.map(t => (t._2, t._4)) == Seq(("A", 10L), ("B", 15L), ("A", 20L)))
+    val fromRaw = asTuples(Scd.applyDeltaFromRaw(cur, delta, raw,
+      Seq("k"), Seq("attr"), "ts", "id"))
+    assert(fromRaw == want)
+    val fast = asTuples(Scd.applyDelta(cur, delta,
+      Seq("k"), Seq("attr"), "ts", "id"))
+    assert(fast != want, "if the fast path ever heals this, lateRows and " +
+      "the raw path are dead weight — revisit the contract")
+  }
+
+  test("randomized out-of-order differential: applyDeltaFromRaw folds == " +
+      "scd2 over the full feed, any delivery order") {
+    for (seed <- 0 until 6) {
+      val rnd = new scala.util.Random(seed)
+      // feed: 12 keys × ~25 observations, 3 attr values (collapse-heavy),
+      // ts collisions on purpose (ties broken by unique id)
+      val feed = (0 until 300).map { i =>
+        (rnd.nextInt(12).toLong, s"v${rnd.nextInt(3)}",
+          rnd.nextInt(40).toLong, i.toLong)
+      }
+      val full = Scd.scd2(feed.toDF("k", "attr", "ts", "id"),
+        Seq("k"), Seq("attr"), "ts", "id")
+      // deliver in a SHUFFLED order, split into random batches
+      val shuffled = rnd.shuffle(feed)
+      val batches = {
+        var rest = shuffled
+        val out = Seq.newBuilder[Seq[(Long, String, Long, Long)]]
+        while (rest.nonEmpty) {
+          val n = 1 + rnd.nextInt(80)
+          out += rest.take(n); rest = rest.drop(n)
+        }
+        out.result()
+      }
+      assert(batches.size > 1)
+      var cur = Scd.scd2(batches.head.toDF("k", "attr", "ts", "id"),
+        Seq("k"), Seq("attr"), "ts", "id")
+      var delivered = batches.head
+      for (b <- batches.tail) {
+        cur = Scd.applyDeltaFromRaw(cur, b.toDF("k", "attr", "ts", "id"),
+          delivered.toDF("k", "attr", "ts", "id"),
+          Seq("k"), Seq("attr"), "ts", "id")
+        delivered = delivered ++ b
+      }
+      assert(asTuples(cur) == asTuples(full),
+        s"seed=$seed: out-of-order fold diverged from the full rebuild")
+    }
+  }
+
   test("plan: scd2 is a single shuffle — the second window pass reuses " +
     "the first's hash partitioning") {
     val feed = Tables.orders(spark, sf).select(
