@@ -97,7 +97,14 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   /** Committed snapshot version (0 when the table does not exist yet).
     * Each append/overwrite/delete commit increments it by exactly one,
     * which lets writers detect whether an in-flight commit landed
-    * before a crash (see BufferedFlushSink's recovery protocol). */
+    * before a crash (see BufferedFlushSink's recovery protocol).
+    * ONE documented exception: a retention pass ([[vacuum]] with
+    * `retainVersions`) rewrites the manifest IN PLACE at the same
+    * version (mode "vacuum") — it changes only dv BOOKKEEPING
+    * (dropping entries provably inert for every retained version),
+    * never segments, schema, or any row a retained version can see,
+    * so version-keyed caches of table CONTENT stay valid; only the
+    * byte identity of the manifest is not version-stable. */
   def version: Long = snapshot().map(_._1).getOrElse(0L)
 
   /** Committed snapshot: (version, segment dir names). */
@@ -171,6 +178,21 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     Files.writeString(dvlogDir.resolve(name), entries.mkString("\n"))
     name
   }
+
+  /** Mark dvlog files just superseded by a consolidation/retention
+    * rewrite: mtime = unreference time, so [[vacuum]]'s unreferenced-
+    * dvlog sweep grants a reader holding the previous manifest the
+    * full graceMs window — the same contract dropped segments get
+    * (see [[commit]]'s segment touch). Never deleted on the commit
+    * path: a reader that resolved the pre-consolidation manifest must
+    * keep resolving these files. */
+  private def touchDvlogFiles(names: Seq[String]): Unit =
+    names.foreach { f =>
+      val p = dvlogDir.resolve(f)
+      if (Files.exists(p)) Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis()))
+    }
 
   /** Parsed dv entry. `touched` is None for legacy entries (unknown
     * touch set → conservatively treated as always-live). */
@@ -627,15 +649,17 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     // dv history. At the consolidation cadence (or on the first dv
     // commit after a legacy inline-dvs manifest) all named files fold
     // into one, keeping the referenced-file list O(1); the superseded
-    // files are deleted only AFTER the manifest rename (a crash in
-    // between leaves unreferenced garbage for vacuum, never a dangling
-    // reference).
+    // files are NOT deleted here — a concurrent reader holding the
+    // pre-consolidation manifest still resolves them — they are only
+    // mtime-touched (unreference time, mirroring commit's segment
+    // touch) and left for vacuum's unreferenced-dvlog sweep, which
+    // applies the same graceMs contract segments get.
     val (inline, dvFiles) = dvState
     if (inline.nonEmpty || dvFiles.size >= DvlogConsolidateAt) {
       val all = inline ++ dvFiles.flatMap(readDvlogFile) :+ entry
       val consolidated = writeDvlogFile(all)
       commit(segs, "delete-dv", Some((Seq.empty, Seq(consolidated))))
-      dvFiles.foreach(f => Files.deleteIfExists(dvlogDir.resolve(f)))
+      touchDvlogFiles(dvFiles)
     } else {
       val nf = writeDvlogFile(Seq(entry))
       commit(segs, "delete-dv", Some((Seq.empty, dvFiles :+ nf)))
@@ -1246,7 +1270,10 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     * drop dv entries inert for every retained version, and prune the
     * mirror log below the horizon. Rewrites the manifest IN PLACE
     * (same version — only dv bookkeeping changes; single-writer
-    * contract, atomic rename). */
+    * contract, atomic rename). This is the one documented exception
+    * to the version-increments-per-commit invariant — see [[version]]:
+    * no retained version's visible rows change, so content caches
+    * keyed by version stay valid. */
   private def applyRetention(retain: Long): Unit = {
     require(retain >= 1, s"retainVersions must be >= 1, got $retain")
     val snap = snapshot()
@@ -1285,7 +1312,11 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
         manifestJson(ver, "vacuum", segs, Seq.empty, consolidated))
       Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
-      dvFiles.foreach(f => Files.deleteIfExists(dvlogDir.resolve(f)))
+      // superseded dvlog files stay on disk for readers holding the
+      // previous manifest; touched so vacuum's sweep (which runs right
+      // after this, in the same call) grants them the full graceMs
+      // window from unreference time
+      touchDvlogFiles(dvFiles)
     }
     // prune the mirror log below the horizon checkpoint; readAt below
     // it now fails the contiguity check with a clean retention error

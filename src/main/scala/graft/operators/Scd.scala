@@ -105,17 +105,19 @@ object Scd {
   }
 
   /** The delta rows that land inside CLOSED history: ts strictly
-    * before their key's newest stored `valid_from`. Every such row
-    * provably breaks the change-point fast path (it belongs to an
-    * interval some stored point has already closed); rows at-or-after
-    * the newest point are indistinguishable from on-time rows here.
+    * before their key's newest stored `valid_from` — or ts NULL, which
+    * [[scd2]]'s `orderBy(ts, id)` sorts FIRST, i.e. to the very start
+    * of closed history: the exact silent-corruption class this
+    * detector exists for, so a null ts on a key with any stored
+    * history is always flagged. Rows at-or-after the newest point are
+    * indistinguishable from on-time rows here.
     * One aggregate of `current` + one join, both key-partitioned. */
   def lateRows(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
       tsCol: String): DataFrame = {
     val latest = current.groupBy(keyCols.map(col): _*)
       .agg(max(col("valid_from")).as("__latest_from"))
     delta.join(latest, keyCols, "inner")
-      .where(col(tsCol) < col("__latest_from"))
+      .where(col(tsCol).isNull || col(tsCol) < col("__latest_from"))
       .drop("__latest_from")
   }
 
@@ -128,14 +130,22 @@ object Scd {
   def applyDelta(current: DataFrame, delta: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String], tsCol: String, idCol: String,
       onLate: LatePolicy = LatePolicy.Assume): DataFrame = {
-    onLate match {
-      case LatePolicy.Assume =>
+    val batch = onLate match {
+      case LatePolicy.Assume => delta
       case LatePolicy.Fail =>
-        val n = lateRows(current, delta, keyCols, tsCol).count()
+        // pin the batch before the gate so the gated frame and the
+        // folded frame are the SAME data — a non-deterministic delta
+        // source evaluated twice could otherwise pass the gate yet
+        // deliver late rows to the fold. localCheckpoint is eager and
+        // batch-sized (a Fail caller is a trickle-CDC caller; bulk
+        // backfills use Assume or applyDeltaFromRaw).
+        val pinned = delta.localCheckpoint()
+        val n = lateRows(current, pinned, keyCols, tsCol).count()
         require(n == 0,
           s"$n delta row(s) land inside closed SCD2 history; " +
             "re-route the batch through applyDeltaFromRaw or drop the " +
             "late rows explicitly")
+        pinned
     }
     // no forced broadcast on the touched-key set: a trickle batch
     // broadcasts under AQE anyway, and a bulk backfill's key set must
@@ -144,10 +154,10 @@ object Scd {
     // and the rebuild so the two branches can never disagree on which
     // keys are kept vs rebuilt (a non-deterministic delta source
     // evaluated twice could otherwise leave a key in both sets)
-    val touched = delta.select(keyCols.map(col): _*).distinct()
+    val touched = batch.select(keyCols.map(col): _*).distinct()
     val keep = current.join(touched, keyCols, "left_anti")
     keep.unionByName(
-      rebuildTouched(current, delta, touched, keyCols, attrCols, tsCol, idCol))
+      rebuildTouched(current, batch, touched, keyCols, attrCols, tsCol, idCol))
   }
 
   /** [[applyDelta]] for feeds that can deliver ARBITRARILY late rows:

@@ -1285,11 +1285,28 @@ class IoSpec extends SparkSpec {
     assert(!manifestTxt.contains("dv-0"), "no inline entries expected")
     assert(""""dvs":\[\]""".r.findFirstIn(manifestTxt).isDefined,
       "inline dv list must stay empty on dvlog-era manifests")
-    // consolidation keeps the referenced file count bounded — and the
-    // superseded files were deleted, so the DIRECTORY stays bounded too
-    val logsAt50 = Files.list(Paths.get(s"$dir/_graft_dvlog")).count()
-    assert(logsAt50 <= 11, s"dvlog must consolidate: $logsAt50 files")
-    assert(logsAt15 <= 11, s"dvlog must consolidate: $logsAt15 files")
+    // consolidation keeps the manifest-REFERENCED file count bounded.
+    // Superseded files are NOT deleted on the commit path (a reader
+    // holding the pre-consolidation manifest must keep resolving
+    // them) — they are mtime-touched and left for vacuum's
+    // unreferenced sweep under the same graceMs contract segments get
+    def referenced(): Int = """"dvfiles":\[([^\]]*)\]""".r
+      .findFirstMatchIn(
+        Files.readString(Paths.get(s"$dir/_graft_manifest")))
+      .get.group(1).split(",").count(_.trim.nonEmpty)
+    assert(referenced() <= 11,
+      s"dvlog must consolidate: ${referenced()} referenced files")
+    // within grace the superseded files survive vacuum...
+    t.vacuum(graceMs = 60 * 60 * 1000L)
+    val logsInGrace = Files.list(Paths.get(s"$dir/_graft_dvlog")).count()
+    assert(logsInGrace >= referenced(),
+      "in-grace vacuum must keep superseded dvlog files for readers")
+    // ...and past grace the DIRECTORY shrinks back to the referenced set
+    t.vacuum(graceMs = -1000)
+    val logsSwept = Files.list(Paths.get(s"$dir/_graft_dvlog")).count()
+    assert(logsSwept == referenced(),
+      s"post-grace vacuum must sweep superseded dvlog files: $logsSwept")
+    assert(logsAt15 <= 15, s"unexpected dvlog count at 15: $logsAt15")
     // the full entry history still reads back exactly
     assert(t.read().count() == 1950)
     assert(t.readAt(0L).count() == 2000)

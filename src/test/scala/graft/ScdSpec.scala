@@ -111,6 +111,14 @@ class ScdSpec extends SparkSpec {
     val want = Scd.scd2(raw.unionByName(delta),
       Seq("k"), Seq("attr"), "ts", "id")
     assert(healed.except(want).isEmpty && want.except(healed).isEmpty)
+    // a NULL ts sorts FIRST under scd2's orderBy(ts, id) — the very
+    // start of closed history, the exact class Fail exists to catch —
+    // so it must be flagged, not sail through a null-unsafe compare
+    val nullTs = Seq((1L, "Z", null.asInstanceOf[java.lang.Long], 300L))
+      .toDF("k", "attr", "ts", "id")
+    val lateNull = Scd.lateRows(cur, nullTs, Seq("k"), "ts")
+      .select("id").as[Long].collect().toSeq
+    assert(lateNull == Seq(300L), s"null ts must be flagged late: $lateNull")
   }
 
   test("late row inside a COLLAPSED run: the change-point fast path is " +
