@@ -200,7 +200,13 @@ object FileStats {
 
   /** Extract the prunable conjuncts of a predicate: top-level
     * AND-chains of {=, <, <=, >, >=} between a bare column and a
-    * literal (either side), plus IS NOT NULL. The predicate is
+    * literal (either side), IS NOT NULL, and `col IN (literals…)`
+    * (both the `In` and post-OptimizeIn `InSet` forms — the shape a
+    * probe-pruned index read pushes down: `centroid_id IN (probed
+    * lists)`). Null literals inside an IN-list are dropped from the
+    * conjunct: `x IN (v, NULL)` can only be TRUE via a non-null match,
+    * so pruning on the non-null subset never removes a live file. The
+    * predicate is
     * resolved through the OPTIMIZED logical plan of `df.filter(pred)`
     * (a Spark-4 `Column` holds a lazy node tree, not catalyst
     * expressions; analysis also resolves names, folds `cast(lit)` and
@@ -233,6 +239,15 @@ object FileStats {
       case And(l, r) => conj(l) ++ conj(r)
       case IsNotNull(a) if attrName(a).isDefined =>
         Seq(Conjunct(attrName(a).get, "notnull", null, NullType))
+      case In(a, vs) if attrName(a).isDefined &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val lits = vs.collect { case Literal(v, dt) if v != null => (v, dt) }
+        if (lits.isEmpty) Seq.empty
+        else Seq(Conjunct(attrName(a).get, "in", lits, lits.head._2))
+      case InSet(a: AttributeReference, hset) =>
+        val lits = hset.toSeq.filter(_ != null).map(v => (v, a.dataType))
+        if (lits.isEmpty) Seq.empty
+        else Seq(Conjunct(a.name, "in", lits, a.dataType))
       case b: BinaryComparison =>
         comparisonOp(b).toSeq.flatMap { op =>
           (b.left, b.right) match {
@@ -254,6 +269,11 @@ object FileStats {
     * unknown → true). Comparisons are null-rejecting in SQL, so value
     * bounds alone decide — null rows never satisfy the conjunct. */
   def mayMatch(stats: Map[String, ColStats], c: Conjunct): Boolean = {
+    // IN-list: may match iff ANY member equality may — each member
+    // recurses through the full per-kind bound logic below
+    if (c.op == "in")
+      return c.value.asInstanceOf[Seq[(Any, DataType)]]
+        .exists { case (v, dt) => mayMatch(stats, Conjunct(c.colName, "=", v, dt)) }
     val s = stats.collectFirst {
       case (n, cs) if n.equalsIgnoreCase(c.colName) => cs
     }.getOrElse(return true)

@@ -807,8 +807,111 @@ object Similarity {
                 AS n_extreme
             FROM q ORDER BY vec_id"""))
 
+  /** v17: PERSISTED IVF-PQ index with change-feed maintenance — v16's
+    * lifecycle template applied to the flagship ANN form (v12). The
+    * index table stores (id, centroid_id, codes) inverted lists under
+    * FROZEN centroids + codebooks; three appends maintain O(delta), a
+    * dv delete and a scattered rewriting delete drop rows without a
+    * rebuild, and the final probe-pruned STORED search must equal the
+    * oracle's from-scratch relational replay (training init, coarse
+    * assignment, PQ encode, probe selection, s-ordered ADC fold) over
+    * the live set — any divergence between maintenance and rebuild,
+    * or between the stored search and the per-run derivation,
+    * hash-fails. */
+  val ivfPqIndexQ: GQuery = GQuery(
+    "v17_ivfpq_index",
+    (s, d) => {
+      val e = emb(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_v17").toString
+      val src = new graft.io.ManagedParquetTable(s, root + "/emb_t")
+      val idx = new graft.similarity.IncrementalIvfPqIndex(
+        s, root + "/emb_t", root + "/emb_idx",
+        m = 4, ksub = 16, dim = Dim)
+      // frozen artifacts: centroids = vec_id < 16, codebooks = iters=0
+      // pqTrain over the full table (init = 16 lowest ids) — both
+      // replayed relationally by the oracle
+      idx.train(e.filter(col("vec_id") < 16),
+        pqTrain(e, m = 4, ksub = 16, iters = 0, dim = Dim))
+      src.append(e.filter(col("vec_id") % 3 === 0))
+      idx.refresh() // initial: full encode
+      src.append(e.filter(col("vec_id") % 3 === 1))
+      idx.refresh()
+      require(idx.lastRefresh == "incremental",
+        s"append must refresh incrementally, got ${idx.lastRefresh}")
+      src.append(e.filter(col("vec_id") % 3 === 2))
+      idx.refresh()
+      // dv delete: visibility-only change — index drops key tombstones
+      src.deleteWhereDV(col("vec_id") % 5 === 3)
+      idx.refresh()
+      require(idx.lastRefresh == "incremental",
+        s"dv delete must refresh incrementally, got ${idx.lastRefresh}")
+      // scattered rewriting delete: delete+insert pairs net to replace
+      src.deleteWhere(col("vec_id") % 7 === 2)
+      idx.refresh()
+      require(idx.lastRefresh == "incremental",
+        s"rewrite delete must refresh incrementally, got ${idx.lastRefresh}")
+      idx.topK(src.read().filter(col("vec_id") < 3), k = 10, nprobe = 2)
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("neighbor_id"), col("sim"))
+        .orderBy(col("query_id"), col("rank"))
+    },
+    Some(s"""WITH kbase AS (SELECT vec_id AS id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings),
+            lv AS (SELECT id, v FROM kbase
+              WHERE id % 5 <> 3 AND id % 7 <> 2),
+            subs AS (SELECT unnest(range(4)) AS s),
+            bsub AS (SELECT b.id, t.s, b.v[t.s*16+1 : t.s*16+16] AS sv
+              FROM kbase b CROSS JOIN subs t),
+            init AS (SELECT id, v FROM kbase ORDER BY id LIMIT 16),
+            cb AS (SELECT t.s,
+                row_number() OVER (PARTITION BY t.s ORDER BY b.id) - 1
+                  AS code,
+                b.v[t.s*16+1 : t.s*16+16] AS cv
+              FROM init b CROSS JOIN subs t),
+            enc AS (SELECT id, s, code FROM (
+              SELECT t.id, t.s, c.code,
+                row_number() OVER (PARTITION BY t.id, t.s
+                  ORDER BY round(${sqlCosineD("t.sv", "c.cv", 16)}, 6) DESC,
+                           c.code) AS rn
+              FROM bsub t JOIN cb c ON c.s = t.s) z WHERE rn = 1),
+            cents AS (SELECT id AS centroid_id, v AS cv FROM kbase
+              WHERE id < 16),
+            asg AS (SELECT id, centroid_id FROM (
+              SELECT b.id, c.centroid_id,
+                row_number() OVER (PARTITION BY b.id
+                  ORDER BY round(${sqlCosine("b.v", "c.cv")}, 6) DESC,
+                           c.centroid_id) AS rn
+              FROM lv b CROSS JOIN cents c) z WHERE rn = 1),
+            probes AS (SELECT query_id, centroid_id FROM (
+              SELECT q.id AS query_id, c.centroid_id,
+                row_number() OVER (PARTITION BY q.id
+                  ORDER BY round(${sqlCosine("q.v", "c.cv")}, 6) DESC,
+                           c.centroid_id) AS rn
+              FROM lv q CROSS JOIN cents c WHERE q.id < 3) z
+              WHERE rn <= 2),
+            pd AS (SELECT q.id AS query_id, e.id AS neighbor_id, e.s,
+                ${sqlDotD("q.sv", "c.cv", 16)} AS pdot
+              FROM bsub q
+              JOIN probes p ON p.query_id = q.id
+              JOIN asg a ON a.centroid_id = p.centroid_id
+                AND a.id != q.id
+              JOIN enc e ON e.id = a.id AND e.s = q.s
+              JOIN cb c ON c.s = e.s AND c.code = e.code
+              WHERE q.id < 3),
+            sc AS (SELECT query_id, neighbor_id,
+                round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                  list(pdot ORDER BY s)), (acc, x) -> acc + x), 6) AS sim
+              FROM pd GROUP BY query_id, neighbor_id)
+            SELECT query_id,
+              row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, neighbor_id) AS rank,
+              neighbor_id, sim
+            FROM sc QUALIFY rank <= 10 ORDER BY query_id, rank"""))
+
   val all: Seq[GQuery] = Seq(bruteTopK, lshBuckets, nearDups, annTopK,
     ivfAssignQ, ivfTopKQ, quantizeQ, quantizedTopKQ, storedQuantizedTopKQ,
     kmeansQ, semanticDedupQ, pqTopKQ, ivfPqTopKQ, annRecallQ, multiProbeQ,
-    ivfPqResidualTopKQ, indexUpdateQ)
+    ivfPqResidualTopKQ, indexUpdateQ, ivfPqIndexQ)
 }

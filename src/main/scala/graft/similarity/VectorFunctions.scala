@@ -563,42 +563,82 @@ object VectorFunctions {
     perQueryTopK(scored, k, shards)
   }
 
-  /** IVF-PQ (the FAISS billion-vector architecture composed from this
-    * file's parts): the coarse quantizer prunes WHICH vectors are
-    * scored — queries probe their nprobe closest centroids and touch
-    * only those inverted lists (scanned fraction ≈ nprobe/nlist) — and
-    * PQ-ADC prunes WHAT is read per vector: m small codes instead of
-    * dim floats. One corpus pass computes assignment AND codes in the
-    * same projection (ivfAssign carries the vector through; encoding is
-    * row-local), so the corpus never shuffles and is never re-joined;
-    * probes ride with their row-local lookup tables on the broadcast
-    * side. Ranking is shard-bounded. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
-      centroids: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
-      dim: Int, k: Int, nprobe: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
-    val sd = dim / m
+  /** One-pass IVF-PQ encode against FROZEN training artifacts: coarse
+    * assignment (ivfAssign's scoring — rounded cosine, id tiebreak) and
+    * the PQ code array computed in the SAME corpus projection, so the
+    * corpus is read once and never shuffles. Returns
+    * `(idCol, centroid_id, codes)` — the persistable inverted-list row
+    * of an IVF-PQ index ([[IncrementalIvfPqIndex]] stores exactly this
+    * frame). Because assignment and encoding are ROW-LOCAL given fixed
+    * centroids + codebooks, encoding a delta batch is exactly
+    * rebuild-equivalent — the property incremental index maintenance
+    * rests on. */
+  def ivfPqEncode(corpus: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, m: Int, ksub: Int, dim: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
+    ivfAssignKeeping(
+      corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
+      .select(col(idCol), col("centroid_id"),
+        pqCodesExpr(col(vecCol), cbLit, m, ksub, dim / m).as("codes"))
+  }
+
+  /** Probe frame for an IVF-PQ search: each query's `nprobe` closest
+    * coarse centroids, each probe row carrying the query's ROW-LOCAL
+    * ADC lookup table → `(query_id, lut, centroid_id)`. Tiny
+    * (queries × nprobe) — the broadcast side of every IVF-PQ join. */
+  def ivfPqProbes(queries: DataFrame, centroids: DataFrame,
+      codebooks: DataFrame, m: Int, ksub: Int, dim: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cbLit = typedlit(collectCodebook(codebooks, m, ksub))
     val c = centroids.select(col(idCol).as("centroid_id"),
       col(vecCol).as("cv"))
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("centroid_id"))
-    val probes = queries
+    queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        pqLutExpr(col(vecCol), cbLit, m, sd).as("lut"))
+        pqLutExpr(col(vecCol), cbLit, m, dim / m).as("lut"))
       .crossJoin(broadcast(c))
       .withColumn("csim", round(cosine(col("qv"), col("cv")), 6))
       .withColumn("rn", row_number().over(probeW))
       .filter(col("rn") <= nprobe)
       .select(col("query_id"), col("lut"), col("centroid_id"))
-    val assigned = ivfAssignKeeping(
-      corpus.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
-      .select(col(idCol).as("neighbor_id"), col("centroid_id"),
-        pqCodesExpr(col(vecCol), cbLit, m, ksub, sd).as("codes"))
-    val scored = broadcast(probes).join(assigned, "centroid_id")
+  }
+
+  /** ADC top-k over a STORED IVF-PQ index frame ([[ivfPqEncode]] rows:
+    * id, centroid_id, codes) given a probe frame ([[ivfPqProbes]]).
+    * The probes broadcast into the index join on centroid_id — only
+    * probed inverted lists are scored, and scoring reads m small codes
+    * per vector, never the float corpus. Ranking is shard-bounded. */
+  def storedIvfPqTopK(index: DataFrame, probes: DataFrame, m: Int,
+      ksub: Int, k: Int, idCol: String = "vec_id",
+      shards: Int = 64): DataFrame = {
+    val scored = broadcast(probes)
+      .join(index.select(col(idCol).as("neighbor_id"),
+        col("centroid_id"), col("codes")), "centroid_id")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", pqScoreExpr(col("lut"), col("codes"), m, ksub))
     perQueryTopK(scored, k, shards)
+  }
+
+  /** IVF-PQ (the FAISS billion-vector architecture composed from this
+    * file's parts): the coarse quantizer prunes WHICH vectors are
+    * scored — queries probe their nprobe closest centroids and touch
+    * only those inverted lists (scanned fraction ≈ nprobe/nlist) — and
+    * PQ-ADC prunes WHAT is read per vector: m small codes instead of
+    * dim floats. Composed as [[ivfPqEncode]] (one corpus pass, no
+    * shuffle) + [[ivfPqProbes]] (broadcast side) + [[storedIvfPqTopK]]
+    * — the same three stages [[IncrementalIvfPqIndex]] persists; this
+    * form re-derives the encode per run, the index serves it stored. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+      centroids: DataFrame, codebooks: DataFrame, m: Int, ksub: Int,
+      dim: Int, k: Int, nprobe: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
+    val probes = ivfPqProbes(queries, centroids, codebooks,
+      m, ksub, dim, nprobe, idCol, vecCol)
+    val enc = ivfPqEncode(corpus, centroids, codebooks,
+      m, ksub, dim, idCol, vecCol)
+    storedIvfPqTopK(enc, probes, m, ksub, k, idCol, shards)
   }
 
   /** Per-vector IVF residual (Jégou et al. TPAMI 2011 §IV): assign each

@@ -1227,6 +1227,34 @@ class IoSpec extends SparkSpec {
     assert(t.readWhere(col("id") === -5L).count() == 0)
   }
 
+  test("stats pruning handles IN-lists: both the In form (small list) " +
+      "and the post-OptimizeIn InSet form (large list) skip dead files") {
+    val dir = tmp("dspin") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append((0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+      .coalesce(1))   // seg A: ids 0..99
+    t.append((100 until 200).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+      .coalesce(1))   // seg B: ids 100..199
+    t.append((200 until 300).map(i => (i.toLong, s"c$i")).toDF("id", "v")
+      .coalesce(1))   // seg C: ids 200..299
+    // small list (stays catalyst In): members hit only seg B
+    val (keptIn, total) = t.pruneFiles(col("id").isin(120L, 150L))
+    assert(total == 3 && keptIn.size == 1,
+      s"In-list covering only B must keep 1 of 3: $keptIn")
+    assert(t.readWhere(col("id").isin(120L, 150L)).count() == 2)
+    // large list (> inSetConversionThreshold=10, becomes InSet):
+    // members span A and C but never B
+    val big = ((0L until 12L) :+ 250L)
+    val (keptSet, _) = t.pruneFiles(col("id").isin(big: _*))
+    assert(keptSet.size == 2,
+      s"InSet spanning A+C must skip B: $keptSet")
+    assert(t.readWhere(col("id").isin(big: _*)).count() == 13)
+    // a null in the list prunes on the non-null members only
+    val (keptNull, _) =
+      t.pruneFiles(col("id").isin(150L, null.asInstanceOf[java.lang.Long]))
+    assert(keptNull.size == 1, s"null member must not block pruning: $keptNull")
+  }
+
   test("compactDeletes: only over-threshold segments rewrite; fold is exact; history survives") {
     val dir = tmp("dvc") + "/tbl"
     val t = new ManagedParquetTable(spark, dir)

@@ -1,0 +1,108 @@
+package graft
+
+import graft.io.ManagedParquetTable
+import graft.similarity.IncrementalIvfPqIndex
+import graft.similarity.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index (v17): maintained ≡ rebuild under the frozen
+  * training artifacts, stored search ≡ per-run search, and probe plans
+  * open only the files covering the probed inverted lists. */
+class IvfPqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+  private val M = 4
+  private val Ksub = 16
+  lazy val e = Tables.embeddings(spark, sf)
+
+  test("change-feed maintenance is exactly rebuild-equivalent; stored " +
+      "search equals the per-run derivation (recall identical by identity)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalIvfPqIndex(spark, s"$root/t", s"$root/idx",
+      m = M, ksub = Ksub, dim = Dim)
+    val cents = e.filter($"vec_id" < 16)
+    val cbs = pqTrain(e, m = M, ksub = Ksub, iters = 0, dim = Dim)
+    intercept[IllegalArgumentException] {
+      idx.refresh() // refresh before train must fail loudly
+    }
+    idx.train(cents, cbs)
+    intercept[IllegalArgumentException] {
+      idx.train(cents, cbs) // retrain = silent index corruption; refuse
+    }
+    src.append(e.filter($"vec_id" % 2 === 0))
+    idx.refresh()
+    assert(idx.lastRefresh == "full")
+    src.append(e.filter($"vec_id" % 2 === 1))
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    idx.refresh()
+    assert(idx.lastRefresh == "noop")
+    // dv delete and a scattered rewriting delete both maintain
+    src.deleteWhereDV($"vec_id" % 5 === 0)
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    src.deleteWhere($"vec_id" % 7 === 1)
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    // content identity vs a from-scratch encode of the live set under
+    // the SAME frozen artifacts — (id, centroid_id, codes) rows match
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)
+    val maintained = idx.read()
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect().map(key).toSet
+    val rebuilt = ivfPqEncode(src.read(), cents, cbs, M, Ksub, Dim)
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect().map(key).toSet
+    assert(maintained == rebuilt,
+      s"maintained ${maintained.size} vs rebuilt ${rebuilt.size}")
+    // stored probe-pruned search ≡ the per-run composition on the live
+    // corpus — row identity, so recall@k against brute force is
+    // unchanged by construction
+    val live = src.read()
+    val qs = live.filter($"vec_id" < 12)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val stored = rows(idx.topK(qs, k = 5, nprobe = 4))
+    val rederived = rows(ivfPqTopK(live, qs, cents, cbs,
+      M, Ksub, Dim, k = 5, nprobe = 4))
+    assert(stored == rederived)
+  }
+
+  test("probe plan opens only the files covering the probed lists; " +
+      "the pruned scan returns exactly the unpruned result") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_prune").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    // tiny rowsPerFile forces the bulk build to fan out into many
+    // range-clustered files (the 100 TB layout at test scale)
+    val idx = new IncrementalIvfPqIndex(spark, s"$root/t", s"$root/idx",
+      m = M, ksub = Ksub, dim = Dim, rowsPerFile = 50L)
+    val cents = e.filter($"vec_id" < 16)
+    val cbs = pqTrain(e, m = M, ksub = Ksub, iters = 0, dim = Dim)
+    idx.train(cents, cbs)
+    src.append(e)
+    idx.refresh()
+    val qs = e.filter($"vec_id" < 3)
+    val (kept, total) = idx.probeFilePlan(qs, nprobe = 2)
+    assert(total >= 8, s"build must fan out into many files, got $total")
+    assert(kept < total,
+      s"probe must skip unprobed lists' files: kept $kept of $total")
+    // and the pruned read changes nothing: stored search == scoring the
+    // FULL index frame with the same probes
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select($"query_id", $"rank", $"neighbor_id", $"sim")
+      .as[(Long, Int, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    val pruned = rows(idx.topK(qs, k = 10, nprobe = 2))
+    val full = rows(storedIvfPqTopK(idx.read(),
+      ivfPqProbes(qs, cents, cbs, M, Ksub, Dim, nprobe = 2),
+      M, Ksub, k = 10))
+    assert(pruned == full)
+  }
+}
