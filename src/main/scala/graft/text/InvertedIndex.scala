@@ -138,30 +138,158 @@ object InvertedIndex {
   /** Persist `postings` hash-bucketed by token: parquet partitioned by
     * `bucket`, so opening with a token filter prunes to the matching
     * dirs. Within each bucket, rows are sorted by (token, doc_id, pos)
-    * for run-length/dictionary-friendly pages. */
+    * for run-length/dictionary-friendly pages — which also makes the
+    * per-file token min/max recorded in the `<path>_stats` sidecar
+    * TIGHT, so probes can skip whole files inside a bucket (each
+    * append commit adds its own file per touched bucket; a probe for
+    * a token outside that commit's token range never opens it). */
   def writeBuckets(postings: DataFrame, path: String,
-      nBuckets: Int = DefaultBuckets, mode: String = "overwrite"): Unit =
+      nBuckets: Int = DefaultBuckets, mode: String = "overwrite"): Unit = {
+    val spark = postings.sparkSession
+    if (mode == "overwrite") deleteDir(spark, statsPathOf(path))
     postings
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions("token", "doc_id", "pos")
       .write.mode(mode).partitionBy("bucket").parquet(path)
+    collectPostingsStats(spark, path)
+  }
+
+  /** The postings dir's file-statistics sidecar (io/Layout.FileStats
+    * rows, token column only). */
+  private def statsPathOf(postingsPath: String): String =
+    postingsPath + "_stats"
+
+  /** Footer-scan every postings file not yet in the stats sidecar and
+    * append its token min/max — idempotent (keyed by relative file
+    * path), incremental (append commits only scan their own new
+    * files), footer-only (data pages untouched). A file that somehow
+    * escapes the sidecar is simply never skipped — absence of stats
+    * degrades to never-skip, the same contract as the table layer. */
+  private def collectPostingsStats(spark: SparkSession,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return
+    val files = listBucketFiles(spark, path, None)
+    val sp = statsPathOf(path)
+    val known: Set[String] =
+      if (!fs.exists(new Path(sp))) Set.empty
+      else spark.read.schema(graft.io.FileStats.schema).parquet(sp)
+        .select(col("file")).distinct().collect()
+        .map(_.getString(0)).toSet
+    val fresh = files.filterNot(known)
+    if (fresh.isEmpty) return
+    val rows = fresh.flatMap { rel =>
+      graft.io.FileStats.footerStats(spark, s"$path/$rel", rel)
+        .filter(_.col == "token")
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(graft.io.FileStats.toRows(rows), 1),
+      graft.io.FileStats.schema)
+      .write.mode("append").parquet(sp)
+  }
+
+  /** Relative paths (`bucket=N/part-…`) of the postings files in
+    * `buckets` (all buckets when None) — a planning-time listing, the
+    * same metadata any parquet scan of those dirs performs. */
+  private def listBucketFiles(spark: SparkSession, path: String,
+      buckets: Option[Seq[Long]]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Seq.empty
+    val dirs = buckets match {
+      case Some(bs) => bs.map(b => new Path(path, s"bucket=$b"))
+        .filter(fs.exists(_))
+      case None => fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("bucket="))
+        .map(_.getPath)
+    }
+    dirs.flatMap { d =>
+      fs.listStatus(d).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith("."))
+        .map(s => s"${d.getName}/${s.getPath.getName}")
+    }
+  }
+
+  /** The probe plan for `tokens` against a bucketed postings dir:
+    * (files the scan will open, total files in the probed buckets).
+    * A file is opened iff it has no stats row (never wrongly skipped)
+    * or some query token falls inside its token min/max — evaluated
+    * through the SAME FileStats machinery the table layer prunes with
+    * (an IN-list conjunct over the probed buckets' stats rows). */
+  def probeFilePlan(spark: SparkSession, path: String,
+      tokens: Seq[String], nBuckets: Int = DefaultBuckets):
+      (Seq[String], Int) = {
+    require(tokens.nonEmpty, "empty token list")
+    val buckets = bucketsFor(spark, tokens, nBuckets)
+    val files = listBucketFiles(spark, path, Some(buckets))
+    val sp = statsPathOf(path)
+    val fs = new org.apache.hadoop.fs.Path(sp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new org.apache.hadoop.fs.Path(sp)))
+      return (files, files.size)
+    val conj = graft.io.FileStats.Conjunct("token", "in",
+      tokens.map(t =>
+        (org.apache.spark.unsafe.types.UTF8String.fromString(t),
+          org.apache.spark.sql.types.StringType)),
+      org.apache.spark.sql.types.StringType)
+    val dead = graft.io.FileStats.deadFiles(spark, Seq(sp), Seq(conj))
+    (files.filterNot(dead), files.size)
+  }
+
+  /** Bucket values for `tokens`, evaluated through the engine itself
+    * so driver-side planning can never drift from the executor-side
+    * write path. ≤ |query| values — planning-sized. */
+  private def bucketsFor(spark: SparkSession, tokens: Seq[String],
+      nBuckets: Int): Seq[Long] = {
+    import spark.implicits._
+    tokens.toDF("token")
+      .select(bucketOf(col("token"), nBuckets)).distinct()
+      .collect().map(_.getLong(0)).toSeq
+  }
+
+  /** Scan of exactly the postings files a probe for `tokens` needs:
+    * bucket-pruned by dir, then file-skipped by the token min/max
+    * sidecar. Falls back to the plain dir scan when nothing can be
+    * skipped (or no sidecar exists). */
+  private def prunedPostings(spark: SparkSession, path: String,
+      tokens: Seq[String], nBuckets: Int): DataFrame = {
+    val buckets = bucketsFor(spark, tokens, nBuckets)
+    val (kept, total) = probeFilePlan(spark, path, tokens, nBuckets)
+    val base =
+      if (kept.size == total || kept.isEmpty)
+        // kept.isEmpty: every file provably dead — the dir scan with
+        // the token filter returns the same (empty) result without a
+        // zero-path read's schema-inference pitfalls
+        spark.read.parquet(path)
+      else spark.read.option("basePath", path)
+        .parquet(kept.map(f => s"$path/$f"): _*)
+    base.where(col("bucket").isin(buckets: _*) &&
+      col("token").isin(tokens: _*))
+  }
 
   /** Open a persisted index narrowed to `tokens`: the bucket predicate
     * is partition-pruned (only the needed `bucket=` dirs are listed and
-    * read) and the token predicate is pushed to parquet. */
+    * read), files inside a bucket whose token range misses every query
+    * token are skipped via the stats sidecar, and the token predicate
+    * is pushed to parquet. */
   def openBuckets(spark: SparkSession, path: String, tokens: Seq[String],
       nBuckets: Int = DefaultBuckets): DataFrame = {
     require(tokens.nonEmpty, "empty token list")
-    // evaluate the bucket hash through the engine itself so driver-side
-    // planning can never drift from the executor-side write path
-    import spark.implicits._
-    val buckets = tokens.toDF("token")
-      .select(bucketOf(col("token"), nBuckets)).distinct()
-      .collect().map(_.getLong(0)) // ≤ |query| values — planning-sized
-    spark.read.parquet(path)
-      .where(col("bucket").isin(buckets: _*) && col("token").isin(tokens: _*))
+    prunedPostings(spark, path, tokens, nBuckets)
       .select(col("token"), col("doc_id"), col("pos"))
+  }
+
+  private def deleteDir(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
   }
 
   // ---------------------------------------------------------------------
@@ -169,13 +297,59 @@ object InvertedIndex {
   // probe needs NOTHING doc-keyed beyond the query terms' own buckets.
   // ---------------------------------------------------------------------
 
+  /** Doc id -> doclen-sidecar bucket (xxhash64, non-negative mod) —
+    * the membership sidecar's analogue of [[bucketOf]], with the SAME
+    * bucket count as the postings, so maintenance-call membership
+    * probes (the appendDocs replay guard, deleteDocs victim lookup)
+    * scan only the batch's buckets: O(batch's buckets), not O(corpus
+    * doc-count), per call. */
+  private def dbucketOf(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong))
+
+  /** The index's bucket count is SELF-DESCRIBING: [[buildIndex]]
+    * records it in `_graft_index_meta` and every post-build operation
+    * resolves it from there (falling back to its parameter only for a
+    * pre-meta index). Bucket placement — postings dirs AND doclen
+    * dbuckets — depends on the modulus, so a maintenance call passing
+    * a different count than the build would otherwise write to /
+    * probe the wrong buckets silently. */
+  private def writeMeta(spark: SparkSession, path: String,
+      nBuckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(s"nBuckets=$nBuckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def indexBuckets(spark: SparkSession, path: String,
+      fallback: Int): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) fallback
+    else {
+      val in = fs.open(p)
+      try {
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        """nBuckets=(\d+)""".r.findFirstMatchIn(txt)
+          .map(_.group(1).toInt).getOrElse(fallback)
+      } finally in.close()
+    }
+  }
+
   /** Build a complete retrieval index under `path`:
     *   - `postings/`  — bucketed flat postings EXTENDED with the doc's
     *     token count `dl` (denormalized on purpose: within a bucket rows
     *     sort by (token, doc_id), so `dl` run-length-encodes to almost
     *     nothing, and carrying it means a BM25 probe never joins a
     *     corpus-sized doc-length table — the probe's input is exactly
-    *     the query terms' posting lists);
+    *     the query terms' posting lists); `postings_stats/` carries the
+    *     per-file token min/max sidecar [[writeBuckets]] maintains;
+    *   - `doclen/`    — (doc_id, dl, gen) membership rows, partitioned
+    *     by `dbucket=` (doc-id hash, same bucket count) so the
+    *     maintenance paths' membership probes prune to the batch's
+    *     buckets (index format v2 — a pre-dbucket index is a derived
+    *     artifact: rebuild it);
     *   - `corpus/`    — one row of corpus scalars (n_docs, n_tokens)
     *     PER build/append commit; the row count doubles as the index
     *     GENERATION counter;
@@ -200,6 +374,7 @@ object InvertedIndex {
     val spark = docs.sparkSession
     val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true)
+    writeMeta(spark, path, nBuckets)
     // one tokenize pass feeds all three artifacts (postings, doclen,
     // corpus scalars) — without the cache each write re-reads and
     // re-tokenizes the full document set
@@ -213,8 +388,10 @@ object InvertedIndex {
           col("pos").cast("long").as("pos"), col("dl"), lit(0L).as("gen"))
       writeBuckets(post, s"$path/postings", nBuckets)
       toks.select(col("doc_id"),
-        size(col("__toks")).cast("long").as("dl"), lit(0L).as("gen"))
-        .write.mode("overwrite").parquet(s"$path/doclen")
+        size(col("__toks")).cast("long").as("dl"), lit(0L).as("gen"),
+        dbucketOf(col("doc_id"), nBuckets).as("dbucket"))
+        .write.mode("overwrite").partitionBy("dbucket")
+        .parquet(s"$path/doclen")
       toks.select(size(col("__toks")).cast("long").as("dl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
@@ -239,8 +416,11 @@ object InvertedIndex {
     * of silently doubling its tf and the corpus scalars. A TOMBSTONED
     * id is not live, so the delete + re-insert round-trip still lands
     * its fresh postings. Membership is corpus-keyed and therefore
-    * never broadcast — the guard is one shuffle of the narrow doclen
-    * sidecar per maintenance call; probes never pay it.
+    * never broadcast — and because the doclen sidecar is partitioned
+    * by doc-id hash, the guard scans only the BATCH's buckets
+    * (membership outside them cannot hash-collide with a batch id):
+    * O(batch's buckets) per maintenance call, not O(corpus
+    * doc-count); probes never pay it.
     *
     * The guard covers WHOLE-WINDOW replays (feed consumer crashed after
     * this call committed). A crash INSIDE the call, between its three
@@ -250,9 +430,17 @@ object InvertedIndex {
   def appendDocs(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
+    val nb = indexBuckets(spark, path, nBuckets)
     val gen = generation(spark, path)
+    // the batch's dbucket set (≤ nb values — planning-sized, hashed
+    // through the engine so it can never drift from the write path)
+    // prunes every membership scan this call performs
+    val batchBuckets = docs
+      .select(dbucketOf(col(idCol), nb)).distinct()
+      .collect().map(_.getLong(0)).toSeq
     val fresh = docs.join(
-      liveDocLens(spark, path).select(col("doc_id").as("__live_id")),
+      liveDocLens(spark, path, Some(batchBuckets))
+        .select(col("doc_id").as("__live_id")),
       col(idCol) === col("__live_id"), "left_anti")
     // a fully-replayed batch appends nothing — and must not bump the
     // generation with an empty corpus delta row
@@ -265,16 +453,22 @@ object InvertedIndex {
         posexplode(col("__toks")).as(Seq("pos", "token")))
         .select(col("token"), col("doc_id"),
           col("pos").cast("long").as("pos"), col("dl"), lit(gen).as("gen"))
-      writeBuckets(post, s"$path/postings", nBuckets, mode = "append")
+      writeBuckets(post, s"$path/postings", nb, mode = "append")
       toks.select(col("doc_id"),
-        size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"))
-        .write.mode("append").parquet(s"$path/doclen")
+        size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"),
+        dbucketOf(col("doc_id"), nb).as("dbucket"))
+        .write.mode("append").partitionBy("dbucket")
+        .parquet(s"$path/doclen")
       // corpus delta derived by reading back THIS generation's doclen
       // rows: `toks` depends (through the replay guard) on the very
       // sidecar the previous statement appended to, so a cache-miss
       // recomputation here would anti-join the batch against itself and
-      // write an empty delta — the disk read is immune by construction
-      spark.read.parquet(s"$path/doclen").where(col("gen") === gen)
+      // write an empty delta — the disk read is immune by construction.
+      // Partition-pruned to the batch's buckets: gen rows live nowhere
+      // else, so the read-back is O(batch's buckets) like the guard.
+      spark.read.parquet(s"$path/doclen")
+        .where(col("dbucket").isin(batchBuckets: _*) &&
+          col("gen") === gen)
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
         .coalesce(1).write.mode("append").parquet(s"$path/corpus")
     } finally toks.unpersist()
@@ -293,14 +487,20 @@ object InvertedIndex {
     * with the subtracted `dl` taken from the INDEXED content.
     * The tombstone is stamped with the current generation and
     * kills only older postings of its doc, so a subsequent
-    * [[appendDocs]] re-insert is live. Cost: one narrow (doc_id, dl,
-    * gen) sidecar scan per maintenance call — probes never pay it. The
-    * delete batch is broadcast (trickle-sized by contract); a corpus
-    * with heavy churn should periodically [[buildIndex]] fresh. */
-  def deleteDocs(docs: DataFrame, idCol: String, path: String): Unit = {
+    * [[appendDocs]] re-insert is live. Cost: a doclen scan pruned to
+    * the BATCH's dbuckets per maintenance call — probes never pay it.
+    * The delete batch is broadcast (trickle-sized by contract); a
+    * corpus with heavy churn should periodically [[buildIndex]]
+    * fresh. */
+  def deleteDocs(docs: DataFrame, idCol: String, path: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
+    val nb = indexBuckets(spark, path, nBuckets)
     val gen = generation(spark, path)
-    val victims = liveDocLens(spark, path)
+    val batchBuckets = docs
+      .select(dbucketOf(col(idCol), nb)).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val victims = liveDocLens(spark, path, Some(batchBuckets))
       .join(broadcast(docs.select(col(idCol).as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl"), lit(gen).as("gen"))
@@ -308,9 +508,16 @@ object InvertedIndex {
   }
 
   /** The live (doc_id, dl, gen) membership rows: doclen sidecar minus
-    * generation-scoped tombstones. */
-  private def liveDocLens(spark: SparkSession, path: String): DataFrame = {
-    val dls = spark.read.parquet(s"$path/doclen")
+    * generation-scoped tombstones. `buckets` prunes the scan to the
+    * named `dbucket=` partitions — sound for any membership probe
+    * whose keys all hash into them. */
+  private[graft] def liveDocLens(spark: SparkSession, path: String,
+      buckets: Option[Seq[Long]] = None): DataFrame = {
+    val all = spark.read.parquet(s"$path/doclen")
+    val dls = buckets match {
+      case Some(bs) => all.where(col("dbucket").isin(bs: _*))
+      case None => all
+    }
     tombstones(spark, path) match {
       case None => dls
       case Some(ts) =>
@@ -342,7 +549,7 @@ object InvertedIndex {
     // deletes FIRST: the tombstones stamp the pre-append generation, so
     // the appends (same doc id or not) stay live — a rewriting table
     // commit's survivor rows (delete + insert pairs) round-trip
-    if (!del.isEmpty) deleteDocs(del, idCol, path)
+    if (!del.isEmpty) deleteDocs(del, idCol, path, nBuckets)
     if (!ins.isEmpty) appendDocs(ins, textCol, idCol, path, nBuckets)
   }
 
@@ -361,6 +568,7 @@ object InvertedIndex {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
+    val nb = indexBuckets(spark, path, nBuckets)
     val livePost = {
       val post = spark.read.parquet(s"$path/postings")
       tombstones(spark, path) match {
@@ -374,16 +582,27 @@ object InvertedIndex {
       }
     }.select(col("token"), col("doc_id"), col("pos"), col("dl"),
       lit(0L).as("gen"))
-    writeBuckets(livePost, s"$path/postings.compact", nBuckets)
+    writeBuckets(livePost, s"$path/postings.compact", nb)
     liveDocLens(spark, path)
-      .select(col("doc_id"), col("dl"), lit(0L).as("gen"))
-      .write.mode("overwrite").parquet(s"$path/doclen.compact")
+      .select(col("doc_id"), col("dl"), lit(0L).as("gen"),
+        dbucketOf(col("doc_id"), nb).as("dbucket"))
+      .write.mode("overwrite").partitionBy("dbucket")
+      .parquet(s"$path/doclen.compact")
     spark.read.parquet(s"$path/doclen.compact")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus.compact")
-    for (d <- Seq("postings", "doclen", "corpus")) {
-      fs.delete(new Path(s"$path/$d"), true)
-      fs.rename(new Path(s"$path/$d.compact"), new Path(s"$path/$d"))
+    // postings_stats swaps with its postings dir (writeBuckets built
+    // the compact sidecar alongside the compact postings)
+    for (d <- Seq("postings", "postings.compact_stats", "doclen", "corpus")) {
+      d match {
+        case "postings.compact_stats" =>
+          fs.delete(new Path(s"$path/postings_stats"), true)
+          fs.rename(new Path(s"$path/postings.compact_stats"),
+            new Path(s"$path/postings_stats"))
+        case _ =>
+          fs.delete(new Path(s"$path/$d"), true)
+          fs.rename(new Path(s"$path/$d.compact"), new Path(s"$path/$d"))
+      }
     }
     fs.delete(new Path(s"$path/tombstones"), true)
   }
@@ -406,18 +625,15 @@ object InvertedIndex {
     }
   }
 
-  /** Query-term postings from a persisted index: bucket-pruned, token
-    * filter pushed to parquet, tombstoned docs anti-joined out
+  /** Query-term postings from a persisted index: bucket-pruned,
+    * file-skipped inside the buckets via the token min/max sidecar,
+    * token filter pushed to parquet, tombstoned docs anti-joined out
     * (broadcast — tombstone lists are probe-small by contract). */
   def openIndex(spark: SparkSession, path: String, tokens: Seq[String],
       nBuckets: Int = DefaultBuckets): DataFrame = {
     require(tokens.nonEmpty, "empty token list")
-    import spark.implicits._
-    val buckets = tokens.toDF("token")
-      .select(pmod(xxhash64(col("token")), lit(nBuckets.toLong))).distinct()
-      .collect().map(_.getLong(0))
-    val post = spark.read.parquet(s"$path/postings")
-      .where(col("bucket").isin(buckets: _*) && col("token").isin(tokens: _*))
+    val post = prunedPostings(spark, s"$path/postings", tokens,
+      indexBuckets(spark, path, nBuckets))
       .select(col("token"), col("doc_id"), col("pos"), col("dl"), col("gen"))
     val live = tombstones(spark, path) match {
       case None => post

@@ -89,6 +89,84 @@ class InvertedIndexSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("stats sidecar skips bucket files whose token range misses the " +
+      "query; pruned probe results are exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_fs").toString
+    // two commits with DISJOINT token alphabets: every bucket gets an
+    // 'alpha' file from the build and a 'zulu' file from the append,
+    // so a zulu-only probe must open only the append's files
+    def mk(ids: Range, pfx: String) = ids.map(i =>
+      (i.toLong, s"${pfx}_w${i % 9} ${pfx}_common ${pfx}_w${(i + 3) % 9}"))
+      .toDF("doc_id", "text")
+    InvertedIndex.buildIndex(mk(0 until 60, "alpha"),
+      "text", "doc_id", dir, nBuckets = 4)
+    InvertedIndex.appendDocs(mk(100 until 160, "zulu"),
+      "text", "doc_id", dir, nBuckets = 4)
+    val (kept, total) = InvertedIndex.probeFilePlan(
+      spark, s"$dir/postings", Seq("zulu_common"), nBuckets = 4)
+    assert(total >= 2,
+      s"probed bucket must hold files from both commits, got $total")
+    assert(kept.size < total,
+      s"the alpha commit's file must be skipped: kept $kept of $total")
+    assert(kept.nonEmpty, "the zulu file itself must be kept")
+    // the pruned probe is exact: every zulu doc scores, no alpha doc
+    val got = InvertedIndex.bm25TopKIndexed(spark, dir, "zulu_common",
+      k = 100, nBuckets = 4).select($"doc_id").as[Long].collect().toSet
+    assert(got == (100L until 160L).toSet)
+    // a file with no stats row is never skipped: drop the sidecar and
+    // the same probe reads everything, same result
+    val sp = new java.io.File(s"$dir/postings_stats")
+    def rmRf(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmRf)); f.delete(); ()
+    }
+    rmRf(sp)
+    val (keptNoStats, totalNoStats) = InvertedIndex.probeFilePlan(
+      spark, s"$dir/postings", Seq("zulu_common"), nBuckets = 4)
+    assert(keptNoStats.size == totalNoStats,
+      "absent sidecar must degrade to never-skip")
+    val got2 = InvertedIndex.bm25TopKIndexed(spark, dir, "zulu_common",
+      k = 100, nBuckets = 4).select($"doc_id").as[Long].collect().toSet
+    assert(got2 == got)
+  }
+
+  test("doclen membership probes prune to the batch's dbucket " +
+      "partitions (the appendDocs replay guard is O(batch), not O(corpus))") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_db").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+    InvertedIndex.buildIndex(docs, "text", "doc_id", dir, nBuckets = 8)
+    // the doclen sidecar is physically partitioned by doc-id hash
+    val dbDirs = new java.io.File(s"$dir/doclen").listFiles()
+      .filter(_.getName.startsWith("dbucket=")).map(_.getName).toSet
+    assert(dbDirs.size > 1, s"doclen must be dbucket-partitioned: $dbDirs")
+    // a membership probe for a two-id batch plans only those ids'
+    // dbucket dirs (executed-plan partitions, as the bucket test above)
+    val batchIds = Seq(5L, 17L)
+    val expected = batchIds.toDF("doc_id")
+      .select(pmod(xxhash64($"doc_id"), lit(8L))).as[Long]
+      .collect().toSet
+    val pruned = InvertedIndex.liveDocLens(spark, dir,
+      Some(expected.toSeq))
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s }.head
+    val readDbs = scan.selectedPartitions.toPartitionArray.map { f =>
+      val m = "dbucket=(\\d+)".r.findFirstMatchIn(f.urlEncodedPath)
+      assert(m.isDefined, s"non-partitioned doclen read: ${f.urlEncodedPath}")
+      m.get.group(1).toLong
+    }.toSet
+    assert(readDbs.subsetOf(expected),
+      s"membership probe read $readDbs beyond the batch's $expected")
+    // and a replayed append through the pruned guard is still a no-op
+    val gen0 = InvertedIndex.generation(spark, dir)
+    InvertedIndex.appendDocs(docs.where($"doc_id".isin(batchIds: _*)),
+      "text", "doc_id", dir, nBuckets = 8)
+    assert(InvertedIndex.generation(spark, dir) == gen0,
+      "re-appending live ids must not bump the generation")
+  }
+
   test("multiPhraseSearch == per-phrase phraseSearch, one broadcast join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select($"doc_id", $"text")
