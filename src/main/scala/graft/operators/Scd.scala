@@ -175,10 +175,29 @@ object Scd {
       tsCol: String, idCol: String): DataFrame = {
     val touched = delta.select(keyCols.map(col): _*).distinct()
     val keep = current.join(touched, keyCols, "left_anti")
+    keep.unionByName(
+      rebuildFromRaw(touched, delta, raw, keyCols, attrCols, tsCol, idCol))
+  }
+
+  /** Just the raw-rebuilt rows for the keys `delta` mentions — the
+    * raw-path analogue of [[rebuildKeys]], for a streaming sink that
+    * swaps touched keys in place (one MERGE) and must stay exact under
+    * ANY delivery order: the touched keys' full observed history comes
+    * from `raw` (the bronze feed table), not from the stored change
+    * points. */
+  def rebuildKeysFromRaw(delta: DataFrame, raw: DataFrame,
+      keyCols: Seq[String], attrCols: Seq[String], tsCol: String,
+      idCol: String): DataFrame =
+    rebuildFromRaw(delta.select(keyCols.map(col): _*).distinct(),
+      delta, raw, keyCols, attrCols, tsCol, idCol)
+
+  private def rebuildFromRaw(touched: DataFrame, delta: DataFrame,
+      raw: DataFrame, keyCols: Seq[String], attrCols: Seq[String],
+      tsCol: String, idCol: String): DataFrame = {
     val cols = (keyCols ++ attrCols ++ Seq(tsCol, idCol)).map(col)
     val feed = raw.select(cols: _*).join(touched, keyCols, "left_semi")
       .unionByName(delta.select(cols: _*))
-    keep.unionByName(scd2(feed, keyCols, attrCols, tsCol, idCol))
+    scd2(feed, keyCols, attrCols, tsCol, idCol)
   }
 
   /** Just the rebuilt rows for the keys `delta` mentions — the piece a

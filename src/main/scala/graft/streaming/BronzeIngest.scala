@@ -201,8 +201,9 @@ object BronzeIngest {
     * timestamp contract; note Scd.LatePolicy.Fail is deliberately NOT
     * wired here — a replayed duplicate of a non-head change point sits
     * below the key's newest valid_from and would trip it spuriously.
-    * Feeds that deliver genuinely late rows should fold through
-    * Scd.applyDeltaFromRaw against the bronze history instead. */
+    * Feeds that deliver genuinely late rows opt into
+    * [[scd2BatchFromRaw]], which uses the same detector as a ROUTER to
+    * the raw-history rebuild instead of a gate. */
   def scd2Batch(table: graft.io.ManagedParquetTable, batch: DataFrame,
       keyCols: Seq[String], attrCols: Seq[String], tsCol: String,
       idCol: String): Unit = {
@@ -213,6 +214,48 @@ object BronzeIngest {
     else
       table.append(
         graft.operators.Scd.scd2(batch, keyCols, attrCols, tsCol, idCol))
+  }
+
+  /** ST14, late-tolerant variant (opt-in): [[scd2Batch]] for feeds that
+    * can deliver genuinely late rows. Per batch it runs
+    * [[graft.operators.Scd.lateRows]] as a ROUTER, not a gate: a batch
+    * with no row inside closed history folds through the change-point
+    * fast path exactly as [[scd2Batch]]; a batch with one rebuilds its
+    * touched keys from `raw` — the bronze history table the stream also
+    * feeds — via [[graft.operators.Scd.rebuildKeysFromRaw]], exact
+    * under ANY delivery order. Either way ONE MERGE swaps the touched
+    * keys (same atomicity and O(batch keys) cost as scd2Batch).
+    *
+    * Why routing works where LatePolicy.Fail could not (see
+    * [[scd2Batch]]'s note): a checkpoint-replayed duplicate of a
+    * non-head change point DOES sit below its key's newest valid_from
+    * and trips the detector — but here that only routes the batch
+    * through the raw rebuild, which collapses the duplicate and
+    * produces the identical history; the false positive costs the raw
+    * path's read, never correctness. The raw-path price is reading the
+    * touched keys' bronze history (semi-join-pruned) for late batches
+    * only. `raw` must contain every observation of the touched keys
+    * EXCEPT possibly the current batch (which is unioned in) — the
+    * natural state when the same micro-batch loop appends bronze
+    * before (or after) folding the dimension. */
+  def scd2BatchFromRaw(table: graft.io.ManagedParquetTable,
+      batch: DataFrame, raw: DataFrame, keyCols: Seq[String],
+      attrCols: Seq[String], tsCol: String, idCol: String): Unit = {
+    if (batch.isEmpty) return
+    if (!table.exists) {
+      table.append(
+        graft.operators.Scd.scd2(batch, keyCols, attrCols, tsCol, idCol))
+      return
+    }
+    val cur = table.read()
+    val hasLate =
+      !graft.operators.Scd.lateRows(cur, batch, keyCols, tsCol).isEmpty
+    val rebuilt =
+      if (hasLate) graft.operators.Scd.rebuildKeysFromRaw(
+        batch, raw, keyCols, attrCols, tsCol, idCol)
+      else graft.operators.Scd.rebuildKeys(
+        cur, batch, keyCols, attrCols, tsCol, idCol)
+    table.merge(rebuilt, keyCols)
   }
 
   /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with

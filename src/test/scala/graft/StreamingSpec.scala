@@ -453,6 +453,66 @@ class StreamingSpec extends SparkSpec {
     assert(state() == want)
   }
 
+  test("ST14 raw route: randomized out-of-order feed through the sink " +
+      "== scd2 over the full feed; in-order batches keep the fast path") {
+    import graft.io.ManagedParquetTable
+    import graft.streaming.BronzeIngest
+    import spark.implicits._
+    // the exact case the fast path is provably wrong on (ScdSpec): a
+    // collapsed duplicate inside a run hides a split point only the
+    // raw feed still witnesses — the sink must route through bronze
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val feed = (0 until 60).map { i =>
+        (rnd.nextInt(5).toLong,               // k: 5 keys
+          s"v${rnd.nextInt(3)}",              // attr: collapses often
+          (rnd.nextInt(20) * 10).toLong,      // ts: heavy duplicates
+          (1000 + i).toLong)                  // id: unique, total order
+      }
+      val shuffled = rnd.shuffle(feed)        // ANY delivery order
+      val batches = shuffled.grouped(12).toSeq
+      val dir = Files.createTempDirectory(s"graft_scd2raw$seed").toString
+      val bronze = new ManagedParquetTable(spark, s"$dir/bronze")
+      val dim = new ManagedParquetTable(spark, s"$dir/dim")
+      for (b <- batches) {
+        val bdf = b.toDF("k", "attr", "ts", "id")
+        bronze.append(bdf)
+        BronzeIngest.scd2BatchFromRaw(dim, bdf, bronze.read(),
+          Seq("k"), Seq("attr"), "ts", "id")
+      }
+      val want = graft.operators.Scd.scd2(
+        feed.toDF("k", "attr", "ts", "id"),
+        Seq("k"), Seq("attr"), "ts", "id")
+      assert(dim.read().except(want).isEmpty &&
+        want.except(dim.read()).isEmpty,
+        s"seed $seed: sink state diverged from full-feed scd2")
+      // replaying the LAST batch (foreachBatch re-delivery) converges:
+      // the detector may route it through the raw rebuild, which
+      // collapses the duplicates to the identical history
+      BronzeIngest.scd2BatchFromRaw(dim,
+        batches.last.toDF("k", "attr", "ts", "id"), bronze.read(),
+        Seq("k"), Seq("attr"), "ts", "id")
+      assert(dim.read().except(want).isEmpty &&
+        want.except(dim.read()).isEmpty,
+        s"seed $seed: replayed batch changed state")
+    }
+    // an IN-ORDER feed never pays the raw read: drive the sink with a
+    // raw frame that would poison the result if it were consulted —
+    // the fast path must be taken on every post-create batch
+    val dir2 = Files.createTempDirectory("graft_scd2raw_fp").toString
+    val dim2 = new ManagedParquetTable(spark, s"$dir2/dim")
+    val poison = Seq((1L, "ZZZ", 999L, 9999L)).toDF("k", "attr", "ts", "id")
+    BronzeIngest.scd2BatchFromRaw(dim2,
+      Seq((1L, "A", 10L, 100L)).toDF("k", "attr", "ts", "id"), poison,
+      Seq("k"), Seq("attr"), "ts", "id")
+    BronzeIngest.scd2BatchFromRaw(dim2,
+      Seq((1L, "B", 20L, 101L)).toDF("k", "attr", "ts", "id"), poison,
+      Seq("k"), Seq("attr"), "ts", "id")
+    val got = dim2.read().select($"attr").as[String].collect().toSet
+    assert(got == Set("A", "B"),
+      s"in-order batches must keep the change-point fast path: $got")
+  }
+
   test("ST10: streaming session windows merge within gap, split beyond, finalize on watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
