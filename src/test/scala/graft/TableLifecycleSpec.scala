@@ -13,15 +13,22 @@ import org.apache.spark.sql.functions._
   *
   * Seeded histories interleave every commit kind the table supports —
   * append, schema-evolving append, merge, narrowed delete, DV deletes
-  * (predicate + key-set), compact, tombstone REORG — and after each
-  * history the FULL version axis is checked against an in-memory row
-  * oracle: `readAt(v)` row-exact at every mirror version, the
-  * independent parquet-mr delta-log replay (no Spark, no manifest)
-  * agreeing on live files and row counts, and the final `read()`
-  * row-exact. The oracle applies plain filter/upsert semantics, so any
-  * divergence — a resurrected tombstone, a survivor lost in a narrowed
-  * rewrite, a schema-evolution null-fill gap, a dv entry misapplied to
-  * a historical version — fails with the seed in the message. */
+  * (predicate + key-set), compact, tombstone REORG, and (long
+  * histories) vacuum with and without a retention horizon — and after
+  * each history the FULL version axis is checked against an in-memory
+  * row oracle: `readAt(v)` row-exact at every readable mirror version,
+  * the independent parquet-mr delta-log replay (no Spark, no manifest)
+  * agreeing on live files and row counts while the log is whole, and
+  * the final `read()` row-exact. After retention prunes the log, the
+  * contract flips shape and the suite checks THAT: versions below the
+  * horizon raise the clean retention error (and form a PREFIX of the
+  * version axis — never a hole), the head stays readable and exact,
+  * and the full-log replay fails loudly with "commit gap" instead of
+  * silently miscounting. The oracle applies plain filter/upsert
+  * semantics, so any divergence — a resurrected tombstone, a survivor
+  * lost in a narrowed rewrite, a schema-evolution null-fill gap, a dv
+  * entry misapplied to a historical version, a retention pass eating a
+  * retained version — fails with the seed in the message. */
 class TableLifecycleSpec extends SparkSpec {
   import spark.implicits._
 
@@ -32,13 +39,42 @@ class TableLifecycleSpec extends SparkSpec {
   private val Histories = 50
   private val OpsPerHistory = 8
 
+  /** Long enough that the delta mirror writes checkpoints (cadence 10)
+    * and a retention pass has a horizon to snap to. */
+  private val LongHistories = 10
+  private val LongOps = 22
+
+  // reclaim-eligible but reader-safe: every segment in a test history
+  // is seconds old, so an in-horizon version's files always survive
+  // the sweep — the destructive-grace behavior is IoSpec's territory
+  private val Grace = 60 * 60 * 1000L
+
   test(s"randomized differential: $Histories seeded histories, " +
       "readAt + replay + read vs in-memory oracle at every version") {
     val root = Files.createTempDirectory("graft_lifecycle").toString
-    for (h <- 0 until Histories) runHistory(h, s"$root/t$h")
+    for (h <- 0 until Histories) {
+      runHistory(h, s"$root/t$h", OpsPerHistory, withVacuum = false)
+      ()
+    }
   }
 
-  private def runHistory(seed: Int, dir: String): Unit = {
+  test(s"randomized retention differential: $LongHistories long " +
+      "histories with vacuum/retention interleaved — in-horizon exact, " +
+      "out-of-horizon clean error, replay fails loudly on a pruned log") {
+    val root = Files.createTempDirectory("graft_lifecycle_r").toString
+    val pruned = (0 until LongHistories).map(h =>
+      runHistory(1000 + h, s"$root/t$h", LongOps, withVacuum = true))
+    // the retention branch must actually fire across the batch — a
+    // suite where every history's horizon was a no-op proves nothing
+    assert(pruned.count(identity) >= 3,
+      s"retention engaged in only ${pruned.count(identity)} of " +
+        s"$LongHistories long histories — lengthen them")
+  }
+
+  /** Runs one seeded history and its full-version-axis differential;
+    * returns whether retention actually pruned this history's log. */
+  private def runHistory(seed: Int, dir: String, maxOps: Int,
+      withVacuum: Boolean): Boolean = {
     val rnd = new scala.util.Random(seed)
     val t = new ManagedParquetTable(spark, dir)
     var oracle = Vector.empty[MRow]      // live rows, id-unique
@@ -75,9 +111,10 @@ class TableLifecycleSpec extends SparkSpec {
     }
 
     // first op is always an append so every later op has a table
-    val ops = 1 + rnd.nextInt(OpsPerHistory)
+    val ops = 1 + rnd.nextInt(maxOps)
+    val nKinds = if (withVacuum) 10 else 8
     for (step <- 0 to ops) {
-      val pick = if (step == 0) 0 else rnd.nextInt(8)
+      val pick = if (step == 0) 0 else rnd.nextInt(nKinds)
       pick match {
         case 0 => // plain append (post-evolution it may or may not carry w)
           val withW = evolved && rnd.nextBoolean()
@@ -131,25 +168,84 @@ class TableLifecycleSpec extends SparkSpec {
           }
         case 7 => // tombstone REORG (logical no-op)
           commitCheckpointed { () => t.compactDeletes(0.05) }
+        case 8 => // plain vacuum: reclaims garbage, commits nothing,
+          // changes no readable version (grace shields every segment)
+          commitCheckpointed { () => t.vacuum(graceMs = Grace) }
+        case 9 => // retention vacuum: may retire history below a
+          // checkpoint-snapped horizon; no version bump (the one
+          // documented same-version manifest rewrite)
+          commitCheckpointed { () =>
+            t.vacuum(graceMs = Grace,
+              retainVersions = Some(1L + rnd.nextInt(6)))
+          }
       }
     }
+    // long histories END on a retention pass so the horizon reliably
+    // engages once the mirror has a checkpoint (cadence 10) behind it
+    if (withVacuum)
+      t.vacuum(graceMs = Grace, retainVersions = Some(1L + rnd.nextInt(4)))
 
     // ---- the differential: every mirror version, three independent views
     assert(states.nonEmpty, s"seed=$seed produced no commits")
-    for (m <- states.indices) {
+    val logPruned = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(dir, "_delta_log")
+      val s = Files.list(p)
+      try {
+        val minV = s.iterator().asScala
+          .map(_.getFileName.toString)
+          .flatMap(n => """^(\d{20})\.json$""".r
+            .findFirstMatchIn(n).map(_.group(1).toLong))
+          .foldLeft(Long.MaxValue)(_ min _)
+        minV > 0
+      } finally s.close()
+    }
+    val readable = states.indices.map { m =>
       val want = states(m).sortBy(_.id)
-      assert(collectRows(t.readAt(m.toLong)) == want,
-        s"seed=$seed: readAt($m) diverges from the oracle")
-      assert(DeltaLogReplay.rowCount(dir, Some(m.toLong)) == want.size,
-        s"seed=$seed: replay row count diverges at v$m")
-      assert(DeltaLogReplay.liveFiles(dir, Some(m.toLong)).toSet ==
-        t.deltaSnapshotFiles(Some(m.toLong)).toSet,
-        s"seed=$seed: replay live-file set diverges at v$m")
+      val rows =
+        try Some(collectRows(t.readAt(m.toLong)))
+        catch {
+          case e: Exception
+              if e.getMessage != null &&
+                e.getMessage.contains("cannot reconstruct version") =>
+            assert(logPruned,
+              s"seed=$seed: readAt($m) raised retention error on a whole log")
+            None
+        }
+      rows.foreach { got =>
+        assert(got == want,
+          s"seed=$seed: readAt($m) diverges from the oracle")
+      }
+      if (!logPruned) {
+        assert(DeltaLogReplay.rowCount(dir, Some(m.toLong)) == want.size,
+          s"seed=$seed: replay row count diverges at v$m")
+        assert(DeltaLogReplay.liveFiles(dir, Some(m.toLong)).toSet ==
+          t.deltaSnapshotFiles(Some(m.toLong)).toSet,
+          s"seed=$seed: replay live-file set diverges at v$m")
+      }
+      rows.isDefined
+    }
+    // retention never leaves a HOLE: unreadable versions are a prefix
+    // of the axis, and the head is always readable and exact
+    assert(readable.zip(readable.tail).forall {
+      case (a, b) => a <= b },
+      s"seed=$seed: readable versions are not a suffix: $readable")
+    assert(readable.last, s"seed=$seed: head version became unreadable")
+    if (!logPruned) assert(readable.forall(identity),
+      s"seed=$seed: version unreadable though the log is whole")
+    if (logPruned) {
+      // a FULL-log external replay is forfeited beyond the horizon and
+      // must say so — "commit gap", never a silently wrong count
+      val e = intercept[Exception] { DeltaLogReplay.rowCount(dir) }
+      assert(e.getMessage.contains("commit gap"),
+        s"seed=$seed: pruned-log replay failed with '${e.getMessage}'")
     }
     assert(collectRows(t.read()) == oracle.sortBy(_.id),
       s"seed=$seed: final read() diverges from the oracle")
-    assert(DeltaLogReplay.rowCount(dir) == oracle.size,
-      s"seed=$seed: final replay row count diverges")
+    if (!logPruned)
+      assert(DeltaLogReplay.rowCount(dir) == oracle.size,
+        s"seed=$seed: final replay row count diverges")
+    logPruned
   }
 
   /** Collect as model rows; versions predating the evolution have no
