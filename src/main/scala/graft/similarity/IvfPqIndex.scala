@@ -137,9 +137,11 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     * `rows` is counted by the CALLER on the cheap pre-encode frame (an
     * id-only scan) — counting `enc` here would run the whole
     * assign+encode job twice, once for the count and once for the
-    * write. */
+    * write. File count scales with the batch (capped at 10k files per
+    * commit — an operational ceiling against listing/task-overhead
+    * blowups, far above any per-batch fan-out pruning needs). */
   private def clustered(enc: DataFrame, rows: Long): DataFrame = {
-    val n = math.max(1, math.min(64, (rows / rowsPerFile).toInt + 1))
+    val n = math.min(10000L, math.max(1L, rows / rowsPerFile + 1)).toInt
     enc.repartitionByRange(n, col("centroid_id"), col(idCol))
       .sortWithinPartitions("centroid_id", idCol)
   }

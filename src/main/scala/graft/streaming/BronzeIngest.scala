@@ -217,44 +217,65 @@ object BronzeIngest {
   }
 
   /** ST14, late-tolerant variant (opt-in): [[scd2Batch]] for feeds that
-    * can deliver genuinely late rows. Per batch it runs
-    * [[graft.operators.Scd.lateRows]] as a ROUTER, not a gate: a batch
-    * with no row inside closed history folds through the change-point
-    * fast path exactly as [[scd2Batch]]; a batch with one rebuilds its
-    * touched keys from `raw` — the bronze history table the stream also
-    * feeds — via [[graft.operators.Scd.rebuildKeysFromRaw]], exact
-    * under ANY delivery order. Either way ONE MERGE swaps the touched
-    * keys (same atomicity and O(batch keys) cost as scd2Batch).
+    * can deliver genuinely late rows. Per batch it runs a late-row
+    * detector as a ROUTER, not a gate: a batch with no late row folds
+    * through the change-point fast path exactly as [[scd2Batch]]; a
+    * batch with one rebuilds its touched keys from `raw` — the bronze
+    * history table the stream also feeds — via
+    * [[graft.operators.Scd.rebuildKeysFromRaw]], exact under ANY
+    * delivery order. Either way ONE MERGE swaps the touched keys (same
+    * atomicity and O(batch keys) cost as scd2Batch).
+    *
+    * The detector compares each batch row against its key's last
+    * OBSERVED ts, aggregated from `raw` — NOT [[graft.operators.Scd
+    * .lateRows]]'s dimension-only check. The fast path is exact iff
+    * rows land at-or-after the last observed ts (Scd object doc), and
+    * the dimension cannot witness that bound: a late row inside the
+    * OPEN current run against COLLAPSED duplicates sits at-or-after
+    * the newest change point yet still splits history — invisible to
+    * lateRows, caught here because raw still holds the collapsed
+    * observations. Detection cost: one column-pruned (key, ts)
+    * aggregate over the touched keys' raw rows (semi-join-narrowed) —
+    * far narrower than the rebuild's full-payload window, so the fast
+    * path still saves real work on clean batches. Null-ts rows route
+    * to the raw rebuild like any late row.
     *
     * Why routing works where LatePolicy.Fail could not (see
     * [[scd2Batch]]'s note): a checkpoint-replayed duplicate of a
-    * non-head change point DOES sit below its key's newest valid_from
-    * and trips the detector — but here that only routes the batch
-    * through the raw rebuild, which collapses the duplicate and
-    * produces the identical history; the false positive costs the raw
-    * path's read, never correctness. The raw-path price is reading the
-    * touched keys' bronze history (semi-join-pruned) for late batches
-    * only. `raw` must contain every observation of the touched keys
-    * EXCEPT possibly the current batch (which is unioned in) — the
-    * natural state when the same micro-batch loop appends bronze
-    * before (or after) folding the dimension. */
+    * non-head observation sits below its key's last observed ts and
+    * trips the detector — but here that only routes the batch through
+    * the raw rebuild, which collapses the duplicate and produces the
+    * identical history; the false positive costs the raw path's read,
+    * never correctness. `raw` must contain every observation of the
+    * touched keys EXCEPT possibly the current batch (which is unioned
+    * in) — the natural state when the same micro-batch loop appends
+    * bronze before (or after) folding the dimension. */
   def scd2BatchFromRaw(table: graft.io.ManagedParquetTable,
       batch: DataFrame, raw: DataFrame, keyCols: Seq[String],
       attrCols: Seq[String], tsCol: String, idCol: String): Unit = {
     if (batch.isEmpty) return
+    // pin the batch: the router, the touched-key set and the rebuild
+    // must see the SAME rows (Scd.applyDelta pins its Fail gate for
+    // the same reason); sink batches are micro-batch-sized
+    val b = batch.localCheckpoint()
     if (!table.exists) {
       table.append(
-        graft.operators.Scd.scd2(batch, keyCols, attrCols, tsCol, idCol))
+        graft.operators.Scd.scd2(b, keyCols, attrCols, tsCol, idCol))
       return
     }
-    val cur = table.read()
-    val hasLate =
-      !graft.operators.Scd.lateRows(cur, batch, keyCols, tsCol).isEmpty
+    val touched = b.select(keyCols.map(col): _*).distinct()
+    val latest = raw.select((keyCols :+ tsCol).map(col): _*)
+      .join(touched, keyCols, "left_semi")
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col(tsCol)).as("__latest_ts"))
+    val hasLate = !b.join(latest, keyCols, "inner")
+      .where(col(tsCol).isNull || col(tsCol) < col("__latest_ts"))
+      .isEmpty
     val rebuilt =
       if (hasLate) graft.operators.Scd.rebuildKeysFromRaw(
-        batch, raw, keyCols, attrCols, tsCol, idCol)
+        b, raw, keyCols, attrCols, tsCol, idCol)
       else graft.operators.Scd.rebuildKeys(
-        cur, batch, keyCols, attrCols, tsCol, idCol)
+        table.read(), b, keyCols, attrCols, tsCol, idCol)
     table.merge(rebuilt, keyCols)
   }
 

@@ -228,7 +228,14 @@ object InvertedIndex {
       tokens: Seq[String], nBuckets: Int = DefaultBuckets):
       (Seq[String], Int) = {
     require(tokens.nonEmpty, "empty token list")
-    val buckets = bucketsFor(spark, tokens, nBuckets)
+    planFiles(spark, path, tokens, bucketsFor(spark, tokens, nBuckets))
+  }
+
+  /** [[probeFilePlan]]'s core, taking the probed bucket set the caller
+    * already computed — prunedPostings shares one bucketsFor job and
+    * one dir listing between planning and the scan it builds. */
+  private def planFiles(spark: SparkSession, path: String,
+      tokens: Seq[String], buckets: Seq[Long]): (Seq[String], Int) = {
     val files = listBucketFiles(spark, path, Some(buckets))
     val sp = statsPathOf(path)
     val fs = new org.apache.hadoop.fs.Path(sp)
@@ -262,7 +269,7 @@ object InvertedIndex {
   private def prunedPostings(spark: SparkSession, path: String,
       tokens: Seq[String], nBuckets: Int): DataFrame = {
     val buckets = bucketsFor(spark, tokens, nBuckets)
-    val (kept, total) = probeFilePlan(spark, path, tokens, nBuckets)
+    val (kept, total) = planFiles(spark, path, tokens, buckets)
     val base =
       if (kept.size == total || kept.isEmpty)
         // kept.isEmpty: every file provably dead — the dir scan with
@@ -432,13 +439,19 @@ object InvertedIndex {
     val spark = docs.sparkSession
     val nb = indexBuckets(spark, path, nBuckets)
     val gen = generation(spark, path)
+    // pin the batch: the dbucket set, the replay guard and the writes
+    // must all see the SAME rows — a non-deterministic source whose
+    // second evaluation carried an id hashing outside the computed
+    // bucket set would break the pruning soundness below. Maintenance
+    // batches are trickle-sized by contract.
+    val batch = docs.localCheckpoint()
     // the batch's dbucket set (≤ nb values — planning-sized, hashed
     // through the engine so it can never drift from the write path)
     // prunes every membership scan this call performs
-    val batchBuckets = docs
+    val batchBuckets = batch
       .select(dbucketOf(col(idCol), nb)).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val fresh = docs.join(
+    val fresh = batch.join(
       liveDocLens(spark, path, Some(batchBuckets))
         .select(col("doc_id").as("__live_id")),
       col(idCol) === col("__live_id"), "left_anti")
@@ -497,12 +510,15 @@ object InvertedIndex {
     val spark = docs.sparkSession
     val nb = indexBuckets(spark, path, nBuckets)
     val gen = generation(spark, path)
-    val batchBuckets = docs
-      .select(dbucketOf(col(idCol), nb)).distinct()
+    // pinned for the same reason as appendDocs: the bucket set and the
+    // victim lookup must agree on the batch's ids
+    val batch = docs.select(col(idCol).as("doc_id")).distinct()
+      .localCheckpoint()
+    val batchBuckets = batch
+      .select(dbucketOf(col("doc_id"), nb)).distinct()
       .collect().map(_.getLong(0)).toSeq
     val victims = liveDocLens(spark, path, Some(batchBuckets))
-      .join(broadcast(docs.select(col(idCol).as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
+      .join(broadcast(batch), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl"), lit(gen).as("gen"))
     victims.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
   }

@@ -496,12 +496,35 @@ class StreamingSpec extends SparkSpec {
         want.except(dim.read()).isEmpty,
         s"seed $seed: replayed batch changed state")
     }
-    // an IN-ORDER feed never pays the raw read: drive the sink with a
-    // raw frame that would poison the result if it were consulted —
-    // the fast path must be taken on every post-create batch
+    // the exact class the dimension-only detector (Scd.lateRows) is
+    // BLIND to: a late row inside the OPEN current run against
+    // collapsed duplicates — at-or-after the newest change point, yet
+    // it splits history only the raw feed still witnesses. The sink's
+    // observed-ts detector must route it through the raw rebuild.
+    val dir3 = Files.createTempDirectory("graft_scd2raw_cr").toString
+    val bronze3 = new ManagedParquetTable(spark, s"$dir3/bronze")
+    val dim3 = new ManagedParquetTable(spark, s"$dir3/dim")
+    val b1 = Seq((1L, "A", 10L, 1L), (1L, "A", 30L, 2L))
+      .toDF("k", "attr", "ts", "id")
+    bronze3.append(b1)
+    BronzeIngest.scd2BatchFromRaw(dim3, b1, bronze3.read(),
+      Seq("k"), Seq("attr"), "ts", "id")
+    val b2 = Seq((1L, "B", 20L, 3L)).toDF("k", "attr", "ts", "id")
+    bronze3.append(b2)
+    BronzeIngest.scd2BatchFromRaw(dim3, b2, bronze3.read(),
+      Seq("k"), Seq("attr"), "ts", "id")
+    val hist = dim3.read()
+      .select($"attr", $"valid_from").as[(String, Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(hist == Seq(("A", 10L), ("B", 20L), ("A", 30L)),
+      s"collapsed-run late row must reopen the A run: $hist")
+    // an IN-ORDER feed pays only the detector's (key, ts) read of raw,
+    // never the attr payload: drive the sink with a raw frame whose
+    // ATTR column would poison the result if the rebuild consulted it
+    // (its ts is older than every batch row, so batches stay clean)
     val dir2 = Files.createTempDirectory("graft_scd2raw_fp").toString
     val dim2 = new ManagedParquetTable(spark, s"$dir2/dim")
-    val poison = Seq((1L, "ZZZ", 999L, 9999L)).toDF("k", "attr", "ts", "id")
+    val poison = Seq((1L, "ZZZ", 5L, 99L)).toDF("k", "attr", "ts", "id")
     BronzeIngest.scd2BatchFromRaw(dim2,
       Seq((1L, "A", 10L, 100L)).toDF("k", "attr", "ts", "id"), poison,
       Seq("k"), Seq("attr"), "ts", "id")
@@ -510,7 +533,7 @@ class StreamingSpec extends SparkSpec {
       Seq("k"), Seq("attr"), "ts", "id")
     val got = dim2.read().select($"attr").as[String].collect().toSet
     assert(got == Set("A", "B"),
-      s"in-order batches must keep the change-point fast path: $got")
+      s"clean batches must rebuild from change points only: $got")
   }
 
   test("ST10: streaming session windows merge within gap, split beyond, finalize on watermark") {
