@@ -182,10 +182,25 @@ object InvertedIndex {
         .map(_.getString(0)).toSet
     val fresh = files.filterNot(known)
     if (fresh.isEmpty) return
-    val rows = fresh.flatMap { rel =>
-      graft.io.FileStats.footerStats(spark, s"$path/$rel", rel)
-        .filter(_.col == "token")
-    }
+    // footer reads are independent and a bulk write touches one file
+    // per bucket (64 by default) — serial driver reads would bill ~1s
+    // of pure latency to every build/append call, so fan them out on a
+    // bounded pool (driver-side planning IO, the same class as the
+    // table layer's per-segment sidecar collection)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, fresh.size)))
+    val rows = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fut = scala.concurrent.Future.traverse(fresh) { rel =>
+        scala.concurrent.Future(
+          graft.io.FileStats.footerStats(spark, s"$path/$rel", rel)
+            .filter(_.col == "token"))
+      }
+      scala.concurrent.Await
+        .result(fut, scala.concurrent.duration.Duration(10, "min"))
+        .flatten
+    } finally pool.shutdown()
     spark.createDataFrame(
       spark.sparkContext.parallelize(graft.io.FileStats.toRows(rows), 1),
       graft.io.FileStats.schema)
