@@ -252,6 +252,9 @@ object InvertedIndex {
   private def planFiles(spark: SparkSession, path: String,
       tokens: Seq[String], buckets: Seq[Long]): (Seq[String], Int) = {
     val files = listBucketFiles(spark, path, Some(buckets))
+    // one file per probed bucket (fresh build / post-compaction) means
+    // nothing can be skipped — don't spend a stats job proving it
+    if (files.size <= buckets.size) return (files, files.size)
     val sp = statsPathOf(path)
     val fs = new org.apache.hadoop.fs.Path(sp)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -409,9 +412,14 @@ object InvertedIndex {
         .select(col("token"), col("doc_id"),
           col("pos").cast("long").as("pos"), col("dl"), lit(0L).as("gen"))
       writeBuckets(post, s"$path/postings", nBuckets)
+      // repartition ON the partition column first: a dynamic-partition
+      // write otherwise fans EVERY input partition across every dbucket
+      // dir (partitions × buckets tiny files + per-file commit cost);
+      // this way each dir gets exactly one file per call
       toks.select(col("doc_id"),
         size(col("__toks")).cast("long").as("dl"), lit(0L).as("gen"),
         dbucketOf(col("doc_id"), nBuckets).as("dbucket"))
+        .repartition(col("dbucket"))
         .write.mode("overwrite").partitionBy("dbucket")
         .parquet(s"$path/doclen")
       toks.select(size(col("__toks")).cast("long").as("dl"))
@@ -485,6 +493,7 @@ object InvertedIndex {
       toks.select(col("doc_id"),
         size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"),
         dbucketOf(col("doc_id"), nb).as("dbucket"))
+        .repartition(col("dbucket")) // one file per touched dir (see build)
         .write.mode("append").partitionBy("dbucket")
         .parquet(s"$path/doclen")
       // corpus delta derived by reading back THIS generation's doclen
@@ -617,6 +626,7 @@ object InvertedIndex {
     liveDocLens(spark, path)
       .select(col("doc_id"), col("dl"), lit(0L).as("gen"),
         dbucketOf(col("doc_id"), nb).as("dbucket"))
+      .repartition(col("dbucket")) // one file per dir (see buildIndex)
       .write.mode("overwrite").partitionBy("dbucket")
       .parquet(s"$path/doclen.compact")
     spark.read.parquet(s"$path/doclen.compact")
