@@ -147,12 +147,19 @@ object InvertedIndex {
       nBuckets: Int = DefaultBuckets, mode: String = "overwrite"): Unit = {
     val spark = postings.sparkSession
     if (mode == "overwrite") deleteDir(spark, statsPathOf(path))
+    // the files THIS call adds = the dir listing's delta across the
+    // write — a driver listing on each side instead of reading the
+    // stats sidecar back through a Spark job per maintenance call
+    // (on overwrite the dir is replaced wholesale: everything is new)
+    val before: Set[String] =
+      if (mode == "append") listBucketFiles(spark, path, None).toSet
+      else Set.empty
     postings
       .withColumn("bucket", bucketOf(col("token"), nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions("token", "doc_id", "pos")
       .write.mode(mode).partitionBy("bucket").parquet(path)
-    collectPostingsStats(spark, path)
+    collectPostingsStats(spark, path, before)
   }
 
   /** The postings dir's file-statistics sidecar (io/Layout.FileStats
@@ -160,14 +167,16 @@ object InvertedIndex {
   private def statsPathOf(postingsPath: String): String =
     postingsPath + "_stats"
 
-  /** Footer-scan every postings file not yet in the stats sidecar and
-    * append its token min/max — idempotent (keyed by relative file
-    * path), incremental (append commits only scan their own new
-    * files), footer-only (data pages untouched). A file that somehow
-    * escapes the sidecar is simply never skipped — absence of stats
-    * degrades to never-skip, the same contract as the table layer. */
+  /** Footer-scan every postings file not in `known` (the caller's
+    * pre-write dir listing) and append its token min/max — incremental
+    * (append commits only scan their own new files), footer-only (data
+    * pages untouched). A file that somehow escapes the sidecar — e.g.
+    * written by a call that crashed before this step — is simply never
+    * skipped: absence of stats degrades to never-skip, the same
+    * contract as the table layer (and a crash mid-maintenance-call is
+    * rebuild territory anyway, per [[appendDocs]]). */
   private def collectPostingsStats(spark: SparkSession,
-      path: String): Unit = {
+      path: String, known: Set[String]): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -175,11 +184,6 @@ object InvertedIndex {
     if (!fs.exists(root)) return
     val files = listBucketFiles(spark, path, None)
     val sp = statsPathOf(path)
-    val known: Set[String] =
-      if (!fs.exists(new Path(sp))) Set.empty
-      else spark.read.schema(graft.io.FileStats.schema).parquet(sp)
-        .select(col("file")).distinct().collect()
-        .map(_.getString(0)).toSet
     val fresh = files.filterNot(known)
     if (fresh.isEmpty) return
     // footer reads are independent and a bulk write touches one file
@@ -275,9 +279,11 @@ object InvertedIndex {
   private def bucketsFor(spark: SparkSession, tokens: Seq[String],
       nBuckets: Int): Seq[Long] = {
     import spark.implicits._
-    tokens.toDF("token")
-      .select(bucketOf(col("token"), nBuckets)).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // dedup DRIVER-side: a .distinct() here would put a full exchange
+    // into every probe's planning step for a ≤|query|-row frame
+    tokens.distinct.toDF("token")
+      .select(bucketOf(col("token"), nBuckets))
+      .collect().map(_.getLong(0)).toSeq.distinct
   }
 
   /** Scan of exactly the postings files a probe for `tokens` needs:
@@ -430,9 +436,45 @@ object InvertedIndex {
 
   /** Current index generation = number of build/append commits (each
     * writes exactly one corpus row; single-writer contract as the
-    * table layer). Planning-sized read. */
+    * table layer). Planning-sized read, served from footers. */
   def generation(spark: SparkSession, path: String): Long =
-    spark.read.parquet(s"$path/corpus").count()
+    corpusFooter(spark, path).map(_._1)
+      .getOrElse(spark.read.parquet(s"$path/corpus").count())
+
+  /** `(generation, n_docs, n_tokens)` of the corpus sidecar read
+    * DRIVER-side from parquet footers — no Spark job. Sound because
+    * every corpus file carries exactly ONE row (each build/append
+    * commit coalesce(1)-writes its single delta row), so the footer's
+    * min == max == the value and row counts sum to the generation;
+    * any file breaking that invariant (or missing usable stats)
+    * returns None and the caller falls back to the Spark read. The
+    * sidecar is O(generations) tiny files — the same planning-IO
+    * class as the table layer's manifest reads. */
+  private def corpusFooter(spark: SparkSession,
+      path: String): Option[(Long, Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(s"$path/corpus")
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dir)) return None
+    val files = fs.listStatus(dir).toSeq.filter(s => s.isFile &&
+      !s.getPath.getName.startsWith("_") &&
+      !s.getPath.getName.startsWith("."))
+    var gen = 0L; var nDocs = 0L; var nToks = 0L
+    for (f <- files) {
+      val st = graft.io.FileStats.footerStats(spark,
+        f.getPath.toString, f.getPath.getName)
+      val rows = st.headOption.map(_.rows).getOrElse(-1L)
+      if (rows != 1L) return None
+      gen += 1
+      val byCol = st.map(s => s.col -> s).toMap
+      (byCol.get("n_docs").flatMap(_.minL),
+          byCol.get("n_tokens").flatMap(_.minL)) match {
+        case (Some(d), Some(t)) => nDocs += d; nToks += t
+        case _ => return None
+      }
+    }
+    if (gen == 0) None else Some((gen, nDocs, nToks))
+  }
 
   /** Append new documents to an index built by [[buildIndex]]: their
     * postings land as new files in the token buckets they hash to (no
@@ -470,45 +512,43 @@ object InvertedIndex {
     val batch = docs.localCheckpoint()
     // the batch's dbucket set (≤ nb values — planning-sized, hashed
     // through the engine so it can never drift from the write path)
-    // prunes every membership scan this call performs
+    // prunes every membership scan this call performs. Dedup lands
+    // driver-side: an engine .distinct() would add a full exchange
+    // for a frame the trickle contract already bounds.
     val batchBuckets = batch
-      .select(dbucketOf(col(idCol), nb)).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .select(dbucketOf(col(idCol), nb))
+      .collect().map(_.getLong(0)).toSeq.distinct
+    // pin the guard's survivors too: every downstream pass (postings,
+    // doclen, corpus delta) reads THIS materialization, so the
+    // anti-join runs once and a cache miss can never re-evaluate it
+    // against the sidecar a later statement appended to (the
+    // self-anti-join hazard that previously forced a disk read-back
+    // for the corpus delta)
     val fresh = batch.join(
       liveDocLens(spark, path, Some(batchBuckets))
         .select(col("doc_id").as("__live_id")),
       col(idCol) === col("__live_id"), "left_anti")
+      .select(col(idCol).as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint()
     // a fully-replayed batch appends nothing — and must not bump the
     // generation with an empty corpus delta row
     if (fresh.isEmpty) return
-    val toks = fresh.select(col(idCol).as("doc_id"),
-      TextFunctions.tokens(col(textCol)).as("__toks")).cache()
-    try {
-      val post = toks.select(col("doc_id"),
-        size(col("__toks")).cast("long").as("dl"),
-        posexplode(col("__toks")).as(Seq("pos", "token")))
-        .select(col("token"), col("doc_id"),
-          col("pos").cast("long").as("pos"), col("dl"), lit(gen).as("gen"))
-      writeBuckets(post, s"$path/postings", nb, mode = "append")
-      toks.select(col("doc_id"),
-        size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"),
-        dbucketOf(col("doc_id"), nb).as("dbucket"))
-        .repartition(col("dbucket")) // one file per touched dir (see build)
-        .write.mode("append").partitionBy("dbucket")
-        .parquet(s"$path/doclen")
-      // corpus delta derived by reading back THIS generation's doclen
-      // rows: `toks` depends (through the replay guard) on the very
-      // sidecar the previous statement appended to, so a cache-miss
-      // recomputation here would anti-join the batch against itself and
-      // write an empty delta — the disk read is immune by construction.
-      // Partition-pruned to the batch's buckets: gen rows live nowhere
-      // else, so the read-back is O(batch's buckets) like the guard.
-      spark.read.parquet(s"$path/doclen")
-        .where(col("dbucket").isin(batchBuckets: _*) &&
-          col("gen") === gen)
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-        .coalesce(1).write.mode("append").parquet(s"$path/corpus")
-    } finally toks.unpersist()
+    val post = fresh.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"),
+      posexplode(col("__toks")).as(Seq("pos", "token")))
+      .select(col("token"), col("doc_id"),
+        col("pos").cast("long").as("pos"), col("dl"), lit(gen).as("gen"))
+    writeBuckets(post, s"$path/postings", nb, mode = "append")
+    fresh.select(col("doc_id"),
+      size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"),
+      dbucketOf(col("doc_id"), nb).as("dbucket"))
+      .repartition(col("dbucket")) // one file per touched dir (see build)
+      .write.mode("append").partitionBy("dbucket")
+      .parquet(s"$path/doclen")
+    fresh.select(size(col("__toks")).cast("long").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+      .coalesce(1).write.mode("append").parquet(s"$path/corpus")
   }
 
   /** Remove documents from the index WITHOUT rewriting any bucket: the
@@ -539,8 +579,8 @@ object InvertedIndex {
     val batch = docs.select(col(idCol).as("doc_id")).distinct()
       .localCheckpoint()
     val batchBuckets = batch
-      .select(dbucketOf(col("doc_id"), nb)).distinct()
-      .collect().map(_.getLong(0)).toSeq
+      .select(dbucketOf(col("doc_id"), nb))
+      .collect().map(_.getLong(0)).toSeq.distinct
     val victims = liveDocLens(spark, path, Some(batchBuckets))
       .join(broadcast(batch), Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("dl"), lit(gen).as("gen"))
@@ -553,10 +593,24 @@ object InvertedIndex {
     * whose keys all hash into them. */
   private[graft] def liveDocLens(spark: SparkSession, path: String,
       buckets: Option[Seq[Long]] = None): DataFrame = {
-    val all = spark.read.parquet(s"$path/doclen")
     val dls = buckets match {
-      case Some(bs) => all.where(col("dbucket").isin(bs: _*))
-      case None => all
+      case Some(bs) =>
+        // read ONLY the named dbucket dirs: passing the full tree and
+        // filtering would still LIST every partition dir (a
+        // distributed-listing job once the dir count crosses the
+        // parallel-discovery threshold) — a trickle batch should list
+        // only its own buckets. basePath keeps the dbucket column.
+        val existing = bs.map(b => new org.apache.hadoop.fs.Path(
+            s"$path/doclen/dbucket=$b"))
+          .filter(p => p.getFileSystem(
+            spark.sessionState.newHadoopConf()).exists(p))
+        if (existing.isEmpty)
+          spark.read.parquet(s"$path/doclen")
+            .where(col("dbucket").isin(bs: _*))
+        else spark.read.option("basePath", s"$path/doclen")
+          .parquet(existing.map(_.toString): _*)
+          .where(col("dbucket").isin(bs: _*))
+      case None => spark.read.parquet(s"$path/doclen")
     }
     tombstones(spark, path) match {
       case None => dls
@@ -654,8 +708,15 @@ object InvertedIndex {
     * exactly once (with its indexed dl). A one-row frame for
     * broadcasting. */
   def corpusStats(spark: SparkSession, path: String): DataFrame = {
-    val base = spark.read.parquet(s"$path/corpus")
-      .agg(sum(col("n_docs")).as("__n"), sum(col("n_tokens")).as("__t"))
+    // footer fast path: the sums come off the driver-side footer read
+    // (one row per file ⇒ min == max == value), so a probe spends no
+    // scan job on a two-scalar frame
+    val base = corpusFooter(spark, path) match {
+      case Some((_, n, t)) =>
+        spark.range(1).select(lit(n).as("__n"), lit(t).as("__t"))
+      case None => spark.read.parquet(s"$path/corpus")
+        .agg(sum(col("n_docs")).as("__n"), sum(col("n_tokens")).as("__t"))
+    }
     tombstones(spark, path) match {
       case None => base
       case Some(ts) =>
