@@ -191,24 +191,60 @@ object InvertedIndex {
     // of pure latency to every build/append call, so fan them out on a
     // bounded pool (driver-side planning IO, the same class as the
     // table layer's per-segment sidecar collection)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, fresh.size)))
-    val rows = try {
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val fut = scala.concurrent.Future.traverse(fresh) { rel =>
-        scala.concurrent.Future(
-          graft.io.FileStats.footerStats(spark, s"$path/$rel", rel)
-            .filter(_.col == "token"))
-      }
-      scala.concurrent.Await
-        .result(fut, scala.concurrent.duration.Duration(10, "min"))
-        .flatten
-    } finally pool.shutdown()
+    val rows = fanOut(fresh) { rel =>
+      graft.io.FileStats.footerStats(spark, s"$path/$rel", rel)
+        .filter(_.col == "token")
+    }.flatten
     spark.createDataFrame(
       spark.sparkContext.parallelize(graft.io.FileStats.toRows(rows), 1),
       graft.io.FileStats.schema)
       .write.mode("append").parquet(sp)
+  }
+
+  /** Pin `df` as an eagerly-materialized, lineage-truncated frame and
+    * hand back the backing RDD so the caller can RELEASE the blocks in
+    * a finally — `Dataset.localCheckpoint` hides its RDD, so a
+    * long-running change-feed consumer would accumulate every call's
+    * pinned batch until driver GC got around to it (the same reason
+    * the connected-components loop owns its per-round RDDs). Returns
+    * the row count the materialization already paid for. */
+  private def pin(df: DataFrame):
+      (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
+    import org.apache.spark.sql.graft.PlanBridge
+    val rdd = PlanBridge.toInternalRdd(df)
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    (PlanBridge.fromInternalRdd(df.sparkSession, rdd, df.schema), rdd, n)
+  }
+
+  /** Distinct values of a single long column, deduped inside each
+    * partition and again on the driver — no exchange, and the driver
+    * receives at most (distinct values × partitions) longs, so even a
+    * BULK append ships its bucket set, never one row per document. */
+  private def distinctLongs(df: DataFrame): Seq[Long] = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    df.as[Long].mapPartitions(it => it.toSet.iterator)
+      .collect().toSeq.distinct
+  }
+
+  /** Run `f` over `items` on a bounded driver-side pool and return the
+    * results in order — the planning-IO fan-out both sidecar readers
+    * share. Unbounded wait on purpose: these calls sit BETWEEN the
+    * sidecar writes of one maintenance commit, so a deadline would
+    * convert a slow-but-progressing filesystem into a torn call (the
+    * rebuild-territory state the contract reserves for crashes). */
+  private def fanOut[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, items.size)))
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.traverse(items)(a =>
+          scala.concurrent.Future(f(a))),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
   }
 
   /** Relative paths (`bucket=N/part-…`) of the postings files in
@@ -242,7 +278,12 @@ object InvertedIndex {
     * A file is opened iff it has no stats row (never wrongly skipped)
     * or some query token falls inside its token min/max — evaluated
     * through the SAME FileStats machinery the table layer prunes with
-    * (an IN-list conjunct over the probed buckets' stats rows). */
+    * (an IN-list conjunct over the probed buckets' stats rows).
+    * Fast path: when every probed bucket holds at most one file
+    * (fresh build / post-compaction), the sidecar is not consulted and
+    * the plan reports all files open — the stats job costs more than
+    * letting the scan's own parquet row-group pruning reject a
+    * single out-of-range file per bucket. */
   def probeFilePlan(spark: SparkSession, path: String,
       tokens: Seq[String], nBuckets: Int = DefaultBuckets):
       (Seq[String], Int) = {
@@ -256,9 +297,15 @@ object InvertedIndex {
   private def planFiles(spark: SparkSession, path: String,
       tokens: Seq[String], buckets: Seq[Long]): (Seq[String], Int) = {
     val files = listBucketFiles(spark, path, Some(buckets))
-    // one file per probed bucket (fresh build / post-compaction) means
-    // nothing can be skipped — don't spend a stats job proving it
-    if (files.size <= buckets.size) return (files, files.size)
+    // at most one file in EACH probed bucket (fresh build /
+    // post-compaction) — skipping could at best reject one file per
+    // bucket, which the scan's own row-group stats do for free, so
+    // don't spend a stats job on it. Judged per directory: an
+    // aggregate files<=buckets test would wrongly bypass the sidecar
+    // when one bucket holds several append files and the other probed
+    // buckets happen to be empty.
+    if (files.groupBy(_.takeWhile(_ != '/')).values
+        .forall(_.size <= 1)) return (files, files.size)
     val sp = statsPathOf(path)
     val fs = new org.apache.hadoop.fs.Path(sp)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -448,8 +495,10 @@ object InvertedIndex {
     * min == max == the value and row counts sum to the generation;
     * any file breaking that invariant (or missing usable stats)
     * returns None and the caller falls back to the Spark read. The
-    * sidecar is O(generations) tiny files — the same planning-IO
-    * class as the table layer's manifest reads. */
+    * sidecar is O(generations) tiny files, footer-read on the shared
+    * bounded pool — the same planning-IO class as the table layer's
+    * manifest reads; [[compactIndex]] / [[buildIndex]] reset it to one
+    * file, bounding growth by the reorg cadence. */
   private def corpusFooter(spark: SparkSession,
       path: String): Option[(Long, Long, Long)] = {
     import org.apache.hadoop.fs.Path
@@ -459,21 +508,21 @@ object InvertedIndex {
     val files = fs.listStatus(dir).toSeq.filter(s => s.isFile &&
       !s.getPath.getName.startsWith("_") &&
       !s.getPath.getName.startsWith("."))
-    var gen = 0L; var nDocs = 0L; var nToks = 0L
-    for (f <- files) {
+    if (files.isEmpty) return None
+    val perFile = fanOut(files) { f =>
       val st = graft.io.FileStats.footerStats(spark,
         f.getPath.toString, f.getPath.getName)
       val rows = st.headOption.map(_.rows).getOrElse(-1L)
-      if (rows != 1L) return None
-      gen += 1
       val byCol = st.map(s => s.col -> s).toMap
       (byCol.get("n_docs").flatMap(_.minL),
           byCol.get("n_tokens").flatMap(_.minL)) match {
-        case (Some(d), Some(t)) => nDocs += d; nToks += t
-        case _ => return None
+        case (Some(d), Some(t)) if rows == 1L => Some((d, t))
+        case _ => None
       }
     }
-    if (gen == 0) None else Some((gen, nDocs, nToks))
+    if (perFile.exists(_.isEmpty)) return None
+    val vals = perFile.flatten
+    Some((vals.size.toLong, vals.map(_._1).sum, vals.map(_._2).sum))
   }
 
   /** Append new documents to an index built by [[buildIndex]]: their
@@ -507,48 +556,47 @@ object InvertedIndex {
     // pin the batch: the dbucket set, the replay guard and the writes
     // must all see the SAME rows — a non-deterministic source whose
     // second evaluation carried an id hashing outside the computed
-    // bucket set would break the pruning soundness below. Maintenance
-    // batches are trickle-sized by contract.
-    val batch = docs.localCheckpoint()
-    // the batch's dbucket set (≤ nb values — planning-sized, hashed
-    // through the engine so it can never drift from the write path)
-    // prunes every membership scan this call performs. Dedup lands
-    // driver-side: an engine .distinct() would add a full exchange
-    // for a frame the trickle contract already bounds.
-    val batchBuckets = batch
-      .select(dbucketOf(col(idCol), nb))
-      .collect().map(_.getLong(0)).toSeq.distinct
-    // pin the guard's survivors too: every downstream pass (postings,
-    // doclen, corpus delta) reads THIS materialization, so the
-    // anti-join runs once and a cache miss can never re-evaluate it
-    // against the sidecar a later statement appended to (the
-    // self-anti-join hazard that previously forced a disk read-back
-    // for the corpus delta)
-    val fresh = batch.join(
-      liveDocLens(spark, path, Some(batchBuckets))
-        .select(col("doc_id").as("__live_id")),
-      col(idCol) === col("__live_id"), "left_anti")
-      .select(col(idCol).as("doc_id"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .localCheckpoint()
-    // a fully-replayed batch appends nothing — and must not bump the
-    // generation with an empty corpus delta row
-    if (fresh.isEmpty) return
-    val post = fresh.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl"),
-      posexplode(col("__toks")).as(Seq("pos", "token")))
-      .select(col("token"), col("doc_id"),
-        col("pos").cast("long").as("pos"), col("dl"), lit(gen).as("gen"))
-    writeBuckets(post, s"$path/postings", nb, mode = "append")
-    fresh.select(col("doc_id"),
-      size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"),
-      dbucketOf(col("doc_id"), nb).as("dbucket"))
-      .repartition(col("dbucket")) // one file per touched dir (see build)
-      .write.mode("append").partitionBy("dbucket")
-      .parquet(s"$path/doclen")
-    fresh.select(size(col("__toks")).cast("long").as("dl"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
-      .coalesce(1).write.mode("append").parquet(s"$path/corpus")
+    // bucket set would break the pruning soundness below
+    val (batch, batchRdd, _) = pin(docs)
+    try {
+      // the batch's dbucket set (≤ nb values — planning-sized, hashed
+      // through the engine so it can never drift from the write path)
+      // prunes every membership scan this call performs
+      val batchBuckets = distinctLongs(
+        batch.select(dbucketOf(col(idCol), nb)))
+      // pin the guard's survivors too: every downstream pass (postings,
+      // doclen, corpus delta) reads THIS materialization, so the
+      // anti-join runs once and a cache miss can never re-evaluate it
+      // against the sidecar a later statement appended to (the
+      // self-anti-join hazard that previously forced a disk read-back
+      // for the corpus delta)
+      val (fresh, freshRdd, nFresh) = pin(batch.join(
+        liveDocLens(spark, path, Some(batchBuckets))
+          .select(col("doc_id").as("__live_id")),
+        col(idCol) === col("__live_id"), "left_anti")
+        .select(col(idCol).as("doc_id"),
+          TextFunctions.tokens(col(textCol)).as("__toks")))
+      try {
+        // a fully-replayed batch appends nothing — and must not bump
+        // the generation with an empty corpus delta row
+        if (nFresh == 0) return
+        val post = fresh.select(col("doc_id"),
+          size(col("__toks")).cast("long").as("dl"),
+          posexplode(col("__toks")).as(Seq("pos", "token")))
+          .select(col("token"), col("doc_id"),
+            col("pos").cast("long").as("pos"), col("dl"), lit(gen).as("gen"))
+        writeBuckets(post, s"$path/postings", nb, mode = "append")
+        fresh.select(col("doc_id"),
+          size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"),
+          dbucketOf(col("doc_id"), nb).as("dbucket"))
+          .repartition(col("dbucket")) // one file per touched dir (see build)
+          .write.mode("append").partitionBy("dbucket")
+          .parquet(s"$path/doclen")
+        fresh.select(size(col("__toks")).cast("long").as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
+          .coalesce(1).write.mode("append").parquet(s"$path/corpus")
+      } finally freshRdd.unpersist()
+    } finally batchRdd.unpersist()
   }
 
   /** Remove documents from the index WITHOUT rewriting any bucket: the
@@ -576,15 +624,16 @@ object InvertedIndex {
     val gen = generation(spark, path)
     // pinned for the same reason as appendDocs: the bucket set and the
     // victim lookup must agree on the batch's ids
-    val batch = docs.select(col(idCol).as("doc_id")).distinct()
-      .localCheckpoint()
-    val batchBuckets = batch
-      .select(dbucketOf(col("doc_id"), nb))
-      .collect().map(_.getLong(0)).toSeq.distinct
-    val victims = liveDocLens(spark, path, Some(batchBuckets))
-      .join(broadcast(batch), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("dl"), lit(gen).as("gen"))
-    victims.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    val (batch, batchRdd, _) =
+      pin(docs.select(col(idCol).as("doc_id")).distinct())
+    try {
+      val batchBuckets = distinctLongs(
+        batch.select(dbucketOf(col("doc_id"), nb)))
+      val victims = liveDocLens(spark, path, Some(batchBuckets))
+        .join(broadcast(batch), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("dl"), lit(gen).as("gen"))
+      victims.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    } finally batchRdd.unpersist()
   }
 
   /** The live (doc_id, dl, gen) membership rows: doclen sidecar minus
