@@ -648,11 +648,19 @@ object InvertedIndex {
         // filtering would still LIST every partition dir (a
         // distributed-listing job once the dir count crosses the
         // parallel-discovery threshold) — a trickle batch should list
-        // only its own buckets. basePath keeps the dbucket column.
-        val existing = bs.map(b => new org.apache.hadoop.fs.Path(
+        // only its own buckets. ONE parent listing finds which dirs
+        // exist (64 per-dir existence probes would cost 64 driver
+        // round-trips on an object store). basePath keeps the dbucket
+        // column.
+        val parent = new org.apache.hadoop.fs.Path(s"$path/doclen")
+        val fs = parent.getFileSystem(spark.sessionState.newHadoopConf())
+        val present: Set[String] =
+          if (!fs.exists(parent)) Set.empty
+          else fs.listStatus(parent).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName).toSet
+        val existing = bs.filter(b => present(s"dbucket=$b"))
+          .map(b => new org.apache.hadoop.fs.Path(
             s"$path/doclen/dbucket=$b"))
-          .filter(p => p.getFileSystem(
-            spark.sessionState.newHadoopConf()).exists(p))
         if (existing.isEmpty)
           spark.read.parquet(s"$path/doclen")
             .where(col("dbucket").isin(bs: _*))
