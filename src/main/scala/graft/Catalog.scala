@@ -25,7 +25,7 @@ object Catalog {
       queries.Analytics.all ++
       queries.Advanced.all ++
       queries.Text.all ++
-      queries.Dedup.all ++
+      queries.DedupGates.all ++
       queries.Similarity.all ++
       queries.EtlShape.all
 

@@ -18,7 +18,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * expressions compute each hash in one tight JVM loop — the measured
   * difference on the documents table is ~50s → <1s for the signature
   * query. Semantics (codepoint fold, modulus, tie rules) are locked to
-  * the DuckDB-oracle SQL in queries/Dedup.scala.
+  * the DuckDB-oracle SQL in queries/DedupGates.scala.
   */
 private object HashKernels {
   /** h = fold(codepoints)(h*31 + cp) mod m — matches

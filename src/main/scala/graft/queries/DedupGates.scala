@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * The MinHash/SimHash oracles re-derive the identical integer-arithmetic
   * pipeline in DuckDB SQL, so even the LSH candidate generation is
   * hash-compared — not just row counts. */
-object Dedup {
+object DedupGates {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
