@@ -173,8 +173,9 @@ object InvertedIndex {
     * pages untouched). A file that somehow escapes the sidecar — e.g.
     * written by a call that crashed before this step — is simply never
     * skipped: absence of stats degrades to never-skip, the same
-    * contract as the table layer (and a crash mid-maintenance-call is
-    * rebuild territory anyway, per [[appendDocs]]). */
+    * contract as the table layer (and such files belong to a torn,
+    * uncommitted generation: probes drop their rows and
+    * [[repairIndex]] deletes them). */
   private def collectPostingsStats(spark: SparkSession,
       path: String, known: Set[String]): Unit = {
     import org.apache.hadoop.fs.Path
@@ -249,20 +250,23 @@ object InvertedIndex {
 
   /** Relative paths (`bucket=N/part-…`) of the postings files in
     * `buckets` (all buckets when None) — a planning-time listing, the
-    * same metadata any parquet scan of those dirs performs. */
+    * same metadata any parquet scan of those dirs performs. `prefix`
+    * selects the partition-dir family (`bucket=` postings,
+    * `dbucket=` doclen). */
   private def listBucketFiles(spark: SparkSession, path: String,
-      buckets: Option[Seq[Long]]): Seq[String] = {
+      buckets: Option[Seq[Long]],
+      prefix: String = "bucket="): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Seq.empty
     val dirs = buckets match {
-      case Some(bs) => bs.map(b => new Path(path, s"bucket=$b"))
+      case Some(bs) => bs.map(b => new Path(path, s"$prefix$b"))
         .filter(fs.exists(_))
       case None => fs.listStatus(root).toSeq
         .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("bucket="))
+          s.getPath.getName.startsWith(prefix))
         .map(_.getPath)
     }
     dirs.flatMap { d =>
@@ -452,6 +456,10 @@ object InvertedIndex {
     val spark = docs.sparkSession
     val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true)
+    // a rebuild is also the blunt recovery path: any in-flight marker
+    // refers to state the overwrite below replaces wholesale
+    val ip = new org.apache.hadoop.fs.Path(inflightDir(path))
+    ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, true)
     writeMeta(spark, path, nBuckets)
     // one tokenize pass feeds all three artifacts (postings, doclen,
     // corpus scalars) — without the cache each write re-reads and
@@ -525,6 +533,95 @@ object InvertedIndex {
     Some((vals.size.toLong, vals.map(_._1).sum, vals.map(_._2).sum))
   }
 
+  // ---------------------------------------------------------------------
+  // Commit protocol: the corpus delta row IS the commit record. A
+  // mutating call that writes data files marks its generation in-flight
+  // first and clears the marker only after the corpus row lands, so
+  //   - readers need no marker: they drop rows of any uncommitted
+  //     generation (`gen < generation()` — a pushed predicate parquet
+  //     row-group stats evaluate for free, since every file carries one
+  //     constant gen), and therefore always see exactly the last
+  //     committed state, even over a torn index;
+  //   - writers fail LOUDLY on a leftover marker instead of re-using
+  //     the torn generation number (which would retroactively commit
+  //     the dead call's partial files alongside their own);
+  //   - [[repairIndex]] recovers in O(torn files): it deletes the
+  //     files whose footer proves an uncommitted generation, then
+  //     clears the markers — no rebuild, and the failed feed window
+  //     simply replays.
+  // ---------------------------------------------------------------------
+
+  private def inflightDir(path: String): String = s"$path/_graft_inflight"
+
+  private def inflightGens(spark: SparkSession, path: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(inflightDir(path))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("gen-") => s.drop(4).toLong }
+  }
+
+  private def markInflight(spark: SparkSession, path: String,
+      gen: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${inflightDir(path)}/gen-$gen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(p, true).close()
+  }
+
+  private def clearInflight(spark: SparkSession, path: String,
+      gen: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"${inflightDir(path)}/gen-$gen")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
+  }
+
+  private def requireNoInflight(spark: SparkSession, path: String): Unit = {
+    val gens = inflightGens(spark, path)
+    if (gens.nonEmpty) throw new IllegalStateException(
+      s"index at $path has in-flight generation(s) ${gens.sorted.mkString(",")} " +
+        "from a maintenance call that did not commit; run " +
+        "InvertedIndex.repairIndex before the next mutating call " +
+        "(probes stay correct meanwhile — they read committed " +
+        "generations only)")
+  }
+
+  /** Recover a torn index in O(torn files): delete every postings /
+    * doclen file whose parquet footer PROVES an uncommitted generation
+    * (`gen` min == max ≥ the committed-generation count — each file is
+    * written by exactly one call, so its gen is constant), then clear
+    * the in-flight markers. Returns the number of files removed. The
+    * committed state is untouched by construction, the failed feed
+    * window replays exactly ([[appendDocs]]'s guard sees none of its
+    * docs live), and nothing here scans data pages — footer reads on
+    * the bounded pool, the same planning-IO class as probe planning.
+    * A file without usable gen stats is left in place: readers filter
+    * its rows anyway, and deleting only what the footer proves keeps
+    * repair conservative. */
+  def repairIndex(spark: SparkSession, path: String): Long = {
+    val g = generation(spark, path)
+    var removed = 0L
+    val conf = spark.sessionState.newHadoopConf()
+    for ((dir, prefix) <- Seq(s"$path/postings" -> "bucket=",
+        s"$path/doclen" -> "dbucket=")) {
+      val files = listBucketFiles(spark, dir, None, prefix)
+      val torn = fanOut(files) { rel =>
+        val st = graft.io.FileStats.footerStats(spark, s"$dir/$rel", rel)
+          .filter(_.col == "gen")
+        st.headOption.flatMap(s => (s.minL, s.maxL) match {
+          case (Some(lo), Some(hi)) if lo == hi && lo >= g => Some(rel)
+          case _ => None
+        })
+      }.flatten
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      torn.foreach { rel =>
+        if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
+          removed += 1
+      }
+    }
+    val inflight = new org.apache.hadoop.fs.Path(inflightDir(path))
+    inflight.getFileSystem(conf).delete(inflight, true)
+    removed
+  }
+
   /** Append new documents to an index built by [[buildIndex]]: their
     * postings land as new files in the token buckets they hash to (no
     * existing file is touched) and the corpus scalars gain a delta row
@@ -545,12 +642,17 @@ object InvertedIndex {
     *
     * The guard covers WHOLE-WINDOW replays (feed consumer crashed after
     * this call committed). A crash INSIDE the call, between its three
-    * sidecar writes, leaves a partial batch that replay cannot patch
-    * row-exactly; like a crash mid-[[compactIndex]], recovery is a
-    * rebuild — the index is a derived artifact of the document table. */
+    * sidecar writes, leaves a TORN generation — the commit protocol
+    * (see the section header above [[repairIndex]]) makes that state
+    * harmless: the corpus delta row is written LAST and is the commit
+    * record, probes drop rows of any uncommitted generation, the next
+    * mutating call refuses loudly on the in-flight marker, and
+    * [[repairIndex]] removes the torn files so the failed window can
+    * simply replay — no rebuild. */
   def appendDocs(docs: DataFrame, textCol: String, idCol: String,
       path: String, nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
+    requireNoInflight(spark, path)
     val nb = indexBuckets(spark, path, nBuckets)
     val gen = generation(spark, path)
     // pin the batch: the dbucket set, the replay guard and the writes
@@ -580,6 +682,11 @@ object InvertedIndex {
         // a fully-replayed batch appends nothing — and must not bump
         // the generation with an empty corpus delta row
         if (nFresh == 0) return
+        // commit protocol: marker BEFORE the first data write, cleared
+        // only after the corpus row (the commit record) lands — never
+        // in a finally, because a failure here must LEAVE the marker
+        // for the writer gate + repairIndex to find
+        markInflight(spark, path, gen)
         val post = fresh.select(col("doc_id"),
           size(col("__toks")).cast("long").as("dl"),
           posexplode(col("__toks")).as(Seq("pos", "token")))
@@ -595,6 +702,7 @@ object InvertedIndex {
         fresh.select(size(col("__toks")).cast("long").as("dl"))
           .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
           .coalesce(1).write.mode("append").parquet(s"$path/corpus")
+        clearInflight(spark, path, gen)
       } finally freshRdd.unpersist()
     } finally batchRdd.unpersist()
   }
@@ -620,6 +728,10 @@ object InvertedIndex {
   def deleteDocs(docs: DataFrame, idCol: String, path: String,
       nBuckets: Int = DefaultBuckets): Unit = {
     val spark = docs.sparkSession
+    // the tombstone write itself is a single-file append (atomic at
+    // job commit), but the generation stamp must not race a torn
+    // append's number — same writer gate as appendDocs
+    requireNoInflight(spark, path)
     val nb = indexBuckets(spark, path, nBuckets)
     val gen = generation(spark, path)
     // pinned for the same reason as appendDocs: the bucket set and the
@@ -637,11 +749,15 @@ object InvertedIndex {
   }
 
   /** The live (doc_id, dl, gen) membership rows: doclen sidecar minus
-    * generation-scoped tombstones. `buckets` prunes the scan to the
-    * named `dbucket=` partitions — sound for any membership probe
-    * whose keys all hash into them. */
+    * generation-scoped tombstones, COMMITTED generations only (a torn
+    * append's doclen rows must not fool the replay guard into
+    * treating its docs as live — the retried window has to re-land
+    * them). `buckets` prunes the scan to the named `dbucket=`
+    * partitions — sound for any membership probe whose keys all hash
+    * into them. */
   private[graft] def liveDocLens(spark: SparkSession, path: String,
       buckets: Option[Seq[Long]] = None): DataFrame = {
+    val committed = generation(spark, path)
     val dls = buckets match {
       case Some(bs) =>
         // read ONLY the named dbucket dirs: passing the full tree and
@@ -669,10 +785,11 @@ object InvertedIndex {
           .where(col("dbucket").isin(bs: _*))
       case None => spark.read.parquet(s"$path/doclen")
     }
+    val dlsCommitted = dls.where(col("gen") < lit(committed))
     tombstones(spark, path) match {
-      case None => dls
+      case None => dlsCommitted
       case Some(ts) =>
-        dls.join(
+        dlsCommitted.join(
           broadcast(ts.select(col("doc_id").as("__td"), col("gen").as("__tg"))),
           col("doc_id") === col("__td") && col("gen") < col("__tg"),
           "left_anti")
@@ -717,11 +834,15 @@ object InvertedIndex {
   def compactIndex(spark: SparkSession, path: String,
       nBuckets: Int = DefaultBuckets): Unit = {
     import org.apache.hadoop.fs.Path
+    requireNoInflight(spark, path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     val nb = indexBuckets(spark, path, nBuckets)
     val livePost = {
+      // committed generations only — same contract as probes: torn
+      // rows must never be folded into the compacted (gen-0) state
       val post = spark.read.parquet(s"$path/postings")
+        .where(col("gen") < lit(generation(spark, path)))
       tombstones(spark, path) match {
         case None => post
         case Some(ts) =>
@@ -787,12 +908,18 @@ object InvertedIndex {
   /** Query-term postings from a persisted index: bucket-pruned,
     * file-skipped inside the buckets via the token min/max sidecar,
     * token filter pushed to parquet, tombstoned docs anti-joined out
-    * (broadcast — tombstone lists are probe-small by contract). */
+    * (broadcast — tombstone lists are probe-small by contract).
+    * COMMITTED generations only: a torn maintenance call's rows are
+    * dropped by a pushed `gen <` predicate that parquet row-group
+    * stats resolve per file for free (each file carries one constant
+    * gen), so probes over a torn index read exactly the last
+    * committed state. */
   def openIndex(spark: SparkSession, path: String, tokens: Seq[String],
       nBuckets: Int = DefaultBuckets): DataFrame = {
     require(tokens.nonEmpty, "empty token list")
     val post = prunedPostings(spark, s"$path/postings", tokens,
       indexBuckets(spark, path, nBuckets))
+      .where(col("gen") < lit(generation(spark, path)))
       .select(col("token"), col("doc_id"), col("pos"), col("dl"), col("gen"))
     val live = tombstones(spark, path) match {
       case None => post

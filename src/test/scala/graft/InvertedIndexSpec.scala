@@ -222,6 +222,68 @@ class InvertedIndexSpec extends SparkSpec {
     assert(inc.nonEmpty)
   }
 
+  test("torn append: probes read committed state, writers refuse loudly, " +
+      "repairIndex recovers in O(torn files) and the window replays exactly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_torn").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val q = "hash join table"
+    def probe() = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20,
+      nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    InvertedIndex.buildIndex(docs.where($"doc_id" % 3 =!= 2),
+      "text", "doc_id", dir, nBuckets = 8)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 6 === 2),
+      "text", "doc_id", dir, nBuckets = 8)
+    val committed = probe()
+    assert(committed.nonEmpty)
+    // forge the torn state a crash between the doclen and corpus
+    // writes leaves behind: run the gen-2 append, then un-commit it —
+    // delete its corpus delta row (the commit record) and restore the
+    // in-flight marker. Postings + doclen files of gen 2 remain.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def corpusFiles() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/corpus")).toSeq
+      .map(_.getPath).filter(p => !p.getName.startsWith("_"))
+    val beforeCommit = corpusFiles().map(_.getName).toSet
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 6 === 5),
+      "text", "doc_id", dir, nBuckets = 8)
+    val commitRecord = corpusFiles().filterNot(p => beforeCommit(p.getName))
+    assert(commitRecord.size == 1)
+    fs.delete(commitRecord.head, false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_graft_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_inflight/gen-2"), true).close()
+    // 1) probes over the torn index == the committed state, exactly
+    assert(probe() === committed)
+    // 2) the next mutating call refuses loudly instead of re-using the
+    //    torn generation number
+    val ex = intercept[IllegalStateException] {
+      InvertedIndex.appendDocs(docs.limit(1), "text", "doc_id", dir,
+        nBuckets = 8)
+    }
+    assert(ex.getMessage.contains("repairIndex"))
+    // 3) repair removes exactly the torn files (footer-proven gen 2:
+    //    its postings files + its doclen files), nothing else
+    val removed = InvertedIndex.repairIndex(spark, dir)
+    assert(removed > 0)
+    assert(probe() === committed)
+    assert(InvertedIndex.generation(spark, dir) == 2L)
+    // 4) the failed window simply replays — and the result is
+    //    indistinguishable from a history where the crash never
+    //    happened (fresh build over the full set)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 6 === 5),
+      "text", "doc_id", dir, nBuckets = 8)
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_invidx_torn_ref").toString
+    InvertedIndex.buildIndex(docs, "text", "doc_id", fresh, nBuckets = 8)
+    val healed = probe()
+    val ref = InvertedIndex.bm25TopKIndexed(spark, fresh, q, k = 20,
+      nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    assert(healed === ref)
+  }
+
   test("buildIndex over an existing path drops stale tombstones") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_invidx7").toString
