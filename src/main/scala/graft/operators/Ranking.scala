@@ -123,4 +123,40 @@ object Ranking {
       .filter(col("rank") <= n)
       .drop("_shard", "_srank")
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    * of N independently ranked lists over one id space — the standard
+    * way to combine a sparse (BM25) and a dense (embedding) retriever
+    * without score calibration, since only RANKS enter the fusion.
+    * Each list contributes `scale div (kConst + rank)` to its ids
+    * (INTEGER division — the float 1/(k+r) form ties unpredictably
+    * across engines; kConst=60 per the paper); an id absent from a
+    * list simply receives nothing (union semantics). Output:
+    * `(rank, <idCol>, rrf_score, n_lists)` for the top `k` fused ids,
+    * ties broken by id.
+    *
+    * Scale: inputs are top-k-sized ranked lists by contract, so the
+    * union + id-keyed aggregate shuffles O(N·k) narrow rows — fusion
+    * cost is independent of corpus size, and the final ordering runs
+    * on an aggregate that is already ≤ N·k rows. */
+  def rrfFuse(ranked: Seq[DataFrame], idCol: String, rankCol: String,
+      k: Int, kConst: Long = 60L, scale: Long = 1000000L): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0 && kConst >= 0 && scale > 0, "bad rrf parameters")
+    val contrib = ranked.map(_.select(col(idCol),
+      expr(s"CAST($scale AS BIGINT) div " +
+        s"(CAST($kConst AS BIGINT) + CAST($rankCol AS BIGINT))")
+        .as("__c")))
+    contrib.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(k)
+      // single-partition window is safe here: it ranks the ≤ k rows
+      // the limit already reduced to (the bm25TopK output pattern)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("rrf_score").desc, col(idCol))))
+      .select(col("rank").cast("long").as("rank"), col(idCol),
+        col("rrf_score"), col("n_lists"))
+  }
 }

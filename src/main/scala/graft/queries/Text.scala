@@ -846,10 +846,84 @@ object Text {
               ORDER BY doc_id, phrase_id"""))
   }
 
+  /** t18: hybrid retrieval — BM25 (sparse, over `documents`) fused
+    * with exact cosine ANN (dense, over `embeddings`, query = vector
+    * 0's neighbors) by reciprocal-rank fusion
+    * (operators/Ranking.rrfFuse). Only RANKS cross the fusion
+    * boundary, so the two retrievers never need score calibration and
+    * the fusion shuffles O(lists·k) rows regardless of corpus size.
+    * Integer-exact contributions (1000000 div (60 + rank)) make the
+    * fused ordering engine-reproducible; the oracle re-derives both
+    * rankings and the fusion in DuckDB. */
+  val hybridRrfQ: GQuery = GQuery(
+    "t18_hybrid_rrf",
+    (s, d) => {
+      val sparse = graft.text.InvertedIndex.bm25TopK(
+        docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id",
+        "hash join table", k = 30).select(col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val dense = graft.similarity.VectorFunctions.bruteForceTopK(
+        e, e.filter(col("vec_id") === 0), k = 30)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.operators.Ranking.rrfFuse(Seq(sparse, dense), "doc_id",
+        "rank", k = 20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+            corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS BIGINT) AS tt FROM lens),
+            tf AS (SELECT doc_id, tok AS token,
+              CAST(count(*) AS BIGINT) AS tf
+              FROM t, unnest(toks) AS u(tok)
+              WHERE tok IN ('hash', 'join', 'table') GROUP BY 1, 2),
+            dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+            sc AS (SELECT doc_id,
+              (((n * 1000) // df) * (tf * 22 * tt))
+                // (10 * tt * tf + 3 * tt + 9 * dl * n) AS s
+              FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id),
+                corpus),
+            agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc
+              GROUP BY 1),
+            bmr AS (SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg
+              QUALIFY rank <= 30),
+            dot AS (SELECT c.vec_id AS doc_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), i ->
+                  CAST(q.embedding[i+1] AS DOUBLE) *
+                  CAST(c.embedding[i+1] AS DOUBLE))),
+                (acc, x) -> acc + x) AS qc,
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), i ->
+                  CAST(q.embedding[i+1] AS DOUBLE) *
+                  CAST(q.embedding[i+1] AS DOUBLE))),
+                (acc, x) -> acc + x)) AS qn,
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), i ->
+                  CAST(c.embedding[i+1] AS DOUBLE) *
+                  CAST(c.embedding[i+1] AS DOUBLE))),
+                (acc, x) -> acc + x)) AS cn
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id = 0),
+            dnr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY
+              round(CASE WHEN qn * cn = 0 THEN 0.0 ELSE qc / (qn * cn) END,
+                6) DESC, doc_id) AS BIGINT) AS rank
+              FROM dot QUALIFY rank <= 30),
+            u AS (SELECT doc_id, 1000000 // (60 + rank) AS c FROM bmr
+              UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM dnr),
+            fused AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score,
+              count(*) AS n_lists FROM u GROUP BY 1),
+            r AS (SELECT CAST(row_number() OVER (ORDER BY rrf_score DESC,
+              doc_id) AS BIGINT) AS rank, doc_id, rrf_score, n_lists
+              FROM fused)
+            SELECT rank, doc_id, rrf_score, n_lists FROM r
+            WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, weightedSampleQ,
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
-      bm25Q, bm25IndexedQ, multiPhraseQ)
+      bm25Q, bm25IndexedQ, multiPhraseQ, hybridRrfQ)
 }

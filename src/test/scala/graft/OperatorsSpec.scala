@@ -296,6 +296,28 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("rrfFuse: hand-computed fusion, single-list ids, integer ties") {
+    import graft.operators.Ranking
+    // list A ranks 10,20,30; list B ranks 20,40 — 20 is in both,
+    // 10/30/40 in exactly one. scale=1000, kConst=60:
+    //   20: 1000/62 + 1000/61 = 16 + 16 = 32
+    //   10: 1000/61 = 16   (single-list, best rank)
+    //   40: 1000/62 = 16   (TIE with 10 on integer score → id order)
+    //   30: 1000/63 = 15
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1L), (40L, 2L)).toDF("doc_id", "rank")
+    val got = Ranking.rrfFuse(Seq(a, b), "doc_id", "rank", k = 10,
+        kConst = 60L, scale = 1000L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 20L, 32L, 2L), (2L, 10L, 16L, 1L),
+      (3L, 40L, 16L, 1L), (4L, 30L, 15L, 1L)))
+    // k truncates the FUSED order, not the inputs
+    val top2 = Ranking.rrfFuse(Seq(a, b), "doc_id", "rank", k = 2,
+        kConst = 60L, scale = 1000L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(top2 === got.take(2))
+  }
+
   test("packSequences: straddle assignment, per-shard independence, stats") {
     import graft.operators.Packing
     // one shard; chunk token counts 30,30,30 with capacity 64:
