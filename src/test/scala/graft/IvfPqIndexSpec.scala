@@ -74,6 +74,58 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(stored == rederived)
   }
 
+  test("crash-replayed refresh windows converge: basis rollback and a " +
+      "half-applied window both heal without duplicate or lost rows") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_crash").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalIvfPqIndex(spark, s"$root/t", s"$root/idx",
+      m = M, ksub = Ksub, dim = Dim)
+    val cents = e.filter($"vec_id" < 16)
+    val cbs = pqTrain(e, m = M, ksub = Ksub, iters = 0, dim = Dim)
+    idx.train(cents, cbs)
+    src.append(e.filter($"vec_id" % 2 === 0))
+    idx.refresh()
+    // SORTED-SEQ identity, not set identity: a replay that duplicated
+    // rows would survive a set compare
+    def state() = idx.read()
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val basis = java.nio.file.Paths.get(s"$root/idx/_graft_index_basis")
+    // --- crash A: the window committed fully but the basis publish was
+    // lost (death between the index commit and publishBasis) ---
+    val preWindow = java.nio.file.Files.readString(basis)
+    src.append(e.filter($"vec_id" % 2 === 1))
+    src.deleteWhereDV($"vec_id" % 5 === 0)
+    idx.refresh()
+    val committed = state()
+    java.nio.file.Files.writeString(basis, preWindow) // roll the basis back
+    idx.refresh() // full window replays
+    assert(idx.lastRefresh == "incremental")
+    assert(state() === committed,
+      "replaying an already-applied window must be an exact no-op")
+    // --- crash B: the window's drop commit landed but the re-encode
+    // append did not (death between the two index commits) ---
+    src.deleteWhere($"vec_id" % 7 === 1) // rewriting delete: survivors
+    // re-emitted as delete+insert pairs in the change feed
+    val ch = src.changesSince(java.nio.file.Files.readString(basis)
+      .trim.toLong)
+    val windowKeys = ch.select($"vec_id").distinct()
+    idx.table.deleteMatchingDV(windowKeys, Seq("vec_id")) // half-applied
+    idx.refresh() // replay: drops again (no-op), then re-encodes
+    assert(idx.lastRefresh == "incremental")
+    val healed = state()
+    val rebuilt = ivfPqEncode(src.read(), cents, cbs, M, Ksub, Dim)
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(healed === rebuilt,
+      s"healed ${healed.size} vs rebuilt ${rebuilt.size}")
+  }
+
   test("probe plan opens only the files covering the probed lists; " +
       "the pruned scan returns exactly the unpruned result") {
     val root = java.nio.file.Files
