@@ -143,6 +143,12 @@ object Ranking {
       k: Int, kConst: Long = 60L, scale: Long = 1000000L): DataFrame = {
     require(ranked.nonEmpty, "rrfFuse needs at least one ranked list")
     require(k > 0 && kConst >= 0 && scale > 0, "bad rrf parameters")
+    // same collision class requireFree rejects elsewhere: an id column
+    // named like a working/output column would be silently overwritten
+    // (idCol = "rank" would emit the fusion rank twice and lose the ids)
+    require(!Seq("__c", "rrf_score", "n_lists", "rank").contains(idCol),
+      s"idCol '$idCol' collides with rrfFuse working/output columns " +
+        "(__c, rrf_score, n_lists, rank)")
     val contrib = ranked.map(_.select(col(idCol),
       expr(s"CAST($scale AS BIGINT) div " +
         s"(CAST($kConst AS BIGINT) + CAST($rankCol AS BIGINT))")

@@ -585,41 +585,92 @@ object InvertedIndex {
   }
 
   /** Recover a torn index in O(torn files): delete every postings /
-    * doclen file whose parquet footer PROVES an uncommitted generation
-    * (`gen` min == max ≥ the committed-generation count — each file is
-    * written by exactly one call, so its gen is constant), then clear
-    * the in-flight markers. Returns the number of files removed. The
-    * committed state is untouched by construction, the failed feed
-    * window replays exactly ([[appendDocs]]'s guard sees none of its
-    * docs live), and nothing here scans data pages — footer reads on
-    * the bounded pool, the same planning-IO class as probe planning.
-    * A file without usable gen stats is left in place: readers filter
-    * its rows anyway, and deleting only what the footer proves keeps
-    * repair conservative. */
+    * doclen file PROVEN to carry an uncommitted generation, then clear
+    * the in-flight markers. Proof is footer-first (`gen` min == max ≥
+    * the committed-generation count — each file is written by exactly
+    * one call, so its gen is constant; footer reads on the bounded
+    * pool, the same planning-IO class as probe planning). A file whose
+    * footer lacks usable gen stats is NOT skipped: it is resolved by
+    * reading its gen column (one tiny per-file job — this engine's
+    * writers always produce footer stats, so the path only fires on
+    * anomalies), because clearing the marker while an unclassified
+    * file survives would let the next append REUSE the torn generation
+    * number and retroactively commit the dead call's rows next to its
+    * own. A file that cannot be resolved at all (unreadable, or a
+    * non-constant gen no single maintenance call could have written)
+    * aborts the repair LOUDLY with the markers still in place — the
+    * writer gate is never traded for silent duplication. Torn postings
+    * files are also dropped from the token-stats sidecar, so repeated
+    * crash/repair cycles don't accumulate dead planning rows
+    * ([[planFiles]] never matches them against the live listing, but
+    * every probe's sidecar scan would read them forever). Returns the
+    * number of files removed. The committed state is untouched by
+    * construction and the failed feed window simply replays
+    * ([[appendDocs]]'s guard sees none of its docs live). */
   def repairIndex(spark: SparkSession, path: String): Long = {
     val g = generation(spark, path)
     var removed = 0L
     val conf = spark.sessionState.newHadoopConf()
+    val tornPostings = Seq.newBuilder[String]
     for ((dir, prefix) <- Seq(s"$path/postings" -> "bucket=",
         s"$path/doclen" -> "dbucket=")) {
       val files = listBucketFiles(spark, dir, None, prefix)
       val torn = fanOut(files) { rel =>
         val st = graft.io.FileStats.footerStats(spark, s"$dir/$rel", rel)
           .filter(_.col == "gen")
-        st.headOption.flatMap(s => (s.minL, s.maxL) match {
-          case (Some(lo), Some(hi)) if lo == hi && lo >= g => Some(rel)
+        val isTorn = st.headOption.flatMap(s => (s.minL, s.maxL) match {
+          case (Some(lo), Some(hi)) if lo == hi => Some(lo >= g)
           case _ => None
-        })
+        }).getOrElse {
+          // no usable footer proof — resolve from the data itself; a
+          // read failure propagates with the markers still set
+          val r = spark.read.parquet(s"$dir/$rel")
+            .agg(count(lit(1)), min(col("gen")), max(col("gen"))).head()
+          if (r.getLong(0) == 0L) true // carries no rows: safe to drop
+          else if (r.isNullAt(1) || r.isNullAt(2))
+            throw new IllegalStateException(
+              s"$dir/$rel has rows with a null generation — no " +
+                "maintenance call writes that; refusing to repair " +
+                "(in-flight markers left in place)")
+          else if (r.getLong(1) == r.getLong(2)) r.getLong(1) >= g
+          else throw new IllegalStateException(
+            s"$dir/$rel spans generations ${r.getLong(1)}..${r.getLong(2)}" +
+              " — no single maintenance call writes that; refusing to" +
+              " repair (in-flight markers left in place)")
+        }
+        if (isTorn) Some(rel) else None
       }.flatten
+      if (prefix == "bucket=") tornPostings ++= torn
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       torn.foreach { rel =>
         if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
           removed += 1
       }
     }
+    dropStatsRows(spark, statsPathOf(s"$path/postings"),
+      tornPostings.result().toSet)
     val inflight = new org.apache.hadoop.fs.Path(inflightDir(path))
     inflight.getFileSystem(conf).delete(inflight, true)
     removed
+  }
+
+  /** Rewrite a FileStats sidecar without the rows of `dead` files —
+    * temp-write + rename, the same swap discipline as [[compactIndex]].
+    * A crash between delete and rename degrades to "no sidecar", which
+    * the planning path already treats as never-skip (and a rerun of
+    * [[repairIndex]] is a no-op on it). */
+  private def dropStatsRows(spark: SparkSession, sp: String,
+      dead: Set[String]): Unit = {
+    if (dead.isEmpty) return
+    val p = new org.apache.hadoop.fs.Path(sp)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return
+    val tmp = new org.apache.hadoop.fs.Path(sp + ".repair")
+    spark.read.schema(graft.io.FileStats.schema).parquet(sp)
+      .where(!col("file").isin(dead.toSeq: _*))
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
   }
 
   /** Append new documents to an index built by [[buildIndex]]: their
@@ -673,7 +724,7 @@ object InvertedIndex {
       // self-anti-join hazard that previously forced a disk read-back
       // for the corpus delta)
       val (fresh, freshRdd, nFresh) = pin(batch.join(
-        liveDocLens(spark, path, Some(batchBuckets))
+        liveDocLens(spark, path, Some(batchBuckets), Some(gen))
           .select(col("doc_id").as("__live_id")),
         col(idCol) === col("__live_id"), "left_anti")
         .select(col(idCol).as("doc_id"),
@@ -741,7 +792,7 @@ object InvertedIndex {
     try {
       val batchBuckets = distinctLongs(
         batch.select(dbucketOf(col("doc_id"), nb)))
-      val victims = liveDocLens(spark, path, Some(batchBuckets))
+      val victims = liveDocLens(spark, path, Some(batchBuckets), Some(gen))
         .join(broadcast(batch), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("dl"), lit(gen).as("gen"))
       victims.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
@@ -756,8 +807,13 @@ object InvertedIndex {
     * partitions — sound for any membership probe whose keys all hash
     * into them. */
   private[graft] def liveDocLens(spark: SparkSession, path: String,
-      buckets: Option[Seq[Long]] = None): DataFrame = {
-    val committed = generation(spark, path)
+      buckets: Option[Seq[Long]] = None,
+      committedGen: Option[Long] = None): DataFrame = {
+    // committedGen lets a caller that already resolved the committed
+    // generation (every maintenance call does, for its own stamp) skip
+    // a second corpus-footer read — a listing plus O(generations)
+    // footer round-trips per call on an object store
+    val committed = committedGen.getOrElse(generation(spark, path))
     val dls = buckets match {
       case Some(bs) =>
         // read ONLY the named dbucket dirs: passing the full tree and
@@ -838,11 +894,12 @@ object InvertedIndex {
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
     val nb = indexBuckets(spark, path, nBuckets)
+    val committed = generation(spark, path) // one footer read for both passes
     val livePost = {
       // committed generations only — same contract as probes: torn
       // rows must never be folded into the compacted (gen-0) state
       val post = spark.read.parquet(s"$path/postings")
-        .where(col("gen") < lit(generation(spark, path)))
+        .where(col("gen") < lit(committed))
       tombstones(spark, path) match {
         case None => post
         case Some(ts) =>
@@ -855,7 +912,7 @@ object InvertedIndex {
     }.select(col("token"), col("doc_id"), col("pos"), col("dl"),
       lit(0L).as("gen"))
     writeBuckets(livePost, s"$path/postings.compact", nb)
-    liveDocLens(spark, path)
+    liveDocLens(spark, path, None, Some(committed))
       .select(col("doc_id"), col("dl"), lit(0L).as("gen"),
         dbucketOf(col("doc_id"), nb).as("dbucket"))
       .repartition(col("dbucket")) // one file per dir (see buildIndex)
@@ -885,11 +942,18 @@ object InvertedIndex {
     * guarantees every tombstone subtracts an actually-indexed doc
     * exactly once (with its indexed dl). A one-row frame for
     * broadcasting. */
-  def corpusStats(spark: SparkSession, path: String): DataFrame = {
+  def corpusStats(spark: SparkSession, path: String): DataFrame =
+    corpusStatsFrom(spark, path, corpusFooter(spark, path))
+
+  /** [[corpusStats]] core taking the caller's already-resolved corpus
+    * footer, so one footer read can serve both the committed-generation
+    * gate and the scalars of a single probe. */
+  private def corpusStatsFrom(spark: SparkSession, path: String,
+      footer: Option[(Long, Long, Long)]): DataFrame = {
     // footer fast path: the sums come off the driver-side footer read
     // (one row per file ⇒ min == max == value), so a probe spends no
     // scan job on a two-scalar frame
-    val base = corpusFooter(spark, path) match {
+    val base = footer match {
       case Some((_, n, t)) =>
         spark.range(1).select(lit(n).as("__n"), lit(t).as("__t"))
       case None => spark.read.parquet(s"$path/corpus")
@@ -915,11 +979,18 @@ object InvertedIndex {
     * gen), so probes over a torn index read exactly the last
     * committed state. */
   def openIndex(spark: SparkSession, path: String, tokens: Seq[String],
-      nBuckets: Int = DefaultBuckets): DataFrame = {
+      nBuckets: Int = DefaultBuckets): DataFrame =
+    openIndexAt(spark, path, tokens, nBuckets, generation(spark, path))
+
+  /** [[openIndex]] core taking the caller's already-resolved committed
+    * generation ([[bm25TopKIndexed]] shares ONE corpus-footer read
+    * between this gate and [[corpusStats]] per probe). */
+  private def openIndexAt(spark: SparkSession, path: String,
+      tokens: Seq[String], nBuckets: Int, committed: Long): DataFrame = {
     require(tokens.nonEmpty, "empty token list")
     val post = prunedPostings(spark, s"$path/postings", tokens,
       indexBuckets(spark, path, nBuckets))
-      .where(col("gen") < lit(generation(spark, path)))
+      .where(col("gen") < lit(committed))
       .select(col("token"), col("doc_id"), col("pos"), col("dl"), col("gen"))
     val live = tombstones(spark, path) match {
       case None => post
@@ -944,13 +1015,19 @@ object InvertedIndex {
       k: Int, nBuckets: Int = DefaultBuckets): DataFrame = {
     val terms = queryTokens(query).distinct
     require(terms.nonEmpty, "empty query")
-    val post = openIndex(spark, path, terms, nBuckets)
+    // ONE corpus-footer read serves both the committed-generation gate
+    // and the corpus scalars — each is a listing plus O(generations)
+    // footer round-trips, per-probe planning IO not worth paying twice
+    val footer = corpusFooter(spark, path)
+    val committed = footer.map(_._1).getOrElse(
+      spark.read.parquet(s"$path/corpus").count())
+    val post = openIndexAt(spark, path, terms, nBuckets, committed)
     val tf = post.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     tf
       .join(broadcast(df), "token")
-      .crossJoin(broadcast(corpusStats(spark, path)))
+      .crossJoin(broadcast(corpusStatsFrom(spark, path, footer)))
       .withColumn("__s",
         expr("(((__n * 1000) div df) * (tf * 22 * __t)) div " +
           "(10 * __t * tf + 3 * __t + 9 * dl * __n)"))

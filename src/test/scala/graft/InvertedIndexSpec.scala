@@ -270,6 +270,21 @@ class InvertedIndexSpec extends SparkSpec {
     assert(removed > 0)
     assert(probe() === committed)
     assert(InvertedIndex.generation(spark, dir) == 2L)
+    //    ... and the token-stats sidecar carries no rows for the files
+    //    repair deleted (crash/repair cycles must not grow dead
+    //    planning rows every probe's sidecar scan would read forever)
+    val liveFiles = {
+      def rels(sub: String, prefix: String) = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$sub")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+        .flatMap(d => fs.listStatus(d.getPath).toSeq.filter(_.isFile)
+          .map(f => s"${d.getPath.getName}/${f.getPath.getName}"))
+      rels("postings", "bucket=").toSet
+    }
+    val statRows = spark.read.parquet(s"$dir/postings_stats")
+      .select($"file").as[String].collect().toSet
+    assert(statRows.subsetOf(liveFiles),
+      s"dead sidecar rows survive repair: ${statRows.diff(liveFiles)}")
     // 4) the failed window simply replays — and the result is
     //    indistinguishable from a history where the crash never
     //    happened (fresh build over the full set)
@@ -282,6 +297,50 @@ class InvertedIndexSpec extends SparkSpec {
     val ref = InvertedIndex.bm25TopKIndexed(spark, fresh, q, k = 20,
       nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
     assert(healed === ref)
+  }
+
+  test("repairIndex refuses (markers intact) on a file it cannot classify " +
+      "— clearing the gate around an unproven file would let the next " +
+      "append re-use the torn generation and commit the dead call's rows") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_unproven").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    InvertedIndex.buildIndex(docs.limit(200), "text", "doc_id", dir,
+      nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_graft_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_inflight/gen-1"), true).close()
+    // forge an unclassifiable file: gen spans two values, which no
+    // single maintenance call can write — its footer disproves the
+    // constant-gen fast path, and the per-file resolve read must then
+    // refuse rather than guess
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_invidx_unproven_f").toString
+    Seq(("tok", 1L, 0L, 1L, 1L), ("tok", 2L, 0L, 1L, 2L))
+      .toDF("token", "doc_id", "pos", "dl", "gen")
+      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmp)).toSeq
+      .map(_.getPath).filter(p => p.getName.startsWith("part-")).head
+    val bucketDir = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/postings")).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(bucketDir, "part-forged.parquet"),
+      false, spark.sessionState.newHadoopConf())
+    val ex = intercept[IllegalStateException] {
+      InvertedIndex.repairIndex(spark, dir)
+    }
+    assert(ex.getMessage.contains("refusing to repair"))
+    // the writer gate survived the failed repair
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_inflight/gen-1")))
+    intercept[IllegalStateException] {
+      InvertedIndex.appendDocs(docs.limit(1), "text", "doc_id", dir,
+        nBuckets = 4)
+    }
   }
 
   test("buildIndex over an existing path drops stale tombstones") {
