@@ -574,6 +574,13 @@ object InvertedIndex {
     p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, false)
   }
 
+  /** Whether a dead maintenance call left the writer gate down (an
+    * in-flight generation marker) — the cheap probe a basis-tracked
+    * maintainer ([[IncrementalInvertedIndex]]) checks before deciding
+    * to [[repairIndex]]: one dir listing, no footer reads. */
+  def needsRepair(spark: SparkSession, path: String): Boolean =
+    inflightGens(spark, path).nonEmpty
+
   private def requireNoInflight(spark: SparkSession, path: String): Unit = {
     val gens = inflightGens(spark, path)
     if (gens.nonEmpty) throw new IllegalStateException(

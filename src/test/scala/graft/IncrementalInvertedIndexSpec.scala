@@ -1,0 +1,111 @@
+package graft
+
+import graft.io.ManagedParquetTable
+import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+
+/** Basis-tracked retrieval-index maintenance: the per-micro-batch
+  * `refresh()` a streaming ingest calls after each table commit.
+  * Maintained ≡ rebuild across windows, replayed windows are no-ops,
+  * and a crash INSIDE a window's index maintenance heals through the
+  * automatic repair + replay path. */
+class IncrementalInvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Q = "hash join table"
+  private val NB = 8
+
+  private def docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select($"doc_id", $"text")
+
+  private def probe(path: String) =
+    InvertedIndex.bm25TopKIndexed(spark, path, Q, k = 20, nBuckets = NB)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+  private def freshRef(src: ManagedParquetTable): Seq[(Long, Long, Long, Long)] = {
+    val ref = java.nio.file.Files
+      .createTempDirectory("graft_incidx_ref").toString
+    InvertedIndex.buildIndex(src.read().select($"doc_id", $"text"),
+      "text", "doc_id", ref, nBuckets = NB)
+    probe(ref)
+  }
+
+  test("refresh() tracks the table across append/dv-delete/rewriting-" +
+      "delete windows; maintained probe == fresh rebuild; replayed " +
+      "windows (basis rollback) are exact no-ops") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incidx").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalInvertedIndex(spark, s"$root/t",
+      s"$root/idx", nBuckets = NB)
+    src.append(docs.where($"doc_id" % 3 =!= 2))
+    idx.refresh()
+    assert(idx.lastRefresh == "full")
+    assert(probe(s"$root/idx") === freshRef(src))
+    // window 2: append the rest — the streaming norm
+    src.append(docs.where($"doc_id" % 3 === 2))
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    idx.refresh()
+    assert(idx.lastRefresh == "noop")
+    assert(probe(s"$root/idx") === freshRef(src))
+    // window 3: dv delete + rewriting delete (survivors re-presented
+    // as delete+insert pairs round-trip through the generation-scoped
+    // tombstones)
+    val basis = java.nio.file.Paths.get(s"$root/idx/_graft_index_basis")
+    val preWindow = java.nio.file.Files.readString(basis)
+    src.deleteWhereDV($"doc_id" % 5 === 0)
+    src.deleteWhere($"doc_id" % 7 === 1)
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    val committed = probe(s"$root/idx")
+    assert(committed === freshRef(src))
+    // crash between applyChanges and publishBasis: the whole window
+    // replays — deleteDocs victims are no longer live and appendDocs'
+    // replay guard anti-joins the re-presented survivors away
+    java.nio.file.Files.writeString(basis, preWindow)
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    assert(probe(s"$root/idx") === committed,
+      "replaying an already-applied window must be an exact no-op")
+  }
+
+  test("a crash INSIDE a window's maintenance (torn generation, writer " +
+      "gate down) heals on the next refresh: auto-repair, then replay") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incidx_crash").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalInvertedIndex(spark, s"$root/t",
+      s"$root/idx", nBuckets = NB)
+    src.append(docs.where($"doc_id" % 2 === 0))
+    idx.refresh()
+    val basis = java.nio.file.Paths.get(s"$root/idx/_graft_index_basis")
+    val preWindow = java.nio.file.Files.readString(basis)
+    val gen = InvertedIndex.generation(spark, s"$root/idx")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def corpusFiles() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/idx/corpus")).toSeq
+      .map(_.getPath).filter(p => !p.getName.startsWith("_"))
+    val beforeCommit = corpusFiles().map(_.getName).toSet
+    // run the window, then forge the crash: un-commit the append
+    // (delete its corpus record — postings/doclen files of the torn
+    // generation remain), restore the in-flight marker, rewind basis
+    src.append(docs.where($"doc_id" % 2 === 1))
+    idx.refresh()
+    val commitRecord = corpusFiles().filterNot(p => beforeCommit(p.getName))
+    assert(commitRecord.size == 1)
+    fs.delete(commitRecord.head, false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/idx/_graft_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/idx/_graft_inflight/gen-$gen"), true).close()
+    java.nio.file.Files.writeString(basis, preWindow)
+    assert(InvertedIndex.needsRepair(spark, s"$root/idx"))
+    // a torn index still refreshes: repair drops the torn files, the
+    // window replays in full, and the result is indistinguishable from
+    // a history where the crash never happened
+    idx.refresh()
+    assert(idx.lastRefresh == "incremental")
+    assert(!InvertedIndex.needsRepair(spark, s"$root/idx"))
+    assert(probe(s"$root/idx") === freshRef(src))
+  }
+}
