@@ -99,7 +99,10 @@ class PlanSpec extends SparkSpec {
       "c3_budget_select" -> "Ranking histogram offsets (bounded coarse keys)",
       "f16_sequential_id" -> "25-row lookup frame (reference-exact)",
       "t15_bm25" -> "row_number over the top-k frame AFTER limit(k) (≤20 rows)",
-      "t16_bm25_indexed" -> "row_number over the top-k frame AFTER limit(k) (≤20 rows)")
+      "t16_bm25_indexed" -> "row_number over the top-k frame AFTER limit(k) (≤20 rows)",
+      "t18_hybrid_rrf" -> ("two top-k frames: bm25TopK's row_number AFTER " +
+        "limit(30) + rrfFuse's row_number AFTER limit(20) — fusion input " +
+        "is O(lists*k) by contract, never corpus-sized"))
     val found = Catalog.all.map { q =>
       q.name -> q.run(spark, sf).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
