@@ -149,9 +149,19 @@ object Ranking {
     require(!Seq("__c", "rrf_score", "n_lists", "rank").contains(idCol),
       s"idCol '$idCol' collides with rrfFuse working/output columns " +
         "(__c, rrf_score, n_lists, rank)")
+    // ranks must be 1-based: a 0-based list with kConst=0 would divide
+    // by zero — which integer `div` resolves to NULL, so sum() would
+    // SILENTLY drop the list's best document's contribution (and a
+    // negative rank would contribute with the wrong sign). Fail loudly
+    // per row instead — the inputs are k-sized ranked lists by
+    // contract, so the guard costs nothing measurable.
     val contrib = ranked.map(_.select(col(idCol),
-      expr(s"CAST($scale AS BIGINT) div " +
-        s"(CAST($kConst AS BIGINT) + CAST($rankCol AS BIGINT))")
+      when(col(rankCol) >= 1,
+        expr(s"CAST($scale AS BIGINT) div " +
+          s"(CAST($kConst AS BIGINT) + CAST($rankCol AS BIGINT))"))
+        .otherwise(raise_error(concat(
+          lit(s"rrfFuse: rank column '$rankCol' must be >= 1, got "),
+          coalesce(col(rankCol).cast("string"), lit("null")))))
         .as("__c")))
     contrib.reduce(_ unionByName _)
       .groupBy(col(idCol))

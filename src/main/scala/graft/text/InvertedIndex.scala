@@ -54,8 +54,11 @@ object InvertedIndex {
     * `(doc_id, n_hits, first_pos)`.
     *
     * One wide shuffle on `(doc_id, anchor)`; postings are first narrowed
-    * to the phrase's tokens (bucket-pruned when `idx` is a persisted
-    * index opened via [[openBuckets]]). */
+    * to the phrase's tokens (bucket-pruned when `idx` comes from a
+    * persisted layout — [[openIndex]] for a full MAINTAINED index,
+    * whose committed-generation gate and tombstone anti-join this
+    * probe inherits; [[openBuckets]] only for a raw build-once
+    * postings dir, see its contract). */
   def phraseSearch(idx: DataFrame, phrase: String): DataFrame = {
     val toks = queryTokens(phrase)
     require(toks.nonEmpty, "empty phrase")
@@ -124,7 +127,8 @@ object InvertedIndex {
   }
 
   /** Union of every phrase's token set — the narrowing set to pass
-    * [[openBuckets]]/[[openIndex]] before a [[multiPhraseSearch]]. */
+    * [[openIndex]] (or, for a raw build-once postings dir,
+    * [[openBuckets]]) before a [[multiPhraseSearch]]. */
   def phraseTokens(phrases: Seq[String]): Seq[String] =
     phrases.flatMap(queryTokens).distinct
 
@@ -357,11 +361,20 @@ object InvertedIndex {
       col("token").isin(tokens: _*))
   }
 
-  /** Open a persisted index narrowed to `tokens`: the bucket predicate
-    * is partition-pruned (only the needed `bucket=` dirs are listed and
-    * read), files inside a bucket whose token range misses every query
-    * token are skipped via the stats sidecar, and the token predicate
-    * is pushed to parquet. */
+  /** Open a RAW bucketed postings dir ([[writeBuckets]] output) narrowed
+    * to `tokens`: the bucket predicate is partition-pruned (only the
+    * needed `bucket=` dirs are listed and read), files inside a bucket
+    * whose token range misses every query token are skipped via the
+    * stats sidecar, and the token predicate is pushed to parquet.
+    *
+    * LAYOUT-LEVEL reader — no commit or tombstone semantics: it returns
+    * every row in the files, which is exactly right for a build-once
+    * dir written directly by [[writeBuckets]] (no generations exist).
+    * For a full index that [[appendDocs]]/[[deleteDocs]] maintain, use
+    * [[openIndex]] — it applies the committed-generation gate and the
+    * generation-scoped tombstones this reader knows nothing about, so
+    * only it upholds the "probes read committed state" guarantee over
+    * a torn or maintained index. */
   def openBuckets(spark: SparkSession, path: String, tokens: Seq[String],
       nBuckets: Int = DefaultBuckets): DataFrame = {
     require(tokens.nonEmpty, "empty token list")
@@ -610,7 +623,11 @@ object InvertedIndex {
     * files are also dropped from the token-stats sidecar, so repeated
     * crash/repair cycles don't accumulate dead planning rows
     * ([[planFiles]] never matches them against the live listing, but
-    * every probe's sidecar scan would read them forever). Returns the
+    * every probe's sidecar scan would read them forever). A partition
+    * dir the deletes EMPTIED is dropped too — the dead call may have
+    * been the first to touch that bucket, and a left-behind zero-file
+    * dir would crash the replayed window's membership read
+    * (schema-inference error on an empty parquet path). Returns the
     * number of files removed. The committed state is untouched by
     * construction and the failed feed window simply replays
     * ([[appendDocs]]'s guard sees none of its docs live). */
@@ -652,6 +669,18 @@ object InvertedIndex {
       torn.foreach { rel =>
         if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
           removed += 1
+      }
+      // a torn file can be its partition dir's ONLY file (the dead call
+      // appended into a bucket no prior commit had touched) — an empty
+      // `bucket=`/`dbucket=` dir left behind would crash the replayed
+      // window's membership read (zero-file parquet path ⇒
+      // schema-inference error), so drop dirs the deletes emptied
+      torn.map(rel => rel.takeWhile(_ != '/')).distinct.foreach { d =>
+        val dp = new org.apache.hadoop.fs.Path(s"$dir/$d")
+        if (fs.exists(dp) && fs.listStatus(dp).isEmpty)
+          // recursive: listStatus hides checksum remnants (.crc) that
+          // would fail a non-recursive dir delete on a checksummed FS
+          fs.delete(dp, true)
       }
     }
     dropStatsRows(spark, statsPathOf(s"$path/postings"),

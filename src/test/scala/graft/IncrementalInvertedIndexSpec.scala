@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
+
 import graft.io.ManagedParquetTable
 import graft.text.{IncrementalInvertedIndex, InvertedIndex}
 
@@ -106,6 +108,61 @@ class IncrementalInvertedIndexSpec extends SparkSpec {
     idx.refresh()
     assert(idx.lastRefresh == "incremental")
     assert(!InvertedIndex.needsRepair(spark, s"$root/idx"))
+    assert(probe(s"$root/idx") === freshRef(src))
+  }
+
+  test("torn batch that OPENED new partition dirs: repair drops the " +
+      "emptied dirs, so the replayed window's membership read survives") {
+    // tiny initial build (one doc) → the crashed append is the FIRST
+    // writer of most dbucket=/bucket= dirs; repair deletes its files,
+    // and a left-behind zero-file dir would crash the replay's
+    // liveDocLens read with a schema-inference error
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incidx_dirs").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalInvertedIndex(spark, s"$root/t",
+      s"$root/idx", nBuckets = NB)
+    // initial corpus and crashed batch must be DBUCKET-DISJOINT: the
+    // replay's membership probe then reads only the dirs the dead call
+    // created — the worst case the repair must leave readable
+    val dbuckets = docs.select($"doc_id",
+        pmod(xxhash64($"doc_id"), lit(NB.toLong)).as("__b"))
+      .as[(Long, Long)].collect().toMap
+    val b0 = dbuckets(dbuckets.keys.min)
+    val initIds = dbuckets.collect { case (id, b) if b == b0 => id }.toSeq
+    src.append(docs.where($"doc_id".isin(initIds: _*)))
+    idx.refresh()
+    val basis = java.nio.file.Paths.get(s"$root/idx/_graft_index_basis")
+    val preWindow = java.nio.file.Files.readString(basis)
+    val gen = InvertedIndex.generation(spark, s"$root/idx")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def corpusFiles() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/idx/corpus")).toSeq
+      .map(_.getPath).filter(p => !p.getName.startsWith("_"))
+    val beforeCommit = corpusFiles().map(_.getName).toSet
+    src.append(docs.where(!$"doc_id".isin(initIds: _*)))
+    idx.refresh()
+    val commitRecord = corpusFiles().filterNot(p => beforeCommit(p.getName))
+    assert(commitRecord.size == 1)
+    fs.delete(commitRecord.head, false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/idx/_graft_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$root/idx/_graft_inflight/gen-$gen"), true).close()
+    java.nio.file.Files.writeString(basis, preWindow)
+    // the forged crash left dbucket dirs whose ONLY file is torn
+    val dlDirs = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/idx/doclen")).toSeq
+      .filter(_.isDirectory)
+    assert(dlDirs.size > 1, "fixture must have spread across dbuckets")
+    idx.refresh() // auto-repair + replay — must not throw
+    assert(idx.lastRefresh == "incremental")
+    // emptied partition dirs are gone, survivors all carry files
+    val after = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/idx/doclen")).toSeq
+      .filter(_.isDirectory)
+    after.foreach(d => assert(fs.listStatus(d.getPath).nonEmpty,
+      s"empty partition dir survived repair: ${d.getPath}"))
     assert(probe(s"$root/idx") === freshRef(src))
   }
 }

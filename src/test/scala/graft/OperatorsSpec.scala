@@ -316,6 +316,18 @@ class OperatorsSpec extends SparkSpec {
         kConst = 60L, scale = 1000L)
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(top2 === got.take(2))
+    // a 0-based ranked list fails LOUDLY: with kConst=0 the rank-0 row
+    // would divide by zero, which integer `div` turns into NULL — sum()
+    // would then silently drop the list's best document's contribution
+    val zeroBased = Seq((10L, 0L), (20L, 1L)).toDF("doc_id", "rank")
+    val e = intercept[Exception] {
+      Ranking.rrfFuse(Seq(zeroBased), "doc_id", "rank", k = 5,
+        kConst = 0L, scale = 1000L).collect()
+    }
+    val chain = Iterator.iterate[Throwable](e)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString("\n")
+    assert(chain.contains("must be >= 1"), chain)
   }
 
   test("packSequences: straddle assignment, per-shard independence, stats") {
