@@ -1,0 +1,65 @@
+package graft.io
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** The basis protocol every incremental index maintainer shares
+  * (IncrementalIvfPqIndex, IncrementalInvertedIndex): a
+  * `_graft_index_basis` file under the index root records the SOURCE
+  * table's delta-log version the index is current to, and a refresh
+  * resolves three ways — no basis → full (re)build, basis == head →
+  * noop, basis < head → fold exactly the missing `changesSince`
+  * window.
+  *
+  * The crash-safety invariant lives HERE, once: [[refreshTo]] publishes
+  * the new basis only AFTER the caller's build/fold returns, so a crash
+  * between them replays the whole window on the next refresh — each
+  * maintainer's fold must therefore be idempotent under whole-window
+  * replay (both are: the retrieval index by its membership guards, the
+  * IVF-PQ index by drop-then-re-encode convergence). A basis fix
+  * (validation, fsync, version arithmetic) lands in one place instead
+  * of silently diverging the maintainers' crash behavior.
+  *
+  * Driver-local file IO by design: the basis is maintainer bookkeeping
+  * under the single-writer contract, the same class as the table
+  * layer's manifest pointer — nothing executor-side reads it. */
+final class BasisTracker(indexPath: String) {
+
+  private def basisFile = Paths.get(indexPath, "_graft_index_basis")
+
+  def basis: Option[Long] =
+    if (!Files.exists(basisFile)) None
+    else Some(Files.readString(basisFile).trim.toLong)
+
+  /** Atomic publish (temp + rename): readers of the basis never see a
+    * torn write, and a crash mid-publish leaves the OLD basis — the
+    * window simply replays. */
+  def publish(v: Long): Unit = {
+    Files.createDirectories(Paths.get(indexPath))
+    val tmp = Paths.get(indexPath,
+      s"_graft_index_basis.tmp.${System.nanoTime()}")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, basisFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Run the refresh dispatch against source head version `headV`
+    * (must be ≥ 0 — i.e. the source has at least one commit) and
+    * return how it resolved: "full" | "incremental" | "noop".
+    * `incremental` receives the recorded basis; the missing window is
+    * `changesSince(basis)`. */
+  def refreshTo(headV: Long)(full: => Unit)(
+      incremental: Long => Unit): String = {
+    require(headV >= 0, "source table has no commits")
+    basis match {
+      case Some(b) if b == headV => "noop"
+      case Some(b) =>
+        incremental(b)
+        publish(headV)
+        "incremental"
+      case None =>
+        full
+        publish(headV)
+        "full"
+    }
+  }
+}

@@ -38,7 +38,8 @@ import graft.io.ManagedParquetTable
   *     standard IVF-PQ operating contract — FAISS trains once and
   *     add()s forever; retraining is an explicit offline rebuild);
   *   - a basis file recording the SOURCE table's delta-log version the
-  *     index is current to (same protocol as IncrementalVectorIndex).
+  *     index is current to ([[graft.io.BasisTracker]] — the one
+  *     protocol all three incremental index maintainers share).
   *
   * `refresh()` follows the v16 template: inserts from
   * [[ManagedParquetTable.changesSince]] encode-and-append, deletes
@@ -72,7 +73,8 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
   // noise is per-probe); nothing ever globs indexPath itself
   private def centroidsDir = Paths.get(indexPath, "centroids")
   private def codebooksDir = Paths.get(indexPath, "codebooks")
-  private def basisFile = Paths.get(indexPath, "_graft_index_basis")
+
+  private val tracker = new graft.io.BasisTracker(indexPath)
 
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */
@@ -116,19 +118,6 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def basis: Option[Long] =
-    if (!Files.exists(basisFile)) None
-    else Some(Files.readString(basisFile).trim.toLong)
-
-  private def publishBasis(v: Long): Unit = {
-    Files.createDirectories(Paths.get(indexPath))
-    val tmp = Paths.get(indexPath,
-      s"_graft_index_basis.tmp.${System.nanoTime()}")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, basisFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
   /** Range-cluster an encode batch by centroid_id so each parquet file
     * covers a tight centroid range — what makes the stats sidecar
     * prune probe scans to the probed lists' files. File count scales
@@ -149,38 +138,29 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
   /** Bring the index up to the source table's current version. */
   def refresh(): Unit = {
     require(isTrained, s"index at $indexPath must be trained before refresh")
-    val headV = source.version - 1
-    require(headV >= 0, s"source table at $sourcePath has no commits")
     val (cents, cbs) = (centroids, codebooks)
-    basis match {
-      case Some(b) if b == headV =>
-        lastRefresh = "noop"
-      case Some(b) =>
-        val ch = source.changesSince(b)
-        val ins = ch.filter(col("_change_type") === "insert")
-          .drop("_change_type")
-        val delKeys = ch.filter(col("_change_type") === "delete")
-          .select(col(idCol))
-        // window keys drop FIRST (deletes ∪ re-inserted ids, one dv
-        // commit), then fresh encodings append — pure appends delete
-        // nothing, rewrites net to replace, a crash-replayed window
-        // converges (same protocol as IncrementalVectorIndex)
-        val dropKeys = delKeys.union(ins.select(col(idCol))).distinct()
-        if (!dropKeys.isEmpty) table.deleteMatchingDV(dropKeys, Seq(idCol))
-        val nIns = ins.select(col(idCol)).count()
-        if (nIns > 0)
-          table.append(clustered(VectorFunctions.ivfPqEncode(
-            ins, cents, cbs, m, ksub, dim, idCol, vecCol), nIns))
-        table.compactDeletes(0.3)
-        publishBasis(headV)
-        lastRefresh = "incremental"
-      case None =>
-        val full = source.read()
-        val nFull = full.select(col(idCol)).count()
-        table.overwrite(clustered(VectorFunctions.ivfPqEncode(
-          full, cents, cbs, m, ksub, dim, idCol, vecCol), nFull))
-        publishBasis(headV)
-        lastRefresh = "full"
+    lastRefresh = tracker.refreshTo(source.version - 1) {
+      val full = source.read()
+      val nFull = full.select(col(idCol)).count()
+      table.overwrite(clustered(VectorFunctions.ivfPqEncode(
+        full, cents, cbs, m, ksub, dim, idCol, vecCol), nFull))
+    } { b =>
+      val ch = source.changesSince(b)
+      val ins = ch.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val delKeys = ch.filter(col("_change_type") === "delete")
+        .select(col(idCol))
+      // window keys drop FIRST (deletes ∪ re-inserted ids, one dv
+      // commit), then fresh encodings append — pure appends delete
+      // nothing, rewrites net to replace, a crash-replayed window
+      // converges (same protocol as IncrementalVectorIndex)
+      val dropKeys = delKeys.union(ins.select(col(idCol))).distinct()
+      if (!dropKeys.isEmpty) table.deleteMatchingDV(dropKeys, Seq(idCol))
+      val nIns = ins.select(col(idCol)).count()
+      if (nIns > 0)
+        table.append(clustered(VectorFunctions.ivfPqEncode(
+          ins, cents, cbs, m, ksub, dim, idCol, vecCol), nIns))
+      table.compactDeletes(0.3)
     }
   }
 

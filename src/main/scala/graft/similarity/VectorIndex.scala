@@ -1,11 +1,9 @@
 package graft.similarity
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.ManagedParquetTable
+import graft.io.{BasisTracker, ManagedParquetTable}
 
 /** Incrementally-maintained quantized ANN index over an embeddings
   * table — the lifecycle half v9's build-once index lacks: a
@@ -51,7 +49,7 @@ final class IncrementalVectorIndex(spark: SparkSession,
     * [[VectorFunctions.storedQuantizedTopK]] with `table.read()`). */
   val table = new ManagedParquetTable(spark, indexPath)
 
-  private def basisFile = Paths.get(indexPath, "_graft_index_basis")
+  private val tracker = new BasisTracker(indexPath)
 
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */
@@ -59,51 +57,29 @@ final class IncrementalVectorIndex(spark: SparkSession,
 
   def read(): DataFrame = table.read()
 
-  private def basis: Option[Long] =
-    if (!Files.exists(basisFile)) None
-    else Some(Files.readString(basisFile).trim.toLong)
-
-  private def publishBasis(v: Long): Unit = {
-    Files.createDirectories(Paths.get(indexPath))
-    val tmp = Paths.get(indexPath,
-      s"_graft_index_basis.tmp.${System.nanoTime()}")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, basisFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
   /** Bring the index up to the source table's current version. */
   def refresh(): Unit = {
     // newest delta-log mirror version: manifest versions are 1-based,
     // mirror file numbers 0-based, so head mirror = manifest - 1
-    val headV = source.version - 1
-    require(headV >= 0, s"source table at $sourcePath has no commits")
-    basis match {
-      case Some(b) if b == headV =>
-        lastRefresh = "noop"
-      case Some(b) =>
-        val ch = source.changesSince(b)
-        val ins = ch.filter(col("_change_type") === "insert")
-          .drop("_change_type")
-        val delKeys = ch.filter(col("_change_type") === "delete")
-          .select(col(idCol))
-        // the window's keys drop FIRST (deletes ∪ re-inserted ids, one
-        // dv commit), then fresh encodings append: pure appends delete
-        // nothing (new keys match no live row → no commit), rewrites
-        // net to replace, and a crash-replayed window converges
-        val dropKeys = delKeys.union(ins.select(col(idCol))).distinct()
-        if (!dropKeys.isEmpty) table.deleteMatchingDV(dropKeys, Seq(idCol))
-        if (!ins.isEmpty)
-          table.append(
-            VectorFunctions.buildQuantizedIndex(ins, idCol, vecCol))
-        table.compactDeletes(0.3)
-        publishBasis(headV)
-        lastRefresh = "incremental"
-      case None =>
-        table.overwrite(
-          VectorFunctions.buildQuantizedIndex(source.read(), idCol, vecCol))
-        publishBasis(headV)
-        lastRefresh = "full"
+    lastRefresh = tracker.refreshTo(source.version - 1) {
+      table.overwrite(
+        VectorFunctions.buildQuantizedIndex(source.read(), idCol, vecCol))
+    } { b =>
+      val ch = source.changesSince(b)
+      val ins = ch.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val delKeys = ch.filter(col("_change_type") === "delete")
+        .select(col(idCol))
+      // the window's keys drop FIRST (deletes ∪ re-inserted ids, one
+      // dv commit), then fresh encodings append: pure appends delete
+      // nothing (new keys match no live row → no commit), rewrites
+      // net to replace, and a crash-replayed window converges
+      val dropKeys = delKeys.union(ins.select(col(idCol))).distinct()
+      if (!dropKeys.isEmpty) table.deleteMatchingDV(dropKeys, Seq(idCol))
+      if (!ins.isEmpty)
+        table.append(
+          VectorFunctions.buildQuantizedIndex(ins, idCol, vecCol))
+      table.compactDeletes(0.3)
     }
   }
 }

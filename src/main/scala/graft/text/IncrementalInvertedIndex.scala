@@ -1,30 +1,29 @@
 package graft.text
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.SparkSession
 
-import graft.io.ManagedParquetTable
+import graft.io.{BasisTracker, ManagedParquetTable}
 
 /** Basis-tracked maintenance of the persisted retrieval index from a
   * managed document table — the text-index analogue of
-  * [[graft.similarity.IncrementalIvfPqIndex]]: the index records the
-  * SOURCE table's delta-log version it is current to, and `refresh()`
-  * folds exactly the missing window through
-  * [[InvertedIndex.applyChanges]] (deletes tombstone, inserts append —
-  * O(changed docs), no bucket rewritten). This is what a streaming
-  * ingest pipeline calls per micro-batch: commit the batch to the
-  * document table (any of the BronzeIngest sinks), then `refresh()` —
-  * the index trails the table by at most one call and the stream never
-  * re-derives anything corpus-sized.
+  * [[graft.similarity.IncrementalIvfPqIndex]], sharing its basis
+  * protocol ([[graft.io.BasisTracker]]): the index records the SOURCE
+  * table's delta-log version it is current to, and `refresh()` folds
+  * exactly the missing window through [[InvertedIndex.applyChanges]]
+  * (deletes tombstone, inserts append — O(changed docs), no bucket
+  * rewritten). This is what a streaming ingest pipeline calls per
+  * micro-batch: commit the batch to the document table (any of the
+  * BronzeIngest sinks), then `refresh()` — the index trails the table
+  * by at most one call and the stream never re-derives anything
+  * corpus-sized.
   *
   * Crash safety, end to end:
-  *   - the basis publishes only AFTER applyChanges returns, so a crash
-  *     between them replays the whole window — and the window is
-  *     idempotent by the index's own guards (appendDocs anti-joins
-  *     live membership; deleteDocs tombstones only live victims; a
-  *     delete+re-insert pair re-presented converges to the same live
-  *     postings);
+  *   - the basis publishes only AFTER applyChanges returns
+  *     (BasisTracker's contract), so a crash between them replays the
+  *     whole window — and the window is idempotent by the index's own
+  *     guards (appendDocs anti-joins live membership; deleteDocs
+  *     tombstones only live victims; a delete+re-insert pair
+  *     re-presented converges to the same live postings);
   *   - a crash INSIDE applyChanges leaves a torn generation behind the
   *     index's in-flight writer gate. A standalone caller must decide
   *     whether to repair; THIS maintainer knows the answer by
@@ -45,49 +44,27 @@ final class IncrementalInvertedIndex(spark: SparkSession,
 
   private def source = new ManagedParquetTable(spark, sourcePath)
 
-  private def basisFile = Paths.get(indexPath, "_graft_index_basis")
+  private val tracker = new BasisTracker(indexPath)
 
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */
   @volatile var lastRefresh: String = ""
 
-  private def basis: Option[Long] =
-    if (!Files.exists(basisFile)) None
-    else Some(Files.readString(basisFile).trim.toLong)
-
-  private def publishBasis(v: Long): Unit = {
-    Files.createDirectories(Paths.get(indexPath))
-    val tmp = Paths.get(indexPath,
-      s"_graft_index_basis.tmp.${System.nanoTime()}")
-    Files.writeString(tmp, v.toString)
-    Files.move(tmp, basisFile, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-  }
-
   /** Bring the index up to the source table's current version. */
   def refresh(): Unit = {
-    val headV = source.version - 1
-    require(headV >= 0, s"source table at $sourcePath has no commits")
-    basis match {
-      case Some(b) if b == headV =>
-        lastRefresh = "noop"
-      case Some(b) =>
-        // a dead prior refresh's torn generation replays inside THIS
-        // window (basis still = b) — repair is the documented
-        // precondition for the next mutating call, and here it is
-        // provably safe to run unprompted
-        if (InvertedIndex.needsRepair(spark, indexPath))
-          InvertedIndex.repairIndex(spark, indexPath)
-        InvertedIndex.applyChanges(source.changesSince(b), textCol,
-          idCol, indexPath, nBuckets)
-        publishBasis(headV)
-        lastRefresh = "incremental"
-      case None =>
-        // buildIndex overwrites wholesale and clears any stale gate
-        InvertedIndex.buildIndex(source.read(), textCol, idCol,
-          indexPath, nBuckets)
-        publishBasis(headV)
-        lastRefresh = "full"
+    lastRefresh = tracker.refreshTo(source.version - 1) {
+      // buildIndex overwrites wholesale and clears any stale gate
+      InvertedIndex.buildIndex(source.read(), textCol, idCol,
+        indexPath, nBuckets)
+    } { b =>
+      // a dead prior refresh's torn generation replays inside THIS
+      // window (basis still = b) — repair is the documented
+      // precondition for the next mutating call, and here it is
+      // provably safe to run unprompted
+      if (InvertedIndex.needsRepair(spark, indexPath))
+        InvertedIndex.repairIndex(spark, indexPath)
+      InvertedIndex.applyChanges(source.changesSince(b), textCol,
+        idCol, indexPath, nBuckets)
     }
   }
 }
