@@ -148,7 +148,7 @@ object InvertedIndex {
     * append commit adds its own file per touched bucket; a probe for
     * a token outside that commit's token range never opens it). */
   def writeBuckets(postings: DataFrame, path: String,
-      nBuckets: Int = DefaultBuckets, mode: String = "overwrite"): Unit = {
+      nBuckets: Int = DefaultBuckets, mode: String = "overwrite"): Seq[String] = {
     val spark = postings.sparkSession
     if (mode == "overwrite") deleteDir(spark, statsPathOf(path))
     // the files THIS call adds = the dir listing's delta across the
@@ -179,18 +179,19 @@ object InvertedIndex {
     * skipped: absence of stats degrades to never-skip, the same
     * contract as the table layer (and such files belong to a torn,
     * uncommitted generation: probes drop their rows and
-    * [[repairIndex]] deletes them). */
+    * [[repairIndex]] deletes them). Returns the fresh relative paths —
+    * exactly the list the caller's commit manifest records. */
   private def collectPostingsStats(spark: SparkSession,
-      path: String, known: Set[String]): Unit = {
+      path: String, known: Set[String]): Seq[String] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
     val fs = root.getFileSystem(conf)
-    if (!fs.exists(root)) return
+    if (!fs.exists(root)) return Seq.empty
     val files = listBucketFiles(spark, path, None)
     val sp = statsPathOf(path)
     val fresh = files.filterNot(known)
-    if (fresh.isEmpty) return
+    if (fresh.isEmpty) return fresh
     // footer reads are independent and a bulk write touches one file
     // per bucket (64 by default) — serial driver reads would bill ~1s
     // of pure latency to every build/append call, so fan them out on a
@@ -204,6 +205,7 @@ object InvertedIndex {
       spark.sparkContext.parallelize(graft.io.FileStats.toRows(rows), 1),
       graft.io.FileStats.schema)
       .write.mode("append").parquet(sp)
+    fresh
   }
 
   /** Pin `df` as an eagerly-materialized, lineage-truncated frame and
@@ -473,6 +475,11 @@ object InvertedIndex {
     // refers to state the overwrite below replaces wholesale
     val ip = new org.apache.hadoop.fs.Path(inflightDir(path))
     ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, true)
+    // stale manifests describe the OLD files: drop them FIRST so a
+    // crash mid-build leaves a manifest-less index (repair falls back
+    // to the footer sweep instead of trusting a lying base)
+    val gp = new org.apache.hadoop.fs.Path(genfilesDir(path))
+    gp.getFileSystem(spark.sessionState.newHadoopConf()).delete(gp, true)
     writeMeta(spark, path, nBuckets)
     // one tokenize pass feeds all three artifacts (postings, doclen,
     // corpus scalars) — without the cache each write re-reads and
@@ -499,6 +506,9 @@ object InvertedIndex {
       toks.select(size(col("__toks")).cast("long").as("dl"))
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+      // the build's files are committed state: snapshot them as `base`
+      // so crash repair classifies by manifest, never by footer
+      writeGenManifest(spark, path, "base", listAllDataFiles(spark, path))
     } finally toks.unpersist()
   }
 
@@ -594,6 +604,56 @@ object InvertedIndex {
   def needsRepair(spark: SparkSession, path: String): Boolean =
     inflightGens(spark, path).nonEmpty
 
+  // Per-commit file manifests (`_graft_genfiles/`): `base` snapshots the
+  // data files a build/compaction left (written at a provably-clean
+  // point), `gen-N` lists the files commit N added — written AFTER the
+  // commit's data files land and BEFORE its corpus row, so repair can
+  // classify every listed data file WITHOUT opening it:
+  //   committed  = base ∪ { gen-k : k < committed generation }
+  //   torn       = listing − committed
+  // (a file in a gen-k manifest with k ≥ g belongs to the dead call; a
+  // file in NO manifest belongs to a call that died before its manifest
+  // write — both correctly torn). Manifests are planning metadata the
+  // probes never read; absence of `base` (a legacy index) degrades
+  // repair to the footer sweep.
+
+  private def genfilesDir(path: String): String = s"$path/_graft_genfiles"
+
+  /** All data files of the index as manifest-relative paths
+    * (`postings/bucket=…`, `doclen/dbucket=…`). */
+  private def listAllDataFiles(spark: SparkSession,
+      path: String): Seq[String] =
+    listBucketFiles(spark, s"$path/postings", None).map("postings/" + _) ++
+      listBucketFiles(spark, s"$path/doclen", None, "dbucket=")
+        .map("doclen/" + _)
+
+  /** Atomic manifest publish (temp + rename, dest replaced): a crash
+    * mid-write can never leave a TRUNCATED manifest in place — a short
+    * `base` would make repair classify committed files as torn. */
+  private def writeGenManifest(spark: SparkSession, path: String,
+      name: String, files: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(genfilesDir(path))
+    val fs = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".$name.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(files.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(dir, name)
+    fs.delete(dest, false) // single-writer: replace, never merge
+    if (!fs.rename(tmp, dest)) throw new IllegalStateException(
+      s"could not publish index manifest $dest")
+  }
+
+  private def readGenManifest(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
   private def requireNoInflight(spark: SparkSession, path: String): Unit = {
     val gens = inflightGens(spark, path)
     if (gens.nonEmpty) throw new IllegalStateException(
@@ -604,91 +664,129 @@ object InvertedIndex {
         "generations only)")
   }
 
-  /** Recover a torn index in O(torn files): delete every postings /
-    * doclen file PROVEN to carry an uncommitted generation, then clear
-    * the in-flight markers. Proof is footer-first (`gen` min == max ≥
-    * the committed-generation count — each file is written by exactly
-    * one call, so its gen is constant; footer reads on the bounded
-    * pool, the same planning-IO class as probe planning). A file whose
-    * footer lacks usable gen stats is NOT skipped: it is resolved by
-    * reading its gen column (one tiny per-file job — this engine's
-    * writers always produce footer stats, so the path only fires on
-    * anomalies), because clearing the marker while an unclassified
+  /** Recover a torn index: delete every postings / doclen file of an
+    * uncommitted generation, then clear the in-flight markers.
+    *
+    * Classification is MANIFEST-FIRST: when the index carries commit
+    * manifests (`_graft_genfiles/` — every index this engine builds or
+    * appends to does), a listed data file is committed iff `base` or a
+    * `gen-k` manifest with `k <` the committed generation names it;
+    * everything else is torn, INCLUDING files of a call that died
+    * before its own manifest write (and any file placed out-of-band —
+    * single-writer through the API is the index's contract). Cost: one listing pass over the
+    * bucket dirs plus O(generations) tiny manifest reads — ZERO parquet
+    * opens, and only the torn files themselves see any data IO (their
+    * deletion). A legacy manifest-less index falls back to the footer
+    * sweep: per-file `gen` min/max on the bounded pool, anomalies
+    * resolved by reading the file's gen column, and a file that cannot
+    * be resolved (unreadable, or a non-constant gen no single
+    * maintenance call could have written) aborts LOUDLY with the
+    * markers still in place — clearing the gate while an unclassified
     * file survives would let the next append REUSE the torn generation
-    * number and retroactively commit the dead call's rows next to its
-    * own. A file that cannot be resolved at all (unreadable, or a
-    * non-constant gen no single maintenance call could have written)
-    * aborts the repair LOUDLY with the markers still in place — the
-    * writer gate is never traded for silent duplication. Torn postings
-    * files are also dropped from the token-stats sidecar, so repeated
-    * crash/repair cycles don't accumulate dead planning rows
-    * ([[planFiles]] never matches them against the live listing, but
-    * every probe's sidecar scan would read them forever). A partition
-    * dir the deletes EMPTIED is dropped too — the dead call may have
-    * been the first to touch that bucket, and a left-behind zero-file
-    * dir would crash the replayed window's membership read
+    * number and retroactively commit the dead call's rows.
+    *
+    * Torn postings files are also dropped from the token-stats sidecar
+    * (dead planning rows otherwise accumulate across crash/repair
+    * cycles), stale `gen-k ≥ g` manifests are deleted with their files,
+    * and a partition dir the deletes EMPTIED is dropped — the dead call
+    * may have been the first to touch that bucket, and a left-behind
+    * zero-file dir would crash the replayed window's membership read
     * (schema-inference error on an empty parquet path). Returns the
     * number of files removed. The committed state is untouched by
     * construction and the failed feed window simply replays
     * ([[appendDocs]]'s guard sees none of its docs live). */
   def repairIndex(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
     val g = generation(spark, path)
-    var removed = 0L
     val conf = spark.sessionState.newHadoopConf()
-    val tornPostings = Seq.newBuilder[String]
-    for ((dir, prefix) <- Seq(s"$path/postings" -> "bucket=",
-        s"$path/doclen" -> "dbucket=")) {
-      val files = listBucketFiles(spark, dir, None, prefix)
-      val torn = fanOut(files) { rel =>
-        val st = graft.io.FileStats.footerStats(spark, s"$dir/$rel", rel)
-          .filter(_.col == "gen")
-        val isTorn = st.headOption.flatMap(s => (s.minL, s.maxL) match {
-          case (Some(lo), Some(hi)) if lo == hi => Some(lo >= g)
-          case _ => None
-        }).getOrElse {
-          // no usable footer proof — resolve from the data itself; a
-          // read failure propagates with the markers still set
-          val r = spark.read.parquet(s"$dir/$rel")
-            .agg(count(lit(1)), min(col("gen")), max(col("gen"))).head()
-          if (r.getLong(0) == 0L) true // carries no rows: safe to drop
-          else if (r.isNullAt(1) || r.isNullAt(2))
-            throw new IllegalStateException(
-              s"$dir/$rel has rows with a null generation — no " +
-                "maintenance call writes that; refusing to repair " +
-                "(in-flight markers left in place)")
-          else if (r.getLong(1) == r.getLong(2)) r.getLong(1) >= g
-          else throw new IllegalStateException(
-            s"$dir/$rel spans generations ${r.getLong(1)}..${r.getLong(2)}" +
-              " — no single maintenance call writes that; refusing to" +
-              " repair (in-flight markers left in place)")
+    val gfDir = new Path(genfilesDir(path))
+    val gfs = gfDir.getFileSystem(conf)
+    val hasManifests = gfs.exists(new Path(gfDir, "base"))
+    // torn files as (family dir, family prefix, relative path) triples
+    val torn: Seq[(String, String)] =
+      if (hasManifests) {
+        val committed = (new Path(gfDir, "base") +:
+          gfs.listStatus(gfDir).toSeq.map(_.getPath).filter { p =>
+            val n = p.getName
+            n.startsWith("gen-") && n.drop(4).toLong < g
+          }).flatMap(readGenManifest(gfs, _)).toSet
+        listAllDataFiles(spark, path).filterNot(committed).map { f =>
+          val fam = f.takeWhile(_ != '/')
+          (fam, f.drop(fam.length + 1))
         }
-        if (isTorn) Some(rel) else None
-      }.flatten
-      if (prefix == "bucket=") tornPostings ++= torn
-      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-      torn.foreach { rel =>
-        if (fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$rel"), false))
-          removed += 1
+      } else footerSweepTorn(spark, path, g)
+    var removed = 0L
+    for ((fam, rels) <- torn.groupBy(_._1)) {
+      val dir = s"$path/$fam"
+      val fs = new Path(dir).getFileSystem(conf)
+      rels.foreach { case (_, rel) =>
+        if (fs.delete(new Path(s"$dir/$rel"), false)) removed += 1
       }
       // a torn file can be its partition dir's ONLY file (the dead call
       // appended into a bucket no prior commit had touched) — an empty
       // `bucket=`/`dbucket=` dir left behind would crash the replayed
       // window's membership read (zero-file parquet path ⇒
       // schema-inference error), so drop dirs the deletes emptied
-      torn.map(rel => rel.takeWhile(_ != '/')).distinct.foreach { d =>
-        val dp = new org.apache.hadoop.fs.Path(s"$dir/$d")
-        if (fs.exists(dp) && fs.listStatus(dp).isEmpty)
-          // recursive: listStatus hides checksum remnants (.crc) that
-          // would fail a non-recursive dir delete on a checksummed FS
-          fs.delete(dp, true)
-      }
+      rels.map { case (_, rel) => rel.takeWhile(_ != '/') }
+        .distinct.foreach { d =>
+          val dp = new Path(s"$dir/$d")
+          if (fs.exists(dp) && fs.listStatus(dp).isEmpty)
+            // recursive: listStatus hides checksum remnants (.crc) that
+            // would fail a non-recursive dir delete on a checksummed FS
+            fs.delete(dp, true)
+        }
     }
     dropStatsRows(spark, statsPathOf(s"$path/postings"),
-      tornPostings.result().toSet)
-    val inflight = new org.apache.hadoop.fs.Path(inflightDir(path))
+      torn.collect { case ("postings", rel) => rel }.toSet)
+    // stale manifests of the torn generation(s) go with their files —
+    // the gen number will be re-attempted and must not inherit a dead
+    // call's file list
+    if (gfs.exists(gfDir)) gfs.listStatus(gfDir).toSeq.map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.startsWith("gen-") && n.drop(4).toLong >= g
+      }.foreach(gfs.delete(_, false))
+    val inflight = new Path(inflightDir(path))
     inflight.getFileSystem(conf).delete(inflight, true)
     removed
   }
+
+  /** The legacy torn-file classification (a manifest-less index):
+    * footer-first per-file `gen` proof, per-file resolve read for
+    * anomalies, loud refusal when unclassifiable — see [[repairIndex]].
+    * Returns (family, relative path) pairs. */
+  private def footerSweepTorn(spark: SparkSession, path: String,
+      g: Long): Seq[(String, String)] =
+    Seq(("postings", "bucket="), ("doclen", "dbucket=")).flatMap {
+      case (fam, prefix) =>
+        val dir = s"$path/$fam"
+        val files = listBucketFiles(spark, dir, None, prefix)
+        fanOut(files) { rel =>
+          val st = graft.io.FileStats.footerStats(spark, s"$dir/$rel", rel)
+            .filter(_.col == "gen")
+          val isTorn = st.headOption.flatMap(s => (s.minL, s.maxL) match {
+            case (Some(lo), Some(hi)) if lo == hi => Some(lo >= g)
+            case _ => None
+          }).getOrElse {
+            // no usable footer proof — resolve from the data itself; a
+            // read failure propagates with the markers still set
+            val r = spark.read.parquet(s"$dir/$rel")
+              .agg(count(lit(1)), min(col("gen")), max(col("gen"))).head()
+            if (r.getLong(0) == 0L) true // carries no rows: safe to drop
+            else if (r.isNullAt(1) || r.isNullAt(2))
+              throw new IllegalStateException(
+                s"$dir/$rel has rows with a null generation — no " +
+                  "maintenance call writes that; refusing to repair " +
+                  "(in-flight markers left in place)")
+            else if (r.getLong(1) == r.getLong(2)) r.getLong(1) >= g
+            else throw new IllegalStateException(
+              s"$dir/$rel spans generations ${r.getLong(1)}..${r.getLong(2)}" +
+                " — no single maintenance call writes that; refusing to" +
+                " repair (in-flight markers left in place)")
+          }
+          if (isTorn) Some((fam, rel)) else None
+        }.flatten
+    }
 
   /** Rewrite a FileStats sidecar without the rows of `dead` files —
     * temp-write + rename, the same swap discipline as [[compactIndex]].
@@ -769,23 +867,45 @@ object InvertedIndex {
         // a fully-replayed batch appends nothing — and must not bump
         // the generation with an empty corpus delta row
         if (nFresh == 0) return
+        // legacy index (built before commit manifests): snapshot the
+        // committed state as `base` NOW — the writer gate is up and no
+        // marker exists, so the current listing is exactly the
+        // committed files. One full listing, once per index.
+        val gfs = new org.apache.hadoop.fs.Path(genfilesDir(path))
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        if (!gfs.exists(new org.apache.hadoop.fs.Path(
+            s"${genfilesDir(path)}/base")))
+          writeGenManifest(spark, path, "base",
+            listAllDataFiles(spark, path))
         // commit protocol: marker BEFORE the first data write, cleared
         // only after the corpus row (the commit record) lands — never
         // in a finally, because a failure here must LEAVE the marker
         // for the writer gate + repairIndex to find
         markInflight(spark, path, gen)
+        val dlBefore = listBucketFiles(spark, s"$path/doclen",
+          Some(batchBuckets), "dbucket=").toSet
         val post = fresh.select(col("doc_id"),
           size(col("__toks")).cast("long").as("dl"),
           posexplode(col("__toks")).as(Seq("pos", "token")))
           .select(col("token"), col("doc_id"),
             col("pos").cast("long").as("pos"), col("dl"), lit(gen).as("gen"))
-        writeBuckets(post, s"$path/postings", nb, mode = "append")
+        val postFresh = writeBuckets(post, s"$path/postings", nb,
+          mode = "append")
         fresh.select(col("doc_id"),
           size(col("__toks")).cast("long").as("dl"), lit(gen).as("gen"),
           dbucketOf(col("doc_id"), nb).as("dbucket"))
           .repartition(col("dbucket")) // one file per touched dir (see build)
           .write.mode("append").partitionBy("dbucket")
           .parquet(s"$path/doclen")
+        val dlFresh = listBucketFiles(spark, s"$path/doclen",
+          Some(batchBuckets), "dbucket=").filterNot(dlBefore)
+        // this commit's file manifest lands AFTER its data files and
+        // BEFORE the corpus row: if the corpus row commits, the
+        // manifest is already durable; if it doesn't, gen >= committed
+        // marks the manifest's files torn. Listings are pruned to the
+        // batch's dbuckets (the postings delta rides the stats pass).
+        writeGenManifest(spark, path, s"gen-$gen",
+          postFresh.map("postings/" + _) ++ dlFresh.map("doclen/" + _))
         fresh.select(size(col("__toks")).cast("long").as("dl"))
           .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
           .coalesce(1).write.mode("append").parquet(s"$path/corpus")
@@ -959,6 +1079,11 @@ object InvertedIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus.compact")
     // postings_stats swaps with its postings dir (writeBuckets built
     // the compact sidecar alongside the compact postings)
+    // per-commit manifests describe the PRE-compaction files: drop them
+    // before the swap (mid-swap crash = rebuild territory, and a
+    // manifest-less index degrades repair to the footer sweep rather
+    // than trusting a stale base)
+    fs.delete(new Path(genfilesDir(path)), true)
     for (d <- Seq("postings", "postings.compact_stats", "doclen", "corpus")) {
       d match {
         case "postings.compact_stats" =>
@@ -971,6 +1096,8 @@ object InvertedIndex {
       }
     }
     fs.delete(new Path(s"$path/tombstones"), true)
+    // compacted files are committed state: fresh base snapshot
+    writeGenManifest(spark, path, "base", listAllDataFiles(spark, path))
   }
 
   /** Live corpus scalars `(n_docs, n_tokens)`: build/append delta rows

@@ -330,6 +330,22 @@ class InvertedIndexSpec extends SparkSpec {
     org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
       new org.apache.hadoop.fs.Path(bucketDir, "part-forged.parquet"),
       false, spark.sessionState.newHadoopConf())
+    // a MANIFEST-carrying index doesn't guess: the forged file is named
+    // by no committed manifest, so it is torn by the protocol's own
+    // axioms (single writer through the API) and removed exactly
+    val removed = InvertedIndex.repairIndex(spark, dir)
+    assert(removed == 1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      bucketDir, "part-forged.parquet")))
+    // the LEGACY path (manifest-less index) has only footers to go by —
+    // it must refuse loudly on the unclassifiable file, markers intact
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_graft_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_inflight/gen-1"), true).close()
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new org.apache.hadoop.fs.Path(bucketDir, "part-forged.parquet"),
+      false, spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_genfiles"), true)
     val ex = intercept[IllegalStateException] {
       InvertedIndex.repairIndex(spark, dir)
     }
@@ -341,6 +357,37 @@ class InvertedIndexSpec extends SparkSpec {
       InvertedIndex.appendDocs(docs.limit(1), "text", "doc_id", dir,
         nBuckets = 4)
     }
+  }
+
+  test("manifest repair never OPENS a torn file: a garbage (unparseable) " +
+      "file of the dead call is deleted by classification alone") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_garbage").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    InvertedIndex.buildIndex(docs.limit(200), "text", "doc_id", dir,
+      nBuckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_graft_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_inflight/gen-1"), true).close()
+    // the dead call died mid-write: its file is not even valid parquet.
+    // The footer sweep would fail reading it; the manifest path deletes
+    // it without a single open — no committed manifest names it.
+    val bucketDir = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$dir/postings")).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("bucket=")).head
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(bucketDir, "part-torn.parquet"), true)
+    out.write("not a parquet file".getBytes("UTF-8")); out.close()
+    assert(InvertedIndex.repairIndex(spark, dir) == 1L)
+    assert(!InvertedIndex.needsRepair(spark, dir))
+    // and the index still probes + maintains normally afterwards
+    InvertedIndex.appendDocs(docs.limit(300).where($"doc_id" % 2 === 1),
+      "text", "doc_id", dir, nBuckets = 4)
+    assert(InvertedIndex.bm25TopKIndexed(spark, dir, "hash join table",
+      k = 5, nBuckets = 4).count() == 5)
   }
 
   test("buildIndex over an existing path drops stale tombstones") {
