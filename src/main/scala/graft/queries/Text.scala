@@ -920,10 +920,62 @@ object Text {
             SELECT rank, doc_id, rrf_score, n_lists FROM r
             WHERE rank <= 20 ORDER BY rank"""))
 
+  /** t19: the BASIS-TRACKED maintainer end to end — a managed document
+    * table commits three windows (initial corpus, late append, DV +
+    * rewriting deletes) and `IncrementalInvertedIndex.refresh()` folds
+    * each one through the change feed: full build, then O(changed docs)
+    * incremental windows, nothing corpus-sized re-derived and the
+    * basis recording exactly which table version the index serves.
+    * This is the per-micro-batch call a streaming ingest makes; t16
+    * gates the applyChanges primitives, this gates the refresh loop
+    * that drives them. Oracle: t15's scoring restricted to the live
+    * documents after all three windows. */
+  val indexRefreshQ: GQuery = GQuery(
+    "t19_index_refresh",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_t19").toString
+      val docsDf = docs(s, d).select(col("doc_id"), col("text"))
+      val src = new graft.io.ManagedParquetTable(s, s"$root/t")
+      val idx = new graft.text.IncrementalInvertedIndex(
+        s, s"$root/t", s"$root/idx")
+      src.append(docsDf.where(col("doc_id") % 3 =!= 2))
+      idx.refresh() // full build
+      src.append(docsDf.where(col("doc_id") % 3 === 2))
+      idx.refresh() // incremental append window
+      src.deleteWhereDV(col("doc_id") % 10 === 7)
+      src.deleteWhere(col("doc_id") % 7 === 1)
+      idx.refresh() // deletes tombstone; rewrite survivors round-trip
+      graft.text.InvertedIndex.bm25TopKIndexed(
+        s, s"$root/idx", "hash join table", k = 20)
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents
+              WHERE doc_id % 10 <> 7 AND doc_id % 7 <> 1),
+            lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+            corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS BIGINT) AS tt FROM lens),
+            tf AS (SELECT doc_id, tok AS token,
+              CAST(count(*) AS BIGINT) AS tf
+              FROM t, unnest(toks) AS u(tok)
+              WHERE tok IN ('hash', 'join', 'table') GROUP BY 1, 2),
+            dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+            sc AS (SELECT doc_id,
+              (((n * 1000) // df) * (tf * 22 * tt))
+                // (10 * tt * tf + 3 * tt + 9 * dl * n) AS s
+              FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id),
+                corpus),
+            agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score,
+              count(*) AS n_terms FROM sc GROUP BY 1),
+            r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC,
+              doc_id) AS BIGINT) AS rank, doc_id, score, n_terms FROM agg)
+            SELECT rank, doc_id, score, n_terms FROM r
+            WHERE rank <= 20 ORDER BY rank"""))
+
   val all: Seq[GQuery] =
     Seq(tokenStats, quality, langIdQ, fingerprintQ, shinglesQ, bpeTokens,
       chunking, corpusCuration, stratifiedSampleQ, weightedSampleQ,
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
-      bm25Q, bm25IndexedQ, multiPhraseQ, hybridRrfQ)
+      bm25Q, bm25IndexedQ, multiPhraseQ, hybridRrfQ, indexRefreshQ)
 }
