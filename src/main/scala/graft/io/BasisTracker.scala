@@ -22,7 +22,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   * Driver-local file IO by design: the basis is maintainer bookkeeping
   * under the single-writer contract, the same class as the table
   * layer's manifest pointer — nothing executor-side reads it. */
-final class BasisTracker(indexPath: String) {
+final class BasisTracker(indexPath: String, sourceDesc: String = "") {
 
   private def basisFile = Paths.get(indexPath, "_graft_index_basis")
 
@@ -49,7 +49,11 @@ final class BasisTracker(indexPath: String) {
     * `changesSince(basis)`. */
   def refreshTo(headV: Long)(full: => Unit)(
       incremental: Long => Unit): String = {
-    require(headV >= 0, "source table has no commits")
+    // name the table: a pipeline driving several maintainers needs the
+    // failing refresh to identify itself
+    require(headV >= 0, s"source table${
+      if (sourceDesc.nonEmpty) s" at $sourceDesc" else ""} has no commits" +
+      s" (index at $indexPath)")
     basis match {
       case Some(b) if b == headV => "noop"
       case Some(b) =>

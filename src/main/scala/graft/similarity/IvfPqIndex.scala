@@ -74,7 +74,7 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
   private def centroidsDir = Paths.get(indexPath, "centroids")
   private def codebooksDir = Paths.get(indexPath, "codebooks")
 
-  private val tracker = new graft.io.BasisTracker(indexPath)
+  private val tracker = new graft.io.BasisTracker(indexPath, sourcePath)
 
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */

@@ -49,7 +49,7 @@ final class IncrementalVectorIndex(spark: SparkSession,
     * [[VectorFunctions.storedQuantizedTopK]] with `table.read()`). */
   val table = new ManagedParquetTable(spark, indexPath)
 
-  private val tracker = new BasisTracker(indexPath)
+  private val tracker = new BasisTracker(indexPath, sourcePath)
 
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */

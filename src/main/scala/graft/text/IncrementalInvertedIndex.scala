@@ -44,7 +44,7 @@ final class IncrementalInvertedIndex(spark: SparkSession,
 
   private def source = new ManagedParquetTable(spark, sourcePath)
 
-  private val tracker = new BasisTracker(indexPath)
+  private val tracker = new BasisTracker(indexPath, sourcePath)
 
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */

@@ -174,13 +174,15 @@ object InvertedIndex {
   /** Footer-scan every postings file not in `known` (the caller's
     * pre-write dir listing) and append its token min/max — incremental
     * (append commits only scan their own new files), footer-only (data
-    * pages untouched). A file that somehow escapes the sidecar — e.g.
-    * written by a call that crashed before this step — is simply never
-    * skipped: absence of stats degrades to never-skip, the same
-    * contract as the table layer (and such files belong to a torn,
-    * uncommitted generation: probes drop their rows and
-    * [[repairIndex]] deletes them). Returns the fresh relative paths —
-    * exactly the list the caller's commit manifest records. */
+    * pages untouched). A file that somehow escapes the sidecar is
+    * simply never skipped: absence of stats degrades to never-skip,
+    * the same contract as the table layer. (Torn-generation files:
+    * probes drop their rows via the committed-gen gate and
+    * [[repairIndex]] confirms-then-deletes them; a committed file a
+    * listing anomaly kept out of the commit manifest survives repair
+    * by its gen proof and stays merely never-skipped.) Returns the
+    * fresh relative paths — the list the caller's commit manifest
+    * records. */
   private def collectPostingsStats(spark: SparkSession,
       path: String, known: Set[String]): Seq[String] = {
     import org.apache.hadoop.fs.Path
@@ -667,34 +669,43 @@ object InvertedIndex {
   /** Recover a torn index: delete every postings / doclen file of an
     * uncommitted generation, then clear the in-flight markers.
     *
-    * Classification is MANIFEST-FIRST: when the index carries commit
-    * manifests (`_graft_genfiles/` — every index this engine builds or
-    * appends to does), a listed data file is committed iff `base` or a
-    * `gen-k` manifest with `k <` the committed generation names it;
-    * everything else is torn, INCLUDING files of a call that died
-    * before its own manifest write (and any file placed out-of-band —
-    * single-writer through the API is the index's contract). Cost: one listing pass over the
-    * bucket dirs plus O(generations) tiny manifest reads — ZERO parquet
-    * opens, and only the torn files themselves see any data IO (their
-    * deletion). A legacy manifest-less index falls back to the footer
-    * sweep: per-file `gen` min/max on the bounded pool, anomalies
-    * resolved by reading the file's gen column, and a file that cannot
-    * be resolved (unreadable, or a non-constant gen no single
-    * maintenance call could have written) aborts LOUDLY with the
-    * markers still in place — clearing the gate while an unclassified
-    * file survives would let the next append REUSE the torn generation
-    * number and retroactively commit the dead call's rows.
+    * Classification is MANIFEST-FIRST with per-file CONFIRMATION: when
+    * the index carries commit manifests (`_graft_genfiles/` — every
+    * index this engine builds or appends to does), the manifests
+    * narrow the CANDIDATE set to files no committed manifest names
+    * (one listing pass + O(generations) tiny manifest reads), and each
+    * candidate is then confirmed by the same gen proof the legacy
+    * sweep uses before anything is deleted — so repair's data IO is
+    * O(candidates) ≈ O(torn files), and a candidate whose proof shows
+    * a COMMITTED generation is kept, not deleted: a listing anomaly or
+    * a future write path that forgets its manifest degrades to an
+    * unlisted-but-live file (probes read it; absent stats rows mean
+    * never-skip), never to silent data loss. The confirmation ladder:
+    * constant footer gen ≥ g (or a resolve read proving it) → torn,
+    * delete; gen < g → committed, keep; UNREADABLE → torn, delete —
+    * unique to the manifest path, because a committed file is by
+    * construction a successfully closed parquet part while a dead call
+    * can die mid-write (and the index is a derived artifact: the
+    * maintained ≡ rebuild differentials would surface any divergence);
+    * valid parquet with null/mixed gens → out-of-band actor, abort
+    * LOUDLY with the markers in place. A legacy manifest-less index
+    * falls back to the full footer sweep, where unreadable is also a
+    * loud abort (no manifest proof exists that the file was never
+    * committed) — clearing the gate around an unproven file would let
+    * the next append REUSE the torn generation number and
+    * retroactively commit the dead call's rows.
     *
     * Torn postings files are also dropped from the token-stats sidecar
     * (dead planning rows otherwise accumulate across crash/repair
-    * cycles), stale `gen-k ≥ g` manifests are deleted with their files,
-    * and a partition dir the deletes EMPTIED is dropped — the dead call
-    * may have been the first to touch that bucket, and a left-behind
-    * zero-file dir would crash the replayed window's membership read
-    * (schema-inference error on an empty parquet path). Returns the
-    * number of files removed. The committed state is untouched by
-    * construction and the failed feed window simply replays
-    * ([[appendDocs]]'s guard sees none of its docs live). */
+    * cycles), stale `gen-k ≥ g` manifests and orphaned `.tmp` manifest
+    * temps are deleted with their files, and a partition dir the
+    * deletes EMPTIED is dropped — the dead call may have been the
+    * first to touch that bucket, and a left-behind zero-file dir would
+    * crash the replayed window's membership read (schema-inference
+    * error on an empty parquet path). Returns the number of files
+    * removed. The committed state is untouched by construction and the
+    * failed feed window simply replays ([[appendDocs]]'s guard sees
+    * none of its docs live). */
   def repairIndex(spark: SparkSession, path: String): Long = {
     import org.apache.hadoop.fs.Path
     val g = generation(spark, path)
@@ -702,7 +713,7 @@ object InvertedIndex {
     val gfDir = new Path(genfilesDir(path))
     val gfs = gfDir.getFileSystem(conf)
     val hasManifests = gfs.exists(new Path(gfDir, "base"))
-    // torn files as (family dir, family prefix, relative path) triples
+    // torn files as (family dir, relative path) pairs
     val torn: Seq[(String, String)] =
       if (hasManifests) {
         val committed = (new Path(gfDir, "base") +:
@@ -710,10 +721,15 @@ object InvertedIndex {
             val n = p.getName
             n.startsWith("gen-") && n.drop(4).toLong < g
           }).flatMap(readGenManifest(gfs, _)).toSet
-        listAllDataFiles(spark, path).filterNot(committed).map { f =>
-          val fam = f.takeWhile(_ != '/')
-          (fam, f.drop(fam.length + 1))
-        }
+        val candidates = listAllDataFiles(spark, path)
+          .filterNot(committed).map { f =>
+            val fam = f.takeWhile(_ != '/')
+            (fam, f.drop(fam.length + 1))
+          }
+        fanOut(candidates) { case (fam, rel) =>
+          if (genProvesTorn(spark, s"$path/$fam", rel, g,
+              unreadableIsTorn = true)) Some((fam, rel)) else None
+        }.flatten
       } else footerSweepTorn(spark, path, g)
     var removed = 0L
     for ((fam, rels) <- torn.groupBy(_._1)) {
@@ -740,21 +756,23 @@ object InvertedIndex {
       torn.collect { case ("postings", rel) => rel }.toSet)
     // stale manifests of the torn generation(s) go with their files —
     // the gen number will be re-attempted and must not inherit a dead
-    // call's file list
+    // call's file list. Orphaned `.tmp` temps (a crash inside
+    // writeGenManifest, before its rename) are swept too: readers
+    // never match them, but each crash would otherwise add one forever
     if (gfs.exists(gfDir)) gfs.listStatus(gfDir).toSeq.map(_.getPath)
       .filter { p =>
         val n = p.getName
-        n.startsWith("gen-") && n.drop(4).toLong >= g
+        (n.startsWith("gen-") && n.drop(4).toLong >= g) ||
+          (n.startsWith(".") && n.endsWith(".tmp"))
       }.foreach(gfs.delete(_, false))
     val inflight = new Path(inflightDir(path))
     inflight.getFileSystem(conf).delete(inflight, true)
     removed
   }
 
-  /** The legacy torn-file classification (a manifest-less index):
-    * footer-first per-file `gen` proof, per-file resolve read for
-    * anomalies, loud refusal when unclassifiable — see [[repairIndex]].
-    * Returns (family, relative path) pairs. */
+  /** The legacy torn-file classification (a manifest-less index): the
+    * gen proof over EVERY data file — see [[repairIndex]]. Returns
+    * (family, relative path) pairs. */
   private def footerSweepTorn(spark: SparkSession, path: String,
       g: Long): Seq[(String, String)] =
     Seq(("postings", "bucket="), ("doclen", "dbucket=")).flatMap {
@@ -762,30 +780,53 @@ object InvertedIndex {
         val dir = s"$path/$fam"
         val files = listBucketFiles(spark, dir, None, prefix)
         fanOut(files) { rel =>
-          val st = graft.io.FileStats.footerStats(spark, s"$dir/$rel", rel)
-            .filter(_.col == "gen")
-          val isTorn = st.headOption.flatMap(s => (s.minL, s.maxL) match {
-            case (Some(lo), Some(hi)) if lo == hi => Some(lo >= g)
-            case _ => None
-          }).getOrElse {
-            // no usable footer proof — resolve from the data itself; a
-            // read failure propagates with the markers still set
-            val r = spark.read.parquet(s"$dir/$rel")
-              .agg(count(lit(1)), min(col("gen")), max(col("gen"))).head()
-            if (r.getLong(0) == 0L) true // carries no rows: safe to drop
-            else if (r.isNullAt(1) || r.isNullAt(2))
-              throw new IllegalStateException(
-                s"$dir/$rel has rows with a null generation — no " +
-                  "maintenance call writes that; refusing to repair " +
-                  "(in-flight markers left in place)")
-            else if (r.getLong(1) == r.getLong(2)) r.getLong(1) >= g
-            else throw new IllegalStateException(
-              s"$dir/$rel spans generations ${r.getLong(1)}..${r.getLong(2)}" +
-                " — no single maintenance call writes that; refusing to" +
-                " repair (in-flight markers left in place)")
-          }
-          if (isTorn) Some((fam, rel)) else None
+          if (genProvesTorn(spark, dir, rel, g, unreadableIsTorn = false))
+            Some((fam, rel))
+          else None
         }.flatten
+    }
+
+  /** The per-file gen proof both classification paths share: footer
+    * `gen` min == max decides against the committed count `g`; a file
+    * without usable footer stats is resolved by reading its gen column
+    * (one tiny per-file job — this engine's writers always produce
+    * footer stats, so the path only fires on anomalies). Valid parquet
+    * with null or mixed generations — which no single maintenance call
+    * can write — always aborts LOUDLY with the markers in place. An
+    * UNREADABLE file is torn only when the caller brings outside proof
+    * it was never committed (`unreadableIsTorn`: the manifest path's
+    * candidates — a committed file is a successfully closed parquet
+    * part); the legacy sweep has no such proof and propagates the read
+    * failure instead. */
+  private def genProvesTorn(spark: SparkSession, dir: String, rel: String,
+      g: Long, unreadableIsTorn: Boolean): Boolean =
+    try {
+      val st = graft.io.FileStats.footerStats(spark, s"$dir/$rel", rel)
+        .filter(_.col == "gen")
+      st.headOption.flatMap(s => (s.minL, s.maxL) match {
+        case (Some(lo), Some(hi)) if lo == hi => Some(lo >= g)
+        case _ => None
+      }).getOrElse {
+        // no usable footer proof — resolve from the data itself
+        val r = spark.read.parquet(s"$dir/$rel")
+          .agg(count(lit(1)), min(col("gen")), max(col("gen"))).head()
+        if (r.getLong(0) == 0L) true // carries no rows: safe to drop
+        else if (r.isNullAt(1) || r.isNullAt(2))
+          throw new IllegalStateException(
+            s"$dir/$rel has rows with a null generation — no " +
+              "maintenance call writes that; refusing to repair " +
+              "(in-flight markers left in place)")
+        else if (r.getLong(1) == r.getLong(2)) r.getLong(1) >= g
+        else throw new IllegalStateException(
+          s"$dir/$rel spans generations ${r.getLong(1)}..${r.getLong(2)}" +
+            " — no single maintenance call writes that; refusing to" +
+            " repair (in-flight markers left in place)")
+      }
+    } catch {
+      // read failures only — the loud IllegalStateException refusals
+      // above must propagate on BOTH paths
+      case e: IllegalStateException => throw e
+      case scala.util.control.NonFatal(_) if unreadableIsTorn => true
     }
 
   /** Rewrite a FileStats sidecar without the rows of `dead` files —

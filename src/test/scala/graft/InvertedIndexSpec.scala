@@ -330,27 +330,22 @@ class InvertedIndexSpec extends SparkSpec {
     org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
       new org.apache.hadoop.fs.Path(bucketDir, "part-forged.parquet"),
       false, spark.sessionState.newHadoopConf())
-    // a MANIFEST-carrying index doesn't guess: the forged file is named
-    // by no committed manifest, so it is torn by the protocol's own
-    // axioms (single writer through the API) and removed exactly
-    val removed = InvertedIndex.repairIndex(spark, dir)
-    assert(removed == 1L)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      bucketDir, "part-forged.parquet")))
-    // the LEGACY path (manifest-less index) has only footers to go by —
-    // it must refuse loudly on the unclassifiable file, markers intact
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_graft_inflight"))
-    fs.create(new org.apache.hadoop.fs.Path(
-      s"$dir/_graft_inflight/gen-1"), true).close()
-    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
-      new org.apache.hadoop.fs.Path(bucketDir, "part-forged.parquet"),
-      false, spark.sessionState.newHadoopConf())
+    // MANIFEST path: the forged file is a candidate (no committed
+    // manifest names it), but its confirmation proof finds valid
+    // parquet spanning two generations — an out-of-band actor, not a
+    // mid-write death — and refuses rather than guesses
+    val exM = intercept[IllegalStateException] {
+      InvertedIndex.repairIndex(spark, dir)
+    }
+    assert(exM.getMessage.contains("refusing to repair"))
+    // LEGACY path (manifest-less index): same refusal from the full
+    // footer sweep
     fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_graft_genfiles"), true)
     val ex = intercept[IllegalStateException] {
       InvertedIndex.repairIndex(spark, dir)
     }
     assert(ex.getMessage.contains("refusing to repair"))
-    // the writer gate survived the failed repair
+    // the writer gate survived both failed repairs
     assert(fs.exists(new org.apache.hadoop.fs.Path(
       s"$dir/_graft_inflight/gen-1")))
     intercept[IllegalStateException] {
@@ -359,8 +354,48 @@ class InvertedIndexSpec extends SparkSpec {
     }
   }
 
-  test("manifest repair never OPENS a torn file: a garbage (unparseable) " +
-      "file of the dead call is deleted by classification alone") {
+  test("a committed file a listing anomaly kept OUT of the manifest " +
+      "survives repair: candidates are confirmed by gen proof, never " +
+      "deleted on the manifest's word alone") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_unlisted").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    InvertedIndex.buildIndex(docs.limit(200), "text", "doc_id", dir,
+      nBuckets = 4)
+    val before = InvertedIndex.bm25TopKIndexed(spark, dir,
+      "hash join table", k = 10, nBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // forge the anomaly: drop one committed postings file from `base`
+    val basePath = new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_genfiles/base")
+    val lines = {
+      val in = fs.open(basePath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    val victim = lines.find(_.startsWith("postings/")).get
+    val out = fs.create(basePath, true)
+    out.write(lines.filterNot(_ == victim).mkString("\n").getBytes("UTF-8"))
+    out.close()
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_graft_inflight"))
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"$dir/_graft_inflight/gen-1"), true).close()
+    // repair confirms the candidate's gen (0 < committed 1) — kept
+    assert(InvertedIndex.repairIndex(spark, dir) == 0L)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$victim")),
+      "repair deleted a committed file the manifest merely failed to list")
+    val after = InvertedIndex.bm25TopKIndexed(spark, dir,
+      "hash join table", k = 10, nBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(after === before, "probe results changed across repair")
+  }
+
+  test("manifest repair deletes an UNREADABLE torn file: absence from " +
+      "every committed manifest plus unreadability is proof of a " +
+      "mid-write death (a committed part is a closed parquet file)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_invidx_garbage").toString
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -373,8 +408,8 @@ class InvertedIndexSpec extends SparkSpec {
     fs.create(new org.apache.hadoop.fs.Path(
       s"$dir/_graft_inflight/gen-1"), true).close()
     // the dead call died mid-write: its file is not even valid parquet.
-    // The footer sweep would fail reading it; the manifest path deletes
-    // it without a single open — no committed manifest names it.
+    // The legacy sweep would abort on it; the manifest path knows no
+    // committed manifest names it, so unreadability confirms the tear.
     val bucketDir = fs.listStatus(new org.apache.hadoop.fs.Path(
       s"$dir/postings")).toSeq.map(_.getPath)
       .filter(_.getName.startsWith("bucket=")).head
