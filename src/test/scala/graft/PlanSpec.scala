@@ -102,7 +102,10 @@ class PlanSpec extends SparkSpec {
       "t16_bm25_indexed" -> "row_number over the top-k frame AFTER limit(k) (≤20 rows)",
       "t18_hybrid_rrf" -> ("two top-k frames: bm25TopK's row_number AFTER " +
         "limit(30) + rrfFuse's row_number AFTER limit(20) — fusion input " +
-        "is O(lists*k) by contract, never corpus-sized"))
+        "is O(lists*k) by contract, never corpus-sized"),
+      "t19_index_refresh" -> ("bm25TopKIndexed's row_number over the " +
+        "top-k frame AFTER limit(k) (≤20 rows) — same audited shape as " +
+        "t16, reached through the maintainer"))
     val found = Catalog.all.map { q =>
       q.name -> q.run(spark, sf).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
