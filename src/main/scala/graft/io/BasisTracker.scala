@@ -56,6 +56,18 @@ final class BasisTracker(indexPath: String, sourceDesc: String = "") {
       s" (index at $indexPath)")
     basis match {
       case Some(b) if b == headV => "noop"
+      case Some(b) if b > headV =>
+        // A recorded basis AHEAD of the source head means the source
+        // table was deleted and recreated (or rolled back) under the
+        // same path: `changesSince(b > head)` would resolve an empty
+        // window, the basis would silently regress, and the index
+        // would strand dead-history docs. Fail loudly — the index must
+        // be rebuilt against the new table lineage.
+        throw new IllegalStateException(
+          s"index at $indexPath records basis $b but source table${
+            if (sourceDesc.nonEmpty) s" at $sourceDesc" else ""
+          } head is $headV — the source regressed (recreated or rolled " +
+          "back); delete the index and rebuild it against the new table")
       case Some(b) =>
         incremental(b)
         publish(headV)

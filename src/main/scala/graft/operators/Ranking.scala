@@ -155,10 +155,12 @@ object Ranking {
     // negative rank would contribute with the wrong sign). Fail loudly
     // per row instead — the inputs are k-sized ranked lists by
     // contract, so the guard costs nothing measurable.
+    // Column API throughout (no SQL-string splicing): a rank column
+    // named with spaces/dots/hyphens resolves like any other identifier
     val contrib = ranked.map(_.select(col(idCol),
       when(col(rankCol) >= 1,
-        expr(s"CAST($scale AS BIGINT) div " +
-          s"(CAST($kConst AS BIGINT) + CAST($rankCol AS BIGINT))"))
+        graft.queries.Exact.idiv(lit(scale),
+          lit(kConst) + col(rankCol).cast("long")))
         .otherwise(raise_error(concat(
           lit(s"rrfFuse: rank column '$rankCol' must be >= 1, got "),
           coalesce(col(rankCol).cast("string"), lit("null")))))

@@ -138,7 +138,13 @@ object Scd {
         // source evaluated twice could otherwise pass the gate yet
         // deliver late rows to the fold. localCheckpoint is eager and
         // batch-sized (a Fail caller is a trickle-CDC caller; bulk
-        // backfills use Assume or applyDeltaFromRaw).
+        // backfills use Assume or applyDeltaFromRaw). The checkpoint
+        // BACKS the returned plan, so an explicit PlanBridge-style
+        // release is impossible here: it lives until driver GC after
+        // the caller consumes the result — fine for this one-shot API,
+        // which is why the per-micro-batch sinks (BronzeIngest
+        // .scd2Batch/scd2BatchFromRaw) deliberately do not route
+        // through this gate and own their pins explicitly.
         val pinned = delta.localCheckpoint()
         val n = lateRows(current, pinned, keyCols, tsCol).count()
         require(n == 0,

@@ -256,27 +256,33 @@ object BronzeIngest {
     if (batch.isEmpty) return
     // pin the batch: the router, the touched-key set and the rebuild
     // must see the SAME rows (Scd.applyDelta pins its Fail gate for
-    // the same reason); sink batches are micro-batch-sized
-    val b = batch.localCheckpoint()
-    if (!table.exists) {
-      table.append(
-        graft.operators.Scd.scd2(b, keyCols, attrCols, tsCol, idCol))
-      return
-    }
-    val touched = b.select(keyCols.map(col): _*).distinct()
-    val latest = raw.select((keyCols :+ tsCol).map(col): _*)
-      .join(touched, keyCols, "left_semi")
-      .groupBy(keyCols.map(col): _*)
-      .agg(max(col(tsCol)).as("__latest_ts"))
-    val hasLate = !b.join(latest, keyCols, "inner")
-      .where(col(tsCol).isNull || col(tsCol) < col("__latest_ts"))
-      .isEmpty
-    val rebuilt =
-      if (hasLate) graft.operators.Scd.rebuildKeysFromRaw(
-        b, raw, keyCols, attrCols, tsCol, idCol)
-      else graft.operators.Scd.rebuildKeys(
-        table.read(), b, keyCols, attrCols, tsCol, idCol)
-    table.merge(rebuilt, keyCols)
+    // the same reason). PlanBridge.pin, not Dataset.localCheckpoint:
+    // this is a long-running per-micro-batch sink, and the hidden
+    // checkpoint RDD of every batch would otherwise pile up until
+    // driver GC — the pin is released in the finally, strictly after
+    // the append/merge commit that consumes it.
+    val (b, bRdd, _) = org.apache.spark.sql.graft.PlanBridge.pin(batch)
+    try {
+      if (!table.exists) {
+        table.append(
+          graft.operators.Scd.scd2(b, keyCols, attrCols, tsCol, idCol))
+        return
+      }
+      val touched = b.select(keyCols.map(col): _*).distinct()
+      val latest = raw.select((keyCols :+ tsCol).map(col): _*)
+        .join(touched, keyCols, "left_semi")
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(col(tsCol)).as("__latest_ts"))
+      val hasLate = !b.join(latest, keyCols, "inner")
+        .where(col(tsCol).isNull || col(tsCol) < col("__latest_ts"))
+        .isEmpty
+      val rebuilt =
+        if (hasLate) graft.operators.Scd.rebuildKeysFromRaw(
+          b, raw, keyCols, attrCols, tsCol, idCol)
+        else graft.operators.Scd.rebuildKeys(
+          table.read(), b, keyCols, attrCols, tsCol, idCol)
+      table.merge(rebuilt, keyCols)
+    } finally bRdd.unpersist()
   }
 
   /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with

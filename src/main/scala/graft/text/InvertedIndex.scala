@@ -210,21 +210,13 @@ object InvertedIndex {
     fresh
   }
 
-  /** Pin `df` as an eagerly-materialized, lineage-truncated frame and
-    * hand back the backing RDD so the caller can RELEASE the blocks in
-    * a finally — `Dataset.localCheckpoint` hides its RDD, so a
-    * long-running change-feed consumer would accumulate every call's
-    * pinned batch until driver GC got around to it (the same reason
-    * the connected-components loop owns its per-round RDDs). Returns
-    * the row count the materialization already paid for. */
+  /** [[org.apache.spark.sql.graft.PlanBridge.pin]] — a change-feed
+    * consumer accumulating hidden localCheckpoint RDDs until driver GC
+    * is the exact failure mode the explicit release prevents (the same
+    * reason the connected-components loop owns its per-round RDDs). */
   private def pin(df: DataFrame):
-      (DataFrame, org.apache.spark.rdd.RDD[_], Long) = {
-    import org.apache.spark.sql.graft.PlanBridge
-    val rdd = PlanBridge.toInternalRdd(df)
-    rdd.localCheckpoint()
-    val n = rdd.count()
-    (PlanBridge.fromInternalRdd(df.sparkSession, rdd, df.schema), rdd, n)
-  }
+      (DataFrame, org.apache.spark.rdd.RDD[_], Long) =
+    org.apache.spark.sql.graft.PlanBridge.pin(df)
 
   /** Distinct values of a single long column, deduped inside each
     * partition and again on the driver — no exchange, and the driver
@@ -300,7 +292,14 @@ object InvertedIndex {
       tokens: Seq[String], nBuckets: Int = DefaultBuckets):
       (Seq[String], Int) = {
     require(tokens.nonEmpty, "empty token list")
-    planFiles(spark, path, tokens, bucketsFor(spark, tokens, nBuckets))
+    // resolve the SELF-DESCRIBING bucket count like every other
+    // post-build operation: the meta sits at the index root, the
+    // sibling of this postings dir — a caller holding a
+    // non-default-bucket index and the default parameter must still
+    // plan the right bucket set (raw writeBuckets dirs have no meta
+    // and keep the parameter)
+    val nb = postingsBuckets(spark, path, nBuckets)
+    planFiles(spark, path, tokens, bucketsFor(spark, tokens, nb))
   }
 
   /** [[probeFilePlan]]'s core, taking the probed bucket set the caller
@@ -382,7 +381,11 @@ object InvertedIndex {
   def openBuckets(spark: SparkSession, path: String, tokens: Seq[String],
       nBuckets: Int = DefaultBuckets): DataFrame = {
     require(tokens.nonEmpty, "empty token list")
-    prunedPostings(spark, path, tokens, nBuckets)
+    // same sibling-meta resolution as probeFilePlan: a raw writeBuckets
+    // dir has no meta and keeps the parameter; a full index's postings
+    // dir resolves the build's recorded count
+    prunedPostings(spark, path, tokens,
+      postingsBuckets(spark, path, nBuckets))
       .select(col("token"), col("doc_id"), col("pos"))
   }
 
@@ -405,6 +408,37 @@ object InvertedIndex {
   private def dbucketOf(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong))
 
+  /** Align a maintenance batch's id column to the dtype the index
+    * STORES for doc_id (resolved from the doclen sidecar's own
+    * schema — one footer read, planning IO). [[dbucketOf]] hashes with
+    * xxhash64, which is dtype-SENSITIVE: an INT batch id against a
+    * BIGINT index hashes into different dbuckets, the pruned membership
+    * guard sees no live rows, and a replayed window would silently
+    * double-append postings and corpus scalars (the pre-pruning plain
+    * anti-join tolerated the mismatch via implicit join casts). Only a
+    * lossless widening is accepted — a lossy cast (BIGINT batch into an
+    * INT index, string into numeric) could alias distinct ids, so it
+    * fails loudly instead. */
+  private def alignIdType(docs: DataFrame, idCol: String,
+      path: String): DataFrame = {
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(s"$path/doclen")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return docs // fresh build path: batch defines the dtype
+    val stored = spark.read.parquet(p.toString).schema("doc_id").dataType
+    val batchT = docs.schema(idCol).dataType
+    if (batchT == stored) docs
+    else {
+      require(org.apache.spark.sql.catalyst.expressions.Cast
+          .canUpCast(batchT, stored),
+        s"batch id column '$idCol' is $batchT but the index at $path " +
+          s"stores doc_id as $stored — no lossless widening exists, and " +
+          "a lossy cast could silently alias distinct ids; cast the " +
+          "batch to the indexed dtype explicitly")
+      docs.withColumn(idCol, col(idCol).cast(stored))
+    }
+  }
+
   /** The index's bucket count is SELF-DESCRIBING: [[buildIndex]]
     * records it in `_graft_index_meta` and every post-build operation
     * resolves it from there (falling back to its parameter only for a
@@ -419,6 +453,17 @@ object InvertedIndex {
     val out = fs.create(p, true)
     try out.write(s"nBuckets=$nBuckets\n".getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** [[indexBuckets]] for callers holding a POSTINGS dir: the meta is
+    * at the index root, the postings dir's parent. A raw
+    * [[writeBuckets]] dir has no meta there (or no parent at all) and
+    * resolves to the fallback — exactly the layout-level contract. */
+  private def postingsBuckets(spark: SparkSession, postingsPath: String,
+      fallback: Int): Int = {
+    val parent = new org.apache.hadoop.fs.Path(postingsPath).getParent
+    if (parent == null) fallback
+    else indexBuckets(spark, parent.toString, fallback)
   }
 
   private def indexBuckets(spark: SparkSession, path: String,
@@ -884,8 +929,10 @@ object InvertedIndex {
     // pin the batch: the dbucket set, the replay guard and the writes
     // must all see the SAME rows — a non-deterministic source whose
     // second evaluation carried an id hashing outside the computed
-    // bucket set would break the pruning soundness below
-    val (batch, batchRdd, _) = pin(docs)
+    // bucket set would break the pruning soundness below. The id is
+    // dtype-aligned FIRST (see alignIdType) so the xxhash64 dbucket
+    // pruning cannot silently miss live membership.
+    val (batch, batchRdd, _) = pin(alignIdType(docs, idCol, path))
     try {
       // the batch's dbucket set (≤ nb values — planning-sized, hashed
       // through the engine so it can never drift from the write path)
@@ -983,9 +1030,11 @@ object InvertedIndex {
     val nb = indexBuckets(spark, path, nBuckets)
     val gen = generation(spark, path)
     // pinned for the same reason as appendDocs: the bucket set and the
-    // victim lookup must agree on the batch's ids
+    // victim lookup must agree on the batch's ids — dtype-aligned so
+    // the dbucket pruning cannot miss live victims (alignIdType)
     val (batch, batchRdd, _) =
-      pin(docs.select(col(idCol).as("doc_id")).distinct())
+      pin(alignIdType(docs.select(col(idCol)), idCol, path)
+        .select(col(idCol).as("doc_id")).distinct())
     try {
       val batchBuckets = distinctLongs(
         batch.select(dbucketOf(col("doc_id"), nb)))

@@ -36,4 +36,20 @@ object PlanBridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
+
+  /** Pin `df` as an eagerly-materialized, lineage-truncated frame and
+    * hand back the backing RDD so the caller can RELEASE the blocks in
+    * a finally — `Dataset.localCheckpoint` hides its RDD, so a
+    * long-running caller (a per-micro-batch sink, a change-feed
+    * consumer) would accumulate every call's pinned batch until driver
+    * GC + ContextCleaner got around to it. Returns the row count the
+    * materialization already paid for. The pinned frame is ONLY valid
+    * until the RDD is unpersisted: release it strictly after the last
+    * job that reads the frame. */
+  def pin(df: DataFrame): (DataFrame, RDD[InternalRow], Long) = {
+    val rdd = toInternalRdd(df)
+    rdd.localCheckpoint()
+    val n = rdd.count()
+    (fromInternalRdd(df.sparkSession, rdd, df.schema), rdd, n)
+  }
 }

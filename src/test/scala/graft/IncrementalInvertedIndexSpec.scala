@@ -71,6 +71,37 @@ class IncrementalInvertedIndexSpec extends SparkSpec {
       "replaying an already-applied window must be an exact no-op")
   }
 
+  test("a RECREATED source table (basis ahead of head) fails loudly " +
+      "instead of silently regressing the basis onto dead history") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incidx_regress").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalInvertedIndex(spark, s"$root/t",
+      s"$root/idx", nBuckets = NB)
+    // two commits so the published basis (head = version-1 = 1) is
+    // ABOVE the recreated table's first head (0)
+    src.append(docs.where($"doc_id" % 2 === 0).limit(40))
+    src.append(docs.where($"doc_id" % 2 === 1).limit(40))
+    idx.refresh()
+    assert(idx.lastRefresh == "full")
+    // delete and recreate the source under the SAME path — the index's
+    // recorded basis now points into a dead lineage
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+    val src2 = new ManagedParquetTable(spark, s"$root/t")
+    src2.append(docs.limit(10))
+    val err = intercept[IllegalStateException] { idx.refresh() }
+    assert(err.getMessage.contains("regressed") &&
+      err.getMessage.contains("rebuild"),
+      s"guard must name the failure and the remedy: ${err.getMessage}")
+    // the stale index was left untouched — basis not rewound, no
+    // partial fold of the new lineage's rows
+    assert(java.nio.file.Files.readString(java.nio.file.Paths
+      .get(s"$root/idx/_graft_index_basis")).trim.toLong == 1L,
+      "a failed refresh must not move the basis")
+  }
+
   test("a crash INSIDE a window's maintenance (torn generation, writer " +
       "gate down) heals on the next refresh: auto-repair, then replay") {
     val root = java.nio.file.Files

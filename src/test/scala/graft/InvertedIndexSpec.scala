@@ -107,6 +107,13 @@ class InvertedIndexSpec extends SparkSpec {
       spark, s"$dir/postings", Seq("zulu_common"), nBuckets = 4)
     assert(total >= 2,
       s"probed bucket must hold files from both commits, got $total")
+    // the bucket count is SELF-DESCRIBING: the default parameter
+    // against this non-default-bucket index must resolve the sibling
+    // _graft_index_meta and produce the identical plan
+    val (keptD, totalD) = InvertedIndex.probeFilePlan(
+      spark, s"$dir/postings", Seq("zulu_common"))
+    assert(keptD.toSet == kept.toSet && totalD == total,
+      "default-parameter plan must match the explicit-bucket plan")
     assert(kept.size < total,
       s"the alpha commit's file must be skipped: kept $kept of $total")
     assert(kept.nonEmpty, "the zulu file itself must be kept")
@@ -165,6 +172,40 @@ class InvertedIndexSpec extends SparkSpec {
       "text", "doc_id", dir, nBuckets = 8)
     assert(InvertedIndex.generation(spark, dir) == gen0,
       "re-appending live ids must not bump the generation")
+  }
+
+  test("maintenance batch ids are dtype-aligned to the indexed doc_id: " +
+      "an INT-id replay against a BIGINT index stays a no-op, INT-id " +
+      "deletes find their victims, and a lossy dtype fails loudly") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_dtype").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(120)
+    InvertedIndex.buildIndex(docs, "text", "doc_id", dir, nBuckets = 8)
+    def nDocs() = spark.read.parquet(s"$dir/corpus")
+      .agg(sum($"n_docs")).as[Long].head()
+    val before = nDocs()
+    // xxhash64 is dtype-sensitive: without alignment these INT ids
+    // hash into the WRONG dbuckets, the pruned membership guard sees
+    // no live rows, and the replay double-appends
+    val intBatch = docs.limit(30).withColumn("doc_id", $"doc_id".cast("int"))
+    val gen0 = InvertedIndex.generation(spark, dir)
+    InvertedIndex.appendDocs(intBatch, "text", "doc_id", dir, nBuckets = 8)
+    assert(nDocs() == before && InvertedIndex.generation(spark, dir) == gen0,
+      "replayed INT-id batch must be an exact no-op against a BIGINT index")
+    // deleteDocs victim lookup must also see through the narrower dtype
+    InvertedIndex.deleteDocs(intBatch.select($"doc_id"), "doc_id", dir,
+      nBuckets = 8)
+    val tombs = spark.read.parquet(s"$dir/tombstones").count()
+    assert(tombs == 30,
+      s"INT-id delete batch must tombstone all 30 live victims, got $tombs")
+    // a lossy cast could alias distinct ids — refuse instead of guess
+    val err = intercept[IllegalArgumentException] {
+      InvertedIndex.appendDocs(
+        docs.limit(5).withColumn("doc_id", $"doc_id".cast("double")),
+        "text", "doc_id", dir, nBuckets = 8)
+    }
+    assert(err.getMessage.contains("lossless"))
   }
 
   test("multiPhraseSearch == per-phrase phraseSearch, one broadcast join") {

@@ -126,6 +126,28 @@ class IvfPqIndexSpec extends SparkSpec {
       s"healed ${healed.size} vs rebuilt ${rebuilt.size}")
   }
 
+  test("a RECREATED source table (basis ahead of head) fails loudly — " +
+      "the shared BasisTracker guard covers the vector maintainer too") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_regress").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalIvfPqIndex(spark, s"$root/t", s"$root/idx",
+      m = M, ksub = Ksub, dim = Dim)
+    idx.train(e.filter($"vec_id" < 16),
+      pqTrain(e, m = M, ksub = Ksub, iters = 0, dim = Dim))
+    src.append(e.filter($"vec_id" % 2 === 0))
+    src.append(e.filter($"vec_id" % 2 === 1)) // head = 1
+    idx.refresh()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+    val src2 = new ManagedParquetTable(spark, s"$root/t")
+    src2.append(e.limit(10)) // head = 0 < recorded basis 1
+    val err = intercept[IllegalStateException] { idx.refresh() }
+    assert(err.getMessage.contains("regressed") &&
+      err.getMessage.contains("rebuild"))
+  }
+
   test("probe plan opens only the files covering the probed lists; " +
       "the pruned scan returns exactly the unpruned result") {
     val root = java.nio.file.Files
