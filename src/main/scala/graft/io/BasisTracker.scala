@@ -2,6 +2,23 @@ package graft.io
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+/** The surface a streaming ingest drives per micro-batch: bring a
+  * derived index up to its source table's committed version. All three
+  * incremental maintainers (retrieval postings, flat quantized ANN,
+  * IVF-PQ) implement it over the one [[BasisTracker]] protocol, so a
+  * sink like `BronzeIngest.indexedIngestBatch` maintains ANY mix of
+  * indexes over one document table without knowing their internals —
+  * and inherits each maintainer's crash contract: refresh() is
+  * idempotent under whole-window replay, and the basis publishes only
+  * after the fold commits. */
+trait IndexMaintainer {
+  def refresh(): Unit
+
+  /** How the last refresh() on this instance resolved:
+    * "full" | "incremental" | "noop" | "" (never ran). */
+  def lastRefresh: String
+}
+
 /** The basis protocol every incremental index maintainer shares
   * (IncrementalIvfPqIndex, IncrementalInvertedIndex): a
   * `_graft_index_basis` file under the index root records the SOURCE

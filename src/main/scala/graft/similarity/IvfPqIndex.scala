@@ -61,7 +61,7 @@ import graft.io.ManagedParquetTable
 final class IncrementalIvfPqIndex(spark: SparkSession,
     sourcePath: String, indexPath: String, m: Int, ksub: Int, dim: Int,
     idCol: String = "vec_id", vecCol: String = "embedding",
-    rowsPerFile: Long = 100000L) {
+    rowsPerFile: Long = 100000L) extends graft.io.IndexMaintainer {
 
   private def source = new ManagedParquetTable(spark, sourcePath)
 
@@ -80,7 +80,7 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     * "full" | "incremental" | "noop" | "" (never ran). */
   @volatile var lastRefresh: String = ""
 
-  def read(): DataFrame = table.read()
+  def read(): DataFrame = { requireNoReorg(); table.read() }
 
   def isTrained: Boolean =
     Files.exists(centroidsDir) && Files.exists(codebooksDir)
@@ -118,6 +118,96 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  private def reorgMarker = Paths.get(indexPath, "_graft_reorg_inflight")
+
+  /** Every read/maintenance entry point refuses while a reorg marker
+    * is up: between the lists overwrite and the artifact swap, codes
+    * and codebooks disagree — serving ADC scores from that state would
+    * be silently WRONG, not merely stale. */
+  private def requireNoReorg(): Unit =
+    require(!Files.exists(reorgMarker),
+      s"index at $indexPath has an interrupted reorg (marker " +
+        s"$reorgMarker) — the lists and the frozen artifacts may " +
+        "disagree; delete the index dir, train() and refresh() to rebuild")
+
+  private def rmDir(p: Path): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(p.toString)
+    hp.getFileSystem(spark.sessionState.newHadoopConf()).delete(hp, true)
+    ()
+  }
+
+  /** REORG the index against the live source distribution: retrain
+    * the coarse centroids (same nlist) and the PQ codebooks from the
+    * CURRENT live rows (or `trainOn`, e.g. a sample — at 100 TB
+    * training always runs on a sample while the re-encode pass runs
+    * on everything), re-encode the whole live table, and swap the
+    * frozen artifacts — the sanctioned retrain path that [[train]]
+    * deliberately refuses. Appends encode against frozen artifacts
+    * (what makes incremental maintenance rebuild-exact), so as the
+    * live distribution drifts from the training sample, assignments
+    * go lopsided and quantization error grows — recall decays
+    * (IvfPqIndexSpec measures the decay and the recovery). reorg()
+    * restores recall at one full-encode cost: the FAISS
+    * retrain-offline operating model, in place.
+    *
+    * Crash contract (the compactIndex class): `_graft_reorg_inflight`
+    * brackets the lists-overwrite + artifact swap, and every entry
+    * point refuses while it is up, because codes and codebooks
+    * disagree mid-swap. The index is a derived artifact — recovery
+    * from a mid-reorg death is a rebuild. Training and staging run
+    * BEFORE the marker goes up (a death there leaves the index
+    * untouched). The re-encode covers the source HEAD snapshot, so
+    * the basis republishes to head after the swap (BasisTracker's
+    * usual fold-then-publish order): the next refresh folds only
+    * windows committed after the reorg — with the NEW artifacts. */
+  def reorg(iters: Int = 5, trainOn: Option[DataFrame] = None): Unit = {
+    require(isTrained, s"index at $indexPath is not trained")
+    requireNoReorg()
+    val live = source.read()
+    val sample = trainOn.getOrElse(live)
+    val nlist = centroids.count().toInt
+    val newCents = VectorFunctions.kmeansFit(sample, nlist, iters,
+      idCol, vecCol)
+      .select(col("centroid_id").as(idCol), col("centroid").as(vecCol))
+    val newCbs = VectorFunctions.pqTrain(sample, m, ksub, iters, dim,
+      idCol, vecCol)
+    // stage both artifacts fully before anything visible changes, then
+    // encode from the STAGED parquet (never the in-memory frames) so
+    // the swapped-in artifacts are bit-identical to what encoded the
+    // lists
+    val stageC = Paths.get(s"$centroidsDir.reorg")
+    val stageB = Paths.get(s"$codebooksDir.reorg")
+    rmDir(stageC); rmDir(stageB)
+    writeFrozen(newCents, stageC)
+    writeFrozen(newCbs.select(col("sub"), col("code"), col("centroid")),
+      stageB)
+    val cents2 = spark.read.parquet(stageC.toString)
+    val cbs2 = spark.read.parquet(stageB.toString)
+    val nFull = live.select(col(idCol)).count()
+    // marker BEFORE the first visible mutation; never cleared in a
+    // finally — a failure must LEAVE it for the entry-point gates
+    Files.createDirectories(Paths.get(indexPath))
+    Files.createFile(reorgMarker)
+    table.overwrite(clustered(VectorFunctions.ivfPqEncode(
+      live, cents2, cbs2, m, ksub, dim, idCol, vecCol), nFull))
+    // two-rename swap per artifact; a death between renames leaves no
+    // centroids dir at all — isTrained=false, still behind the marker
+    val oldC = Paths.get(s"$centroidsDir.old")
+    val oldB = Paths.get(s"$codebooksDir.old")
+    rmDir(oldC); rmDir(oldB)
+    Files.move(centroidsDir, oldC, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(stageC, centroidsDir, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(codebooksDir, oldB, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(stageB, codebooksDir, StandardCopyOption.ATOMIC_MOVE)
+    rmDir(oldC); rmDir(oldB)
+    // the re-encode covered the head snapshot: publish it (an index
+    // that was behind is caught up as a side effect), THEN lift the
+    // gate — publish-before-clear keeps the marker the single
+    // authority on mixed state
+    tracker.publish(source.version - 1)
+    Files.delete(reorgMarker)
+  }
+
   /** Range-cluster an encode batch by centroid_id so each parquet file
     * covers a tight centroid range — what makes the stats sidecar
     * prune probe scans to the probed lists' files. File count scales
@@ -137,6 +227,7 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
 
   /** Bring the index up to the source table's current version. */
   def refresh(): Unit = {
+    requireNoReorg()
     require(isTrained, s"index at $indexPath must be trained before refresh")
     val (cents, cbs) = (centroids, codebooks)
     lastRefresh = tracker.refreshTo(source.version - 1) {
@@ -171,6 +262,7 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     * ≤ nlist values — planning state, not data). */
   def topK(queries: DataFrame, k: Int, nprobe: Int,
       shards: Int = 64): DataFrame = {
+    requireNoReorg()
     val probes = VectorFunctions.ivfPqProbes(queries, centroids,
       codebooks, m, ksub, dim, nprobe, idCol, vecCol)
     val probedIds = probes.select(col("centroid_id"))
@@ -184,6 +276,7 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     * `nprobe`: (files the scan opens, total live index files) —
     * exposed so tests/metrics can assert probes stay list-local. */
   def probeFilePlan(queries: DataFrame, nprobe: Int): (Int, Int) = {
+    requireNoReorg()
     val probes = VectorFunctions.ivfPqProbes(queries, centroids,
       codebooks, m, ksub, dim, nprobe, idCol, vecCol)
     val probedIds = probes.select(col("centroid_id"))

@@ -41,7 +41,7 @@ import graft.io.{BasisTracker, ManagedParquetTable}
   * and commits nothing), then re-encoded — same ids, same codes. */
 final class IncrementalVectorIndex(spark: SparkSession,
     sourcePath: String, indexPath: String, idCol: String = "vec_id",
-    vecCol: String = "embedding") {
+    vecCol: String = "embedding") extends graft.io.IndexMaintainer {
 
   private def source = new ManagedParquetTable(spark, sourcePath)
 

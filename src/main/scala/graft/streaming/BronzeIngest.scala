@@ -285,6 +285,49 @@ object BronzeIngest {
     } finally bRdd.unpersist()
   }
 
+  /** ST15: the per-micro-batch half of a streaming INDEXED document
+    * ingest — commit the batch to the managed document table, then
+    * bring every derived index up to the new table version. This is
+    * the claim the incremental maintainers exist for: a live stream
+    * keeps corpus-scale indexes current at O(batch) cost per trigger,
+    * and the probes served BETWEEN refreshes read committed
+    * generations only, so search never sees a half-applied window.
+    *
+    * Effectively-once end to end, from two independent idempotence
+    * layers (each proven separately, composed here):
+    *   - the APPEND is tagged `appId:batchId` in the table commit's
+    *     userMetadata (the Delta txnAppId/txnVersion idempotent-writer
+    *     device); a checkpoint-replayed batch finds its tag already
+    *     committed and skips the append instead of duplicating rows.
+    *     A plain `append` inside foreachBatch is NOT replay-safe —
+    *     this is the piece that makes it so.
+    *   - each REFRESH is idempotent by its maintainer's own contract:
+    *     the basis publishes only after the fold commits, and a
+    *     replayed window converges (membership guards / drop-then-
+    *     re-encode). A crash between append and refresh simply leaves
+    *     the index one window behind; the restarted stream's replay
+    *     skips the append and the refresh folds the missing window.
+    *
+    * Pass the stream's checkpoint-scoped identity as `appId` (stable
+    * across restarts, unique per sink — e.g. the checkpoint path).
+    * `sinceVersion` for the tag scan is the maintainers' OWN basis
+    * floor: 0 is always sound (tags are scanned, not replayed); the
+    * table keeps the scan O(commits since last vacuum of the log
+    * mirror). */
+  def indexedIngestBatch(table: graft.io.ManagedParquetTable,
+      batch: DataFrame, batchId: Long, appId: String,
+      maintainers: Seq[graft.io.IndexMaintainer]): Unit = {
+    val tag = s"graft-stream:$appId:$batchId"
+    val alreadyCommitted = table.exists && table.hasCommitTagged(tag, 0L)
+    if (!alreadyCommitted && !batch.isEmpty) table.append(batch, Some(tag))
+    // refresh even when the append was skipped: the crash may have
+    // landed BETWEEN append and refresh, leaving the index a window
+    // behind the table (a noop resolves in one basis read otherwise).
+    // Guarded on table existence: a stream whose first batches are
+    // empty has no source version for the maintainers to track yet.
+    if (table.exists) maintainers.foreach(_.refresh())
+  }
+
   /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with
     * checkpointed watermark state — strictly stronger than the
     * reference's in-memory processed_ids set (lost on restart,

@@ -40,7 +40,8 @@ import graft.io.{BasisTracker, ManagedParquetTable}
 final class IncrementalInvertedIndex(spark: SparkSession,
     sourcePath: String, indexPath: String,
     textCol: String = "text", idCol: String = "doc_id",
-    nBuckets: Int = InvertedIndex.DefaultBuckets) {
+    nBuckets: Int = InvertedIndex.DefaultBuckets)
+    extends graft.io.IndexMaintainer {
 
   private def source = new ManagedParquetTable(spark, sourcePath)
 

@@ -49,6 +49,98 @@ class IndexLifecycleSpec extends SparkSpec {
     for (seed <- 0 until Histories) runHistory(seed, s"$root/i$seed")
   }
 
+  test("long horizon: 52 windows through the basis-tracked maintainer " +
+      "with table compact/vacuum/retention and index compaction " +
+      "interleaved; probes == direct oracle at every window; " +
+      "files-per-bucket stays bounded") {
+    val root = Files.createTempDirectory("graft_idx_horizon").toString
+    val rnd = new scala.util.Random(1013)
+    val nb = 4
+    val src = new graft.io.ManagedParquetTable(spark, s"$root/t")
+    val idx = new graft.text.IncrementalInvertedIndex(spark, s"$root/t",
+      s"$root/idx", nBuckets = nb)
+    val oracle = collection.mutable.Map.empty[Long, String]
+    var nextId = 0L
+    def freshBatch(n: Int): Seq[(Long, String)] =
+      (0 until n).map { _ => val id = nextId; nextId += 1
+        id -> mkText(rnd) }
+    def maxFilesPerBucket(): Int = {
+      val d = new java.io.File(s"$root/idx/postings")
+      if (!d.exists()) 0
+      else d.listFiles().filter(f => f.isDirectory &&
+          f.getName.startsWith("bucket=")).map(_.listFiles()
+          .count(f => f.isFile && !f.getName.startsWith("_") &&
+            !f.getName.startsWith("."))).foldLeft(0)(math.max)
+    }
+    def check(tag: String): Unit = {
+      val q = Seq.fill(2 + rnd.nextInt(2))(Vocab(rnd.nextInt(Vocab.size)))
+        .distinct.mkString(" ")
+      val got = InvertedIndex.bm25TopKIndexed(spark, s"$root/idx", q,
+        k = 10, nBuckets = nb).as[(Long, Long, Long, Long)].collect().toSeq
+      val want =
+        if (oracle.isEmpty) Seq.empty
+        else InvertedIndex.bm25TopK(liveDf(oracle), "text", "doc_id",
+          q, k = 10).as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === want, s"window $tag query='$q'")
+    }
+    // window 0: initial corpus + full build through the maintainer
+    val init = freshBatch(20)
+    src.append(batchDf(init)); oracle ++= init
+    idx.refresh()
+    assert(idx.lastRefresh == "full")
+    check("w0")
+    val growth = collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var maxEver = 0
+    for (w <- 1 to 52) {
+      rnd.nextInt(10) match {
+        case n if n < 6 => // append a fresh batch (the streaming norm)
+          val b = freshBatch(1 + rnd.nextInt(6))
+          src.append(batchDf(b)); oracle ++= b
+        case n if n < 8 => // dv delete of random live ids
+          val victims = rnd.shuffle(oracle.keys.toSeq)
+            .take(1 + rnd.nextInt(4))
+          src.deleteMatchingDV(victims.toDF("doc_id"), Seq("doc_id"))
+          victims.foreach(oracle.remove)
+        case 8 => // rewriting delete: survivors round-trip in the feed
+          val victims = rnd.shuffle(oracle.keys.toSeq)
+            .take(1 + rnd.nextInt(3))
+          if (victims.nonEmpty) {
+            src.deleteWhere(col("doc_id").isin(victims: _*))
+            victims.foreach(oracle.remove)
+          }
+        case _ => // table COMPACT: a dataChange=false commit the change
+          // feed must NOT re-present (a naive feed would round-trip
+          // the whole table through the index here)
+          src.compact()
+      }
+      idx.refresh()
+      // table-layer hygiene at its own cadence: retention + vacuum
+      // must not break the basis (the maintainer refreshes every
+      // window, so the basis always sits inside the retained tail)
+      if (w % 9 == 0) src.vacuum(graceMs = 0L, retainVersions = Some(12L))
+      // index-layer compaction keeps probe fan-in flat: without it,
+      // every append window adds one file per touched bucket
+      if (w % 10 == 0) {
+        InvertedIndex.compactIndex(spark, s"$root/idx", nBuckets = nb)
+        assert(maxFilesPerBucket() == 1,
+          s"window $w: compaction must fold every bucket to one file")
+      }
+      val mf = maxFilesPerBucket()
+      maxEver = math.max(maxEver, mf)
+      growth += ((w, mf))
+      check(s"w$w")
+    }
+    info(s"files-per-bucket by window: ${growth.map {
+      case (w, f) => s"$w:$f" }.mkString(" ")}")
+    info(s"max files-per-bucket ever: $maxEver")
+    // O(1) bound: between 10-window compaction cadences at most ~10
+    // append commits land, each adding at most one file per bucket —
+    // the ceiling is the cadence, never corpus size or history length
+    assert(maxEver <= 13,
+      s"files-per-bucket must stay bounded by the compaction cadence, " +
+        s"got $maxEver")
+  }
+
   private def runHistory(seed: Int, dir: String): Unit = {
     val rnd = new scala.util.Random(seed)
     val nb = 4

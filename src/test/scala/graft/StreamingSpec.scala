@@ -656,4 +656,166 @@ class StreamingSpec extends SparkSpec {
     assert(!got.exists(p => p._2.contains("c3")),
       "a right row without a left match must not emit in a LEFT outer join")
   }
+
+  /** Forge a mid-stream crash: drop the checkpoint's LAST batch commit
+    * marker, so a restarted query re-presents that batch to the sink
+    * (exactly the at-least-once re-delivery window foreachBatch sinks
+    * must survive). */
+  private def forgeReplay(ck: String): Unit = {
+    val dir = new java.io.File(s"$ck/commits")
+    val commits = dir.listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty, "no commits to forge a replay from")
+    val n = commits.last.getName
+    assert(commits.last.delete())
+    // the local FS keeps a hidden checksum twin; leaving it would make
+    // the restarted query's re-commit rename fail
+    new java.io.File(dir, s".$n.crc").delete()
+  }
+
+  test("ST15: streaming-maintained retrieval index — per-batch refresh " +
+      "from a checkpointed foreachBatch sink; mid-stream kill + replay " +
+      "is exactly-once; concurrent probes only ever see committed state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.ManagedParquetTable
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_st15").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val idx = new IncrementalInvertedIndex(spark, s"$dir/docs",
+      s"$dir/idx", nBuckets = 8)
+    val Q = "hash join table"
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(200)
+      .as[(Long, String)].collect().toSeq
+    def probe() = InvertedIndex.bm25TopKIndexed(spark, s"$dir/idx", Q,
+      k = 20, nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    def freshRef() = {
+      val ref = Files.createTempDirectory("graft_st15_ref").toString
+      InvertedIndex.buildIndex(t.read().select($"doc_id", $"text"),
+        "text", "doc_id", ref, nBuckets = 8)
+      InvertedIndex.bm25TopKIndexed(spark, ref, Q, k = 20, nBuckets = 8)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+    }
+    // committed snapshots, recorded inside the sink AFTER each refresh
+    val snapshots =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Long, Long, Long)]]
+    val input = MemoryStream[(Long, String)]
+    def startQ() = input.toDF().toDF("doc_id", "text").writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        BronzeIngest.indexedIngestBatch(t, b, id, "st15", Seq(idx))
+        snapshots.add(probe())
+        ()
+      }.start()
+    // batch 0: first window builds the index through the sink
+    input.addData(all.slice(0, 60): _*)
+    val q1 = startQ()
+    q1.processAllAvailable()
+    assert(idx.lastRefresh == "full")
+    assert(probe() === freshRef())
+    // batches 1-2 with a CONCURRENT prober: probes must only ever see
+    // a committed post-refresh snapshot (generation gating), never a
+    // half-applied window, even while appendDocs is mid-flight
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[Seq[(Long, Long, Long, Long)]]
+    @volatile var stopProbing = false
+    val prober = new Thread(() => {
+      while (!stopProbing) { seen.add(probe()); Thread.sleep(20) }
+    })
+    prober.start()
+    input.addData(all.slice(60, 120): _*)
+    q1.processAllAvailable()
+    input.addData(all.slice(120, 170): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    stopProbing = true
+    prober.join()
+    import scala.jdk.CollectionConverters._
+    val committedStates = snapshots.asScala.toSet
+    assert(seen.asScala.nonEmpty, "prober must have sampled the stream")
+    seen.asScala.foreach(r => assert(committedStates.contains(r),
+      "a concurrent probe observed a state no committed refresh produced"))
+    assert(idx.lastRefresh == "incremental")
+    assert(probe() === freshRef())
+    // forge the mid-stream crash: kill after the sink ran batch 2 but
+    // before its checkpoint commit — the restarted stream re-presents
+    // batch 2, the tagged append skips, the refresh noops
+    forgeReplay(s"$dir/ck")
+    val rowsBefore = t.read().count()
+    val vBefore = t.version
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(t.read().count() == rowsBefore && t.version == vBefore,
+      "replayed batch must not duplicate rows or commit again")
+    assert(probe() === freshRef(),
+      "post-replay index must equal a fresh rebuild")
+    // crash in the OTHER window: the append committed but the refresh
+    // never ran; re-presenting the batch must skip the append and fold
+    // exactly the missing window
+    val b3 = all.slice(170, 200).toDF("doc_id", "text")
+    t.append(b3, Some("graft-stream:st15:99"))
+    BronzeIngest.indexedIngestBatch(t, b3, 99L, "st15", Seq(idx))
+    assert(idx.lastRefresh == "incremental")
+    assert(t.read().count() == rowsBefore + 30,
+      "re-presented batch must not re-append")
+    assert(probe() === freshRef())
+  }
+
+  test("ST15 vector: the persisted IVF-PQ index trails a streaming " +
+      "embedding ingest; kill + checkpoint replay converges to rebuild") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.ManagedParquetTable
+    import graft.similarity.IncrementalIvfPqIndex
+    import graft.similarity.VectorFunctions._
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_st15v").toString
+    val e = Tables.embeddings(spark, sf)
+    val (m, ksub, dim) = (4, 16, 64)
+    val t = new ManagedParquetTable(spark, s"$dir/vecs")
+    val idx = new IncrementalIvfPqIndex(spark, s"$dir/vecs", s"$dir/idx",
+      m = m, ksub = ksub, dim = dim)
+    val cents = e.filter($"vec_id" < 16)
+    val cbs = pqTrain(e, m = m, ksub = ksub, iters = 0, dim = dim)
+    idx.train(cents, cbs)
+    val all = e.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    def startQ() = input.toDF().toDF("vec_id", "embedding").writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        BronzeIngest.indexedIngestBatch(t, b, id, "st15v", Seq(idx))
+      }.start()
+    input.addData(all.filter(_._1 % 2 == 0): _*)
+    val q1 = startQ()
+    q1.processAllAvailable()
+    assert(idx.lastRefresh == "full")
+    input.addData(all.filter(_._1 % 2 == 1): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(idx.lastRefresh == "incremental")
+    // kill + replay of the last embedding batch
+    forgeReplay(s"$dir/ck")
+    val rowsBefore = t.read().count()
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(t.read().count() == rowsBefore,
+      "replayed embedding batch must not duplicate rows")
+    // maintained lists == a from-scratch encode of the live table under
+    // the same frozen artifacts (the IvfPqIndexSpec equivalence oracle)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)
+    val maintained = idx.read()
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+    val rebuilt = ivfPqEncode(t.read(), cents, cbs, m, ksub, dim)
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+    assert(maintained === rebuilt,
+      s"maintained ${maintained.size} vs rebuilt ${rebuilt.size}")
+  }
 }
