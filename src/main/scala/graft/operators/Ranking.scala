@@ -155,26 +155,28 @@ object Ranking {
     // negative rank would contribute with the wrong sign). Fail loudly
     // per row instead — the inputs are k-sized ranked lists by
     // contract, so the guard costs nothing measurable.
-    // Column API throughout (no SQL-string splicing): a rank column
-    // named with spaces/dots/hyphens resolves like any other identifier
-    val contrib = ranked.map(_.select(col(idCol),
-      when(col(rankCol) >= 1,
+    // Column API with backtick-quoted identifiers (no SQL-string
+    // splicing): a column named with spaces/dots/hyphens resolves like
+    // any other — col() alone would parse a dot as struct access
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
+    val contrib = ranked.map(_.select(q(idCol),
+      when(q(rankCol) >= 1,
         graft.queries.Exact.idiv(lit(scale),
-          lit(kConst) + col(rankCol).cast("long")))
+          lit(kConst) + q(rankCol).cast("long")))
         .otherwise(raise_error(concat(
           lit(s"rrfFuse: rank column '$rankCol' must be >= 1, got "),
-          coalesce(col(rankCol).cast("string"), lit("null")))))
+          coalesce(q(rankCol).cast("string"), lit("null")))))
         .as("__c")))
     contrib.reduce(_ unionByName _)
-      .groupBy(col(idCol))
+      .groupBy(q(idCol))
       .agg(sum(col("__c")).as("rrf_score"), count(lit(1)).as("n_lists"))
-      .orderBy(col("rrf_score").desc, col(idCol))
+      .orderBy(col("rrf_score").desc, q(idCol))
       .limit(k)
       // single-partition window is safe here: it ranks the ≤ k rows
       // the limit already reduced to (the bm25TopK output pattern)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("rrf_score").desc, col(idCol))))
-      .select(col("rank").cast("long").as("rank"), col(idCol),
+        Window.orderBy(col("rrf_score").desc, q(idCol))))
+      .select(col("rank").cast("long").as("rank"), q(idCol),
         col("rrf_score"), col("n_lists"))
   }
 }

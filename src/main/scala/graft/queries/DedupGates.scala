@@ -196,6 +196,62 @@ object DedupGates {
             WHERE bit_count(xor(l.sh, r.sh)) <= 3
             ORDER BY id_a, id_b"""))
 
+  /** d6b: the d6 pair enumeration AGGREGATE-EXACT — count plus exact
+    * integer column sums and an order-independent modular pair
+    * signature (Σ (id_a·1048573 + id_b) mod 1e9+7, every term < 1e9 so
+    * a BIGINT accumulator has 9 orders of headroom). Same relational
+    * content as d6, O(1) output: this is the form the sf1 validation
+    * tier records, where d6's row-level dump writes 209M oracle rows
+    * (~1.5 min per full validation) purely to satisfy a row-level
+    * hash the aggregate replaces exactly. The driver's sf0.01 tier
+    * runs BOTH (row-level parity stays gated there); the sf1 flow
+    * excludes d6 via GRAFT_VERIFY_EXCLUDE and keeps this gate. */
+  val simhashPairsAgg: GQuery = {
+    val sig = (col("id_a") * 1048573L + col("id_b")) % 1000000007L
+    GQuery(
+      "d6b_simhash_pairs_agg",
+      (s, d) => D.simhashNearDups(docs(s, d), maxDist = 3)
+        .agg(count(lit(1)).as("n_pairs"),
+          coalesce(sum(col("id_a")), lit(0L)).as("sum_a"),
+          coalesce(sum(col("id_b")), lit(0L)).as("sum_b"),
+          coalesce(sum(col("dist")), lit(0L)).as("sum_dist"),
+          coalesce(sum(sig), lit(0L)).as("pair_sig")),
+      Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            hs AS (SELECT doc_id,
+              list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok, ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 4294967296)) AS hs
+              FROM t),
+            sh AS (SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(32), b ->
+                  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT) END)),
+                    (a2, v) -> a2 + v) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                (a2, v) -> a2 + v) AS sh
+              FROM hs),
+            banded AS (SELECT doc_id, sh, b AS band,
+              (sh >> (b*8)) & 255 AS slice
+              FROM sh, unnest(range(4)) AS u(b)),
+            pairs AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+              bit_count(xor(l.sh, r.sh)) AS dist
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.slice = r.slice AND l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sh, r.sh)) <= 3)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(coalesce(sum(id_a), 0) AS BIGINT) AS sum_a,
+              CAST(coalesce(sum(id_b), 0) AS BIGINT) AS sum_b,
+              CAST(coalesce(sum(dist), 0) AS BIGINT) AS sum_dist,
+              CAST(coalesce(sum((id_a * 1048573 + id_b) % 1000000007), 0)
+                AS BIGINT) AS pair_sig
+            FROM pairs"""))
+  }
+
   /** Near-dup clusters end-to-end: the d4 MinHash-LSH pair pipeline fed
     * into hash-min connected components, singletons keeping their own
     * id — the full "pair enumeration → dedup clusters" path a 100 TB
@@ -596,6 +652,7 @@ object DedupGates {
 
   val all: Seq[GQuery] = Seq(
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
+    simhashPairsAgg,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
     simhashDedupQ, minhashDedupQ, bloomDecontaminateQ, duplicatePassagesQ,
     dedupReport, overlapFractionQ, substringDedupQ)

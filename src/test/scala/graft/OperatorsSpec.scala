@@ -330,6 +330,28 @@ class OperatorsSpec extends SparkSpec {
     assert(chain.contains("must be >= 1"), chain)
   }
 
+  test("t20 recall floor: the LSH-dense hybrid keeps >= 500 permille of " +
+      "the exact fusion; rrfFuse resolves awkward rank-column names") {
+    import graft.operators.Ranking
+    // the floor lives HERE, not in the hash oracle: a testdata regen
+    // that collapses LSH recall must fail loudly, not re-hash green
+    val row = SparkEntry.queries("t20_hybrid_recall")(spark, sf)
+      .collect().head
+    val (nTrue, nHit, permille) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nTrue == 20L, s"exact fused top-20 must be full, got $nTrue")
+    assert(nHit >= 1L && nHit <= nTrue)
+    assert(permille >= 500L,
+      s"hybrid fusion recall collapsed: $nHit/$nTrue = $permille permille")
+    // rank columns that would break string-spliced SQL (spaces, dots)
+    // must resolve like any identifier — the fusion is Column-API-built
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "the rank.col")
+    val got = Ranking.rrfFuse(Seq(a), "doc_id", "the rank.col", k = 5,
+        kConst = 60L, scale = 1000L)
+      .select($"doc_id", $"rrf_score").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((10L, 16L), (20L, 16L)))
+  }
+
   test("packSequences: straddle assignment, per-shard independence, stats") {
     import graft.operators.Packing
     // one shard; chunk token counts 30,30,30 with capacity 64:

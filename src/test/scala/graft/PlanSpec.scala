@@ -105,7 +105,11 @@ class PlanSpec extends SparkSpec {
         "is O(lists*k) by contract, never corpus-sized"),
       "t19_index_refresh" -> ("bm25TopKIndexed's row_number over the " +
         "top-k frame AFTER limit(k) (≤20 rows) — same audited shape as " +
-        "t16, reached through the maintainer"))
+        "t16, reached through the maintainer"),
+      "t20_hybrid_recall" -> ("t18's audited top-k frames twice over " +
+        "(bm25TopK's post-limit row_number + one per rrfFuse limit(20)) " +
+        "feeding a ≤20-row recall join — every global window ranks a " +
+        "post-limit frame, never corpus rows"))
     val found = Catalog.all.map { q =>
       q.name -> q.run(spark, sf).queryExecution.sparkPlan.collect {
         case w: WindowExec if w.partitionSpec.isEmpty => w
