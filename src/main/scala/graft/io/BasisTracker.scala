@@ -17,6 +17,12 @@ trait IndexMaintainer {
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */
   def lastRefresh: String
+
+  /** The SOURCE table version the index is current to (None before the
+    * first refresh) — the floor a sink's idempotence bookkeeping can
+    * scan from (BronzeIngest.indexedIngestBatch: a replayed batch's
+    * commit tag cannot predate the basis its own refresh published). */
+  def basis: Option[Long]
 }
 
 /** The basis protocol every incremental index maintainer shares
@@ -43,18 +49,27 @@ final class BasisTracker(indexPath: String, sourceDesc: String = "") {
 
   private def basisFile = Paths.get(indexPath, "_graft_index_basis")
 
-  def basis: Option[Long] =
+  // basis file: line 1 = source version, line 2 (optional) = source
+  // LINEAGE id (the table's stable delta-log id). Pre-lineage files
+  // hold one line and stay readable; the next publish upgrades them.
+  private def readLines(): Option[Array[String]] =
     if (!Files.exists(basisFile)) None
-    else Some(Files.readString(basisFile).trim.toLong)
+    else Some(Files.readString(basisFile).split("\n").map(_.trim))
+
+  def basis: Option[Long] = readLines().map(_.head.toLong)
+
+  /** The recorded source lineage id (None for a pre-lineage basis). */
+  def basisLineage: Option[String] =
+    readLines().flatMap(_.drop(1).headOption).filter(_.nonEmpty)
 
   /** Atomic publish (temp + rename): readers of the basis never see a
     * torn write, and a crash mid-publish leaves the OLD basis — the
     * window simply replays. */
-  def publish(v: Long): Unit = {
+  def publish(v: Long, lineage: Option[String] = None): Unit = {
     Files.createDirectories(Paths.get(indexPath))
     val tmp = Paths.get(indexPath,
       s"_graft_index_basis.tmp.${System.nanoTime()}")
-    Files.writeString(tmp, v.toString)
+    Files.writeString(tmp, v.toString + lineage.map("\n" + _).getOrElse(""))
     Files.move(tmp, basisFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -63,35 +78,45 @@ final class BasisTracker(indexPath: String, sourceDesc: String = "") {
     * (must be ≥ 0 — i.e. the source has at least one commit) and
     * return how it resolved: "full" | "incremental" | "noop".
     * `incremental` receives the recorded basis; the missing window is
-    * `changesSince(basis)`. */
-  def refreshTo(headV: Long)(full: => Unit)(
-      incremental: Long => Unit): String = {
+    * `changesSince(basis)`.
+    *
+    * `lineage` is the source table's stable delta-log id
+    * ([[ManagedParquetTable.tableId]]). Two guards catch a source
+    * deleted-and-recreated (or rolled back) under the same path —
+    * where `changesSince` would resolve garbage and the index would
+    * silently strand dead-history docs:
+    *   - lineage mismatch: catches recreation even when the NEW
+    *     lineage's head has already caught up past the recorded
+    *     version (a version-only check cannot see that);
+    *   - basis > head: catches recreation/rollback on pre-lineage
+    *     basis files (and a lineage-less caller). */
+  def refreshTo(headV: Long, lineage: Option[String] = None)(
+      full: => Unit)(incremental: Long => Unit): String = {
     // name the table: a pipeline driving several maintainers needs the
     // failing refresh to identify itself
-    require(headV >= 0, s"source table${
-      if (sourceDesc.nonEmpty) s" at $sourceDesc" else ""} has no commits" +
-      s" (index at $indexPath)")
+    def src = if (sourceDesc.nonEmpty) s" at $sourceDesc" else ""
+    require(headV >= 0,
+      s"source table$src has no commits (index at $indexPath)")
+    for (rec <- basisLineage; cur <- lineage; if rec != cur)
+      throw new IllegalStateException(
+        s"index at $indexPath was built against source$src lineage " +
+          s"$rec but the table now has lineage $cur — the source was " +
+          "deleted and recreated; delete the index and rebuild it " +
+          "against the new table")
     basis match {
       case Some(b) if b == headV => "noop"
       case Some(b) if b > headV =>
-        // A recorded basis AHEAD of the source head means the source
-        // table was deleted and recreated (or rolled back) under the
-        // same path: `changesSince(b > head)` would resolve an empty
-        // window, the basis would silently regress, and the index
-        // would strand dead-history docs. Fail loudly — the index must
-        // be rebuilt against the new table lineage.
         throw new IllegalStateException(
-          s"index at $indexPath records basis $b but source table${
-            if (sourceDesc.nonEmpty) s" at $sourceDesc" else ""
-          } head is $headV — the source regressed (recreated or rolled " +
+          s"index at $indexPath records basis $b but source table$src " +
+          s"head is $headV — the source regressed (recreated or rolled " +
           "back); delete the index and rebuild it against the new table")
       case Some(b) =>
         incremental(b)
-        publish(headV)
+        publish(headV, lineage)
         "incremental"
       case None =>
         full
-        publish(headV)
+        publish(headV, lineage)
         "full"
     }
   }

@@ -1173,6 +1173,21 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
   }
 
   /** Newest (table id, schemaString) already in the log, if any. */
+  /** The table's STABLE delta-log id (Delta requires one id for the
+    * log's lifetime) — and therefore this table's LINEAGE identity: a
+    * deleted-and-recreated table under the same path mints a fresh id.
+    * The incremental index maintainers record it next to their basis so
+    * a recreated source fails loudly even when the new lineage's head
+    * has caught up past the recorded version (a version-only guard
+    * cannot see that). None before the first commit. */
+  def tableId: Option[String] = {
+    val sidecar = deltaLogDir.resolve(".graft_table_meta")
+    if (Files.exists(sidecar))
+      Files.readString(sidecar).split("\n", 2).headOption.map(_.trim)
+        .filter(_.nonEmpty)
+    else recoverMetaFromLog().map(_._1)
+  }
+
   private def recoverMetaFromLog(): Option[(String, String)] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(deltaLogDir)) return None

@@ -80,6 +80,8 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     * "full" | "incremental" | "noop" | "" (never ran). */
   @volatile var lastRefresh: String = ""
 
+  def basis: Option[Long] = tracker.basis
+
   def read(): DataFrame = { requireNoReorg(); table.read() }
 
   def isTrained: Boolean =
@@ -100,11 +102,17 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
   }
 
   def centroids: DataFrame = {
+    // guarded like every other entry point: between reorg's lists
+    // overwrite and its artifact swap these dirs hold the OLD
+    // artifacts while the lists hold NEW codes — a caller composing
+    // them directly (ivfPqEncode/ivfPqProbes) must refuse too
+    requireNoReorg()
     require(isTrained, s"index at $indexPath is not trained")
     spark.read.parquet(centroidsDir.toString)
   }
 
   def codebooks: DataFrame = {
+    requireNoReorg()
     require(isTrained, s"index at $indexPath is not trained")
     spark.read.parquet(codebooksDir.toString)
   }
@@ -163,6 +171,13 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
   def reorg(iters: Int = 5, trainOn: Option[DataFrame] = None): Unit = {
     require(isTrained, s"index at $indexPath is not trained")
     requireNoReorg()
+    // version BEFORE data, the same order refresh() relies on: the
+    // published basis must never be newer than the snapshot the
+    // re-encode covered, or windows committed DURING a long reorg
+    // would be skipped forever (a stale basis merely replays —
+    // idempotent; a too-new basis silently loses data)
+    val headV = source.version - 1
+    val lineage = source.tableId
     val live = source.read()
     val sample = trainOn.getOrElse(live)
     val nlist = centroids.count().toInt
@@ -200,11 +215,11 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     Files.move(codebooksDir, oldB, StandardCopyOption.ATOMIC_MOVE)
     Files.move(stageB, codebooksDir, StandardCopyOption.ATOMIC_MOVE)
     rmDir(oldC); rmDir(oldB)
-    // the re-encode covered the head snapshot: publish it (an index
-    // that was behind is caught up as a side effect), THEN lift the
-    // gate — publish-before-clear keeps the marker the single
-    // authority on mixed state
-    tracker.publish(source.version - 1)
+    // the re-encode covered the PRE-READ head snapshot: publish that
+    // version (an index that was behind is caught up as a side
+    // effect), THEN lift the gate — publish-before-clear keeps the
+    // marker the single authority on mixed state
+    tracker.publish(headV, lineage)
     Files.delete(reorgMarker)
   }
 
@@ -230,7 +245,7 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     requireNoReorg()
     require(isTrained, s"index at $indexPath must be trained before refresh")
     val (cents, cbs) = (centroids, codebooks)
-    lastRefresh = tracker.refreshTo(source.version - 1) {
+    lastRefresh = tracker.refreshTo(source.version - 1, source.tableId) {
       val full = source.read()
       val nFull = full.select(col(idCol)).count()
       table.overwrite(clustered(VectorFunctions.ivfPqEncode(

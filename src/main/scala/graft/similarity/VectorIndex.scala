@@ -55,13 +55,15 @@ final class IncrementalVectorIndex(spark: SparkSession,
     * "full" | "incremental" | "noop" | "" (never ran). */
   @volatile var lastRefresh: String = ""
 
+  def basis: Option[Long] = tracker.basis
+
   def read(): DataFrame = table.read()
 
   /** Bring the index up to the source table's current version. */
   def refresh(): Unit = {
     // newest delta-log mirror version: manifest versions are 1-based,
     // mirror file numbers 0-based, so head mirror = manifest - 1
-    lastRefresh = tracker.refreshTo(source.version - 1) {
+    lastRefresh = tracker.refreshTo(source.version - 1, source.tableId) {
       table.overwrite(
         VectorFunctions.buildQuantizedIndex(source.read(), idCol, vecCol))
     } { b =>

@@ -310,16 +310,28 @@ object BronzeIngest {
     *
     * Pass the stream's checkpoint-scoped identity as `appId` (stable
     * across restarts, unique per sink — e.g. the checkpoint path).
-    * `sinceVersion` for the tag scan is the maintainers' OWN basis
-    * floor: 0 is always sound (tags are scanned, not replayed); the
-    * table keeps the scan O(commits since last vacuum of the log
-    * mirror). */
+    * The tag scan starts at the maintainers' lowest published basis:
+    * a replayed batch's append (if it landed at all) is never OLDER
+    * than the basis its own refresh published, so the scan reads
+    * O(replay window) mirror commits per trigger instead of O(stream
+    * lifetime) — at batch 10,000 that is the difference between
+    * reading a handful of log files and all ten thousand, every
+    * trigger. With no maintainer basis yet the floor degrades to 0
+    * (sound either way: tags are scanned, never replayed). */
   def indexedIngestBatch(table: graft.io.ManagedParquetTable,
       batch: DataFrame, batchId: Long, appId: String,
       maintainers: Seq[graft.io.IndexMaintainer]): Unit = {
     val tag = s"graft-stream:$appId:$batchId"
-    val alreadyCommitted = table.exists && table.hasCommitTagged(tag, 0L)
-    if (!alreadyCommitted && !batch.isEmpty) table.append(batch, Some(tag))
+    val floor = maintainers.flatMap(_.basis).minOption.getOrElse(0L)
+    val alreadyCommitted = table.exists && table.hasCommitTagged(tag, floor)
+    // pin the batch: the empty-gate and the tagged append must see the
+    // SAME rows (the scd2BatchFromRaw invariant) — a non-deterministic
+    // source evaluated twice could pass the gate yet commit different
+    // rows under a tag that marks the batch permanently done
+    val (b, bRdd, n) = org.apache.spark.sql.graft.PlanBridge.pin(batch)
+    try {
+      if (!alreadyCommitted && n > 0) table.append(b, Some(tag))
+    } finally bRdd.unpersist()
     // refresh even when the append was skipped: the crash may have
     // landed BETWEEN append and refresh, leaving the index a window
     // behind the table (a noop resolves in one basis read otherwise).

@@ -51,9 +51,11 @@ final class IncrementalInvertedIndex(spark: SparkSession,
     * "full" | "incremental" | "noop" | "" (never ran). */
   @volatile var lastRefresh: String = ""
 
+  def basis: Option[Long] = tracker.basis
+
   /** Bring the index up to the source table's current version. */
   def refresh(): Unit = {
-    lastRefresh = tracker.refreshTo(source.version - 1) {
+    lastRefresh = tracker.refreshTo(source.version - 1, source.tableId) {
       // buildIndex overwrites wholesale and clears any stale gate
       InvertedIndex.buildIndex(source.read(), textCol, idCol,
         indexPath, nBuckets)

@@ -84,21 +84,25 @@ class IncrementalInvertedIndexSpec extends SparkSpec {
     src.append(docs.where($"doc_id" % 2 === 1).limit(40))
     idx.refresh()
     assert(idx.lastRefresh == "full")
-    // delete and recreate the source under the SAME path — the index's
-    // recorded basis now points into a dead lineage
+    // delete and recreate the source under the SAME path — and let the
+    // NEW lineage catch up to the recorded version (two commits, head
+    // 1 == basis 1): the version-only guard is blind to this, only the
+    // recorded LINEAGE id catches it
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
     val src2 = new ManagedParquetTable(spark, s"$root/t")
     src2.append(docs.limit(10))
+    src2.append(docs.limit(20))
     val err = intercept[IllegalStateException] { idx.refresh() }
-    assert(err.getMessage.contains("regressed") &&
+    assert(err.getMessage.contains("recreated") &&
       err.getMessage.contains("rebuild"),
       s"guard must name the failure and the remedy: ${err.getMessage}")
     // the stale index was left untouched — basis not rewound, no
     // partial fold of the new lineage's rows
     assert(java.nio.file.Files.readString(java.nio.file.Paths
-      .get(s"$root/idx/_graft_index_basis")).trim.toLong == 1L,
+      .get(s"$root/idx/_graft_index_basis"))
+      .split("\n").head.trim.toLong == 1L,
       "a failed refresh must not move the basis")
   }
 

@@ -111,7 +111,7 @@ class IvfPqIndexSpec extends SparkSpec {
     src.deleteWhere($"vec_id" % 7 === 1) // rewriting delete: survivors
     // re-emitted as delete+insert pairs in the change feed
     val ch = src.changesSince(java.nio.file.Files.readString(basis)
-      .trim.toLong)
+      .split("\n").head.trim.toLong)
     val windowKeys = ch.select($"vec_id").distinct()
     idx.table.deleteMatchingDV(windowKeys, Seq("vec_id")) // half-applied
     idx.refresh() // replay: drops again (no-op), then re-encodes
@@ -144,7 +144,7 @@ class IvfPqIndexSpec extends SparkSpec {
     val src2 = new ManagedParquetTable(spark, s"$root/t")
     src2.append(e.limit(10)) // head = 0 < recorded basis 1
     val err = intercept[IllegalStateException] { idx.refresh() }
-    assert(err.getMessage.contains("regressed") &&
+    assert(err.getMessage.contains("recreated") &&
       err.getMessage.contains("rebuild"))
   }
 
