@@ -64,12 +64,16 @@ final class BasisTracker(indexPath: String, sourceDesc: String = "") {
 
   /** Atomic publish (temp + rename): readers of the basis never see a
     * torn write, and a crash mid-publish leaves the OLD basis — the
-    * window simply replays. */
+    * window simply replays. The lineage record is MONOTONE: a publish
+    * without one keeps whatever lineage is already recorded (a
+    * lineage-less caller must never silently downgrade the recreation
+    * guard back to version-only). */
   def publish(v: Long, lineage: Option[String] = None): Unit = {
     Files.createDirectories(Paths.get(indexPath))
+    val keep = lineage.orElse(basisLineage)
     val tmp = Paths.get(indexPath,
       s"_graft_index_basis.tmp.${System.nanoTime()}")
-    Files.writeString(tmp, v.toString + lineage.map("\n" + _).getOrElse(""))
+    Files.writeString(tmp, v.toString + keep.map("\n" + _).getOrElse(""))
     Files.move(tmp, basisFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -104,7 +108,15 @@ final class BasisTracker(indexPath: String, sourceDesc: String = "") {
           "deleted and recreated; delete the index and rebuild it " +
           "against the new table")
     basis match {
-      case Some(b) if b == headV => "noop"
+      case Some(b) if b == headV =>
+        // upgrade a pre-lineage basis file even when there is nothing
+        // to fold: an idle-but-current legacy index would otherwise
+        // never record its lineage and the recreation guard would stay
+        // version-only indefinitely ("the next publish" must not wait
+        // for the next data window)
+        if (basisLineage.isEmpty && lineage.isDefined)
+          publish(headV, lineage)
+        "noop"
       case Some(b) if b > headV =>
         throw new IllegalStateException(
           s"index at $indexPath records basis $b but source table$src " +

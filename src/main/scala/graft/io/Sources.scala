@@ -74,7 +74,7 @@ object CsvSources {
   * readers prune partitions/columns exactly as any parquet scan; at real
   * deployment Delta/Iceberg replace this class behind the same calls
   * (object stores swap the rename for a putIfAbsent/conditional-put). */
-final class ManagedParquetTable(spark: SparkSession, path: String) {
+final class ManagedParquetTable(spark: SparkSession, val path: String) {
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
   private def manifest = Paths.get(path, "_graft_manifest")
@@ -1172,7 +1172,6 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     scanPaths(files.map(f => s"$path/$f"), dvs, keepPos = false)
   }
 
-  /** Newest (table id, schemaString) already in the log, if any. */
   /** The table's STABLE delta-log id (Delta requires one id for the
     * log's lifetime) — and therefore this table's LINEAGE identity: a
     * deleted-and-recreated table under the same path mints a fresh id.
@@ -1188,6 +1187,7 @@ final class ManagedParquetTable(spark: SparkSession, path: String) {
     else recoverMetaFromLog().map(_._1)
   }
 
+  /** Newest (table id, schemaString) already in the log, if any. */
   private def recoverMetaFromLog(): Option[(String, String)] = {
     import scala.jdk.CollectionConverters._
     if (!Files.isDirectory(deltaLogDir)) return None

@@ -310,28 +310,51 @@ object BronzeIngest {
     *
     * Pass the stream's checkpoint-scoped identity as `appId` (stable
     * across restarts, unique per sink — e.g. the checkpoint path).
-    * The tag scan starts at the maintainers' lowest published basis:
-    * a replayed batch's append (if it landed at all) is never OLDER
-    * than the basis its own refresh published, so the scan reads
-    * O(replay window) mirror commits per trigger instead of O(stream
-    * lifetime) — at batch 10,000 that is the difference between
-    * reading a handful of log files and all ten thousand, every
-    * trigger. With no maintainer basis yet the floor degrades to 0
-    * (sound either way: tags are scanned, never replayed). */
+    * The tag scan starts at THIS SINK's own floor: a sidecar next to
+    * the table records the mirror number of the sink's last landed
+    * append, written strictly AFTER that append commits, so the value
+    * is always ≤ the mirror number of any append a replay could be
+    * looking for (a crash between append and floor write just leaves
+    * the previous floor — the scan starts one append earlier, still
+    * sound). O(commits since the previous batch) mirror reads per
+    * trigger instead of O(stream lifetime) — and unlike a
+    * maintainer-basis floor, immune to OTHER commits (a second sink,
+    * a compaction, a merge) landing between the append and anything
+    * else: only this sink's own appends advance its floor. */
   def indexedIngestBatch(table: graft.io.ManagedParquetTable,
       batch: DataFrame, batchId: Long, appId: String,
       maintainers: Seq[graft.io.IndexMaintainer]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = s"graft-stream:$appId:$batchId"
-    val floor = maintainers.flatMap(_.basis).minOption.getOrElse(0L)
+    // appId sanitized for the filename only — the tag keeps it verbatim
+    val floorFile = Paths.get(table.path,
+      s"_graft_sink_floor_${appId.replaceAll("[^A-Za-z0-9._-]", "_")}")
+    val floor =
+      if (Files.exists(floorFile))
+        Files.readString(floorFile).trim.toLong
+      else 0L
     val alreadyCommitted = table.exists && table.hasCommitTagged(tag, floor)
-    // pin the batch: the empty-gate and the tagged append must see the
-    // SAME rows (the scd2BatchFromRaw invariant) — a non-deterministic
-    // source evaluated twice could pass the gate yet commit different
-    // rows under a tag that marks the batch permanently done
-    val (b, bRdd, n) = org.apache.spark.sql.graft.PlanBridge.pin(batch)
-    try {
-      if (!alreadyCommitted && n > 0) table.append(b, Some(tag))
-    } finally bRdd.unpersist()
+    if (!alreadyCommitted) {
+      // pin the batch: the empty-gate and the tagged append must see
+      // the SAME rows (the scd2BatchFromRaw invariant) — a
+      // non-deterministic source evaluated twice could pass the gate
+      // yet commit different rows under a tag that marks the batch
+      // permanently done. Inside the replay guard on purpose: a
+      // replayed already-committed batch must not pay a full
+      // materialization it will discard.
+      val (b, bRdd, n) = org.apache.spark.sql.graft.PlanBridge.pin(batch)
+      try {
+        if (n > 0) {
+          table.append(b, Some(tag))
+          // floor AFTER the append it names (see contract above);
+          // atomic so a reader never sees a torn number
+          val tmp = Paths.get(s"$floorFile.tmp.${System.nanoTime()}")
+          Files.writeString(tmp, (table.version - 1).toString)
+          Files.move(tmp, floorFile, StandardCopyOption.ATOMIC_MOVE,
+            StandardCopyOption.REPLACE_EXISTING)
+        }
+      } finally bRdd.unpersist()
+    }
     // refresh even when the append was skipped: the crash may have
     // landed BETWEEN append and refresh, leaving the index a window
     // behind the table (a noop resolves in one basis read otherwise).

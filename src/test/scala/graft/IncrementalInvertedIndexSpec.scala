@@ -106,6 +106,32 @@ class IncrementalInvertedIndexSpec extends SparkSpec {
       "a failed refresh must not move the basis")
   }
 
+  test("a pre-lineage basis file upgrades on the first refresh — even " +
+      "a noop — so the recreation guard arms without a data window") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_incidx_legacy").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalInvertedIndex(spark, s"$root/t",
+      s"$root/idx", nBuckets = NB)
+    src.append(docs.limit(30))
+    idx.refresh()
+    val basis = java.nio.file.Paths.get(s"$root/idx/_graft_index_basis")
+    // forge the legacy format: version line only
+    val v = java.nio.file.Files.readString(basis).split("\n").head
+    java.nio.file.Files.writeString(basis, v)
+    idx.refresh() // noop window — must STILL record the lineage
+    assert(idx.lastRefresh == "noop")
+    assert(java.nio.file.Files.readString(basis).split("\n").length == 2,
+      "an idle-but-current legacy index must record its lineage")
+    // with the lineage armed, recreation at the same version is caught
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true)
+    val src2 = new ManagedParquetTable(spark, s"$root/t")
+    src2.append(docs.limit(10))
+    intercept[IllegalStateException] { idx.refresh() }
+  }
+
   test("a crash INSIDE a window's maintenance (torn generation, writer " +
       "gate down) heals on the next refresh: auto-repair, then replay") {
     val root = java.nio.file.Files

@@ -764,6 +764,45 @@ class StreamingSpec extends SparkSpec {
     assert(probe() === freshRef())
   }
 
+  test("ST15 idempotence survives interleaved foreign commits: a " +
+      "replayed batch is skipped even when a second sink and a " +
+      "compaction advanced the table between its append and the replay") {
+    import graft.io.ManagedParquetTable
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st15x").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val idx = new IncrementalInvertedIndex(spark, s"$dir/docs",
+      s"$dir/idx", nBuckets = 8)
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(90)
+    val b0 = all.where($"doc_id" % 3 === 0)
+    BronzeIngest.indexedIngestBatch(t, b0, 0L, "sinkA", Seq(idx))
+    // foreign commits land AFTER sinkA's append: a second sink's batch
+    // (its own refresh pushes the shared index basis past sinkA's
+    // append) and a compaction commit — the exact interleaving that
+    // would fool any floor derived from the maintainers' basis
+    BronzeIngest.indexedIngestBatch(t, all.where($"doc_id" % 3 === 1),
+      0L, "sinkB", Seq(idx))
+    t.compact()
+    val rows = t.read().count()
+    val v = t.version
+    // sinkA's batch 0 replays (foreachBatch re-delivery after a crash
+    // before its checkpoint commit): the tag scan must still find the
+    // original append
+    BronzeIngest.indexedIngestBatch(t, b0, 0L, "sinkA", Seq(idx))
+    assert(t.read().count() == rows && t.version == v,
+      "replayed batch must not re-append past interleaved commits")
+    // and the index still equals a fresh rebuild
+    val ref = Files.createTempDirectory("graft_st15x_ref").toString
+    InvertedIndex.buildIndex(t.read().select($"doc_id", $"text"),
+      "text", "doc_id", ref, nBuckets = 8)
+    def probe(p: String) = InvertedIndex.bm25TopKIndexed(spark, p,
+      "hash join table", k = 20, nBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(probe(s"$dir/idx") === probe(ref))
+  }
+
   test("ST15 vector: the persisted IVF-PQ index trails a streaming " +
       "embedding ingest; kill + checkpoint replay converges to rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
