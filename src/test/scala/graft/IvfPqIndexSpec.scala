@@ -235,6 +235,73 @@ class IvfPqIndexSpec extends SparkSpec {
     assert(idx.lastRefresh == "noop")
   }
 
+  test("long horizon: 30 windows of append/dv-delete/rewriting-delete " +
+      "with compactDeletes and vacuum interleaved; maintained lists == " +
+      "a from-scratch encode of the live table at every window") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_horizon").toString
+    val rnd = new scala.util.Random(509)
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalIvfPqIndex(spark, s"$root/t", s"$root/idx",
+      m = M, ksub = Ksub, dim = Dim)
+    val cents = e.filter($"vec_id" < 16)
+    val cbs = pqTrain(e, m = M, ksub = Ksub, iters = 0, dim = Dim)
+    idx.train(cents, cbs)
+    val eDrop = e.select($"vec_id", $"embedding")
+    val pool = eDrop.select($"vec_id").as[Long].collect().toVector
+    // live ids tracked driver-side so delete batches target real rows
+    val live = collection.mutable.Set.empty[Long]
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)
+    def check(w: Int): Unit = {
+      val maintained = idx.read()
+        .select($"vec_id", $"centroid_id", $"codes")
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      val rebuilt = ivfPqEncode(src.read(), cents, cbs, M, Ksub, Dim)
+        .select($"vec_id", $"centroid_id", $"codes")
+        .collect().map(key).sortBy(k => (k._1, k._2)).toSeq
+      assert(maintained === rebuilt,
+        s"window $w: maintained ${maintained.size} vs rebuilt ${rebuilt.size}")
+    }
+    val init = rnd.shuffle(pool).take(80)
+    src.append(eDrop.where($"vec_id".isin(init: _*)))
+    live ++= init
+    idx.refresh()
+    check(0)
+    for (w <- 1 to 30) {
+      rnd.nextInt(10) match {
+        case n if n < 5 => // append fresh vectors
+          val fresh = rnd.shuffle((pool.toSet -- live).toSeq)
+            .take(1 + rnd.nextInt(12))
+          if (fresh.nonEmpty) {
+            src.append(eDrop.where($"vec_id".isin(fresh: _*)))
+            live ++= fresh
+          }
+        case n if n < 8 => // dv delete of live ids
+          val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(6))
+          if (victims.nonEmpty) {
+            src.deleteWhereDV($"vec_id".isin(victims: _*))
+            live --= victims
+          }
+        case _ => // rewriting delete: survivors round-trip as
+          // delete+insert pairs through the change feed
+          val victims = rnd.shuffle(live.toSeq).take(1 + rnd.nextInt(4))
+          if (victims.nonEmpty) {
+            src.deleteWhere($"vec_id".isin(victims: _*))
+            live --= victims
+          }
+      }
+      idx.refresh()
+      // hygiene at its own cadence: the index's own dv purge and the
+      // SOURCE table's retention must not break the basis (the
+      // per-window refresh keeps it inside the retained tail)
+      if (w % 7 == 0) idx.table.compactDeletes(0.01) // near-always purge
+      if (w % 9 == 0) src.vacuum(graceMs = 0L, retainVersions = Some(12L))
+      check(w)
+    }
+    assert(live.nonEmpty, "fixture must end with live rows")
+  }
+
   test("probe plan opens only the files covering the probed lists; " +
       "the pruned scan returns exactly the unpruned result") {
     val root = java.nio.file.Files
