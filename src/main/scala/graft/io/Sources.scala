@@ -229,13 +229,14 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       segs: Set[String]): Seq[String] =
     entries.filter(e => parseDv(e).touched.forall(_.exists(segs.contains)))
 
-  /** Atomically publish a new snapshot (write-temp + rename). `dv`
-    * replaces the dv bookkeeping (inline entries, dvlog file names)
-    * when given; by default both carry forward VERBATIM — no dv commit,
-    * no dv rewrite, so commit cost is O(live segments + referenced
-    * dvlog names), never O(table history). */
+  /** Atomically publish a new snapshot (write-temp + rename) and
+    * return its committed version. `dv` replaces the dv bookkeeping
+    * (inline entries, dvlog file names) when given; by default both
+    * carry forward VERBATIM — no dv commit, no dv rewrite, so commit
+    * cost is O(live segments + referenced dvlog names), never O(table
+    * history). */
   private def commit(segments: Seq[String], mode: String,
-      dv: Option[(Seq[String], Seq[String])] = None): Unit = {
+      dv: Option[(Seq[String], Seq[String])] = None): Long = {
     Files.createDirectories(Paths.get(path))
     val snap = snapshot()
     val prevSegs = snap.map(_._2).getOrElse(Seq.empty)
@@ -256,6 +257,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis()))
     }
+    ver
   }
 
   private def manifestJson(ver: Long, mode: String, segments: Seq[String],
@@ -497,21 +499,29 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * (real Delta's idempotent-writer device) so a crashed writer can
     * later tell whether THIS append committed — version arithmetic
     * alone cannot distinguish it from an unrelated commit (compact,
-    * merge) that raced into the crash window. */
-  def append(df: DataFrame, tag: Option[String] = None): Unit = {
+    * merge) that raced into the crash window. Returns the committed
+    * manifest version (1-based; the commit's mirror file number is
+    * this minus one) so a caller's idempotence bookkeeping can name
+    * ITS OWN commit instead of re-reading `version` after the fact —
+    * a re-read races any other commit landing in between. */
+  def append(df: DataFrame, tag: Option[String] = None): Long = {
     val seg = writeSegment(df)
-    commit(snapshot().map(_._2).getOrElse(Seq.empty) :+ seg, "append")
+    val v = commit(snapshot().map(_._2).getOrElse(Seq.empty) :+ seg,
+      "append")
     mirrorDeltaLog("append", added = segmentFiles(seg), removed = Nil,
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
+    v
   }
 
-  def overwrite(df: DataFrame, tag: Option[String] = None): Unit = {
+  /** See [[append]] for the tag and return-value contract. */
+  def overwrite(df: DataFrame, tag: Option[String] = None): Long = {
     val prev = snapshot().map(_._2).getOrElse(Seq.empty)
     val seg = writeSegment(df)
-    commit(Seq(seg), "overwrite")
+    val v = commit(Seq(seg), "overwrite")
     mirrorDeltaLog("overwrite", added = segmentFiles(seg),
       removed = prev.flatMap(segmentFiles).map(_._1),
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
+    v
   }
 
   /** True iff some commit made at-or-after manifest version

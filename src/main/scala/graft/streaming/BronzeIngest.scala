@@ -311,29 +311,52 @@ object BronzeIngest {
     * Pass the stream's checkpoint-scoped identity as `appId` (stable
     * across restarts, unique per sink — e.g. the checkpoint path).
     * The tag scan starts at THIS SINK's own floor: a sidecar next to
-    * the table records the mirror number of the sink's last landed
-    * append, written strictly AFTER that append commits, so the value
-    * is always ≤ the mirror number of any append a replay could be
-    * looking for (a crash between append and floor write just leaves
-    * the previous floor — the scan starts one append earlier, still
-    * sound). O(commits since the previous batch) mirror reads per
-    * trigger instead of O(stream lifetime) — and unlike a
-    * maintainer-basis floor, immune to OTHER commits (a second sink,
-    * a compaction, a merge) landing between the append and anything
-    * else: only this sink's own appends advance its floor. */
+    * the table records the mirror number AND the tag of the sink's
+    * last landed append, written strictly AFTER that append commits.
+    * The number is the append's OWN committed version (returned by
+    * `ManagedParquetTable.append` — never a post-append re-read of
+    * `table.version`, which would race any foreign commit landing in
+    * between and over-advance the floor past the tag a replay must
+    * find), so it is always ≤ the mirror number of any append a
+    * replay could be looking for (a crash between append and floor
+    * write just leaves the previous floor — the scan starts one
+    * append earlier, still sound). O(commits since the previous
+    * batch) mirror reads per trigger instead of O(stream lifetime) —
+    * and unlike a maintainer-basis floor, immune to OTHER commits (a
+    * second sink, a compaction, a merge) landing between the append
+    * and anything else: only this sink's own appends advance its
+    * floor. The recorded TAG makes the replay of the sink's LAST
+    * batch (the only batch a checkpointed stream can re-present)
+    * recognizable even after mirror-log retention pruned its tagged
+    * commit file — without it, `hasCommitTagged` would degrade to
+    * false and the "at-least-once re-work" would be a raw re-append,
+    * i.e. duplicate rows. Re-presentation of an OLDER batch (only
+    * possible outside the checkpointed-stream contract) still
+    * requires mirror retention to exceed the sink's downtime. */
   def indexedIngestBatch(table: graft.io.ManagedParquetTable,
       batch: DataFrame, batchId: Long, appId: String,
       maintainers: Seq[graft.io.IndexMaintainer]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = s"graft-stream:$appId:$batchId"
-    // appId sanitized for the filename only — the tag keeps it verbatim
+    // filename: appId sanitized for readability PLUS a hash of the
+    // verbatim appId — sanitization alone can collide distinct appIds
+    // ("a/b" vs "a_b", likely for checkpoint-path identities) onto one
+    // floor file, and two sinks sharing a floor lets one sink's floor
+    // advance past the other's append (missed tag → double-append)
     val floorFile = Paths.get(table.path,
-      s"_graft_sink_floor_${appId.replaceAll("[^A-Za-z0-9._-]", "_")}")
-    val floor =
-      if (Files.exists(floorFile))
-        Files.readString(floorFile).trim.toLong
-      else 0L
-    val alreadyCommitted = table.exists && table.hasCommitTagged(tag, floor)
+      s"_graft_sink_floor_${appId.replaceAll("[^A-Za-z0-9._-]", "_")}" +
+        s"_${appId.hashCode.toHexString}")
+    // sidecar: line 1 = mirror number of the last landed append,
+    // line 2 = its tag (legacy one-line files parse as tag-less)
+    val (floor, floorTag) =
+      if (Files.exists(floorFile)) {
+        val ls = Files.readString(floorFile).split("\n", 2)
+        (ls(0).trim.toLong,
+          if (ls.length > 1 && ls(1).trim.nonEmpty) Some(ls(1).trim)
+          else None)
+      } else (0L, None)
+    val alreadyCommitted = floorTag.contains(tag) ||
+      (table.exists && table.hasCommitTagged(tag, floor))
     if (!alreadyCommitted) {
       // pin the batch: the empty-gate and the tagged append must see
       // the SAME rows (the scd2BatchFromRaw invariant) — a
@@ -345,11 +368,12 @@ object BronzeIngest {
       val (b, bRdd, n) = org.apache.spark.sql.graft.PlanBridge.pin(batch)
       try {
         if (n > 0) {
-          table.append(b, Some(tag))
-          // floor AFTER the append it names (see contract above);
-          // atomic so a reader never sees a torn number
+          val v = table.append(b, Some(tag))
+          // floor AFTER the append it names, derived from the append's
+          // OWN commit version (manifest versions are 1-based, mirror
+          // numbers 0-based); atomic so a reader never sees a torn pair
           val tmp = Paths.get(s"$floorFile.tmp.${System.nanoTime()}")
-          Files.writeString(tmp, (table.version - 1).toString)
+          Files.writeString(tmp, s"${v - 1}\n$tag")
           Files.move(tmp, floorFile, StandardCopyOption.ATOMIC_MOVE,
             StandardCopyOption.REPLACE_EXISTING)
         }

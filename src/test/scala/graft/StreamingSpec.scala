@@ -803,6 +803,47 @@ class StreamingSpec extends SparkSpec {
     assert(probe(s"$dir/idx") === probe(ref))
   }
 
+  test("ST15 floor sidecar: last-batch replay is recognized from the " +
+      "floor tag even after mirror-log retention pruned the tagged " +
+      "commit, and sanitization-colliding appIds keep distinct floors") {
+    import graft.io.ManagedParquetTable
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st15f").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(60)
+    // two sinks whose appIds sanitize to the SAME string — before the
+    // hash suffix they would share one floor file, and one sink's
+    // floor advancing past the other's append makes the other's
+    // replay miss its tag and double-append
+    val bA = docs.where($"doc_id" % 2 === 0)
+    val bB = docs.where($"doc_id" % 2 === 1)
+    BronzeIngest.indexedIngestBatch(t, bA, 0L, "a/b", Nil)
+    BronzeIngest.indexedIngestBatch(t, bB, 0L, "a_b", Nil)
+    val rows = t.read().count()
+    val v = t.version
+    // replay EACH sink's batch: with a shared floor, sink a/b's floor
+    // (written second by a_b) would sit past a/b's own append
+    BronzeIngest.indexedIngestBatch(t, bA, 0L, "a/b", Nil)
+    BronzeIngest.indexedIngestBatch(t, bB, 0L, "a_b", Nil)
+    assert(t.read().count() == rows && t.version == v,
+      "sanitization-colliding appIds must not share a floor")
+    // retention prunes the mirror log past BOTH tagged commits (a
+    // long-idle sink on a busy table): hasCommitTagged degrades to
+    // false, so only the floor-recorded tag can prove the last batch
+    // already landed — without it the replay raw-appends duplicates
+    val logDir = new java.io.File(s"$dir/docs/_delta_log")
+    logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach { f =>
+        assert(f.delete()); new java.io.File(logDir, s".${f.getName}.crc").delete()
+      }
+    BronzeIngest.indexedIngestBatch(t, bA, 0L, "a/b", Nil)
+    BronzeIngest.indexedIngestBatch(t, bB, 0L, "a_b", Nil)
+    assert(t.read().count() == rows && t.version == v,
+      "last-batch replay must be recognized from the floor tag when " +
+        "the mirror log no longer holds the tagged commit")
+  }
+
   test("ST15 vector: the persisted IVF-PQ index trails a streaming " +
       "embedding ingest; kill + checkpoint replay converges to rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
