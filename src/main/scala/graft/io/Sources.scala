@@ -78,6 +78,8 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   import java.nio.file.{Files, Paths, StandardCopyOption}
 
   private def manifest = Paths.get(path, "_graft_manifest")
+  private def commitsDir = Paths.get(path, "_graft_commits")
+  private def commitFile(v: Long) = commitsDir.resolve(f"$v%020d.json")
 
   /** Directory listing that CLOSES the stream (a bare Files.list leaks
     * one directory fd per call until GC — a long-lived ingest writer
@@ -92,7 +94,40 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       finally s.close()
     }
 
-  def exists: Boolean = Files.exists(manifest)
+  def exists: Boolean =
+    Files.exists(manifest) || resolvedManifest().isDefined
+
+  /** The committed manifest JSON and its version, resolved CAS-first:
+    * `_graft_manifest` is a POINTER CACHE of the newest per-version
+    * commit file under `_graft_commits/` (the CAS device [[commit]]
+    * publishes through). A writer that died between its CAS publish
+    * and the pointer rewrite leaves the pointer one-or-more versions
+    * behind; the commit files are authoritative, so resolution walks
+    * forward from the pointer (one `Files.exists` in the common
+    * up-to-date case) and the next successful commit heals the
+    * pointer. At EQUAL versions the pointer wins — a retention pass
+    * ([[applyRetention]]) rewrites it in place at the same version
+    * with reduced dv bookkeeping, which the version-stamped commit
+    * file does not see. */
+  private def resolvedManifest(): Option[(Long, String)] = {
+    def verOf(s: String): Long = """"version":(\d+)""".r
+      .findFirstMatchIn(s).map(_.group(1).toLong).getOrElse(0L)
+    var cur: Option[(Long, String)] =
+      if (!Files.exists(manifest)) None
+      else { val s = Files.readString(manifest); Some((verOf(s), s)) }
+    if (cur.isEmpty && Files.isDirectory(commitsDir)) {
+      // very-first-commit crash window: CAS landed, pointer never did
+      val max = listDir(commitsDir).map(_.getFileName.toString)
+        .filter(_.matches("\\d{20}\\.json")).map(_.dropRight(5).toLong)
+        .maxOption
+      cur = max.map(v => (v, Files.readString(commitFile(v))))
+    }
+    while (cur.exists { case (v, _) => Files.exists(commitFile(v + 1)) }) {
+      val v = cur.get._1 + 1
+      cur = Some((v, Files.readString(commitFile(v))))
+    }
+    cur
+  }
 
   /** Committed snapshot version (0 when the table does not exist yet).
     * Each append/overwrite/delete commit increments it by exactly one,
@@ -109,16 +144,12 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
 
   /** Committed snapshot: (version, segment dir names). */
   private def snapshot(): Option[(Long, Seq[String])] =
-    if (!Files.exists(manifest)) None
-    else {
-      val s = Files.readString(manifest)
-      val ver = """"version":(\d+)""".r.findFirstMatchIn(s)
-        .map(_.group(1).toLong).getOrElse(0L)
+    resolvedManifest().map { case (ver, s) =>
       val segs = """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s)
         .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
           .stripSuffix("\"")).filter(_.nonEmpty))
         .getOrElse(Seq.empty)
-      Some((ver, segs))
+      (ver, segs)
     }
 
   /** Deletion-vector entries ("mirrorVer:dvDir:seg1;seg2" — the third
@@ -145,15 +176,15 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * dvlog upgrade; the first dv commit or retention pass migrates
     * them into a consolidated dvlog file. */
   private def dvState: (Seq[String], Seq[String]) =
-    if (!Files.exists(manifest)) (Seq.empty, Seq.empty)
-    else {
-      val s = Files.readString(manifest)
-      def field(name: String): Seq[String] =
-        (s""""$name":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
-          .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
-            .stripSuffix("\"")).filter(_.nonEmpty))
-          .getOrElse(Seq.empty)
-      (field("dvs"), field("dvfiles"))
+    resolvedManifest() match {
+      case None => (Seq.empty, Seq.empty)
+      case Some((_, s)) =>
+        def field(name: String): Seq[String] =
+          (s""""$name":\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+            .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+              .stripSuffix("\"")).filter(_.nonEmpty))
+            .getOrElse(Seq.empty)
+        (field("dvs"), field("dvfiles"))
     }
 
   private def dvlogDir = Paths.get(path, "_graft_dvlog")
@@ -229,20 +260,55 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       segs: Set[String]): Seq[String] =
     entries.filter(e => parseDv(e).touched.forall(_.exists(segs.contains)))
 
-  /** Atomically publish a new snapshot (write-temp + rename) and
-    * return its committed version. `dv` replaces the dv bookkeeping
-    * (inline entries, dvlog file names) when given; by default both
-    * carry forward VERBATIM — no dv commit, no dv rewrite, so commit
-    * cost is O(live segments + referenced dvlog names), never O(table
-    * history). */
+  /** Atomically publish a new snapshot and return its committed
+    * version. `dv` replaces the dv bookkeeping (inline entries, dvlog
+    * file names) when given; by default both carry forward VERBATIM —
+    * no dv commit, no dv rewrite, so commit cost is O(live segments +
+    * referenced dvlog names), never O(table history).
+    *
+    * SELF-ENFORCING single-writer contract: `base` is the snapshot
+    * version the caller derived `segments` from (0 for a new table).
+    * The publish is a compare-and-swap on `base + 1`: the full
+    * manifest JSON is written to a temp file and HARD-LINKED into
+    * `_graft_commits/{base+1}.json` — link creation is an atomic
+    * put-if-absent on POSIX (an object-store deployment swaps in a
+    * conditional put), so of two writers racing the same version
+    * exactly one wins and the loser throws IllegalStateException
+    * LOUDLY with nothing published. A plain REPLACE-rename onto one
+    * pointer file would let the second writer silently erase the
+    * first's commit; threading the caller's `base` (rather than
+    * re-reading the head here) also catches the wider read-modify-
+    * write race where another commit landed while this one was
+    * staging its segments. The `_graft_manifest` pointer is rewritten
+    * AFTER the CAS as a read cache — a crash in between is healed by
+    * [[resolvedManifest]]'s forward walk. */
   private def commit(segments: Seq[String], mode: String,
-      dv: Option[(Seq[String], Seq[String])] = None): Long = {
+      dv: Option[(Seq[String], Seq[String])] = None,
+      base: Long): Long = {
     Files.createDirectories(Paths.get(path))
     val snap = snapshot()
+    val cur = snap.map(_._1).getOrElse(0L)
+    if (cur != base) throw new IllegalStateException(
+      s"concurrent writer detected at $path: this commit was derived " +
+        s"from version $base but the table is now at $cur — the " +
+        "single-writer contract is violated; nothing was published " +
+        "(the table still serves the other writer's commit)")
     val prevSegs = snap.map(_._2).getOrElse(Seq.empty)
-    val ver = snap.map(_._1 + 1).getOrElse(1L)
+    val ver = base + 1
     val (inline, dvFiles) = dv.getOrElse(dvState)
     val json = manifestJson(ver, mode, segments, inline, dvFiles)
+    Files.createDirectories(commitsDir)
+    val ctmp = commitsDir.resolve(s".tmp.${System.nanoTime()}")
+    Files.writeString(ctmp, json)
+    try Files.createLink(commitFile(ver), ctmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent writer detected at $path: version $ver was " +
+            "claimed by another writer while this commit was being " +
+            "prepared — the single-writer contract is violated; this " +
+            "commit was NOT published (the table stays consistent)")
+    } finally Files.deleteIfExists(ctmp)
     val tmp = Paths.get(path, s"_graft_manifest.tmp.${System.nanoTime()}")
     Files.writeString(tmp, json)
     Files.move(tmp, manifest, StandardCopyOption.ATOMIC_MOVE,
@@ -481,14 +547,15 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * compacted. */
   def compact(targetFiles: Int = 1, zCols: Seq[String] = Nil,
       bits: Int = 12): Unit = {
-    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val snap = snapshot()
+    val prev = snap.map(_._2).getOrElse(Seq.empty)
     require(prev.nonEmpty, s"no committed snapshot at $path")
     val cur = read()
     val shaped =
       if (zCols.nonEmpty) clusterShape(cur, zCols, targetFiles, bits)
       else cur.repartition(targetFiles)
     val seg = writeSegment(shaped)
-    commit(Seq(seg), "compact")
+    commit(Seq(seg), "compact", base = snap.map(_._1).getOrElse(0L))
     mirrorDeltaLog("compact", added = segmentFiles(seg),
       removed = prev.flatMap(segmentFiles).map(_._1),
       schemaJson = shaped.schema.json, dataChange = false)
@@ -505,9 +572,10 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * ITS OWN commit instead of re-reading `version` after the fact —
     * a re-read races any other commit landing in between. */
   def append(df: DataFrame, tag: Option[String] = None): Long = {
+    val snap = snapshot()
     val seg = writeSegment(df)
-    val v = commit(snapshot().map(_._2).getOrElse(Seq.empty) :+ seg,
-      "append")
+    val v = commit(snap.map(_._2).getOrElse(Seq.empty) :+ seg,
+      "append", base = snap.map(_._1).getOrElse(0L))
     mirrorDeltaLog("append", added = segmentFiles(seg), removed = Nil,
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
     v
@@ -515,9 +583,11 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
 
   /** See [[append]] for the tag and return-value contract. */
   def overwrite(df: DataFrame, tag: Option[String] = None): Long = {
-    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val snap = snapshot()
+    val prev = snap.map(_._2).getOrElse(Seq.empty)
     val seg = writeSegment(df)
-    val v = commit(Seq(seg), "overwrite")
+    val v = commit(Seq(seg), "overwrite",
+      base = snap.map(_._1).getOrElse(0L))
     mirrorDeltaLog("overwrite", added = segmentFiles(seg),
       removed = prev.flatMap(segmentFiles).map(_._1),
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
@@ -665,14 +735,17 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // touch) and left for vacuum's unreferenced-dvlog sweep, which
     // applies the same graceMs contract segments get.
     val (inline, dvFiles) = dvState
+    val base = snap.map(_._1).getOrElse(0L)
     if (inline.nonEmpty || dvFiles.size >= DvlogConsolidateAt) {
       val all = inline ++ dvFiles.flatMap(readDvlogFile) :+ entry
       val consolidated = writeDvlogFile(all)
-      commit(segs, "delete-dv", Some((Seq.empty, Seq(consolidated))))
+      commit(segs, "delete-dv", Some((Seq.empty, Seq(consolidated))),
+        base = base)
       touchDvlogFiles(dvFiles)
     } else {
       val nf = writeDvlogFile(Seq(entry))
-      commit(segs, "delete-dv", Some((Seq.empty, dvFiles :+ nf)))
+      commit(segs, "delete-dv", Some((Seq.empty, dvFiles :+ nf)),
+        base = base)
     }
     // structural mirror: the protocol's DV form needs reader-version-3
     // feature flags; this mirror stays at reader v1, so a DV delete is
@@ -702,7 +775,8 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     import org.apache.spark.sql.functions.{col, count, lit, split}
-    val segs = snapshot().map(_._2).getOrElse(Seq.empty)
+    val snap = snapshot()
+    val segs = snap.map(_._2).getOrElse(Seq.empty)
     if (segs.isEmpty) return 0
     val live = liveDvEntries(segs)
     if (live.isEmpty) return 0
@@ -726,12 +800,12 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // empty) segment when nothing else remains, keeping the schema
     if (!survivors.isEmpty || kept.isEmpty) {
       val seg = writeSegment(survivors)
-      commit(kept :+ seg, "reorg")
+      commit(kept :+ seg, "reorg", base = snap.map(_._1).getOrElse(0L))
       mirrorDeltaLog("reorg", added = segmentFiles(seg),
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = survivors.schema.json, dataChange = false)
     } else {
-      commit(kept, "reorg")
+      commit(kept, "reorg", base = snap.map(_._1).getOrElse(0L))
       mirrorDeltaLog("reorg", added = Nil,
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = survivors.schema.json, dataChange = false)
@@ -788,7 +862,8 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   private def deleteCore(doomed: DataFrame => DataFrame,
       survivors: DataFrame => DataFrame): Unit = {
     import org.apache.spark.sql.functions.col
-    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val snap = snapshot()
+    val prev = snap.map(_._2).getOrElse(Seq.empty)
     require(prev.nonEmpty, s"no committed snapshot at $path")
     val dvs = liveDvEntries(prev)
     // one scan, bounded output: at most one rel path per live data file
@@ -809,12 +884,12 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val kept = prev.filterNot(affected.contains)
     if (keepSeg) {
       val seg = writeSegment(surv)
-      commit(kept :+ seg, "delete")
+      commit(kept :+ seg, "delete", base = snap.map(_._1).getOrElse(0L))
       mirrorDeltaLog("delete", added = segmentFiles(seg),
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = surv.schema.json)
     } else {
-      commit(kept, "delete")
+      commit(kept, "delete", base = snap.map(_._1).getOrElse(0L))
       mirrorDeltaLog("delete", added = Nil,
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = surv.schema.json)
@@ -838,7 +913,8 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   def merge(updates: DataFrame, keyCols: Seq[String]): Unit = {
     require(keyCols.nonEmpty, "merge requires at least one key column")
     import org.apache.spark.sql.functions.col
-    val prev = snapshot().map(_._2).getOrElse(Seq.empty)
+    val snap = snapshot()
+    val prev = snap.map(_._2).getOrElse(Seq.empty)
     require(prev.nonEmpty, s"no committed snapshot at $path")
     val dvs = liveDvEntries(prev)
     val k = updates.select(keyCols.map(col): _*)
@@ -858,7 +934,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
         // updates carry, and vice versa, instead of failing the merge
         .unionByName(updates, allowMissingColumns = true)
     val seg = writeSegment(merged)
-    commit(kept :+ seg, "merge")
+    commit(kept :+ seg, "merge", base = snap.map(_._1).getOrElse(0L))
     mirrorDeltaLog("merge", added = segmentFiles(seg),
       removed = affected.flatMap(segmentFiles).map(_._1),
       schemaJson = merged.schema.json)
@@ -1289,6 +1365,19 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       .filterNot(p => refDvDirs(p.getFileName.toString))
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach(deleteRecursively)
+    // superseded CAS commit files: resolution only walks FORWARD from
+    // the pointer, so files strictly below the resolved head are never
+    // consulted again; the head file stays (it is the heal source for
+    // a pointer that never landed). Stranded .tmp link sources die too.
+    val headV = snapshot().map(_._1).getOrElse(0L)
+    listDir(commitsDir)
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith(".tmp.") ||
+          (n.matches("\\d{20}\\.json") && n.dropRight(5).toLong < headV)
+      }
+      .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
+      .foreach(Files.deleteIfExists(_))
   }
 
   /** Retention core (see [[vacuum]]): compute the horizon checkpoint,

@@ -47,6 +47,78 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
+  test("CAS commit: two writers racing the same version — one fails " +
+      "loudly, nothing is silently lost, the table stays consistent") {
+    val t = new ManagedParquetTable(spark, tmp("mptcas") + "/tbl")
+    t.append(Seq((0L, "seed")).toDF("id", "v"))
+    val rounds = 8
+    // barrier-sync two writers so both enter append() on the SAME
+    // snapshot version each round: both stage a segment, both CAS the
+    // same version — exactly one must win, the other must throw the
+    // loud single-writer violation (never silently erase the winner)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val committed = new java.util.concurrent.atomic.AtomicLong(0)
+    val collided = new java.util.concurrent.atomic.AtomicLong(0)
+    val unexpected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def writer(idBase: Long) = new Thread(() => {
+      for (r <- 0 until rounds) {
+        barrier.await()
+        try {
+          t.append(Seq((idBase + r, s"w$idBase-$r")).toDF("id", "v"))
+          committed.incrementAndGet()
+        } catch {
+          case e: IllegalStateException
+              if e.getMessage.contains("concurrent writer") =>
+            collided.incrementAndGet()
+          case e: Throwable => unexpected.add(e)
+        }
+      }
+    })
+    val (a, b) = (writer(1000), writer(2000))
+    a.start(); b.start(); a.join(); b.join()
+    assert(unexpected.isEmpty, s"non-CAS failure: ${unexpected.peek()}")
+    assert(collided.get() >= 1,
+      "barrier-synced writers never collided — the race window was " +
+        "not exercised")
+    // consistency: every winning commit's row is present exactly once,
+    // every loser's row absent; version advanced once per winner
+    assert(t.read().count() == 1 + committed.get())
+    assert(t.version == 1 + committed.get())
+    assert(t.read().select(col("id")).distinct().count() ==
+      1 + committed.get())
+    // losers' stranded staging segments are unreferenced: vacuum with
+    // no grace reclaims them and the table still reads
+    t.vacuum(graceMs = 0L)
+    assert(t.read().count() == 1 + committed.get())
+  }
+
+  test("CAS commit: a writer that died between its CAS publish and the " +
+      "pointer rewrite is healed — readers resolve the commit file, the " +
+      "next commit repairs the pointer") {
+    val dir = tmp("mptheal") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v"))
+    t.append(Seq((2L, "b")).toDF("id", "v"))
+    val v = t.version
+    // forge the crash window: the per-version commit file for v+1
+    // landed (here: same segments, bumped version) but the pointer
+    // rewrite never happened
+    val ptr = Paths.get(dir, "_graft_manifest")
+    val forged = Files.readString(ptr)
+      .replace(s""""version":$v""", s""""version":${v + 1}""")
+    Files.writeString(
+      Paths.get(dir, "_graft_commits", f"${v + 1}%020d.json"), forged)
+    // readers resolve FORWARD past the stale pointer
+    assert(t.version == v + 1)
+    assert(t.read().count() == 2)
+    // the next commit builds on the healed head and repairs the pointer
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(t.version == v + 2)
+    assert(Files.readString(ptr).contains(s""""version":${v + 2}"""))
+    assert(t.read().count() == 3)
+  }
+
   test("managed parquet table: MERGE updates matches, inserts the rest, in one commit") {
     val t = new ManagedParquetTable(spark, tmp("mptm") + "/tbl")
     t.overwrite(Seq((1, "a"), (2, "b"), (4, "d")).toDF("id", "v"))
