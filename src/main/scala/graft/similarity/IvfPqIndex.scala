@@ -129,14 +129,17 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
   private def reorgMarker = Paths.get(indexPath, "_graft_reorg_inflight")
 
   /** Every read/maintenance entry point refuses while a reorg marker
-    * is up: between the lists overwrite and the artifact swap, codes
-    * and codebooks disagree — serving ADC scores from that state would
-    * be silently WRONG, not merely stale. */
+    * is up: inside the swap window, codes and codebooks can disagree —
+    * serving ADC scores from that state would be silently WRONG, not
+    * merely stale. The window is the six renames only (staging runs
+    * before the marker goes up), and a death inside it is recovered by
+    * [[recoverReorg]] — discard staging, restore the committed
+    * pre-reorg index — never a rebuild. */
   private def requireNoReorg(): Unit =
     require(!Files.exists(reorgMarker),
       s"index at $indexPath has an interrupted reorg (marker " +
-        s"$reorgMarker) — the lists and the frozen artifacts may " +
-        "disagree; delete the index dir, train() and refresh() to rebuild")
+        s"$reorgMarker) — call recoverReorg() (or re-run reorg()) to " +
+        "roll back to the committed pre-reorg index; no rebuild needed")
 
   private def rmDir(p: Path): Unit = {
     val hp = new org.apache.hadoop.fs.Path(p.toString)
@@ -158,24 +161,33 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     * restores recall at one full-encode cost: the FAISS
     * retrain-offline operating model, in place.
     *
-    * Crash contract (the compactIndex class): `_graft_reorg_inflight`
-    * brackets the lists-overwrite + artifact swap, and every entry
-    * point refuses while it is up, because codes and codebooks
-    * disagree mid-swap. The index is a derived artifact — recovery
-    * from a mid-reorg death is a rebuild. Training and staging run
-    * BEFORE the marker goes up (a death there leaves the index
-    * untouched). The re-encode covers the source HEAD snapshot, so
-    * the basis republishes to head after the swap (BasisTracker's
-    * usual fold-then-publish order): the next refresh folds only
-    * windows committed after the reorg — with the NEW artifacts. */
+    * Crash contract — CRASH-RECOVERABLE, never a rebuild: training,
+    * codebook staging AND the full re-encode all run BEFORE the marker
+    * goes up, into staging paths the live index never reads — probes
+    * serve the committed pre-reorg state through the whole expensive
+    * phase. The re-encoded lists stage as their OWN managed table
+    * (`lists.reorg`), mirroring how the artifacts already staged. The
+    * `_graft_reorg_inflight` marker then brackets only the six renames
+    * of the swap; a death inside that window is rolled back by
+    * [[recoverReorg]] (staging discarded, any piece already swapped
+    * restored from its `.old` twin — the reverse of the swap order),
+    * after which the index serves the pre-reorg state exactly as
+    * committed and `reorg()` can simply re-run. The basis publishes
+    * AFTER the marker clears: a death between them leaves the new
+    * index with the old basis, and the next refresh re-folds windows
+    * the re-encode already covered — drop-then-re-encode converges
+    * (a stale basis merely replays; publishing a too-new basis before
+    * a possible rollback would silently skip windows forever). The
+    * re-encode covers the source HEAD snapshot read BEFORE the data
+    * (the same order refresh() relies on), so windows committed
+    * DURING a long reorg replay instead of being skipped. */
   def reorg(iters: Int = 5, trainOn: Option[DataFrame] = None): Unit = {
+    // a leftover marker from a mid-swap death rolls back FIRST:
+    // staging is discarded, the committed pre-reorg index returns to
+    // service, and this run re-stages from scratch
+    if (Files.exists(reorgMarker)) recoverReorg()
     require(isTrained, s"index at $indexPath is not trained")
-    requireNoReorg()
-    // version BEFORE data, the same order refresh() relies on: the
-    // published basis must never be newer than the snapshot the
-    // re-encode covered, or windows committed DURING a long reorg
-    // would be skipped forever (a stale basis merely replays —
-    // idempotent; a too-new basis silently loses data)
+    moveCount = 0
     val headV = source.version - 1
     val lineage = source.tableId
     val live = source.read()
@@ -189,37 +201,83 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     // stage both artifacts fully before anything visible changes, then
     // encode from the STAGED parquet (never the in-memory frames) so
     // the swapped-in artifacts are bit-identical to what encoded the
-    // lists
-    val stageC = Paths.get(s"$centroidsDir.reorg")
-    val stageB = Paths.get(s"$codebooksDir.reorg")
-    rmDir(stageC); rmDir(stageB)
+    // lists; a pre-marker death leaves only stale staging dirs, which
+    // the next run clears here
+    val stageC = stageOf(centroidsDir)
+    val stageB = stageOf(codebooksDir)
+    rmDir(stageC); rmDir(stageB); rmDir(stageOf(listsDir))
     writeFrozen(newCents, stageC)
     writeFrozen(newCbs.select(col("sub"), col("code"), col("centroid")),
       stageB)
     val cents2 = spark.read.parquet(stageC.toString)
     val cbs2 = spark.read.parquet(stageB.toString)
     val nFull = live.select(col(idCol)).count()
-    // marker BEFORE the first visible mutation; never cleared in a
-    // finally — a failure must LEAVE it for the entry-point gates
+    // the expensive pass: re-encode the whole live table into the
+    // STAGED lists table — the live lists keep serving probes
+    val staged = new ManagedParquetTable(spark,
+      stageOf(listsDir).toString)
+    staged.overwrite(clustered(VectorFunctions.ivfPqEncode(
+      live, cents2, cbs2, m, ksub, dim, idCol, vecCol), nFull))
+    // marker brackets ONLY the swap renames; not cleared in a finally —
+    // a failure must LEAVE it so entry points refuse the mixed state
+    // until recoverReorg rolls it back
     Files.createDirectories(Paths.get(indexPath))
     Files.createFile(reorgMarker)
-    table.overwrite(clustered(VectorFunctions.ivfPqEncode(
-      live, cents2, cbs2, m, ksub, dim, idCol, vecCol), nFull))
-    // two-rename swap per artifact; a death between renames leaves no
-    // centroids dir at all — isTrained=false, still behind the marker
-    val oldC = Paths.get(s"$centroidsDir.old")
-    val oldB = Paths.get(s"$codebooksDir.old")
-    rmDir(oldC); rmDir(oldB)
-    Files.move(centroidsDir, oldC, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(stageC, centroidsDir, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(codebooksDir, oldB, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(stageB, codebooksDir, StandardCopyOption.ATOMIC_MOVE)
-    rmDir(oldC); rmDir(oldB)
-    // the re-encode covered the PRE-READ head snapshot: publish that
-    // version (an index that was behind is caught up as a side
-    // effect), THEN lift the gate — publish-before-clear keeps the
-    // marker the single authority on mixed state
+    swap(listsDir)
+    swap(centroidsDir)
+    swap(codebooksDir)
+    // marker down = the swap committed; basis AFTER (see contract)
+    Files.delete(reorgMarker)
     tracker.publish(headV, lineage)
+    rmDir(oldOf(listsDir)); rmDir(oldOf(centroidsDir))
+    rmDir(oldOf(codebooksDir))
+  }
+
+  private def listsDir = Paths.get(indexPath, "lists")
+  private def oldOf(p: Path) = Paths.get(s"$p.old")
+  private def stageOf(p: Path) = Paths.get(s"$p.reorg")
+
+  /** Forged-crash test seam: when ≥ 0, [[moveAtomic]] throws before
+    * performing rename number `crashBeforeMove` (0-based, counted per
+    * reorg call) — how the spec kills a reorg inside the swap window. */
+  private[graft] var crashBeforeMove: Int = -1
+  private var moveCount = 0
+
+  private def moveAtomic(a: Path, b: Path): Unit = {
+    if (crashBeforeMove >= 0 && moveCount >= crashBeforeMove)
+      throw new RuntimeException(
+        s"forged crash before reorg rename #$moveCount")
+    moveCount += 1
+    Files.move(a, b, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Two-rename swap of one index piece: live → .old, staged → live.
+    * Recovery reverses it from whichever rename a death left behind. */
+  private def swap(live: Path): Unit = {
+    rmDir(oldOf(live))
+    moveAtomic(live, oldOf(live))
+    moveAtomic(stageOf(live), live)
+  }
+
+  /** Roll BACK an interrupted reorg ("discard staging"): every piece
+    * whose `.old` twin exists is restored from it (covering a death
+    * between the two renames of a swap, or after both), staging dirs
+    * are removed, the marker clears. The index then serves the
+    * committed pre-reorg state exactly as it was — lists, artifacts
+    * AND basis (the basis only publishes after a completed swap), so
+    * refresh()/topK() resume immediately and `reorg()` can re-run. */
+  def recoverReorg(): Unit = {
+    require(Files.exists(reorgMarker),
+      s"no interrupted reorg at $indexPath")
+    // reverse swap order
+    for (live <- Seq(codebooksDir, centroidsDir, listsDir)) {
+      val old = oldOf(live)
+      if (Files.exists(old)) {
+        rmDir(live) // the staged piece already moved in (or nothing)
+        Files.move(old, live, StandardCopyOption.ATOMIC_MOVE)
+      }
+      rmDir(stageOf(live))
+    }
     Files.delete(reorgMarker)
   }
 

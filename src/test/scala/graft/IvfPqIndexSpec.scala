@@ -229,10 +229,78 @@ class IvfPqIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] { idx.refresh() }
     intercept[IllegalArgumentException] { idx.topK(qs, k = 5, nprobe = 2) }
     intercept[IllegalArgumentException] { idx.read() }
-    intercept[IllegalArgumentException] { idx.reorg(iters = 1) }
-    java.nio.file.Files.delete(marker)
+    // reorg() is also the recovery entry point: a leftover marker
+    // rolls back first (here: nothing was swapped), then the reorg
+    // re-runs to completion
+    idx.reorg(iters = 1)
+    assert(!java.nio.file.Files.exists(marker))
     idx.refresh()
     assert(idx.lastRefresh == "noop")
+  }
+
+  test("reorg() crash inside the swap window: entry points refuse the " +
+      "mixed state, recoverReorg discards staging and restores the " +
+      "committed pre-reorg index, a re-run completes, maintained == " +
+      "rebuilt") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_crash").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalIvfPqIndex(spark, s"$root/t", s"$root/idx",
+      m = M, ksub = Ksub, dim = Dim)
+    idx.train(e.filter($"vec_id" < 16),
+      pqTrain(e, m = M, ksub = Ksub, iters = 0, dim = Dim))
+    src.append(e.select($"vec_id", $"embedding"))
+    idx.refresh()
+    val qs = e.filter($"vec_id" < 5)
+    def probe() = idx.topK(qs, k = 5, nprobe = 4)
+      .select($"query_id", $"rank", $"neighbor_id")
+      .as[(Long, Long, Long)].collect().toSeq
+      .sortBy(t => (t._1, t._2))
+    val preReorg = probe()
+    val preBasis = idx.basis
+    // kill the swap before rename 0 (marker only), 1 (live lists moved
+    // aside, staged not yet promoted), 2 (lists swapped, artifacts
+    // not), and 5 (everything but the last codebook rename): every
+    // window must refuse service and roll back to the pre-reorg state
+    for (n <- Seq(0, 1, 2, 5)) {
+      idx.crashBeforeMove = n
+      val ex = intercept[RuntimeException] { idx.reorg(iters = 1) }
+      assert(ex.getMessage.contains("forged crash"), ex.getMessage)
+      intercept[IllegalArgumentException] { idx.read() }
+      intercept[IllegalArgumentException] { idx.topK(qs, 5, 4) }
+      intercept[IllegalArgumentException] { idx.refresh() }
+      idx.crashBeforeMove = -1
+      idx.recoverReorg()
+      assert(probe() === preReorg,
+        s"rollback after a crash at rename $n must serve the " +
+          "committed pre-reorg state")
+      assert(idx.basis == preBasis,
+        "rollback must leave the pre-reorg basis (the new basis only " +
+          "publishes after a completed swap)")
+    }
+    // the other recovery path: re-running reorg() itself rolls the dead
+    // swap back, then completes
+    idx.crashBeforeMove = 3
+    intercept[RuntimeException] { idx.reorg(iters = 1) }
+    idx.crashBeforeMove = -1
+    idx.reorg(iters = 1)
+    idx.refresh()
+    assert(idx.lastRefresh == "noop")
+    // maintenance after the recovered reorg is rebuild-exact under the
+    // swapped-in artifacts
+    src.append(e.select(($"vec_id" + 20000L).as("vec_id"), $"embedding"))
+    idx.refresh()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)
+    val maintained = idx.read()
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect().map(key).toSet
+    val rebuilt = ivfPqEncode(src.read(), idx.centroids, idx.codebooks,
+        M, Ksub, Dim)
+      .select($"vec_id", $"centroid_id", $"codes")
+      .collect().map(key).toSet
+    assert(maintained == rebuilt,
+      s"maintained ${maintained.size} vs rebuilt ${rebuilt.size}")
   }
 
   test("long horizon: 30 windows of append/dv-delete/rewriting-delete " +
