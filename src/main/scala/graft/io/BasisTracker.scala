@@ -3,19 +3,22 @@ package graft.io
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** The surface a streaming ingest drives per micro-batch: bring a
-  * derived index up to its source table's committed version. All three
-  * incremental maintainers (retrieval postings, flat quantized ANN,
-  * IVF-PQ) implement it over the one [[BasisTracker]] protocol, so a
-  * sink like `BronzeIngest.indexedIngestBatch` maintains ANY mix of
-  * indexes over one document table without knowing their internals —
-  * and inherits each maintainer's crash contract: refresh() is
-  * idempotent under whole-window replay, and the basis publishes only
-  * after the fold commits. */
+  * derived index up to its source table's committed version. Every
+  * incremental maintainer (retrieval postings, flat quantized ANN,
+  * IVF-PQ, and the materialized views) implements it over the one
+  * [[BasisTracker]] protocol, so a sink like
+  * `BronzeIngest.indexedIngestBatch` maintains ANY mix of indexes and
+  * MVs over one source table without knowing their internals — and
+  * inherits each maintainer's crash contract: refresh() is idempotent
+  * under whole-window replay, and the basis publishes only after the
+  * fold commits. */
 trait IndexMaintainer {
   def refresh(): Unit
 
   /** How the last refresh() on this instance resolved:
-    * "full" | "incremental" | "noop" | "" (never ran). */
+    * "full" | "incremental" | "noop" | "" (never ran); a maintainer
+    * may add values for resolutions only it has (the join view's
+    * "dim-remerge"). */
   def lastRefresh: String
 
   /** The SOURCE table version the index is current to (None before the

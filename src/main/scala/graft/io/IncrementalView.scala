@@ -62,7 +62,7 @@ final class IncrementalAggView(
     tablePath: String,
     viewPath: String,
     groupCols: Seq[String],
-    aggs: Seq[IncrementalAggView.AggSpec]) {
+    aggs: Seq[IncrementalAggView.AggSpec]) extends IndexMaintainer {
   import IncrementalAggView._
 
   require(groupCols.nonEmpty, "at least one group column")
@@ -72,6 +72,25 @@ final class IncrementalAggView(
 
   private def table = new ManagedParquetTable(spark, tablePath)
   private def manifest = Paths.get(viewPath, "_graft_view_manifest")
+
+  /** The MV is a maintained index like any other ([[IndexMaintainer]]):
+    * the shared [[BasisTracker]] dispatches full/incremental/noop on
+    * the source's delta-log version and guards against a
+    * deleted-and-recreated source (lineage + regression checks) —
+    * exactly as the retrieval and ANN maintainers do — so one
+    * streaming sink (`BronzeIngest.indexedIngestBatch`) maintains MVs
+    * and indexes through the one protocol. The MAINTENANCE GRAIN
+    * stays file-diff-based (this class's original basis): the view
+    * manifest records the exact file set + dv entries the state was
+    * computed from, which is strictly finer than a version window —
+    * the tracker adds the version-level noop short-circuit, the
+    * recreation guard, and the sink-visible [[basis]]. The tracker
+    * basis publishes AFTER the view's own manifest flip (refreshTo's
+    * fold-then-publish order): a crash between them replays the
+    * window, and the file-diff finds nothing left to fold. */
+  private val tracker = new BasisTracker(viewPath, tablePath)
+
+  def basis: Option[Long] = tracker.basis
 
   /** How the last refresh() on this instance resolved:
     * "full" | "incremental" | "noop" | "" (never ran). */
@@ -117,8 +136,24 @@ final class IncrementalAggView(
     * and ONE scan of just those files rebuilds their partials
     * DV-applied — O(touched files), never O(table). */
   def refresh(): Unit = {
+    // version + lineage BEFORE the file snapshot (the order every
+    // maintainer uses): the published basis must never be newer than
+    // the snapshot the fold covered — a stale basis merely replays
+    val headV = table.version - 1
+    val lineage = table.tableId
     val nowFiles = table.deltaSnapshotFiles().toSet
     require(nowFiles.nonEmpty, s"table at $tablePath has no data files")
+    val how = tracker.refreshTo(headV, lineage) {
+      fullRebuild(nowFiles)
+    } { _ => refreshCore(nowFiles) }
+    // version-level noop never runs the fold; otherwise the fold
+    // recorded how it actually resolved ("full" when a guard forced a
+    // rebuild mid-window) — keep the honest value
+    if (how == "noop") lastRefresh = "noop"
+  }
+
+  /** The file-diff fold — see [[refresh]]. */
+  private def refreshCore(nowFiles: Set[String]): Unit = {
     loadManifest() match {
       case Some(m) =>
         val curDvs = table.dvEntries
@@ -442,7 +477,7 @@ final class IncrementalJoinAggView(
     factKeyCols: Seq[String],
     dims: Seq[IncrementalJoinAggView.Dim],
     finalGroupCols: Seq[String],
-    aggs: Seq[IncrementalAggView.AggSpec]) {
+    aggs: Seq[IncrementalAggView.AggSpec]) extends IndexMaintainer {
   import IncrementalAggView.AggSpec
   import IncrementalJoinAggView.JManifest
 
@@ -452,6 +487,13 @@ final class IncrementalJoinAggView(
     * file — the machinery that keeps fact maintenance O(delta). */
   private val inner = new IncrementalAggView(spark, factPath,
     s"$viewPath/fact_state", factKeyCols, aggs)
+
+  /** The FACT table version the view is current to (the inner view's
+    * tracker basis): a streaming ingest of the fact maintains this
+    * view like any other index. Dim changes never advance it — they
+    * are finalize-only (the dim versions live in this view's own
+    * manifest and trigger the bounded re-merge). */
+  def basis: Option[Long] = inner.basis
 
   private def manifest = Paths.get(viewPath, "_graft_jview_manifest")
 

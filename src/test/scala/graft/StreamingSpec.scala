@@ -844,6 +844,188 @@ class StreamingSpec extends SparkSpec {
         "the mirror log no longer holds the tagged commit")
   }
 
+  test("ST15 mixed maintainers: ONE sink maintains retrieval + IVF-PQ " +
+      "+ flat-vector indexes AND a materialized view over one table; a " +
+      "mid-sequence kill between refreshes skews their bases, and the " +
+      "replayed batch heals every one to its fresh rebuild") {
+    import graft.io.{IndexMaintainer, ManagedParquetTable}
+    import graft.io.IncrementalAggView
+    import graft.io.IncrementalAggView.AggSpec
+    import graft.similarity.{IncrementalIvfPqIndex, IncrementalVectorIndex}
+    import graft.similarity.VectorFunctions
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st15m").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    // one wide source table feeds all four maintainers: text for the
+    // retrieval index, the embedding for both vector indexes, cat +
+    // n_chars for the aggregate view
+    val wide = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", $"n_chars")
+      .join(Tables.embeddings(spark, sf)
+        .select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      .withColumn("cat", $"doc_id" % 5)
+      .limit(150)
+      .cache()
+    val (m, ksub, dim) = (4, 16, 64)
+    val retrieval = new IncrementalInvertedIndex(spark, s"$dir/docs",
+      s"$dir/ridx", nBuckets = 8)
+    val ivfpq = new IncrementalIvfPqIndex(spark, s"$dir/docs",
+      s"$dir/vidx", m = m, ksub = ksub, dim = dim, idCol = "doc_id")
+    val flat = new IncrementalVectorIndex(spark, s"$dir/docs",
+      s"$dir/fidx", idCol = "doc_id")
+    val mv = new IncrementalAggView(spark, s"$dir/docs", s"$dir/mv",
+      Seq("cat"), Seq(AggSpec("count", "", "n_docs"),
+        AggSpec("sum", "n_chars", "chars")))
+    ivfpq.train(
+      wide.filter($"doc_id" < 40).limit(16).select($"doc_id", $"embedding"),
+      VectorFunctions.pqTrain(wide, m = m, ksub = ksub, iters = 0,
+        dim = dim, idCol = "doc_id"))
+    // every maintainer ≡ its fresh rebuild, in one pass
+    def assertAllFresh(where: String): Unit = {
+      val live = t.read()
+      // retrieval: probe parity vs a from-scratch index
+      val ref = Files.createTempDirectory("graft_st15m_ref").toString
+      InvertedIndex.buildIndex(live.select($"doc_id", $"text"),
+        "text", "doc_id", ref, nBuckets = 8)
+      def bm(p: String) = InvertedIndex.bm25TopKIndexed(spark, p,
+        "hash join table", k = 20, nBuckets = 8)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(bm(s"$dir/ridx") === bm(ref), s"retrieval != rebuild $where")
+      // IVF-PQ: maintained lists == from-scratch encode, row for row
+      def vkey(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)
+      val vMaint = ivfpq.read()
+        .select($"doc_id", $"centroid_id", $"codes")
+        .collect().map(vkey).toSet
+      val vRebuilt = VectorFunctions.ivfPqEncode(live, ivfpq.centroids,
+          ivfpq.codebooks, m, ksub, dim, idCol = "doc_id")
+        .select($"doc_id", $"centroid_id", $"codes")
+        .collect().map(vkey).toSet
+      assert(vMaint == vRebuilt, s"ivfpq != rebuild $where")
+      // flat quantized: maintained == from-scratch encode
+      def fkey(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getSeq[Int](1).toList)
+      val fMaint = flat.read().select($"doc_id", $"codes")
+        .collect().map(fkey).toSet
+      val fRebuilt = VectorFunctions.buildQuantizedIndex(live,
+          idCol = "doc_id").select($"doc_id", $"codes")
+        .collect().map(fkey).toSet
+      assert(fMaint == fRebuilt, s"flat index != rebuild $where")
+      // MV: maintained state == one-shot aggregate of the live table
+      val mMaint = mv.read().as[(Long, Long, Long)].collect().toSet
+      val mRebuilt = live.groupBy($"cat")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(mMaint == mRebuilt, s"mv != rebuild $where")
+    }
+    val all = wide.collect().toSeq
+    def batchDf(lo: Int, hi: Int) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        all.slice(lo, hi), 2), wide.schema)
+    // a wrapper maintainer that dies on its first refresh — the forged
+    // mid-sequence kill: maintainers BEFORE it in the mix have already
+    // refreshed this window, maintainers after it have not (the basis
+    // skew the one-sink-many-indexes claim must survive)
+    final class CrashOnce(inner: IndexMaintainer) extends IndexMaintainer {
+      var armed = false
+      def refresh(): Unit = {
+        if (armed) { armed = false
+          throw new RuntimeException("forged mid-sequence kill") }
+        inner.refresh()
+      }
+      def lastRefresh: String = inner.lastRefresh
+      def basis: Option[Long] = inner.basis
+    }
+    val ivfpqWrapped = new CrashOnce(ivfpq)
+    val mix: Seq[IndexMaintainer] =
+      Seq(retrieval, ivfpqWrapped, flat, mv)
+    // batch 0: all four full-build through the sink
+    BronzeIngest.indexedIngestBatch(t, batchDf(0, 60), 0L, "st15m", mix)
+    assert(Seq(retrieval, ivfpq, flat, mv).forall(_.lastRefresh == "full"))
+    assertAllFresh("after batch 0")
+    // batch 1 dies between refreshes: retrieval has folded the window,
+    // ivfpq/flat/mv have not — bases now SKEWED across the mix
+    ivfpqWrapped.armed = true
+    val ex = intercept[RuntimeException] {
+      BronzeIngest.indexedIngestBatch(t, batchDf(60, 110), 1L, "st15m", mix)
+    }
+    assert(ex.getMessage.contains("forged mid-sequence kill"))
+    assert(retrieval.basis != ivfpq.basis,
+      "the kill must land between refreshes: bases should be skewed")
+    // the restarted stream re-presents batch 1: the tagged append must
+    // skip, the already-refreshed maintainer must noop, the skewed
+    // ones must fold exactly the missing window
+    val rows = t.read().count()
+    val v = t.version
+    BronzeIngest.indexedIngestBatch(t, batchDf(60, 110), 1L, "st15m", mix)
+    assert(t.read().count() == rows && t.version == v,
+      "replayed batch must not re-append")
+    assert(retrieval.lastRefresh == "noop")
+    assert(Seq(ivfpq, flat, mv).forall(_.lastRefresh == "incremental"),
+      s"skewed maintainers must fold the missing window, got " +
+        s"${Seq(ivfpq, flat, mv).map(_.lastRefresh)}")
+    assertAllFresh("after the replayed batch 1")
+    // one more clean window through the whole mix
+    BronzeIngest.indexedIngestBatch(t, batchDf(110, 150), 2L, "st15m", mix)
+    assert(Seq(retrieval, ivfpq, flat, mv)
+      .forall(_.lastRefresh == "incremental"))
+    assert(Seq[IndexMaintainer](retrieval, ivfpq, flat, mv)
+      .flatMap(_.basis).distinct.size == 1,
+      "after a clean window every maintainer is current to ONE basis")
+    assertAllFresh("after batch 2")
+    wide.unpersist()
+  }
+
+  test("ST15 MV: a materialized view trails a checkpointed streaming " +
+      "ingest through the same sink as the indexes; kill + replay " +
+      "converges to the one-shot aggregate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.io.{IncrementalAggView, ManagedParquetTable}
+    import graft.io.IncrementalAggView.AggSpec
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft_st15mv").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val mv = new IncrementalAggView(spark, s"$dir/docs", s"$dir/mv",
+      Seq("cat"), Seq(AggSpec("count", "", "n_docs"),
+        AggSpec("sum", "n_chars", "chars"),
+        AggSpec("hll", "doc_id", "uniq")))
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", ($"doc_id" % 5).as("cat"), $"n_chars")
+      .limit(120).as[(Long, Long, Long)].collect().toSeq
+    val input = MemoryStream[(Long, Long, Long)]
+    def startQ() = input.toDF().toDF("doc_id", "cat", "n_chars")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ck")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        BronzeIngest.indexedIngestBatch(t, b, id, "st15mv", Seq(mv))
+      }.start()
+    input.addData(all.take(70): _*)
+    val q1 = startQ()
+    q1.processAllAvailable()
+    assert(mv.lastRefresh == "full")
+    input.addData(all.drop(70): _*)
+    q1.processAllAvailable()
+    q1.stop()
+    assert(mv.lastRefresh == "incremental")
+    forgeReplay(s"$dir/ck")
+    val rows = t.read().count()
+    val q2 = startQ()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(t.read().count() == rows,
+      "replayed batch must not duplicate rows")
+    val maintained = mv.readFinal().as[(Long, Long, Long, Long)]
+      .collect().toSet
+    val oneShot = t.read().groupBy($"cat")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"),
+        expr("hll_sketch_estimate(hll_sketch_agg(doc_id))").as("uniq"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(maintained == oneShot,
+      "maintained MV (incl. HLL state) must equal the one-shot aggregate")
+  }
+
   test("ST15 vector: the persisted IVF-PQ index trails a streaming " +
       "embedding ingest; kill + checkpoint replay converges to rebuild") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
