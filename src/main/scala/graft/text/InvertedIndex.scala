@@ -468,6 +468,12 @@ object InvertedIndex {
 
   private def indexBuckets(spark: SparkSession, path: String,
       fallback: Int): Int = {
+    // EVERY index-rooted operation resolves its bucket count here, so
+    // this is the one gate that makes a torn bucket-layout swap
+    // (compaction or rebucket died mid-rename) refuse service: the
+    // meta and the postings dirs may disagree on the modulus, and a
+    // probe would silently read the WRONG buckets
+    requireNoSwap(spark, path)
     val p = new org.apache.hadoop.fs.Path(s"$path/_graft_index_meta")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) fallback
@@ -479,6 +485,26 @@ object InvertedIndex {
           .map(_.group(1).toInt).getOrElse(fallback)
       } finally in.close()
     }
+  }
+
+  private def swapMarker(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_graft_swap_inflight")
+
+  /** Refuse while a layout swap (compaction/rebucket dir renames) is
+    * in flight or died mid-way: unlike a torn GENERATION (which the
+    * gen < committed predicate hides from probes for free), a torn
+    * LAYOUT cannot be read around — the bucket modulus itself is in
+    * doubt. Recovery is [[buildIndex]] (the index is a derived
+    * artifact; a basis-tracked maintainer rebuilds it on its next
+    * refresh after the marker-holding dir is rebuilt). */
+  private def requireNoSwap(spark: SparkSession, path: String): Unit = {
+    val p = swapMarker(path)
+    if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      throw new IllegalStateException(
+        s"index at $path has an interrupted layout swap (marker $p) — " +
+          "a compaction or rebucket died mid-rename and the bucket " +
+          "layout may disagree with the meta; rebuild the index " +
+          "(buildIndex / delete + refresh)")
   }
 
   /** Build a complete retrieval index under `path`:
@@ -519,9 +545,12 @@ object InvertedIndex {
     val tp = new org.apache.hadoop.fs.Path(s"$path/tombstones")
     tp.getFileSystem(spark.sessionState.newHadoopConf()).delete(tp, true)
     // a rebuild is also the blunt recovery path: any in-flight marker
-    // refers to state the overwrite below replaces wholesale
+    // (torn generation OR torn layout swap) refers to state the
+    // overwrite below replaces wholesale
     val ip = new org.apache.hadoop.fs.Path(inflightDir(path))
-    ip.getFileSystem(spark.sessionState.newHadoopConf()).delete(ip, true)
+    val ifs = ip.getFileSystem(spark.sessionState.newHadoopConf())
+    ifs.delete(ip, true)
+    ifs.delete(swapMarker(path), false)
     // stale manifests describe the OLD files: drop them FIRST so a
     // crash mid-build leaves a manifest-less index (repair falls back
     // to the footer sweep instead of trusting a lying base)
@@ -1130,16 +1159,42 @@ object InvertedIndex {
     * the index-side `compactDeletes`. One full postings scan; run it
     * when tombstones or append-file counts cross an operational
     * threshold so PROBE cost stays flat across the index's life. The
-    * swap is directory-level (single-writer contract, same as the
-    * maintenance ops); a crash mid-swap is recovered by rebuilding —
-    * the index is a derived artifact of the document table. */
+    * swap is directory-level behind `_graft_swap_inflight` (probes and
+    * maintenance refuse a torn layout via [[indexBuckets]]); a crash
+    * mid-swap is recovered by rebuilding — the index is a derived
+    * artifact of the document table. */
   def compactIndex(spark: SparkSession, path: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = DefaultBuckets): Unit =
+    compactCore(spark, path, indexBuckets(spark, path, nBuckets))
+
+  /** REBUCKET the index to `newBuckets` — the layout reorg a corpus
+    * that outgrew its build-time bucket count needs: nBuckets freezes
+    * at [[buildIndex]] (placement depends on the modulus), so a corpus
+    * that grows 100× turns each bucket into a monster probe scan;
+    * conversely a corpus that shrank pays per-bucket listing overhead
+    * for nothing. This is [[compactIndex]] (same one-pass rewrite,
+    * same tombstone fold, same generation reset, same swap-marker
+    * commit protocol) writing the live postings and doclens under the
+    * NEW modulus and republishing the meta with it — maintenance and
+    * probes resolve the new count from the meta on their next call
+    * (their `nBuckets` parameter is only a pre-meta fallback). Cost is
+    * one full postings scan — the same class as compaction, scheduled
+    * at the same operational cadence; probes serve the OLD layout
+    * until the swap and refuse during it (the rename window), never a
+    * mix. */
+  def rebucket(spark: SparkSession, path: String,
+      newBuckets: Int): Unit = {
+    require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
+    requireNoSwap(spark, path)
+    compactCore(spark, path, newBuckets)
+  }
+
+  private def compactCore(spark: SparkSession, path: String,
+      nb: Int): Unit = {
     import org.apache.hadoop.fs.Path
     requireNoInflight(spark, path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
-    val nb = indexBuckets(spark, path, nBuckets)
     val committed = generation(spark, path) // one footer read for both passes
     val livePost = {
       // committed generations only — same contract as probes: torn
@@ -1174,6 +1229,11 @@ object InvertedIndex {
     // manifest-less index degrades repair to the footer sweep rather
     // than trusting a stale base)
     fs.delete(new Path(genfilesDir(path)), true)
+    // marker brackets the renames + the meta republish: a death inside
+    // leaves a layout whose modulus is in doubt, and requireNoSwap
+    // (via indexBuckets) makes every probe and maintenance call refuse
+    // it instead of reading the wrong buckets
+    fs.create(swapMarker(path), true).close()
     for (d <- Seq("postings", "postings.compact_stats", "doclen", "corpus")) {
       d match {
         case "postings.compact_stats" =>
@@ -1186,6 +1246,10 @@ object InvertedIndex {
       }
     }
     fs.delete(new Path(s"$path/tombstones"), true)
+    // the meta must agree with the swapped-in layout before the gate
+    // lifts — this is what makes rebucket atomic from a prober's view
+    writeMeta(spark, path, nb)
+    fs.delete(swapMarker(path), false)
     // compacted files are committed state: fresh base snapshot
     writeGenManifest(spark, path, "base", listAllDataFiles(spark, path))
   }

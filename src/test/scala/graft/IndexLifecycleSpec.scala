@@ -125,6 +125,16 @@ class IndexLifecycleSpec extends SparkSpec {
         assert(maxFilesPerBucket() == 1,
           s"window $w: compaction must fold every bucket to one file")
       }
+      // layout reorg at its own cadence: the corpus "outgrows" (or
+      // shrinks under) its build-time bucket count and re-shards —
+      // probes and the maintainer must resolve each new modulus from
+      // the meta and stay oracle-exact across every switch
+      if (w % 17 == 0) {
+        InvertedIndex.rebucket(spark, s"$root/idx",
+          newBuckets = if ((w / 17) % 2 == 1) 7 else 3)
+        assert(maxFilesPerBucket() == 1,
+          s"window $w: rebucket must fold every bucket to one file")
+      }
       val mf = maxFilesPerBucket()
       maxEver = math.max(maxEver, mf)
       growth += ((w, mf))

@@ -533,6 +533,61 @@ class InvertedIndexSpec extends SparkSpec {
       s"compaction must consolidate: $filesBefore -> $filesAfter")
   }
 
+  test("rebucket: live postings re-shard to the new modulus behind the " +
+      "swap marker; probes and maintenance resolve the new count from " +
+      "the meta; a torn swap refuses every entry point until rebuild") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_rb").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val q = "hash join table"
+    def probe() = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20,
+      nBuckets = 8).as[(Long, Long, Long, Long)].collect().toSeq
+    // churn under 8 buckets: build + append + tombstones
+    InvertedIndex.buildIndex(docs.where($"doc_id" % 3 === 0),
+      "text", "doc_id", dir, nBuckets = 8)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 3 =!= 0),
+      "text", "doc_id", dir, nBuckets = 8)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 7),
+      "doc_id", dir)
+    val before = probe()
+    // the corpus "outgrew" 8 buckets: re-shard to 19
+    InvertedIndex.rebucket(spark, dir, newBuckets = 19)
+    assert(probe() === before, "rebucket must not change any result")
+    // layout really is 19-way now: meta + physical bucket dirs agree
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("bucket=")) > 8)
+    // maintenance AFTER the rebucket places by the NEW modulus (its
+    // own nBuckets arg is a pre-meta fallback, the meta must win)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 3),
+      "doc_id", dir, nBuckets = 8)
+    val live = docs.where($"doc_id" % 10 =!= 7 && $"doc_id" % 10 =!= 3)
+    val ref = InvertedIndex.bm25TopK(live, "text", "doc_id", q, k = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(probe() === ref,
+      "post-rebucket maintenance must equal the direct scorer")
+    // torn swap: a forged leftover marker gates EVERY entry point —
+    // the bucket modulus itself is in doubt, a probe would read the
+    // wrong buckets silently
+    val marker = new java.io.File(s"$dir/_graft_swap_inflight")
+    assert(marker.createNewFile())
+    intercept[IllegalStateException] { probe() }
+    intercept[IllegalStateException] {
+      InvertedIndex.appendDocs(docs.limit(1), "text", "doc_id", dir,
+        nBuckets = 8)
+    }
+    intercept[IllegalStateException] {
+      InvertedIndex.compactIndex(spark, dir, nBuckets = 8)
+    }
+    intercept[IllegalStateException] {
+      InvertedIndex.rebucket(spark, dir, newBuckets = 5)
+    }
+    // buildIndex is the blunt recovery: clears the marker, serves again
+    InvertedIndex.buildIndex(live, "text", "doc_id", dir, nBuckets = 8)
+    assert(!marker.exists())
+    assert(probe() === ref)
+  }
+
   test("bm25: monotone in tf, bounded by idf·(k1+1) equivalent, ties by doc_id") {
     val docs = Seq(
       (1L, "q q q q filler filler filler filler"),
