@@ -1045,6 +1045,128 @@ object Text {
                 AS recall_permille
             FROM nt, h"""))
 
+  /** t20b: t20's recall gate with the hybrid path's PROBE-FANOUT knob
+    * turned up — the same corpus, probe, and exact-fusion truth, but
+    * the dense retriever probes the full Hamming-≤2 shell
+    * (HybridRetrieval.topK with probeFanout = 1 + 8 + 28 = 37, the
+    * v14 multi-probe machinery's ring-2 extension) instead of its
+    * single bucket. This is the dial a deployment turns when t20's
+    * single-probe recall is not enough: recall rises from t20's
+    * ~600‰ to ≥800‰ here (measured 850‰ at sf0.01 AND sf0.1;
+    * OperatorsSpec asserts the floor) while cost stays O(lists·k) —
+    * the fanout rides the broadcast QUERY side only, the corpus is
+    * still bucket-joined, never scanned. */
+  val hybridRecallMpQ: GQuery = GQuery(
+    "t20b_hybrid_recall_mp",
+    (s, d) => {
+      val sparse = graft.text.InvertedIndex.bm25TopK(
+        docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id",
+        "hash join table", k = 30).select(col("doc_id"), col("rank"))
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0)
+      val denseExact = graft.similarity.VectorFunctions
+        .bruteForceTopK(e, qv, k = 30)
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      val exactF = graft.operators.Ranking.rrfFuse(
+        Seq(sparse, denseExact), "doc_id", "rank", k = 20)
+        .select(col("doc_id"))
+      val annF = graft.text.HybridRetrieval.topK(
+        docs(s, d).select(col("doc_id"), col("text")), "text", "doc_id",
+        "hash join table", e, queryVecId = 0L, k = 20, listK = 30,
+        planes = 8, dim = 64, probeFanout = 37)
+        .select(col("doc_id").as("__a_id"))
+      val hit = exactF
+        .join(annF, col("doc_id") === col("__a_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      exactF.agg(count(lit(1)).as("n_true"))
+        .crossJoin(hit)
+        .select(col("n_true"), col("n_hit"),
+          Exact.roundDiv(col("n_hit") * 1000, col("n_true"))
+            .as("recall_permille"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),
+            corpus AS (SELECT CAST(count(*) AS BIGINT) AS n,
+              CAST(sum(dl) AS BIGINT) AS tt FROM lens),
+            tf AS (SELECT doc_id, tok AS token,
+              CAST(count(*) AS BIGINT) AS tf
+              FROM t, unnest(toks) AS u(tok)
+              WHERE tok IN ('hash', 'join', 'table') GROUP BY 1, 2),
+            dfreq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY 1),
+            sc AS (SELECT doc_id,
+              (((n * 1000) // df) * (tf * 22 * tt))
+                // (10 * tt * tf + 3 * tt + 9 * dl * n) AS s
+              FROM tf JOIN dfreq USING (token) JOIN lens USING (doc_id),
+                corpus),
+            agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc
+              GROUP BY 1),
+            bmr AS (SELECT doc_id, CAST(row_number() OVER
+              (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg
+              QUALIFY rank <= 30),
+            pairs AS (SELECT c.vec_id AS doc_id,
+              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), i ->
+                  CAST(q.embedding[i+1] AS DOUBLE) *
+                  CAST(c.embedding[i+1] AS DOUBLE))),
+                (acc, x) -> acc + x) AS qc,
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), i ->
+                  CAST(q.embedding[i+1] AS DOUBLE) *
+                  CAST(q.embedding[i+1] AS DOUBLE))),
+                (acc, x) -> acc + x)) AS qn,
+              sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                list_transform(range(64), i ->
+                  CAST(c.embedding[i+1] AS DOUBLE) *
+                  CAST(c.embedding[i+1] AS DOUBLE))),
+                (acc, x) -> acc + x)) AS cn
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id = 0),
+            dnr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY
+              round(CASE WHEN qn * cn = 0 THEN 0.0 ELSE qc / (qn * cn) END,
+                6) DESC, doc_id) AS BIGINT) AS rank
+              FROM pairs QUALIFY rank <= 30),
+            b AS (SELECT vec_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(8), j ->
+                  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list_transform(range(64), i ->
+                      CAST(embedding[i+1] AS DOUBLE) *
+                      (CAST(((2654435761 * (j*64 + i + 1)) % 1000000007)
+                            % 2001 - 1000 AS DOUBLE) / 1000.0))),
+                    (acc, x) -> acc + x) > 0
+                  THEN CAST(1 AS BIGINT) << j ELSE CAST(0 AS BIGINT) END)),
+                (acc, x) -> acc + x) AS bucket
+              FROM embeddings),
+            anr AS (SELECT p.doc_id, CAST(row_number() OVER (ORDER BY
+              round(CASE WHEN p.qn * p.cn = 0 THEN 0.0
+                ELSE p.qc / (p.qn * p.cn) END, 6) DESC, p.doc_id)
+                AS BIGINT) AS rank
+              FROM pairs p
+              JOIN b c ON c.vec_id = p.doc_id
+              JOIN b q ON q.vec_id = 0
+                AND bit_count(xor(c.bucket, q.bucket)) <= 2
+              QUALIFY rank <= 30),
+            fe AS (SELECT doc_id FROM (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+              FROM (SELECT doc_id, 1000000 // (60 + rank) AS c FROM bmr
+                UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM dnr)
+              GROUP BY 1) QUALIFY row_number() OVER
+                (ORDER BY rrf_score DESC, doc_id) <= 20),
+            fa AS (SELECT doc_id FROM (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS rrf_score
+              FROM (SELECT doc_id, 1000000 // (60 + rank) AS c FROM bmr
+                UNION ALL SELECT doc_id, 1000000 // (60 + rank) FROM anr)
+              GROUP BY 1) QUALIFY row_number() OVER
+                (ORDER BY rrf_score DESC, doc_id) <= 20),
+            h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+              FROM fe JOIN fa USING (doc_id)),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM fe)
+            SELECT nt.n_true, h.n_hit,
+              ${Exact.roundDivSqlPos("h.n_hit * 1000", "nt.n_true")}
+                AS recall_permille
+            FROM nt, h"""))
+
   /** t19: the BASIS-TRACKED maintainer end to end — a managed document
     * table commits three windows (initial corpus, late append, DV +
     * rewriting deletes) and `IncrementalInvertedIndex.refresh()` folds
@@ -1103,5 +1225,5 @@ object Text {
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
       bm25Q, bm25IndexedQ, multiPhraseQ, hybridRrfQ, indexRefreshQ,
-      hybridRecallQ)
+      hybridRecallQ, hybridRecallMpQ)
 }

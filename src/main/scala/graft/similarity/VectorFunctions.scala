@@ -135,30 +135,46 @@ object VectorFunctions {
     perQueryTopK(scored, k, shards)
   }
 
-  /** Multi-probe LSH top-k: each query probes its own bucket AND every
-    * Hamming-1 neighbor bucket (planes+1 probe codes). Single-bucket
-    * LSH recall collapses when a true neighbor lands one sign-flip
-    * away (the v13 diagnostic measures exactly this); probing the
-    * Hamming-1 shell is the standard recovery (Lv et al., VLDB 2007)
-    * and costs probe-key fanout on the QUERY side only — the corpus
-    * is still bucket-joined, never scanned. The probe codes of one
-    * query are pairwise distinct, so a candidate matches at most one
-    * probe and no dedup pass is needed; ranking is shard-bounded like
-    * every other top-k path. */
+  /** Multi-probe LSH top-k: each query probes its own bucket AND
+    * Hamming-1 neighbor buckets. Single-bucket LSH recall collapses
+    * when a true neighbor lands one sign-flip away (the v13
+    * diagnostic measures exactly this); probing the Hamming-1 shell
+    * is the standard recovery (Lv et al., VLDB 2007) and costs
+    * probe-key fanout on the QUERY side only — the corpus is still
+    * bucket-joined, never scanned. `probes` is the fanout knob: how
+    * many probe codes each query expands to, filled ring by ring in a
+    * deterministic order — ring 0 is the query's own bucket (fanout 1
+    * ≡ [[lshTopK]]), ring 1 the `planes` Hamming-1 neighbors (fanout
+    * planes+1 = the full H1 shell, and the default via ≤ 0), ring 2
+    * the C(planes, 2) Hamming-2 neighbors (fanout up to
+    * 1 + planes + planes·(planes−1)/2) — the recall-vs-candidate-count
+    * dial a deployment turns per corpus (t20 vs t20b gates measure
+    * exactly this dial's effect on fused hybrid recall). The probe
+    * codes of one query are pairwise distinct (distinct flip masks),
+    * so a candidate matches at most one probe and no dedup pass is
+    * needed; ranking is shard-bounded like every other top-k path. */
   def lshMultiProbeTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int, dim: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding", shards: Int = 64): DataFrame = {
+      vecCol: String = "embedding", shards: Int = 64,
+      probes: Int = -1): DataFrame = {
+    val masks: IndexedSeq[Long] =
+      0L +:
+        ((0 until planes).map(j => 1L << j) ++
+          (for (j1 <- 0 until planes; j2 <- j1 + 1 until planes)
+            yield (1L << j1) | (1L << j2))).toIndexedSeq
+    val fan =
+      if (probes <= 0) planes + 1 else math.min(probes, masks.size)
     val code = (c: Column) => lshCode(c, planes, dim)
-    val probes = queries
+    val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         code(col(vecCol)).as("b0"))
       .withColumn("bucket", explode(array(
-        col("b0") +: (0 until planes).map(j =>
-          col("b0").bitwiseXOR(lit(1L << j))): _*)))
+        masks.take(fan).map(m =>
+          col("b0").bitwiseXOR(lit(m))): _*)))
       .select(col("query_id"), col("qv"), col("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       code(col(vecCol)).as("bucket"))
-    val scored = c.join(broadcast(probes), "bucket")
+    val scored = c.join(broadcast(probed), "bucket")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     perQueryTopK(scored, k, shards)

@@ -343,6 +343,27 @@ class OperatorsSpec extends SparkSpec {
     assert(nHit >= 1L && nHit <= nTrue)
     assert(permille >= 500L,
       s"hybrid fusion recall collapsed: $nHit/$nTrue = $permille permille")
+    // the probe-fanout dial (t20b): the SAME corpus and probe with the
+    // full Hamming-<=2 multi-probe shell must clear a HIGHER floor —
+    // this is the knob a deployment turns when single-probe recall is
+    // not enough, and the two floors together pin the dial's effect.
+    // Asserted at the CORRECTNESS-GATE fixture (sf0.01 — measured
+    // 850 permille there and at sf0.1): the sf0.001 smoke corpus is
+    // too thin (~50 vectors over 256 codes) for a stable 800 floor.
+    val sf01 = "/root/testdata/sf0.01"
+    val mp = SparkEntry.queries("t20b_hybrid_recall_mp")(spark, sf01)
+      .collect().head
+    val (mpTrue, mpHit, mpPermille) =
+      (mp.getLong(0), mp.getLong(1), mp.getLong(2))
+    assert(mpTrue == 20L)
+    assert(mpPermille >= 800L,
+      s"multi-probe hybrid recall below floor: $mpHit/$mpTrue = " +
+        s"$mpPermille permille")
+    val sp01 = SparkEntry.queries("t20_hybrid_recall")(spark, sf01)
+      .collect().head.getLong(2)
+    assert(mpPermille >= sp01,
+      "widening the probe fanout must never lose fused recall: " +
+        s"single-probe $sp01 vs multi-probe $mpPermille")
     // rank columns that would break string-spliced SQL (spaces, dots)
     // must resolve like any identifier — the fusion is Column-API-built
     val a = Seq((10L, 1L), (20L, 2L)).toDF("doc_id", "the rank.col")

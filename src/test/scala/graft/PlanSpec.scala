@@ -109,6 +109,10 @@ class PlanSpec extends SparkSpec {
       "t20_hybrid_recall" -> ("t18's audited top-k frames twice over " +
         "(bm25TopK's post-limit row_number + one per rrfFuse limit(20)) " +
         "feeding a ≤20-row recall join — every global window ranks a " +
+        "post-limit frame, never corpus rows"),
+      "t20b_hybrid_recall_mp" -> ("t20's exact shape with the dense " +
+        "side multi-probed — the probe fanout widens only the " +
+        "broadcast QUERY side; every global window still ranks a " +
         "post-limit frame, never corpus rows"))
     val found = Catalog.all.map { q =>
       q.name -> q.run(spark, sf).queryExecution.sparkPlan.collect {
