@@ -1167,6 +1167,113 @@ object Text {
                 AS recall_permille
             FROM nt, h"""))
 
+  /** e3: the CAPSTONE end-to-end training-data pipeline — every stage
+    * a 100 TB pretraining feed runs, composed as ONE gate: tagged
+    * streaming ingest (with a REPLAYED batch proving effectively-once
+    * inside the pipeline itself) → quality/language gate (t2/t3
+    * kernels) → cross-batch exact dedup over the accumulated table
+    * (d1) → token-bounded chunking (t7) → hash-stable train/valid/test
+    * split (c4, assigned BEFORE packing so no sequence ever mixes
+    * splits) → capacity-64 sequence packing within (split, shard)
+    * (c2) → the per-(split, shard) EXPORT MANIFEST a training loader
+    * reads (docs, chunks, sequences, tokens). One pass per stage:
+    * ingest appends, the curation chain is one fused plan (kernel
+    * filters → window dedup → explode → window pack → one keyed agg);
+    * nothing corpus-sized is re-derived or collected. The oracle
+    * replays the identical chain in SQL; the ingest invariants
+    * (replay must not re-append) are require()d in the gate body
+    * because the manifest alone cannot distinguish a duplicate the
+    * dedup stage would silently eat. */
+  val trainingPipelineQ: GQuery = GQuery(
+    "e3_training_pipeline",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_e3").toString
+      val t = new graft.io.ManagedParquetTable(s, s"$root/docs")
+      val src = docs(s, d).select(col("doc_id"), col("text"))
+      for (b <- 0 to 2)
+        graft.streaming.BronzeIngest.indexedIngestBatch(t,
+          src.where(col("doc_id") % 3 === b), b.toLong, "e3", Nil)
+      // re-present the LAST batch — the one a checkpointed stream can
+      // replay after a crash before its commit marker
+      val v = t.version
+      graft.streaming.BronzeIngest.indexedIngestBatch(t,
+        src.where(col("doc_id") % 3 === 2), 2L, "e3", Nil)
+      require(t.version == v, "replayed ingest batch must not re-append")
+      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+      val lang = graft.expressions.TextStatsExpressions.lang_id(col("text"))
+      val gated = t.read()
+        .withColumn("_nt", st.getField("n_tokens"))
+        .filter(lang === "en" && col("_nt") >= lit(20))
+      val unique = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+      val chunks = chunkDocuments(
+        unique.select(col("doc_id"), col("text")), "text",
+        chunkTokens = 32, overlap = 8)
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("split", {
+          val b = pmod(pmod(col("doc_id") * lit(2654435761L),
+            lit(1000000007L)), lit(100L))
+          when(b < 90, lit("train")).when(b < 95, lit("valid"))
+            .otherwise(lit("test"))
+        })
+      val packed = graft.operators.Packing.packSequences(
+        chunks, "n_chunk_tokens",
+        concat_ws("/", col("split"), col("shard")),
+        Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
+      packed.groupBy(col("split"), col("shard"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          (max(col("seq_id")) + 1).as("n_seqs"),
+          sum(col("n_chunk_tokens").cast("long")).as("n_tokens"))
+        .orderBy(col("split"), col("shard"))
+    },
+    Some(s"""WITH t0 AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+            langed AS (SELECT doc_id, text, toks FROM (
+              SELECT doc_id, text, toks,
+                len(list_intersect(list_distinct(toks),
+                  ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+                len(list_intersect(list_distinct(toks),
+                  ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+                len(list_intersect(list_distinct(toks),
+                  ['el','la','los','las','y','de','que','es','en','por'])) AS s_es,
+                len(list_intersect(list_distinct(toks),
+                  ['der','die','das','und','ist','von','mit','den','nicht','ein'])) AS s_de
+              FROM t0)
+              WHERE greatest(s_en, s_fr, s_es, s_de) > 0
+                AND s_en = greatest(s_en, s_fr, s_es, s_de)
+                AND len(toks) >= 20),
+            survivors AS (SELECT doc_id, toks FROM (
+              SELECT doc_id, toks, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+              FROM langed) WHERE rn = 1),
+            n AS (SELECT doc_id, toks,
+              greatest(CAST(ceil((len(toks) - 8) / 24.0) AS BIGINT), 1)
+                AS n_chunks FROM survivors),
+            c AS (SELECT doc_id, toks, CAST(i AS BIGINT) AS chunk_idx
+              FROM n, unnest(range(n_chunks)) AS u(i)),
+            ch AS (SELECT doc_id, chunk_idx,
+              CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT)
+                AS nt FROM c),
+            sp AS (SELECT doc_id, chunk_idx, nt,
+              CAST(doc_id % 8 AS BIGINT) AS shard,
+              CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+                   THEN 'train'
+                   WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95
+                   THEN 'valid' ELSE 'test' END AS split
+              FROM ch),
+            w AS (SELECT *, sum(nt) OVER (PARTITION BY split, shard
+                ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+                AS cum_excl FROM sp)
+            SELECT split, shard,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              count(*) AS n_chunks,
+              CAST(max(cum_excl // 64) + 1 AS BIGINT) AS n_seqs,
+              CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM w GROUP BY split, shard ORDER BY split, shard"""))
+
   /** t19: the BASIS-TRACKED maintainer end to end — a managed document
     * table commits three windows (initial corpus, late append, DV +
     * rewriting deletes) and `IncrementalInvertedIndex.refresh()` folds
@@ -1225,5 +1332,5 @@ object Text {
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
       bm25Q, bm25IndexedQ, multiPhraseQ, hybridRrfQ, indexRefreshQ,
-      hybridRecallQ, hybridRecallMpQ)
+      hybridRecallQ, hybridRecallMpQ, trainingPipelineQ)
 }
