@@ -144,7 +144,13 @@ final class IncrementalAggView(
     val nowFiles = table.deltaSnapshotFiles().toSet
     require(nowFiles.nonEmpty, s"table at $tablePath has no data files")
     val how = tracker.refreshTo(headV, lineage) {
-      fullRebuild(nowFiles)
+      // no recorded basis ≠ no state: a PRE-BASIS legacy view still
+      // has a valid file-diff manifest, and refreshCore serves it
+      // incrementally (falling back to fullRebuild itself for every
+      // unservable-manifest case) — only a never-refreshed view pays
+      // the O(table) build
+      if (loadManifest().isDefined) refreshCore(nowFiles)
+      else fullRebuild(nowFiles)
     } { _ => refreshCore(nowFiles) }
     // version-level noop never runs the fold; otherwise the fold
     // recorded how it actually resolved ("full" when a guard forced a

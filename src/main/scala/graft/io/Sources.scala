@@ -281,10 +281,17 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * write race where another commit landed while this one was
     * staging its segments. The `_graft_manifest` pointer is rewritten
     * AFTER the CAS as a read cache — a crash in between is healed by
-    * [[resolvedManifest]]'s forward walk. */
+    * [[resolvedManifest]]'s forward walk.
+    *
+    * `tag` is the caller's idempotence mark (see [[append]]); it lands
+    * IN the commit file so the commit and its tag are one atomic CAS —
+    * a crash between the commit and the delta-log mirror write can
+    * never strand a committed-but-unrecognizable append (the mirror's
+    * userMetadata copy is only the fast scan path; [[hasCommitTagged]]
+    * consults both). */
   private def commit(segments: Seq[String], mode: String,
       dv: Option[(Seq[String], Seq[String])] = None,
-      base: Long): Long = {
+      base: Long, tag: String = ""): Long = {
     Files.createDirectories(Paths.get(path))
     val snap = snapshot()
     val cur = snap.map(_._1).getOrElse(0L)
@@ -296,7 +303,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val prevSegs = snap.map(_._2).getOrElse(Seq.empty)
     val ver = base + 1
     val (inline, dvFiles) = dv.getOrElse(dvState)
-    val json = manifestJson(ver, mode, segments, inline, dvFiles)
+    val json = manifestJson(ver, mode, segments, inline, dvFiles, tag)
     Files.createDirectories(commitsDir)
     val ctmp = commitsDir.resolve(s".tmp.${System.nanoTime()}")
     Files.writeString(ctmp, json)
@@ -327,12 +334,16 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   }
 
   private def manifestJson(ver: Long, mode: String, segments: Seq[String],
-      inlineDvs: Seq[String], dvFiles: Seq[String]): String =
+      inlineDvs: Seq[String], dvFiles: Seq[String],
+      tag: String = ""): String =
     s"""{"version":$ver,"mode":"$mode","segments":[""" +
       segments.map("\"" + _ + "\"").mkString(",") +
       s"""],"dvs":[""" + inlineDvs.map("\"" + _ + "\"").mkString(",") +
       s"""],"dvfiles":[""" + dvFiles.map("\"" + _ + "\"").mkString(",") +
-      "]}"
+      // field emitted only when tagged: untagged commits keep the
+      // pre-tag byte format (every parser here is field-extracting)
+      (if (tag.isEmpty) "]}"
+       else s"""],"tag":"${jsonEsc(tag)}"}""")
 
   /** Write df into a fresh immutable segment dir; return its name. */
   private def writeSegment(df: DataFrame): String = {
@@ -562,20 +573,26 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   }
 
   /** S7: append tolerating evolving schemas (mergeSchema on read).
-    * `tag` lands in the mirrored commit's commitInfo.userMetadata
-    * (real Delta's idempotent-writer device) so a crashed writer can
-    * later tell whether THIS append committed — version arithmetic
-    * alone cannot distinguish it from an unrelated commit (compact,
-    * merge) that raced into the crash window. Returns the committed
-    * manifest version (1-based; the commit's mirror file number is
-    * this minus one) so a caller's idempotence bookkeeping can name
-    * ITS OWN commit instead of re-reading `version` after the fact —
-    * a re-read races any other commit landing in between. */
+    * `tag` is the caller's idempotence mark (real Delta's
+    * txn/appId device) so a crashed writer can later tell whether
+    * THIS append committed — version arithmetic alone cannot
+    * distinguish it from an unrelated commit (compact, merge) that
+    * raced into the crash window. The tag lands ATOMICALLY in the CAS
+    * commit file itself (commit and tag are one event — a crash
+    * anywhere after [[commit]] returns can never strand a committed
+    * append whose tag is missing everywhere) and is COPIED into the
+    * mirrored commit's commitInfo.userMetadata as the fast scan path.
+    * Returns the committed manifest version (1-based; the commit's
+    * mirror file number is this minus one) so a caller's idempotence
+    * bookkeeping can name ITS OWN commit instead of re-reading
+    * `version` after the fact — a re-read races any other commit
+    * landing in between. */
   def append(df: DataFrame, tag: Option[String] = None): Long = {
     val snap = snapshot()
     val seg = writeSegment(df)
     val v = commit(snap.map(_._2).getOrElse(Seq.empty) :+ seg,
-      "append", base = snap.map(_._1).getOrElse(0L))
+      "append", base = snap.map(_._1).getOrElse(0L),
+      tag = tag.getOrElse(""))
     mirrorDeltaLog("append", added = segmentFiles(seg), removed = Nil,
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
     v
@@ -587,7 +604,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val prev = snap.map(_._2).getOrElse(Seq.empty)
     val seg = writeSegment(df)
     val v = commit(Seq(seg), "overwrite",
-      base = snap.map(_._1).getOrElse(0L))
+      base = snap.map(_._1).getOrElse(0L), tag = tag.getOrElse(""))
     mirrorDeltaLog("overwrite", added = segmentFiles(seg),
       removed = prev.flatMap(segmentFiles).map(_._1),
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
@@ -595,20 +612,31 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   }
 
   /** True iff some commit made at-or-after manifest version
-    * `sinceVersion` carries `tag` in its commitInfo.userMetadata (see
-    * [[append]]). Mirror file numbers are 0-based while manifest
-    * versions are 1-based, so the first commit AFTER manifest version
-    * V is mirror file number V — the filter is an optimization only
-    * (tags are UUIDs); if log files were cleaned away the answer
-    * degrades to false and the caller re-does its work
-    * (at-least-once), never loses it. */
+    * `sinceVersion` carries `tag` (see [[append]]). Two homes are
+    * consulted: the mirror's commitInfo.userMetadata (fast path,
+    * subject to mirror-log retention) and the CAS commit files — the
+    * tag's ATOMIC home, which still answers for an append whose
+    * mirror write was lost to a crash (the head commit file also
+    * survives [[vacuum]]'s superseded-commit sweep, so the LAST
+    * append's tag outlives mirror retention). Mirror file numbers are
+    * 0-based while manifest versions are 1-based, so the first commit
+    * AFTER manifest version V is mirror file V = commit file V+1 —
+    * the floors are an optimization only (tags are unique); if log
+    * files were cleaned away the answer degrades to false and the
+    * caller re-does its work (at-least-once), never loses it. */
   def hasCommitTagged(tag: String, sinceVersion: Long): Boolean = {
-    if (!Files.exists(deltaLogDir)) return false
-    val needle = s""""userMetadata":"${jsonEsc(tag)}""""
-    listDir(deltaLogDir)
+    val mirrorNeedle = s""""userMetadata":"${jsonEsc(tag)}""""
+    val mirrorHit = Files.exists(deltaLogDir) && listDir(deltaLogDir)
       .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
       .filter(_.getFileName.toString.dropRight(5).toLong >= sinceVersion)
-      .exists(p => try Files.readString(p).contains(needle)
+      .exists(p => try Files.readString(p).contains(mirrorNeedle)
+        catch { case _: Throwable => false })
+    if (mirrorHit) return true
+    val commitNeedle = s""""tag":"${jsonEsc(tag)}""""
+    Files.isDirectory(commitsDir) && listDir(commitsDir)
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .filter(_.getFileName.toString.dropRight(5).toLong >= sinceVersion + 1)
+      .exists(p => try Files.readString(p).contains(commitNeedle)
         catch { case _: Throwable => false })
   }
 
@@ -736,16 +764,19 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // applies the same graceMs contract segments get.
     val (inline, dvFiles) = dvState
     val base = snap.map(_._1).getOrElse(0L)
+    // the mirror's userMetadata (graft-dv:<dir>) doubles as the commit
+    // tag so a lost-mirror backfill ([[repairMirror]]) can reproduce
+    // the sidecar pointer a graft-aware replay needs
     if (inline.nonEmpty || dvFiles.size >= DvlogConsolidateAt) {
       val all = inline ++ dvFiles.flatMap(readDvlogFile) :+ entry
       val consolidated = writeDvlogFile(all)
       commit(segs, "delete-dv", Some((Seq.empty, Seq(consolidated))),
-        base = base)
+        base = base, tag = s"graft-dv:$dir")
       touchDvlogFiles(dvFiles)
     } else {
       val nf = writeDvlogFile(Seq(entry))
       commit(segs, "delete-dv", Some((Seq.empty, dvFiles :+ nf)),
-        base = base)
+        base = base, tag = s"graft-dv:$dir")
     }
     // structural mirror: the protocol's DV form needs reader-version-3
     // feature flags; this mirror stays at reader v1, so a DV delete is
@@ -986,16 +1017,153 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   private def mirrorDeltaLog(mode: String, added: Seq[(String, Long)],
       removed: Seq[String], schemaJson: String,
       dataChange: Boolean = true, userMetadata: String = ""): Unit = {
-    import scala.jdk.CollectionConverters._
     Files.createDirectories(deltaLogDir)
-    // next version = max existing + 1, NOT the file count: log
-    // retention (vacuum) deletes pre-checkpoint commits, and a count
-    // would then re-issue (and silently clobber) old version numbers
-    val version = listDir(deltaLogDir)
-      .map(_.getFileName.toString)
-      .filter(_.matches("\\d{20}\\.json"))
-      .map(_.dropRight(5).toLong)
-      .maxOption.map(_ + 1).getOrElse(0L)
+    // mirror number = manifest version − 1, DERIVED from the manifest
+    // this call mirrors (single-writer; every commit() is followed by
+    // exactly one mirror call on the same thread) — never a listing
+    // max+1 and never a file count. A count would re-issue numbers
+    // after log retention; a max+1 silently DESYNCS the alignment
+    // after a crash between a commit and its mirror write (the gap
+    // commit's number would be re-used by the NEXT commit, shifting
+    // every later mirror off by one — and everything keyed on
+    // "mirror = manifest − 1" — hasCommitTagged floors, readAt,
+    // changesSince bases — would misresolve silently). Deriving from
+    // the manifest keeps alignment exact forever; a crash leaves a
+    // GAP, which [[repairMirror]] backfills from the commit files
+    // (and an unhealable one surfaces loudly in the contiguity
+    // checks instead of shifting numbers).
+    val version = this.version - 1
+    repairMirrorUpTo(version - 1)
+    writeMirrorEntry(version, mode, added, removed, schemaJson,
+      dataChange, userMetadata)
+  }
+
+  /** Backfill delta-log mirror entries whose manifest commit landed
+    * but whose mirror write was lost to a crash. [[mirrorDeltaLog]]
+    * derives every mirror number from its own just-committed manifest
+    * version, so a commit→mirror crash leaves a numbering GAP, never
+    * a silent desync — and a gap is healable: the CAS commit files
+    * record each version's mode, idempotence tag and segment set, so
+    * the missing entry's add/remove actions (and its userMetadata —
+    * the append tag / dv-sidecar pointer) reconstruct exactly from
+    * the segment diff against the prior version. Heals only what it
+    * can prove: both commit files must still exist (vacuum keeps
+    * superseded ones for graceMs — far longer than any crash→restart
+    * window) and every diffed segment dir must still be on disk; an
+    * unprovable gap stays and fails the contiguity checks loudly
+    * instead of guessing. A healed entry re-emits no metaData action
+    * (it reuses the last-emitted schema; if the lost commit evolved
+    * the schema, the NEXT real commit re-emits it — the sidecar was
+    * never advanced). Writer-side only, per the single-writer
+    * contract: called by the streaming sink before index maintenance
+    * (`BronzeIngest.indexedIngestBatch`) and by every mirror write
+    * that notices its predecessor missing. */
+  def repairMirror(): Unit = repairMirrorUpTo(version - 1)
+
+  private def repairMirrorUpTo(limit: Long): Unit = {
+    if (limit < 0) return
+    // fast path: the newest expected entry present ⇒ no recent gap.
+    // An INTERIOR gap this skips was already attempted by the mirror
+    // write right after it appeared and is permanent (commit file or
+    // segment gone) — re-probing it every commit buys nothing.
+    if (Files.exists(deltaLogDir.resolve(f"$limit%020d.json"))) return
+    Files.createDirectories(deltaLogDir)
+    val existing = listDir(deltaLogDir).map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json")).map(_.dropRight(5).toLong)
+    // entries below the oldest retained one were PRUNED by retention,
+    // not lost to a crash — only fill above it
+    val floor = existing.minOption.getOrElse(0L)
+    (floor to limit).filterNot(existing.contains)
+      .foreach(backfillMirrorEntry)
+  }
+
+  /** One gap entry, reconstructed from commit files g and g+1 (mirror
+    * g records the transition INTO manifest version g+1). */
+  private def backfillMirrorEntry(g: Long): Unit = {
+    val after = commitFile(g + 1)
+    if (!Files.exists(after)) return
+    val (mode, segs, tag) = parseCommitFields(Files.readString(after))
+    val prevSegs: Seq[String] =
+      if (g == 0) Seq.empty
+      else if (Files.exists(commitFile(g)))
+        parseCommitFields(Files.readString(commitFile(g)))._2
+      else return
+    val addedSegs = segs.filterNot(prevSegs.contains)
+    val removedSegs = prevSegs.filterNot(segs.contains)
+    if ((addedSegs ++ removedSegs)
+        .exists(s => !Files.isDirectory(Paths.get(path, s)))) return
+    val added = addedSegs.flatMap(segmentFiles)
+    val removed = removedSegs.flatMap(segmentFiles).map(_._1)
+    // op + userMetadata exactly as the lost write would have emitted
+    // them: dv deletes mirror as op "delete" whose userMetadata names
+    // the sidecar dir (stored as the commit's tag for this purpose);
+    // physical rewrites mirror with dataChange=false
+    val op = if (mode == "delete-dv") "delete" else mode
+    writeMirrorEntry(g, op, added, removed,
+      schemaJson = backfillSchema(added),
+      dataChange = mode != "compact" && mode != "reorg",
+      userMetadata = tag, allowCheckpoint = false)
+  }
+
+  /** Schema for a backfilled mirror entry: the sidecar's last-emitted
+    * schema when present (⇒ no spurious metaData action), else — a
+    * first-commit backfill on a log with no sidecar yet — the parquet
+    * footer schema of the entry's own files. */
+  private def backfillSchema(added: Seq[(String, Long)]): String = {
+    val sidecar = deltaLogDir.resolve(".graft_table_meta")
+    val last =
+      if (!Files.exists(sidecar)) None
+      else {
+        val ls = Files.readString(sidecar).split("\n", 2)
+        if (ls.length > 1 && ls(1).nonEmpty) Some(ls(1)) else None
+      }
+    last.getOrElse {
+      if (added.isEmpty) read().schema.json
+      else spark.read.parquet(
+        added.map { case (f, _) => s"$path/$f" }: _*).schema.json
+    }
+  }
+
+  /** (mode, segments, unescaped tag) of a commit/manifest JSON. */
+  private def parseCommitFields(s: String): (String, Seq[String], String) = {
+    val mode = """"mode":"([^"]*)"""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
+    val segs = """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty)).getOrElse(Seq.empty)
+    val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
+      .map(m => jsonUnesc(m.group(1))).getOrElse("")
+    (mode, segs, tag)
+  }
+
+  /** Inverse of [[jsonEsc]] (handles every escape it emits). */
+  private def jsonUnesc(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => sb += '"'
+          case '\\' => sb += '\\'
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case 't' => sb += '\t'
+          case 'u' =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 4
+          case o => sb += o
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def writeMirrorEntry(version: Long, mode: String,
+      added: Seq[(String, Long)], removed: Seq[String],
+      schemaJson: String, dataChange: Boolean, userMetadata: String,
+      allowCheckpoint: Boolean = true): Unit = {
     val now = System.currentTimeMillis()
     // stable table id + last-emitted schema live in a sidecar so that
     // schema-evolving appends (S7) re-emit metaData — a Delta reader
@@ -1050,7 +1218,11 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // beyond ~10 commits so recovery is O(commits since checkpoint),
     // not O(log). Written AFTER the commit file: a crash in between
     // costs only a missed checkpoint, never a dangling pointer.
-    if (version > 0 && version % CheckpointInterval == 0)
+    // Suppressed on backfill (allowCheckpoint=false): writeCheckpoint
+    // snapshots the CURRENT manifest, which is ahead of a healed
+    // historical version — a checkpoint stamped with its number would
+    // claim future files.
+    if (allowCheckpoint && version > 0 && version % CheckpointInterval == 0)
       writeCheckpoint(version, tableId, effectiveSchema, now)
     // sidecar update AFTER the commit file lands, and atomically: a
     // crash in between only re-emits a harmless duplicate metaData on
@@ -1291,9 +1463,6 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       .nextOption()
   }
 
-  private def jsonUnesc(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\")
-
   /** Field-union of two schema JSONs: fields of the newer win on name
     * clash, previously-evolved columns are retained — matching what a
     * mergeSchema read serves. */
@@ -1366,15 +1535,24 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach(deleteRecursively)
     // superseded CAS commit files: resolution only walks FORWARD from
-    // the pointer, so files strictly below the resolved head are never
-    // consulted again; the head file stays (it is the heal source for
-    // a pointer that never landed). Stranded .tmp link sources die too.
-    val headV = snapshot().map(_._1).getOrElse(0L)
+    // the POINTER, so only files strictly below the pointer's own
+    // version are provably never consulted again. Bounding by the
+    // RESOLVED head would be wrong: with the pointer lagging (a writer
+    // died between CAS and pointer rewrite), files between pointer and
+    // head are the very walk the next read performs — deleting one
+    // would silently regress the table to the pointer AND let a later
+    // commit re-claim the deleted version, forking history. Files at
+    // or above the pointer stay; stranded .tmp link sources die too.
+    val ptrVer =
+      if (!Files.exists(manifest)) -1L
+      else """"version":(\d+)""".r
+        .findFirstMatchIn(Files.readString(manifest))
+        .map(_.group(1).toLong).getOrElse(-1L)
     listDir(commitsDir)
       .filter { p =>
         val n = p.getFileName.toString
         n.startsWith(".tmp.") ||
-          (n.matches("\\d{20}\\.json") && n.dropRight(5).toLong < headV)
+          (n.matches("\\d{20}\\.json") && n.dropRight(5).toLong < ptrVer)
       }
       .filter(p => Files.getLastModifiedTime(p).toMillis <= cutoff)
       .foreach(Files.deleteIfExists(_))

@@ -206,6 +206,17 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     val stageC = stageOf(centroidsDir)
     val stageB = stageOf(codebooksDir)
     rmDir(stageC); rmDir(stageB); rmDir(stageOf(listsDir))
+    // stale .old twins are garbage from a COMPLETED reorg whose tail
+    // cleanup died (marker already cleared, so the live pieces are
+    // authoritative). They must go BEFORE this run's marker goes up:
+    // a crash inside this run's swap would otherwise leave a mix of
+    // fresh and stale .old dirs, and recoverReorg — which restores
+    // every piece whose .old exists — would roll different pieces
+    // back to DIFFERENT reorgs (codes and codebooks from different
+    // trainings: silently wrong ADC scores, the one state this whole
+    // protocol exists to prevent)
+    rmDir(oldOf(listsDir)); rmDir(oldOf(centroidsDir))
+    rmDir(oldOf(codebooksDir))
     writeFrozen(newCents, stageC)
     writeFrozen(newCbs.select(col("sub"), col("code"), col("centroid")),
       stageB)

@@ -338,14 +338,27 @@ object BronzeIngest {
       maintainers: Seq[graft.io.IndexMaintainer]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = s"graft-stream:$appId:$batchId"
-    // filename: appId sanitized for readability PLUS a hash of the
-    // verbatim appId — sanitization alone can collide distinct appIds
-    // ("a/b" vs "a_b", likely for checkpoint-path identities) onto one
-    // floor file, and two sinks sharing a floor lets one sink's floor
-    // advance past the other's append (missed tag → double-append)
+    // filename: appId sanitized for readability PLUS a CONTENT hash
+    // (SHA-256 prefix) of the verbatim appId — sanitization alone can
+    // collide distinct appIds ("a/b" vs "a_b", likely for
+    // checkpoint-path identities) onto one floor file, and two sinks
+    // sharing a floor lets one sink's floor advance past the other's
+    // append (missed tag → double-append). A 32-bit hashCode would
+    // merely make that collision improbable; 128 bits of SHA-256 make
+    // it impossible in practice. Floor files named by an EARLIER
+    // scheme (sanitized-only, or sanitized+hashCode) are deliberately
+    // not read: the sink restarts at floor 0 — a full retained-mirror
+    // scan, sound and self-repairing (the first new append rewrites
+    // the sidecar) — because a name-based fallback would re-import the
+    // very collision ambiguity the rename fixed. Mirror retention must
+    // exceed the sink's downtime across such an upgrade, the same
+    // caveat any long-idle sink already carries.
+    val appIdHash = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(appId.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
     val floorFile = Paths.get(table.path,
       s"_graft_sink_floor_${appId.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"_${appId.hashCode.toHexString}")
+        s"_$appIdHash")
     // sidecar: line 1 = mirror number of the last landed append,
     // line 2 = its tag (legacy one-line files parse as tag-less)
     val (floor, floorTag) =
@@ -384,7 +397,15 @@ object BronzeIngest {
     // behind the table (a noop resolves in one basis read otherwise).
     // Guarded on table existence: a stream whose first batches are
     // empty has no source version for the maintainers to track yet.
-    if (table.exists) maintainers.foreach(_.refresh())
+    // repairMirror first: a crash between the append's COMMIT and its
+    // mirror write leaves a mirror gap that would fail every
+    // maintainer's changesSince contiguity check — the replayed batch
+    // (recognized as committed by its commit-file tag) must heal the
+    // gap before folding, or the indexes stay loudly stuck.
+    if (table.exists) {
+      table.repairMirror()
+      maintainers.foreach(_.refresh())
+    }
   }
 
   /** ST4, stateful variant: cross-batch/cross-restart dedup by ID with

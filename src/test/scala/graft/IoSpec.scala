@@ -119,6 +119,46 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == 3)
   }
 
+  test("commit→mirror crash window: the tag survives in its atomic " +
+      "home (the CAS commit file) and the mirror gap heals — by " +
+      "repairMirror and by the next mirror write") {
+    val dir = tmp("mptgap") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    t.append(Seq((1L, "a")).toDF("id", "v"), Some("tag-0"))
+    val v = t.append(Seq((2L, "b")).toDF("id", "v"), Some("tag-1"))
+    val logDir = Paths.get(dir, "_delta_log")
+    val mirror = logDir.resolve(f"${v - 1}%020d.json")
+    val origAdds = """"path":"([^"]+)"""".r
+      .findAllMatchIn(Files.readString(mirror)).map(_.group(1)).toSet
+    // forge the crash: the append's commit landed, its mirror write
+    // was lost
+    Files.delete(mirror)
+    Files.deleteIfExists(logDir.resolve(f".${v - 1}%020d.json.crc"))
+    // the tag is still provable — hasCommitTagged consults the commit
+    // files, where commit and tag landed as ONE atomic CAS
+    assert(t.hasCommitTagged("tag-1", 0L),
+      "tag must survive a lost mirror write in the CAS commit file")
+    // heal: the backfilled entry reconstructs the SAME add actions
+    // from the commit files' segment diff, and carries the tag
+    t.repairMirror()
+    val healed = Files.readString(mirror)
+    assert(healed.contains(""""userMetadata":"tag-1""""),
+      "healed mirror entry must carry the append tag")
+    assert(""""path":"([^"]+)"""".r.findAllMatchIn(healed)
+      .map(_.group(1)).toSet == origAdds,
+      "healed mirror entry must name the original add files")
+    assert(t.readAt(v - 1).count() == 2)
+    // a gap still open when the NEXT commit mirrors heals inline —
+    // contiguity never breaks for downstream changesSince consumers
+    Files.delete(mirror)
+    t.append(Seq((3L, "c")).toDF("id", "v"))
+    assert(Files.exists(mirror),
+      "the next mirror write must backfill its missing predecessor")
+    assert(t.changesSince(v - 1).count() == 1)
+    // the mirror-resolved head snapshot agrees with the manifest's
+    assert(t.readAt(t.version - 1).count() == 3)
+  }
+
   test("managed parquet table: MERGE updates matches, inserts the rest, in one commit") {
     val t = new ManagedParquetTable(spark, tmp("mptm") + "/tbl")
     t.overwrite(Seq((1, "a"), (2, "b"), (4, "d")).toDF("id", "v"))
@@ -885,6 +925,33 @@ class IoSpec extends SparkSpec {
     t.append(Seq(("c", 9L)).toDF("g", "v"))
     v.refresh()
     assert(v.lastRefresh == "incremental")
+  }
+
+  test("MV: a pre-basis view (valid file-diff manifest, no basis file) " +
+      "refreshes INCREMENTALLY, not via an O(table) rebuild") {
+    import graft.io.IncrementalAggView
+    import graft.io.IncrementalAggView.AggSpec
+    val root = tmp("mvpb")
+    val t = new ManagedParquetTable(spark, s"$root/t")
+    def view() = new IncrementalAggView(spark, s"$root/t", s"$root/v",
+      Seq("g"), Seq(AggSpec("count", "", "cnt"), AggSpec("sum", "v", "s")))
+    t.append(Seq(("a", 1L), ("b", 2L)).toDF("g", "v"))
+    val v1 = view()
+    v1.refresh() // establishes manifest + partials + basis
+    // forge the pre-basis legacy state: manifest and partials intact,
+    // basis file absent (a view created before the tracker existed)
+    Files.delete(Paths.get(s"$root/v/_graft_index_basis"))
+    t.append(Seq(("a", 5L), ("c", 7L)).toDF("g", "v"))
+    val v2 = view()
+    v2.refresh()
+    assert(v2.lastRefresh == "incremental",
+      s"a valid manifest must serve the no-basis refresh via the " +
+        s"file-diff fold, got '${v2.lastRefresh}'")
+    assert(v2.read().as[(String, Long, Long)].collect().toSet ==
+      Set(("a", 2L, 6L), ("b", 1L, 2L), ("c", 1L, 7L)))
+    // and the basis re-established: the next refresh is a noop
+    v2.refresh()
+    assert(v2.lastRefresh == "noop")
   }
 
   test("MV2: hll sketch state merges incrementally == one-shot sketch") {

@@ -844,6 +844,54 @@ class StreamingSpec extends SparkSpec {
         "the mirror log no longer holds the tagged commit")
   }
 
+  test("ST15 crash between the append's COMMIT and its mirror write: " +
+      "the replay is recognized from the commit-file tag (no duplicate " +
+      "rows), the mirror gap heals, and the maintained index equals a " +
+      "fresh rebuild") {
+    import graft.io.ManagedParquetTable
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st15g").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val idx = new IncrementalInvertedIndex(spark, s"$dir/docs",
+      s"$dir/idx", nBuckets = 8)
+    val all = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(90)
+    val b0 = all.where($"doc_id" % 3 === 0)
+    val b1 = all.where($"doc_id" % 3 === 1)
+    BronzeIngest.indexedIngestBatch(t, b0, 0L, "st15g", Seq(idx))
+    // forge batch 1 dying at the WORST point: the append's manifest
+    // commit landed, but the process was killed before the mirror
+    // write, the floor-sidecar write, and the index refresh. Calling
+    // append directly (commit+mirror) and deleting the mirror file
+    // reproduces that state byte-for-byte.
+    val v = t.append(b1, Some("graft-stream:st15g:1"))
+    val logDir = java.nio.file.Paths.get(s"$dir/docs/_delta_log")
+    java.nio.file.Files.delete(logDir.resolve(f"${v - 1}%020d.json"))
+    java.nio.file.Files.deleteIfExists(
+      logDir.resolve(f".${v - 1}%020d.json.crc"))
+    val rows = t.read().count()
+    // the checkpointed stream re-presents batch 1: the sink must
+    // recognize the append from the commit file's atomic tag (the
+    // mirror copy is gone, the floor still names batch 0), heal the
+    // mirror gap, and fold the missing window into the index
+    BronzeIngest.indexedIngestBatch(t, b1, 1L, "st15g", Seq(idx))
+    assert(t.read().count() == rows && t.version == v,
+      "a commit whose mirror write was lost must not re-append on replay")
+    assert(java.nio.file.Files.exists(logDir.resolve(f"${v - 1}%020d.json")),
+      "the replayed batch must heal the mirror gap before maintenance")
+    // a further batch keeps flowing and the index ends ≡ fresh rebuild
+    BronzeIngest.indexedIngestBatch(t, all.where($"doc_id" % 3 === 2),
+      2L, "st15g", Seq(idx))
+    val ref = Files.createTempDirectory("graft_st15g_ref").toString
+    InvertedIndex.buildIndex(t.read().select($"doc_id", $"text"),
+      "text", "doc_id", ref, nBuckets = 8)
+    def probe(p: String) = InvertedIndex.bm25TopKIndexed(spark, p,
+      "hash join table", k = 20, nBuckets = 8)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(probe(s"$dir/idx") === probe(ref))
+  }
+
   test("ST15 mixed maintainers: ONE sink maintains retrieval + IVF-PQ " +
       "+ flat-vector indexes AND a materialized view over one table; a " +
       "mid-sequence kill between refreshes skews their bases, and the " +
