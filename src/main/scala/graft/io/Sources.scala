@@ -144,13 +144,16 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
 
   /** Committed snapshot: (version, segment dir names). */
   private def snapshot(): Option[(Long, Seq[String])] =
-    resolvedManifest().map { case (ver, s) =>
-      val segs = """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-        .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
-          .stripSuffix("\"")).filter(_.nonEmpty))
-        .getOrElse(Seq.empty)
-      (ver, segs)
-    }
+    resolvedManifest().map { case (ver, s) => (ver, parseSegments(s)) }
+
+  /** The "segments" array of a commit/manifest JSON — the ONE parser
+    * shared by [[snapshot]] and the mirror backfill, so the two can
+    * never disagree on the same bytes. */
+  private def parseSegments(s: String): Seq[String] =
+    """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
+        .stripSuffix("\"")).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
 
   /** Deletion-vector entries ("mirrorVer:dvDir:seg1;seg2" — the third
     * field records the segment dirs the entry's tombstones touch;
@@ -566,8 +569,8 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       if (zCols.nonEmpty) clusterShape(cur, zCols, targetFiles, bits)
       else cur.repartition(targetFiles)
     val seg = writeSegment(shaped)
-    commit(Seq(seg), "compact", base = snap.map(_._1).getOrElse(0L))
-    mirrorDeltaLog("compact", added = segmentFiles(seg),
+    val v = commit(Seq(seg), "compact", base = snap.map(_._1).getOrElse(0L))
+    mirrorDeltaLog(v, "compact", added = segmentFiles(seg),
       removed = prev.flatMap(segmentFiles).map(_._1),
       schemaJson = shaped.schema.json, dataChange = false)
   }
@@ -593,7 +596,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val v = commit(snap.map(_._2).getOrElse(Seq.empty) :+ seg,
       "append", base = snap.map(_._1).getOrElse(0L),
       tag = tag.getOrElse(""))
-    mirrorDeltaLog("append", added = segmentFiles(seg), removed = Nil,
+    mirrorDeltaLog(v, "append", added = segmentFiles(seg), removed = Nil,
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
     v
   }
@@ -605,7 +608,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val seg = writeSegment(df)
     val v = commit(Seq(seg), "overwrite",
       base = snap.map(_._1).getOrElse(0L), tag = tag.getOrElse(""))
-    mirrorDeltaLog("overwrite", added = segmentFiles(seg),
+    mirrorDeltaLog(v, "overwrite", added = segmentFiles(seg),
       removed = prev.flatMap(segmentFiles).map(_._1),
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
     v
@@ -632,12 +635,22 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       .exists(p => try Files.readString(p).contains(mirrorNeedle)
         catch { case _: Throwable => false })
     if (mirrorHit) return true
+    // commit files probed by NUMBER from the floor to the resolved
+    // head — never a directory listing: this path runs on every fresh
+    // batch's miss, and commitsDir holds every commit since the last
+    // vacuum. Cost is O(commits since the floor), the same bound as
+    // the mirror scan; files vacuumed away just skip.
     val commitNeedle = s""""tag":"${jsonEsc(tag)}""""
-    Files.isDirectory(commitsDir) && listDir(commitsDir)
-      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
-      .filter(_.getFileName.toString.dropRight(5).toLong >= sinceVersion + 1)
-      .exists(p => try Files.readString(p).contains(commitNeedle)
-        catch { case _: Throwable => false })
+    val head = version
+    var v = sinceVersion + 1
+    while (v <= head) {
+      val p = commitFile(v)
+      if (Files.exists(p) &&
+          (try Files.readString(p).contains(commitNeedle)
+           catch { case _: Throwable => false })) return true
+      v += 1
+    }
+    false
   }
 
   def read(): DataFrame = {
@@ -767,17 +780,20 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // the mirror's userMetadata (graft-dv:<dir>) doubles as the commit
     // tag so a lost-mirror backfill ([[repairMirror]]) can reproduce
     // the sidecar pointer a graft-aware replay needs
-    if (inline.nonEmpty || dvFiles.size >= DvlogConsolidateAt) {
-      val all = inline ++ dvFiles.flatMap(readDvlogFile) :+ entry
-      val consolidated = writeDvlogFile(all)
-      commit(segs, "delete-dv", Some((Seq.empty, Seq(consolidated))),
-        base = base, tag = s"graft-dv:$dir")
-      touchDvlogFiles(dvFiles)
-    } else {
-      val nf = writeDvlogFile(Seq(entry))
-      commit(segs, "delete-dv", Some((Seq.empty, dvFiles :+ nf)),
-        base = base, tag = s"graft-dv:$dir")
-    }
+    val v =
+      if (inline.nonEmpty || dvFiles.size >= DvlogConsolidateAt) {
+        val all = inline ++ dvFiles.flatMap(readDvlogFile) :+ entry
+        val consolidated = writeDvlogFile(all)
+        val cv = commit(segs, "delete-dv",
+          Some((Seq.empty, Seq(consolidated))),
+          base = base, tag = s"graft-dv:$dir")
+        touchDvlogFiles(dvFiles)
+        cv
+      } else {
+        val nf = writeDvlogFile(Seq(entry))
+        commit(segs, "delete-dv", Some((Seq.empty, dvFiles :+ nf)),
+          base = base, tag = s"graft-dv:$dir")
+      }
     // structural mirror: the protocol's DV form needs reader-version-3
     // feature flags; this mirror stays at reader v1, so a DV delete is
     // a data-changing commit with no file actions (external FILE-level
@@ -786,7 +802,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // Delta readers ignore commitInfo), but it lets a graft-aware
     // replay (tools/DeltaLogReplay) apply the tombstones and agree
     // with the writer's row counts at every version.
-    mirrorDeltaLog("delete", added = Nil, removed = Nil,
+    mirrorDeltaLog(v, "delete", added = Nil, removed = Nil,
       schemaJson = read().schema.json, userMetadata = s"graft-dv:$dir")
   }
 
@@ -831,13 +847,14 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // empty) segment when nothing else remains, keeping the schema
     if (!survivors.isEmpty || kept.isEmpty) {
       val seg = writeSegment(survivors)
-      commit(kept :+ seg, "reorg", base = snap.map(_._1).getOrElse(0L))
-      mirrorDeltaLog("reorg", added = segmentFiles(seg),
+      val v = commit(kept :+ seg, "reorg",
+        base = snap.map(_._1).getOrElse(0L))
+      mirrorDeltaLog(v, "reorg", added = segmentFiles(seg),
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = survivors.schema.json, dataChange = false)
     } else {
-      commit(kept, "reorg", base = snap.map(_._1).getOrElse(0L))
-      mirrorDeltaLog("reorg", added = Nil,
+      val v = commit(kept, "reorg", base = snap.map(_._1).getOrElse(0L))
+      mirrorDeltaLog(v, "reorg", added = Nil,
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = survivors.schema.json, dataChange = false)
     }
@@ -915,13 +932,14 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val kept = prev.filterNot(affected.contains)
     if (keepSeg) {
       val seg = writeSegment(surv)
-      commit(kept :+ seg, "delete", base = snap.map(_._1).getOrElse(0L))
-      mirrorDeltaLog("delete", added = segmentFiles(seg),
+      val v = commit(kept :+ seg, "delete",
+        base = snap.map(_._1).getOrElse(0L))
+      mirrorDeltaLog(v, "delete", added = segmentFiles(seg),
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = surv.schema.json)
     } else {
-      commit(kept, "delete", base = snap.map(_._1).getOrElse(0L))
-      mirrorDeltaLog("delete", added = Nil,
+      val v = commit(kept, "delete", base = snap.map(_._1).getOrElse(0L))
+      mirrorDeltaLog(v, "delete", added = Nil,
         removed = affected.flatMap(segmentFiles).map(_._1),
         schemaJson = surv.schema.json)
     }
@@ -965,8 +983,8 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
         // updates carry, and vice versa, instead of failing the merge
         .unionByName(updates, allowMissingColumns = true)
     val seg = writeSegment(merged)
-    commit(kept :+ seg, "merge", base = snap.map(_._1).getOrElse(0L))
-    mirrorDeltaLog("merge", added = segmentFiles(seg),
+    val v = commit(kept :+ seg, "merge", base = snap.map(_._1).getOrElse(0L))
+    mirrorDeltaLog(v, "merge", added = segmentFiles(seg),
       removed = affected.flatMap(segmentFiles).map(_._1),
       schemaJson = merged.schema.json)
   }
@@ -1014,25 +1032,27 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     case c => c.toString
   }
 
-  private def mirrorDeltaLog(mode: String, added: Seq[(String, Long)],
-      removed: Seq[String], schemaJson: String,
-      dataChange: Boolean = true, userMetadata: String = ""): Unit = {
+  /** `committedVer` is the manifest version [[commit]] just RETURNED
+    * for the commit this call mirrors — the mirror number is that
+    * minus one (manifest 1-based, mirror 0-based). Threading the
+    * return value is load-bearing three ways: a listing max+1 would
+    * re-issue numbers after log retention; a file count would do the
+    * same; and RE-READING `this.version` here would race any other
+    * commit landing between the commit and its mirror (two CAS
+    * commits can both succeed at consecutive versions — contract-
+    * violating but undetected when they serialize cleanly — and the
+    * re-read would then stamp this entry with the OTHER commit's
+    * number, silently replacing its mirror). The caller's own version
+    * is immune to all three; a crash before this call leaves a GAP,
+    * which [[repairMirror]] backfills from the commit files (and an
+    * unhealable one surfaces loudly in the contiguity checks instead
+    * of shifting numbers). */
+  private def mirrorDeltaLog(committedVer: Long, mode: String,
+      added: Seq[(String, Long)], removed: Seq[String],
+      schemaJson: String, dataChange: Boolean = true,
+      userMetadata: String = ""): Unit = {
     Files.createDirectories(deltaLogDir)
-    // mirror number = manifest version − 1, DERIVED from the manifest
-    // this call mirrors (single-writer; every commit() is followed by
-    // exactly one mirror call on the same thread) — never a listing
-    // max+1 and never a file count. A count would re-issue numbers
-    // after log retention; a max+1 silently DESYNCS the alignment
-    // after a crash between a commit and its mirror write (the gap
-    // commit's number would be re-used by the NEXT commit, shifting
-    // every later mirror off by one — and everything keyed on
-    // "mirror = manifest − 1" — hasCommitTagged floors, readAt,
-    // changesSince bases — would misresolve silently). Deriving from
-    // the manifest keeps alignment exact forever; a crash leaves a
-    // GAP, which [[repairMirror]] backfills from the commit files
-    // (and an unhealable one surfaces loudly in the contiguity
-    // checks instead of shifting numbers).
-    val version = this.version - 1
+    val version = committedVer - 1
     repairMirrorUpTo(version - 1)
     writeMirrorEntry(version, mode, added, removed, schemaJson,
       dataChange, userMetadata)
@@ -1078,8 +1098,18 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   }
 
   /** One gap entry, reconstructed from commit files g and g+1 (mirror
-    * g records the transition INTO manifest version g+1). */
-  private def backfillMirrorEntry(g: Long): Unit = {
+    * g records the transition INTO manifest version g+1). Best-effort
+    * by contract: ANY failure (unreadable/corrupt commit file, torn
+    * escape in a tag, IO error mid-write) means the gap is unprovable
+    * and stays — swallowing here is what keeps a healing attempt from
+    * wedging every future commit of the table, since this runs inside
+    * each mirror write; the un-healed gap still fails the contiguity
+    * checks loudly downstream. */
+  private def backfillMirrorEntry(g: Long): Unit =
+    try backfillMirrorEntryCore(g)
+    catch { case scala.util.control.NonFatal(_) => () }
+
+  private def backfillMirrorEntryCore(g: Long): Unit = {
     val after = commitFile(g + 1)
     if (!Files.exists(after)) return
     val (mode, segs, tag) = parseCommitFields(Files.readString(after))
@@ -1109,31 +1139,31 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * schema when present (⇒ no spurious metaData action), else — a
     * first-commit backfill on a log with no sidecar yet — the parquet
     * footer schema of the entry's own files. */
-  private def backfillSchema(added: Seq[(String, Long)]): String = {
-    val sidecar = deltaLogDir.resolve(".graft_table_meta")
-    val last =
-      if (!Files.exists(sidecar)) None
-      else {
-        val ls = Files.readString(sidecar).split("\n", 2)
-        if (ls.length > 1 && ls(1).nonEmpty) Some(ls(1)) else None
-      }
-    last.getOrElse {
+  private def backfillSchema(added: Seq[(String, Long)]): String =
+    readMetaSidecar().map(_._2).filter(_.nonEmpty).getOrElse {
       if (added.isEmpty) read().schema.json
       else spark.read.parquet(
         added.map { case (f, _) => s"$path/$f" }: _*).schema.json
     }
-  }
+
+  private def metaSidecar = deltaLogDir.resolve(".graft_table_meta")
+
+  /** (table id, last-emitted schema) from the mirror's meta sidecar —
+    * the one reader [[writeMirrorEntry]] and [[backfillSchema]] share. */
+  private def readMetaSidecar(): Option[(String, String)] =
+    if (!Files.exists(metaSidecar)) None
+    else {
+      val ls = Files.readString(metaSidecar).split("\n", 2)
+      Some((ls(0), if (ls.length > 1) ls(1) else ""))
+    }
 
   /** (mode, segments, unescaped tag) of a commit/manifest JSON. */
   private def parseCommitFields(s: String): (String, Seq[String], String) = {
     val mode = """"mode":"([^"]*)"""".r.findFirstMatchIn(s)
       .map(_.group(1)).getOrElse("")
-    val segs = """"segments":\[([^\]]*)\]""".r.findFirstMatchIn(s)
-      .map(_.group(1).split(",").toSeq.map(_.trim.stripPrefix("\"")
-        .stripSuffix("\"")).filter(_.nonEmpty)).getOrElse(Seq.empty)
     val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(s)
       .map(m => jsonUnesc(m.group(1))).getOrElse("")
-    (mode, segs, tag)
+    (mode, parseSegments(s), tag)
   }
 
   /** Inverse of [[jsonEsc]] (handles every escape it emits). */
@@ -1172,14 +1202,11 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     // Fallback for logs predating the sidecar: recover both from the
     // newest metaData action already in the log (keeps the table id
     // stable — Delta requires one id for the log's lifetime).
-    val sidecar = deltaLogDir.resolve(".graft_table_meta")
-    val sidecarMissing = !Files.exists(sidecar)
-    val (tableId, lastSchema) =
-      if (!sidecarMissing) {
-        val ls = Files.readString(sidecar).split("\n", 2)
-        (ls(0), if (ls.length > 1) ls(1) else "")
-      } else recoverMetaFromLog().getOrElse(
-        (java.util.UUID.randomUUID().toString, ""))
+    val fromSidecar = readMetaSidecar()
+    val sidecarMissing = fromSidecar.isEmpty
+    val (tableId, lastSchema) = fromSidecar.getOrElse(
+      recoverMetaFromLog().getOrElse(
+        (java.util.UUID.randomUUID().toString, "")))
     // the table's schema is the MERGE across live segments (read uses
     // mergeSchema), so an append whose frame lacks a previously-evolved
     // column must NOT narrow the emitted schemaString; overwrite/delete
@@ -1232,7 +1259,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     if (emitMeta || sidecarMissing) {
       val sctmp = deltaLogDir.resolve(s".meta.tmp.${System.nanoTime()}")
       Files.writeString(sctmp, s"$tableId\n$effectiveSchema")
-      Files.move(sctmp, sidecar, StandardCopyOption.ATOMIC_MOVE,
+      Files.move(sctmp, metaSidecar, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
     }
   }

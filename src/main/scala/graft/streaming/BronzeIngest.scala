@@ -345,29 +345,46 @@ object BronzeIngest {
     // sharing a floor lets one sink's floor advance past the other's
     // append (missed tag → double-append). A 32-bit hashCode would
     // merely make that collision improbable; 128 bits of SHA-256 make
-    // it impossible in practice. Floor files named by an EARLIER
-    // scheme (sanitized-only, or sanitized+hashCode) are deliberately
-    // not read: the sink restarts at floor 0 — a full retained-mirror
-    // scan, sound and self-repairing (the first new append rewrites
-    // the sidecar) — because a name-based fallback would re-import the
-    // very collision ambiguity the rename fixed. Mirror retention must
-    // exceed the sink's downtime across such an upgrade, the same
-    // caveat any long-idle sink already carries.
+    // it impossible in practice.
+    val san = appId.replaceAll("[^A-Za-z0-9._-]", "_")
     val appIdHash = java.security.MessageDigest.getInstance("SHA-256")
       .digest(appId.getBytes("UTF-8"))
       .take(16).map("%02x".format(_)).mkString
     val floorFile = Paths.get(table.path,
-      s"_graft_sink_floor_${appId.replaceAll("[^A-Za-z0-9._-]", "_")}" +
-        s"_$appIdHash")
+      s"_graft_sink_floor_${san}_$appIdHash")
     // sidecar: line 1 = mirror number of the last landed append,
     // line 2 = its tag (legacy one-line files parse as tag-less)
+    def parseFloor(p: java.nio.file.Path): (Long, Option[String]) = {
+      val ls = Files.readString(p).split("\n", 2)
+      (ls(0).trim.toLong,
+        if (ls.length > 1 && ls(1).trim.nonEmpty) Some(ls(1).trim)
+        else None)
+    }
+    // floor files named by an EARLIER scheme (sanitized+hashCode,
+    // sanitized-only) fall back on VERBATIM ownership proof, not the
+    // name: the recorded tag embeds the verbatim appId, so a legacy
+    // file is trusted exactly when its tag parses as
+    // graft-stream:<THIS appId>:<digits> — a sanitization-colliding
+    // OTHER sink's file cannot pass that check (its tag carries ITS
+    // verbatim appId), so the fallback re-imports none of the
+    // ambiguity the rename fixed. A tag-less legacy file proves
+    // nothing and stays untrusted: floor 0 — a full retained-mirror +
+    // commit-file scan, sound when retention exceeds the sink's
+    // downtime across the upgrade (the caveat any long-idle sink
+    // already carries). The first new append rewrites the new-named
+    // sidecar and the fallback never fires again.
     val (floor, floorTag) =
-      if (Files.exists(floorFile)) {
-        val ls = Files.readString(floorFile).split("\n", 2)
-        (ls(0).trim.toLong,
-          if (ls.length > 1 && ls(1).trim.nonEmpty) Some(ls(1).trim)
-          else None)
-      } else (0L, None)
+      if (Files.exists(floorFile)) parseFloor(floorFile)
+      else Seq(
+          Paths.get(table.path,
+            s"_graft_sink_floor_${san}_${appId.hashCode.toHexString}"),
+          Paths.get(table.path, s"_graft_sink_floor_$san"))
+        .filter(Files.exists(_)).map(parseFloor)
+        .find(_._2.exists { t =>
+          val rest = t.stripPrefix(s"graft-stream:$appId:")
+          rest != t && rest.nonEmpty && rest.forall(_.isDigit)
+        })
+        .getOrElse((0L, None))
     val alreadyCommitted = floorTag.contains(tag) ||
       (table.exists && table.hasCommitTagged(tag, floor))
     if (!alreadyCommitted) {

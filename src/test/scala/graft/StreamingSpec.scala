@@ -844,6 +844,58 @@ class StreamingSpec extends SparkSpec {
         "the mirror log no longer holds the tagged commit")
   }
 
+  test("ST15 floor-file upgrade: a legacy-named floor is trusted only " +
+      "on a verbatim-appId tag match") {
+    import graft.io.ManagedParquetTable
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st15u").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(60)
+    val bA = docs.where($"doc_id" % 2 === 0)
+    val bB = docs.where($"doc_id" % 2 === 1)
+    BronzeIngest.indexedIngestBatch(t, bA, 0L, "a/b", Nil)
+    t.compact() // a later commit: the sink's append is no longer head
+    val rows = t.read().count()
+    val v = t.version
+    // forge a pre-upgrade deployment: the floor lives under the OLD
+    // sanitized+hashCode name, and BOTH other homes of the tag are
+    // gone (mirror retention + vacuumed superseded commit files — the
+    // long-idle-sink worst case)
+    def sha(s: String) = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .take(16).map("%02x".format(_)).mkString
+    val floorNew = java.nio.file.Paths.get(s"$dir/docs",
+      s"_graft_sink_floor_a_b_${sha("a/b")}")
+    val floorOld = java.nio.file.Paths.get(s"$dir/docs",
+      s"_graft_sink_floor_a_b_${"a/b".hashCode.toHexString}")
+    java.nio.file.Files.move(floorNew, floorOld)
+    val logDir = new java.io.File(s"$dir/docs/_delta_log")
+    logDir.listFiles().filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach { f =>
+        assert(f.delete()); new java.io.File(logDir, s".${f.getName}.crc").delete()
+      }
+    t.vacuum(graceMs = 0L)
+    // replay: only the legacy floor's tag can prove batch 0 landed —
+    // and it is trusted because its tag embeds THIS sink's verbatim
+    // appId
+    BronzeIngest.indexedIngestBatch(t, bA, 0L, "a/b", Nil)
+    assert(t.read().count() == rows && t.version == v,
+      "a verbatim-matching legacy floor must be trusted across the " +
+        "filename-scheme upgrade")
+    // a sanitization-COLLIDING sink must NOT trust that file: move it
+    // to the oldest (shared, sanitized-only) name; sink a_b sees it as
+    // its only floor candidate, rejects the foreign tag, and its
+    // never-committed batch appends (at-least-once, never silent skip)
+    java.nio.file.Files.move(floorOld, java.nio.file.Paths.get(
+      s"$dir/docs", "_graft_sink_floor_a_b"))
+    val bBn = bB.count()
+    BronzeIngest.indexedIngestBatch(t, bB, 7L, "a_b", Nil)
+    assert(t.read().count() == rows + bBn,
+      "a foreign legacy floor (tag names another verbatim appId) must " +
+        "be ignored, not trusted")
+  }
+
   test("ST15 crash between the append's COMMIT and its mirror write: " +
       "the replay is recognized from the commit-file tag (no duplicate " +
       "rows), the mirror gap heals, and the maintained index equals a " +
