@@ -635,22 +635,32 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       .exists(p => try Files.readString(p).contains(mirrorNeedle)
         catch { case _: Throwable => false })
     if (mirrorHit) return true
-    // commit files probed by NUMBER from the floor to the resolved
-    // head — never a directory listing: this path runs on every fresh
-    // batch's miss, and commitsDir holds every commit since the last
-    // vacuum. Cost is O(commits since the floor), the same bound as
-    // the mirror scan; files vacuumed away just skip.
+    // commit files, probed by NUMBER from the floor to the resolved
+    // head when the window is narrow (the per-batch norm: floor is
+    // last trigger's append) — O(commits since the floor), the same
+    // bound as the mirror scan. A WIDE window (floor 0 on a long
+    // table: fresh checkpoint, untrusted legacy floor) would pay one
+    // stat per number, so it falls back to a single listing instead —
+    // O(retained files), tiny after vacuum. Files vacuumed away skip
+    // either way.
     val commitNeedle = s""""tag":"${jsonEsc(tag)}""""
+    def readHas(p: java.nio.file.Path): Boolean =
+      try Files.readString(p).contains(commitNeedle)
+      catch { case _: Throwable => false }
     val head = version
-    var v = sinceVersion + 1
-    while (v <= head) {
-      val p = commitFile(v)
-      if (Files.exists(p) &&
-          (try Files.readString(p).contains(commitNeedle)
-           catch { case _: Throwable => false })) return true
-      v += 1
-    }
-    false
+    val lo = sinceVersion + 1
+    if (head - lo < 256) {
+      var v = lo
+      while (v <= head) {
+        if (Files.exists(commitFile(v)) && readHas(commitFile(v)))
+          return true
+        v += 1
+      }
+      false
+    } else Files.isDirectory(commitsDir) && listDir(commitsDir)
+      .filter(_.getFileName.toString.matches("\\d{20}\\.json"))
+      .filter(_.getFileName.toString.dropRight(5).toLong >= lo)
+      .exists(readHas)
   }
 
   def read(): DataFrame = {
@@ -1078,22 +1088,30 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * contract: called by the streaming sink before index maintenance
     * (`BronzeIngest.indexedIngestBatch`) and by every mirror write
     * that notices its predecessor missing. */
-  def repairMirror(): Unit = repairMirrorUpTo(version - 1)
+  def repairMirror(): Unit = repairMirrorUpTo(version - 1, fastPath = false)
 
-  private def repairMirrorUpTo(limit: Long): Unit = {
+  /** `fastPath` skips the scan when the newest expected entry exists —
+    * right for the inline per-commit call (its gaps are RECENT, at
+    * `limit` itself). The public [[repairMirror]] always scans: an
+    * interior gap whose first heal attempt failed TRANSIENTLY (a
+    * backfill error is swallowed by design) must be retried — the
+    * streaming sink calls repairMirror() every batch, so such a gap
+    * self-heals on the next trigger; standalone writers can invoke it
+    * after an incident. The scan is one directory listing — the same
+    * cost class as every tag scan on these paths. */
+  private def repairMirrorUpTo(limit: Long,
+      fastPath: Boolean = true): Unit = {
     if (limit < 0) return
-    // fast path: the newest expected entry present ⇒ no recent gap.
-    // An INTERIOR gap this skips was already attempted by the mirror
-    // write right after it appeared and is permanent (commit file or
-    // segment gone) — re-probing it every commit buys nothing.
-    if (Files.exists(deltaLogDir.resolve(f"$limit%020d.json"))) return
+    if (fastPath &&
+        Files.exists(deltaLogDir.resolve(f"$limit%020d.json"))) return
     Files.createDirectories(deltaLogDir)
     val existing = listDir(deltaLogDir).map(_.getFileName.toString)
       .filter(_.matches("\\d{20}\\.json")).map(_.dropRight(5).toLong)
     // entries below the oldest retained one were PRUNED by retention,
     // not lost to a crash — only fill above it
     val floor = existing.minOption.getOrElse(0L)
-    (floor to limit).filterNot(existing.contains)
+    val have = existing.toSet
+    (floor to limit).filterNot(have.contains)
       .foreach(backfillMirrorEntry)
   }
 

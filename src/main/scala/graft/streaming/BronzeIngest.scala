@@ -353,13 +353,19 @@ object BronzeIngest {
     val floorFile = Paths.get(table.path,
       s"_graft_sink_floor_${san}_$appIdHash")
     // sidecar: line 1 = mirror number of the last landed append,
-    // line 2 = its tag (legacy one-line files parse as tag-less)
-    def parseFloor(p: java.nio.file.Path): (Long, Option[String]) = {
-      val ls = Files.readString(p).split("\n", 2)
-      (ls(0).trim.toLong,
-        if (ls.length > 1 && ls(1).trim.nonEmpty) Some(ls(1).trim)
-        else None)
-    }
+    // line 2 = its tag (legacy one-line files parse as tag-less).
+    // A corrupt/unreadable file parses as None = untrusted, never a
+    // thrown wedge: floor 0 is always SOUND (a full retained-log
+    // scan), so degrading is strictly safer than downing the sink on
+    // every trigger over a zero-byte artifact or a foreign file that
+    // happens to match the name.
+    def parseFloor(p: java.nio.file.Path): Option[(Long, Option[String])] =
+      try {
+        val ls = Files.readString(p).split("\n", 2)
+        Some((ls(0).trim.toLong,
+          if (ls.length > 1 && ls(1).trim.nonEmpty) Some(ls(1).trim)
+          else None))
+      } catch { case scala.util.control.NonFatal(_) => None }
     // floor files named by an EARLIER scheme (sanitized+hashCode,
     // sanitized-only) fall back on VERBATIM ownership proof, not the
     // name: the recorded tag embeds the verbatim appId, so a legacy
@@ -374,16 +380,16 @@ object BronzeIngest {
     // already carries). The first new append rewrites the new-named
     // sidecar and the fallback never fires again.
     val (floor, floorTag) =
-      if (Files.exists(floorFile)) parseFloor(floorFile)
-      else Seq(
-          Paths.get(table.path,
-            s"_graft_sink_floor_${san}_${appId.hashCode.toHexString}"),
-          Paths.get(table.path, s"_graft_sink_floor_$san"))
-        .filter(Files.exists(_)).map(parseFloor)
-        .find(_._2.exists { t =>
-          val rest = t.stripPrefix(s"graft-stream:$appId:")
-          rest != t && rest.nonEmpty && rest.forall(_.isDigit)
-        })
+      (if (Files.exists(floorFile)) parseFloor(floorFile)
+       else Seq(
+           Paths.get(table.path,
+             s"_graft_sink_floor_${san}_${appId.hashCode.toHexString}"),
+           Paths.get(table.path, s"_graft_sink_floor_$san"))
+         .filter(Files.exists(_)).flatMap(parseFloor(_))
+         .find(_._2.exists { t =>
+           val rest = t.stripPrefix(s"graft-stream:$appId:")
+           rest != t && rest.nonEmpty && rest.forall(_.isDigit)
+         }))
         .getOrElse((0L, None))
     val alreadyCommitted = floorTag.contains(tag) ||
       (table.exists && table.hasCommitTagged(tag, floor))
