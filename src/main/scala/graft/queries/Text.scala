@@ -1175,8 +1175,11 @@ object Text {
     * (d1) → token-bounded chunking (t7) → hash-stable train/valid/test
     * split (c4, assigned BEFORE packing so no sequence ever mixes
     * splits) → capacity-64 sequence packing within (split, shard)
-    * (c2) → the per-(split, shard) EXPORT MANIFEST a training loader
-    * reads (docs, chunks, sequences, tokens). One pass per stage:
+    * (c2) → JSONL shard EXPORT (TrainingExport, key-stable shard
+    * membership, on-disk row count verified) → the per-(split, shard)
+    * EXPORT MANIFEST a training loader reads (docs, chunks, sequences,
+    * tokens), derived from the exported shards themselves so it can
+    * never drift from the files. One pass per stage:
     * ingest appends, the curation chain is one fused plan (kernel
     * filters → window dedup → explode → window pack → one keyed agg);
     * nothing corpus-sized is re-derived or collected. The oracle
@@ -1220,7 +1223,20 @@ object Text {
         chunks, "n_chunk_tokens",
         concat_ws("/", col("split"), col("shard")),
         Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
-      packed.groupBy(col("split"), col("shard"))
+      // the pipeline ends at FILES a training loader reads, not at a
+      // summary: export the packed chunk rows (chunk_text, never the
+      // full source document) as key-stable JSONL shards, verify the
+      // bytes on disk hold exactly the rows the write pass observed,
+      // and derive the manifest FROM the exported shards — the summary
+      // a loader trusts can never drift from the files it will read
+      val payload = packed.drop("text")
+      val written = graft.io.TrainingExport.writeJsonlShards(
+        payload, keyCol = "doc_id", nShards = 8, path = s"$root/shards")
+      val onDisk = s.read.textFile(s"$root/shards").count()
+      require(onDisk == written,
+        s"export shards hold $onDisk rows, the write pass observed $written")
+      s.read.schema(payload.schema).json(s"$root/shards")
+        .groupBy(col("split"), col("shard"))
         .agg(countDistinct(col("doc_id")).as("n_docs"),
           count(lit(1)).as("n_chunks"),
           (max(col("seq_id")) + 1).as("n_seqs"),
