@@ -93,6 +93,56 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == 1 + committed.get())
   }
 
+  test("CAS commit: sustained multi-writer chaos — four unsynchronized " +
+      "writers retrying through collisions all converge; every landed " +
+      "commit is present exactly once and the version count equals the " +
+      "landed commits") {
+    val path = tmp("mptchaos") + "/tbl"
+    val writers = 4; val perWriter = 8
+    val landed = new java.util.concurrent.atomic.AtomicLong(0)
+    val collisions = new java.util.concurrent.atomic.AtomicLong(0)
+    val unexpected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def writer(w: Long) = new Thread(() => {
+      // own instance per thread over the same path — the cross-process
+      // deployment shape; the retry loop is the documented reaction to
+      // the loud single-writer violation (re-read the head, re-derive,
+      // re-commit)
+      val t = new ManagedParquetTable(spark, path)
+      for (r <- 0 until perWriter) {
+        var done = false; var tries = 0
+        while (!done) {
+          tries += 1
+          if (tries > 200) { unexpected.add(new IllegalStateException(
+            s"writer $w commit $r did not land in 200 tries")); done = true }
+          else try {
+            t.append(Seq((w * 1000 + r, s"w$w-$r")).toDF("id", "v"))
+            landed.incrementAndGet(); done = true
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage.contains("concurrent writer") =>
+              collisions.incrementAndGet()
+            case e: Throwable => unexpected.add(e); done = true
+          }
+        }
+      }
+    })
+    val ts = (0 until writers).map(w => writer(w.toLong))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(unexpected.isEmpty, s"non-CAS failure: ${unexpected.peek()}")
+    assert(landed.get() == writers.toLong * perWriter)
+    val t = new ManagedParquetTable(spark, path)
+    assert(t.version == landed.get(),
+      s"version ${t.version} != landed ${landed.get()} " +
+        s"(collisions seen: ${collisions.get()})")
+    assert(t.read().count() == landed.get())
+    assert(t.read().select(col("id")).distinct().count() == landed.get(),
+      "a retried commit must land exactly once")
+    // stranded loser segments are unreferenced garbage, reclaimable
+    t.vacuum(graceMs = 0L)
+    assert(t.read().count() == landed.get())
+  }
+
   test("CAS commit: a writer that died between its CAS publish and the " +
       "pointer rewrite is healed — readers resolve the commit file, the " +
       "next commit repairs the pointer") {

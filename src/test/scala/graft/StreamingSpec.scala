@@ -1180,4 +1180,90 @@ class StreamingSpec extends SparkSpec {
     assert(maintained === rebuilt,
       s"maintained ${maintained.size} vs rebuilt ${rebuilt.size}")
   }
+
+  test("ST15 layout reorg mid-stream: rebucket() and reorg() land " +
+      "BETWEEN triggers of a maintained ingest — maintenance resolves " +
+      "the new layout from the index meta (not its construction-time " +
+      "fallback), stays incremental, and every index remains ≡ its " +
+      "fresh rebuild") {
+    import graft.io.{IndexMaintainer, ManagedParquetTable}
+    import graft.similarity.{IncrementalIvfPqIndex, VectorFunctions}
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st15r").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val wide = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .join(Tables.embeddings(spark, sf)
+        .select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      .limit(150)
+      .cache()
+    val (m, ksub, dim) = (4, 16, 64)
+    // the maintainer is constructed with nBuckets = 4 — after the
+    // mid-stream rebucket to 9 this value MUST become a dead fallback
+    val retrieval = new IncrementalInvertedIndex(spark, s"$dir/docs",
+      s"$dir/ridx", nBuckets = 4)
+    val ivfpq = new IncrementalIvfPqIndex(spark, s"$dir/docs",
+      s"$dir/vidx", m = m, ksub = ksub, dim = dim, idCol = "doc_id")
+    ivfpq.train(
+      wide.filter($"doc_id" < 40).limit(16).select($"doc_id", $"embedding"),
+      VectorFunctions.pqTrain(wide, m = m, ksub = ksub, iters = 0,
+        dim = dim, idCol = "doc_id"))
+    val mix: Seq[IndexMaintainer] = Seq(retrieval, ivfpq)
+    def assertFresh(where: String): Unit = {
+      val live = t.read()
+      val ref = Files.createTempDirectory("graft_st15r_ref").toString
+      // the reference rebuild uses a THIRD bucket count: probe results
+      // must be layout-invariant, so parity across 4/9/5 moduli proves
+      // the probes read the maintained layout correctly
+      InvertedIndex.buildIndex(live.select($"doc_id", $"text"),
+        "text", "doc_id", ref, nBuckets = 5)
+      def bm(p: String) = InvertedIndex.bm25TopKIndexed(spark, p,
+        "hash join table", k = 20)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(bm(s"$dir/ridx") === bm(ref), s"retrieval != rebuild $where")
+      def vkey(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)
+      val vMaint = ivfpq.read()
+        .select($"doc_id", $"centroid_id", $"codes")
+        .collect().map(vkey).toSet
+      val vRebuilt = VectorFunctions.ivfPqEncode(live, ivfpq.centroids,
+          ivfpq.codebooks, m, ksub, dim, idCol = "doc_id")
+        .select($"doc_id", $"centroid_id", $"codes")
+        .collect().map(vkey).toSet
+      assert(vMaint == vRebuilt, s"ivfpq != rebuild $where")
+    }
+    val all = wide.collect().toSeq
+    def batchDf(lo: Int, hi: Int) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        all.slice(lo, hi), 2), wide.schema)
+    BronzeIngest.indexedIngestBatch(t, batchDf(0, 60), 0L, "st15r", mix)
+    assert(Seq(retrieval, ivfpq).forall(_.lastRefresh == "full"))
+    assertFresh("after batch 0")
+    // the corpus "outgrew" its bucket count: rebucket 4 → 9 between
+    // triggers, exactly as an operator would run it off telemetry
+    InvertedIndex.rebucket(spark, s"$dir/ridx", 9)
+    val meta = Files.readString(
+      java.nio.file.Paths.get(s"$dir/ridx/_graft_index_meta"))
+    assert(meta.contains("nBuckets=9"), s"meta after rebucket: $meta")
+    BronzeIngest.indexedIngestBatch(t, batchDf(60, 110), 1L, "st15r", mix)
+    assert(retrieval.lastRefresh == "incremental",
+      "a layout reorg must not trick the basis into a full rebuild")
+    assertFresh("after the post-rebucket batch")
+    // the maintained postings really live under the NEW modulus
+    val buckets = Files.list(
+        java.nio.file.Paths.get(s"$dir/ridx/postings")).iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (buckets.hasNext) names += buckets.next().getFileName.toString
+    assert(names.count(_.startsWith("bucket=")) > 4,
+      s"postings still under the old modulus: $names")
+    // centroid/codebook drift: reorg() the IVF-PQ between triggers
+    ivfpq.reorg(iters = 2)
+    BronzeIngest.indexedIngestBatch(t, batchDf(110, 150), 2L, "st15r", mix)
+    assert(Seq(retrieval, ivfpq).forall(_.lastRefresh == "incremental"))
+    assert(mix.flatMap(_.basis).distinct.size == 1,
+      "after a clean window every maintainer is current to ONE basis")
+    assertFresh("after the post-reorg batch")
+    wide.unpersist()
+  }
 }
