@@ -494,17 +494,18 @@ object InvertedIndex {
     * in flight or died mid-way: unlike a torn GENERATION (which the
     * gen < committed predicate hides from probes for free), a torn
     * LAYOUT cannot be read around — the bucket modulus itself is in
-    * doubt. Recovery is [[buildIndex]] (the index is a derived
-    * artifact; a basis-tracked maintainer rebuilds it on its next
-    * refresh after the marker-holding dir is rebuilt). */
+    * doubt. Recovery is [[recoverSwap]] (rollback to the committed
+    * pre-swap state from the `.pre` aside twins — never a rebuild);
+    * [[compactIndex]]/[[rebucket]] run it themselves on entry. */
   private def requireNoSwap(spark: SparkSession, path: String): Unit = {
     val p = swapMarker(path)
     if (p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
       throw new IllegalStateException(
         s"index at $path has an interrupted layout swap (marker $p) — " +
           "a compaction or rebucket died mid-rename and the bucket " +
-          "layout may disagree with the meta; rebuild the index " +
-          "(buildIndex / delete + refresh)")
+          "layout may disagree with the meta; call recoverSwap() (or " +
+          "re-run compactIndex/rebucket) to roll back to the committed " +
+          "pre-swap index; no rebuild needed")
   }
 
   /** Build a complete retrieval index under `path`:
@@ -1161,8 +1162,8 @@ object InvertedIndex {
     * threshold so PROBE cost stays flat across the index's life. The
     * swap is directory-level behind `_graft_swap_inflight` (probes and
     * maintenance refuse a torn layout via [[indexBuckets]]); a crash
-    * mid-swap is recovered by rebuilding — the index is a derived
-    * artifact of the document table. */
+    * mid-swap is CRASH-RECOVERABLE — see [[recoverSwap]] and the
+    * protocol note on [[compactCore]]; never a rebuild. */
   def compactIndex(spark: SparkSession, path: String,
       nBuckets: Int = DefaultBuckets): Unit =
     compactCore(spark, path, indexBuckets(spark, path, nBuckets))
@@ -1181,20 +1182,65 @@ object InvertedIndex {
     * one full postings scan — the same class as compaction, scheduled
     * at the same operational cadence; probes serve the OLD layout
     * until the swap and refuse during it (the rename window), never a
-    * mix. */
+    * mix. Crash contract: a death inside the rename window rolls back
+    * via [[recoverSwap]] — the pre-swap index returns to service
+    * exactly as committed; never a rebuild. */
   def rebucket(spark: SparkSession, path: String,
       newBuckets: Int): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
-    requireNoSwap(spark, path)
     compactCore(spark, path, newBuckets)
+  }
+
+  /** Live names a layout swap replaces or drops; each is ASIDED to a
+    * `.pre` twin inside the marker window (rename, never delete) so a
+    * mid-swap death rolls back by restoring the twins — the retrieval
+    * analogue of IVF-PQ reorg()'s `.old` protocol. Nothing ever reads
+    * a `.pre` path: probes and maintenance address these names
+    * exactly, so the asides are invisible outside recovery. */
+  private val SwapNames = Seq("postings", "postings_stats", "doclen",
+    "corpus", "tombstones", "_graft_genfiles", "_graft_index_meta")
+
+  /** Roll back an interrupted layout swap (compaction/rebucket died
+    * inside the marker window): every live piece whose `.pre` aside
+    * twin exists is restored from it (the staged piece that may have
+    * moved in is discarded), remaining staging is dropped, and the
+    * marker clears — the index serves the committed pre-swap state
+    * exactly, and the compaction/rebucket can simply re-run.
+    * [[compactIndex]]/[[rebucket]] call this themselves on a leftover
+    * marker, so explicit recovery is only needed to restore PROBE
+    * service without re-running the reorg. */
+  def recoverSwap(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(swapMarker(path)),
+      s"no interrupted layout swap at $path")
+    for (n <- SwapNames) {
+      val pre = new Path(s"$path/$n.pre")
+      if (fs.exists(pre)) {
+        fs.delete(new Path(s"$path/$n"), true)
+        fs.rename(pre, new Path(s"$path/$n"))
+      }
+    }
+    for (n <- Seq("postings.compact", "postings.compact_stats",
+        "doclen.compact", "corpus.compact"))
+      fs.delete(new Path(s"$path/$n"), true)
+    fs.delete(swapMarker(path), false)
   }
 
   private def compactCore(spark: SparkSession, path: String,
       nb: Int): Unit = {
     import org.apache.hadoop.fs.Path
-    requireNoInflight(spark, path)
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
+    // a leftover marker from a mid-swap death rolls back FIRST: the
+    // committed pre-swap index returns to service and this run
+    // re-stages from scratch (same contract as IvfPqIndex.reorg)
+    if (fs.exists(swapMarker(path))) recoverSwap(spark, path)
+    requireNoInflight(spark, path)
+    // stale `.pre` asides with NO marker are post-commit-crash garbage
+    // (the swap completed; cleanup didn't) — sweep before re-staging
+    SwapNames.foreach(n => fs.delete(new Path(s"$path/$n.pre"), true))
     val committed = generation(spark, path) // one footer read for both passes
     val livePost = {
       // committed generations only — same contract as probes: torn
@@ -1222,34 +1268,42 @@ object InvertedIndex {
     spark.read.parquet(s"$path/doclen.compact")
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_tokens"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus.compact")
-    // postings_stats swaps with its postings dir (writeBuckets built
-    // the compact sidecar alongside the compact postings)
-    // per-commit manifests describe the PRE-compaction files: drop them
-    // before the swap (mid-swap crash = rebuild territory, and a
-    // manifest-less index degrades repair to the footer sweep rather
-    // than trusting a stale base)
-    fs.delete(new Path(genfilesDir(path)), true)
-    // marker brackets the renames + the meta republish: a death inside
-    // leaves a layout whose modulus is in doubt, and requireNoSwap
-    // (via indexBuckets) makes every probe and maintenance call refuse
-    // it instead of reading the wrong buckets
+    // a pre-meta (legacy) index gets its meta PINNED before the swap:
+    // a rollback must restore a layout whose modulus is readable, and
+    // the pin records exactly what every reader already assumed
+    if (!fs.exists(new Path(s"$path/_graft_index_meta")))
+      writeMeta(spark, path, indexBuckets(spark, path, DefaultBuckets))
+    // marker brackets ONLY the renames + the meta republish (all the
+    // expensive staging ran above, into paths the live index never
+    // reads): a death inside leaves a layout whose modulus is in
+    // doubt, requireNoSwap (via indexBuckets) makes every probe and
+    // maintenance call refuse it, and recoverSwap rolls it back —
+    // every live piece is ASIDED to a `.pre` twin (rename, never
+    // delete), so the pre-swap state survives the whole window. The
+    // per-commit manifests and tombstones aside too: they describe the
+    // PRE-swap files, which is exactly the state a rollback restores;
+    // on commit they are dropped with the other asides (the compacted
+    // state has its tombstones folded and gets a fresh base manifest).
     fs.create(swapMarker(path), true).close()
-    for (d <- Seq("postings", "postings.compact_stats", "doclen", "corpus")) {
-      d match {
-        case "postings.compact_stats" =>
-          fs.delete(new Path(s"$path/postings_stats"), true)
-          fs.rename(new Path(s"$path/postings.compact_stats"),
-            new Path(s"$path/postings_stats"))
-        case _ =>
-          fs.delete(new Path(s"$path/$d"), true)
-          fs.rename(new Path(s"$path/$d.compact"), new Path(s"$path/$d"))
-      }
+    for (n <- SwapNames) {
+      val live = new Path(s"$path/$n")
+      if (fs.exists(live)) fs.rename(live, new Path(s"$path/$n.pre"))
     }
-    fs.delete(new Path(s"$path/tombstones"), true)
+    fs.rename(new Path(s"$path/postings.compact"),
+      new Path(s"$path/postings"))
+    fs.rename(new Path(s"$path/postings.compact_stats"),
+      new Path(s"$path/postings_stats"))
+    fs.rename(new Path(s"$path/doclen.compact"),
+      new Path(s"$path/doclen"))
+    fs.rename(new Path(s"$path/corpus.compact"),
+      new Path(s"$path/corpus"))
     // the meta must agree with the swapped-in layout before the gate
     // lifts — this is what makes rebucket atomic from a prober's view
     writeMeta(spark, path, nb)
-    fs.delete(swapMarker(path), false)
+    fs.delete(swapMarker(path), false) // commit point
+    // post-commit cleanup: the asides are garbage now (a crash between
+    // the commit and this sweep leaves them for the next compactCore)
+    SwapNames.foreach(n => fs.delete(new Path(s"$path/$n.pre"), true))
     // compacted files are committed state: fresh base snapshot
     writeGenManifest(spark, path, "base", listAllDataFiles(spark, path))
   }

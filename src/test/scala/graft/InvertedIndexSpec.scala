@@ -566,9 +566,9 @@ class InvertedIndexSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(probe() === ref,
       "post-rebucket maintenance must equal the direct scorer")
-    // torn swap: a forged leftover marker gates EVERY entry point —
-    // the bucket modulus itself is in doubt, a probe would read the
-    // wrong buckets silently
+    // torn swap: a forged leftover marker gates every read/maintenance
+    // entry point — the bucket modulus itself is in doubt, a probe
+    // would read the wrong buckets silently
     val marker = new java.io.File(s"$dir/_graft_swap_inflight")
     assert(marker.createNewFile())
     intercept[IllegalStateException] { probe() }
@@ -576,15 +576,70 @@ class InvertedIndexSpec extends SparkSpec {
       InvertedIndex.appendDocs(docs.limit(1), "text", "doc_id", dir,
         nBuckets = 8)
     }
-    intercept[IllegalStateException] {
-      InvertedIndex.compactIndex(spark, dir, nBuckets = 8)
-    }
-    intercept[IllegalStateException] {
-      InvertedIndex.rebucket(spark, dir, newBuckets = 5)
-    }
-    // buildIndex is the blunt recovery: clears the marker, serves again
-    InvertedIndex.buildIndex(live, "text", "doc_id", dir, nBuckets = 8)
+    // compactIndex/rebucket are the RECOVERY entry points: a leftover
+    // marker rolls back first (here: a bare marker with no asides =
+    // death before any rename, so rollback is just the marker), then
+    // the reorg re-runs — never a rebuild
+    InvertedIndex.rebucket(spark, dir, newBuckets = 5)
     assert(!marker.exists())
+    assert(probe() === ref)
+  }
+
+  test("layout-swap crash recovery: a death inside the rename window " +
+      "rolls back from the .pre asides — probes refuse the torn state, " +
+      "recoverSwap restores the committed pre-swap index exactly, and " +
+      "a re-run rebucket converges") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val dir = JFiles.createTempDirectory("graft_invidx_rbcr").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val q = "hash join table"
+    def probe() = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    InvertedIndex.buildIndex(docs.where($"doc_id" % 3 =!= 2),
+      "text", "doc_id", dir, nBuckets = 4)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 3 === 2),
+      "text", "doc_id", dir, nBuckets = 4)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 7),
+      "doc_id", dir)
+    val before = probe()
+    // forge the WORST crash window: the meta was asided AND republished
+    // with the new modulus, postings were asided but the staged twin
+    // never moved in — layout and meta maximally disagree
+    def forge(): Unit = {
+      JFiles.move(JPaths.get(dir, "_graft_index_meta"),
+        JPaths.get(dir, "_graft_index_meta.pre"),
+        StandardCopyOption.ATOMIC_MOVE)
+      JFiles.writeString(JPaths.get(dir, "_graft_index_meta"),
+        "nBuckets=7\n")
+      JFiles.move(JPaths.get(dir, "postings"),
+        JPaths.get(dir, "postings.pre"), StandardCopyOption.ATOMIC_MOVE)
+      JFiles.createFile(JPaths.get(dir, "_graft_swap_inflight"))
+    }
+    forge()
+    intercept[IllegalStateException] { probe() }
+    // explicit recovery: pre-swap state returns to service EXACTLY
+    InvertedIndex.recoverSwap(spark, dir)
+    assert(!JFiles.exists(JPaths.get(dir, "_graft_swap_inflight")))
+    assert(JFiles.readString(JPaths.get(dir, "_graft_index_meta"))
+      .contains("nBuckets=4"), "rollback must restore the OLD meta")
+    assert(probe() === before,
+      "recovered index must serve the committed pre-swap state")
+    // implicit recovery: a re-run rebucket rolls back, then completes
+    forge()
+    InvertedIndex.rebucket(spark, dir, newBuckets = 9)
+    assert(probe() === before, "rebucket after recovery must converge")
+    assert(JFiles.readString(JPaths.get(dir, "_graft_index_meta"))
+      .contains("nBuckets=9"))
+    // no aside garbage survives the committed swap
+    assert(!JFiles.exists(JPaths.get(dir, "postings.pre")) &&
+      !JFiles.exists(JPaths.get(dir, "_graft_index_meta.pre")))
+    // maintenance on the recovered+rebucketed index still == direct
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 3),
+      "doc_id", dir)
+    val live = docs.where($"doc_id" % 10 =!= 7 && $"doc_id" % 10 =!= 3)
+    val ref = InvertedIndex.bm25TopK(live, "text", "doc_id", q, k = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
     assert(probe() === ref)
   }
 
