@@ -60,6 +60,19 @@ object CsvSources {
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(path)
 }
 
+/** The loud single-writer violation: another writer claimed the
+  * version this commit was derived from (or raced it to the CAS).
+  * Extends IllegalStateException so pre-existing handlers keep
+  * working; typed so the ONE sanctioned reaction — [[ManagedParquetTable.append]]'s
+  * blind-append auto-rebase — can retry exactly this failure and
+  * nothing else (an IO error must never be "retried" into a double
+  * publish). Read-modify-write commits (overwrite / delete / merge /
+  * compact / dv) surface it to the caller: their staged result was
+  * derived FROM the snapshot that just changed, so only the caller
+  * can re-derive. */
+final class ConcurrentWriteException(msg: String)
+  extends IllegalStateException(msg)
+
 /** Delta-semantics table on plain parquet: a delta-log-lite commit
   * protocol (S5-S10 semantics, reference gold/bronzeToGold.py:17-42).
   *
@@ -276,8 +289,11 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * `_graft_commits/{base+1}.json` — link creation is an atomic
     * put-if-absent on POSIX (an object-store deployment swaps in a
     * conditional put), so of two writers racing the same version
-    * exactly one wins and the loser throws IllegalStateException
-    * LOUDLY with nothing published. A plain REPLACE-rename onto one
+    * exactly one wins and the loser throws [[ConcurrentWriteException]]
+    * LOUDLY with nothing published — which for a BLIND APPEND the
+    * engine itself absorbs by rebasing onto the new head (see
+    * [[commitBlindAppend]]); read-modify-write commits surface it to
+    * the caller. A plain REPLACE-rename onto one
     * pointer file would let the second writer silently erase the
     * first's commit; threading the caller's `base` (rather than
     * re-reading the head here) also catches the wider read-modify-
@@ -298,7 +314,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     Files.createDirectories(Paths.get(path))
     val snap = snapshot()
     val cur = snap.map(_._1).getOrElse(0L)
-    if (cur != base) throw new IllegalStateException(
+    if (cur != base) throw new ConcurrentWriteException(
       s"concurrent writer detected at $path: this commit was derived " +
         s"from version $base but the table is now at $cur — the " +
         "single-writer contract is violated; nothing was published " +
@@ -313,7 +329,7 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     try Files.createLink(commitFile(ver), ctmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
+        throw new ConcurrentWriteException(
           s"concurrent writer detected at $path: version $ver was " +
             "claimed by another writer while this commit was being " +
             "prepared — the single-writer contract is violated; this " +
@@ -591,14 +607,53 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * `version` after the fact — a re-read races any other commit
     * landing in between. */
   def append(df: DataFrame, tag: Option[String] = None): Long = {
-    val snap = snapshot()
     val seg = writeSegment(df)
-    val v = commit(snap.map(_._2).getOrElse(Seq.empty) :+ seg,
-      "append", base = snap.map(_._1).getOrElse(0L),
-      tag = tag.getOrElse(""))
+    val v = commitBlindAppend(seg, tag.getOrElse(""))
     mirrorDeltaLog(v, "append", added = segmentFiles(seg), removed = Nil,
       schemaJson = df.schema.json, userMetadata = tag.getOrElse(""))
     v
+  }
+
+  /** Optimistic-concurrency rebase for BLIND appends (Delta/Iceberg
+    * OCC, the append-only special case): an append reads nothing from
+    * the snapshot it lands on — its segment is staged before any head
+    * is consulted — so when the CAS loses to a concurrent commit the
+    * append is ALWAYS safe to re-derive as "new head's segments + my
+    * segment" and re-CAS, whatever the interleaver was (another
+    * append, an overwrite, a compaction: serializing this append
+    * after it is a correct history in every case). The loop re-reads
+    * the head fresh each attempt and retries ONLY the typed
+    * [[ConcurrentWriteException]]; exactly-once holds because a lost
+    * CAS by definition published nothing. Read-modify-write commits
+    * get no such loop — their staged segments were derived FROM a
+    * snapshot that is now stale, so they keep failing loudly.
+    * Jittered backoff breaks symmetric races; the attempt bound turns
+    * pathological contention (or a commit-dir permission wall
+    * masquerading as contention) into the loud failure rather than a
+    * livelock. */
+  private def commitBlindAppend(seg: String, tag: String): Long = {
+    val MaxRebases = 64
+    var attempt = 0
+    while (true) {
+      val snap = snapshot()
+      try return commit(snap.map(_._2).getOrElse(Seq.empty) :+ seg,
+        "append", base = snap.map(_._1).getOrElse(0L), tag = tag)
+      catch {
+        case e: ConcurrentWriteException =>
+          attempt += 1
+          if (attempt >= MaxRebases) throw new ConcurrentWriteException(
+            s"blind-append rebase at $path gave up after $MaxRebases " +
+              s"lost races — contention is pathological or the commit " +
+              s"dir is failing CAS for a non-race reason; last: " +
+              e.getMessage)
+          // full jitter, capped: desynchronizes herds without making
+          // a quiet two-writer race pay a long sleep
+          Thread.sleep(
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(1L + math.min(attempt.toLong * 4L, 64L)))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** See [[append]] for the tag and return-value contract. */

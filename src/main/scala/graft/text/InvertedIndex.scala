@@ -1166,7 +1166,11 @@ object InvertedIndex {
     * protocol note on [[compactCore]]; never a rebuild. */
   def compactIndex(spark: SparkSession, path: String,
       nBuckets: Int = DefaultBuckets): Unit =
-    compactCore(spark, path, indexBuckets(spark, path, nBuckets))
+    // the bucket count resolves INSIDE compactCore, after its
+    // recoverSwap-on-entry step: resolving it here would hit
+    // requireNoSwap on a leftover marker and make compactIndex unable
+    // to recover the very tear it promises to roll back
+    compactCore(spark, path, nBuckets, None)
 
   /** REBUCKET the index to `newBuckets` — the layout reorg a corpus
     * that outgrew its build-time bucket count needs: nBuckets freezes
@@ -1185,10 +1189,16 @@ object InvertedIndex {
     * mix. Crash contract: a death inside the rename window rolls back
     * via [[recoverSwap]] — the pre-swap index returns to service
     * exactly as committed; never a rebuild. */
-  def rebucket(spark: SparkSession, path: String,
-      newBuckets: Int): Unit = {
+  def rebucket(spark: SparkSession, path: String, newBuckets: Int,
+      oldBuckets: Int = DefaultBuckets): Unit = {
     require(newBuckets >= 1, s"newBuckets must be >= 1, got $newBuckets")
-    compactCore(spark, path, newBuckets)
+    // `oldBuckets` matters only for a PRE-META index: the legacy pin
+    // must record the modulus the existing layout was actually built
+    // with (a rollback restores THAT layout), and a meta-less index
+    // can't tell us — a caller who rebuckets one built with a
+    // non-default count must say so here. Indexes with a meta (all
+    // post-v2 builds) ignore it.
+    compactCore(spark, path, oldBuckets, Some(newBuckets))
   }
 
   /** Live names a layout swap replaces or drops; each is ASIDED to a
@@ -1229,7 +1239,7 @@ object InvertedIndex {
   }
 
   private def compactCore(spark: SparkSession, path: String,
-      nb: Int): Unit = {
+      fallback: Int, target: Option[Int]): Unit = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sessionState.newHadoopConf()
     val fs = new Path(path).getFileSystem(conf)
@@ -1237,6 +1247,12 @@ object InvertedIndex {
     // committed pre-swap index returns to service and this run
     // re-stages from scratch (same contract as IvfPqIndex.reorg)
     if (fs.exists(swapMarker(path))) recoverSwap(spark, path)
+    // the PRE-swap modulus resolves only after any rollback (the meta
+    // it reads must be the committed one, and requireNoSwap inside
+    // indexBuckets would refuse a torn layout); it is both the legacy
+    // pin value and, for compaction, the rewrite target
+    val preNb = indexBuckets(spark, path, fallback)
+    val nb = target.getOrElse(preNb)
     requireNoInflight(spark, path)
     // stale `.pre` asides with NO marker are post-commit-crash garbage
     // (the swap completed; cleanup didn't) — sweep before re-staging
@@ -1270,12 +1286,16 @@ object InvertedIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus.compact")
     // a pre-meta (legacy) index gets its meta PINNED before the swap:
     // a rollback must restore a layout whose modulus is readable, and
-    // the pin records exactly what every reader already assumed
+    // the pin must record the modulus the EXISTING layout was built
+    // with (the caller-resolved pre-swap count) — pinning the target
+    // or a blind default would, after a mid-swap crash + rollback,
+    // publish a meta disagreeing with the restored buckets and send
+    // every probe to the wrong modulus silently
     if (!fs.exists(new Path(s"$path/_graft_index_meta")))
-      writeMeta(spark, path, indexBuckets(spark, path, DefaultBuckets))
-    // marker brackets ONLY the renames + the meta republish (all the
-    // expensive staging ran above, into paths the live index never
-    // reads): a death inside leaves a layout whose modulus is in
+      writeMeta(spark, path, preNb)
+    // marker brackets ONLY the renames + the meta/manifest republish
+    // (all the expensive staging ran above, into paths the live index
+    // never reads): a death inside leaves a layout whose modulus is in
     // doubt, requireNoSwap (via indexBuckets) makes every probe and
     // maintenance call refuse it, and recoverSwap rolls it back —
     // every live piece is ASIDED to a `.pre` twin (rename, never
@@ -1300,12 +1320,17 @@ object InvertedIndex {
     // the meta must agree with the swapped-in layout before the gate
     // lifts — this is what makes rebucket atomic from a prober's view
     writeMeta(spark, path, nb)
+    // the fresh base manifest is written INSIDE the marker window too:
+    // a crash between the commit point and a post-commit manifest
+    // write would leave the index with no _graft_genfiles at all (the
+    // old ones are asided) and degrade the next repair to the full
+    // footer sweep; in-window is safe because a rollback restores
+    // _graft_genfiles from its .pre twin over whatever we wrote here
+    writeGenManifest(spark, path, "base", listAllDataFiles(spark, path))
     fs.delete(swapMarker(path), false) // commit point
     // post-commit cleanup: the asides are garbage now (a crash between
     // the commit and this sweep leaves them for the next compactCore)
     SwapNames.foreach(n => fs.delete(new Path(s"$path/$n.pre"), true))
-    // compacted files are committed state: fresh base snapshot
-    writeGenManifest(spark, path, "base", listAllDataFiles(spark, path))
   }
 
   /** Live corpus scalars `(n_docs, n_tokens)`: build/append delta rows

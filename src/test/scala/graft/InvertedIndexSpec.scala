@@ -643,6 +643,69 @@ class InvertedIndexSpec extends SparkSpec {
     assert(probe() === ref)
   }
 
+  test("compactIndex recovers a torn swap itself: a leftover marker " +
+      "rolls back on entry (bucket count resolves AFTER recovery), and " +
+      "a meta-less legacy index pins the caller-resolved modulus, " +
+      "never the blind default") {
+    import java.nio.file.{Files => JFiles, Paths => JPaths, StandardCopyOption}
+    val dir = JFiles.createTempDirectory("graft_invidx_cir").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val q = "hash join table"
+    def probe() = InvertedIndex.bm25TopKIndexed(spark, dir, q, k = 20,
+      nBuckets = 4).as[(Long, Long, Long, Long)].collect().toSeq
+    // a LEGACY index: built with a NON-default bucket count, meta
+    // removed (pre-meta format) — readers carry nBuckets=4 by hand
+    InvertedIndex.buildIndex(docs.where($"doc_id" % 3 =!= 2),
+      "text", "doc_id", dir, nBuckets = 4)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 3 === 2),
+      "text", "doc_id", dir, nBuckets = 4)
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 10 === 7),
+      "doc_id", dir, nBuckets = 4)
+    JFiles.delete(JPaths.get(dir, "_graft_index_meta"))
+    val before = probe()
+    // forge a mid-swap death (postings asided, torn meta, marker up):
+    // compactIndex ITSELF must recover — resolving the bucket count
+    // eagerly would hit requireNoSwap and loop on the very error
+    // message that says re-running it works
+    JFiles.writeString(JPaths.get(dir, "_graft_index_meta"),
+      "nBuckets=7\n") // torn: a half-committed target meta
+    JFiles.move(JPaths.get(dir, "postings"),
+      JPaths.get(dir, "postings.pre"), StandardCopyOption.ATOMIC_MOVE)
+    JFiles.createFile(JPaths.get(dir, "_graft_swap_inflight"))
+    intercept[IllegalStateException] { probe() }
+    InvertedIndex.recoverSwap(spark, dir) // restores postings, but the
+    // torn meta had no .pre twin (legacy index) — drop it again so the
+    // index is back to its true pre-meta state
+    JFiles.delete(JPaths.get(dir, "_graft_index_meta"))
+    assert(probe() === before)
+    // now the headline: marker forged again, compactIndex(nBuckets=4)
+    // recovers AND completes in one call
+    JFiles.move(JPaths.get(dir, "postings"),
+      JPaths.get(dir, "postings.pre"), StandardCopyOption.ATOMIC_MOVE)
+    JFiles.createFile(JPaths.get(dir, "_graft_swap_inflight"))
+    InvertedIndex.compactIndex(spark, dir, nBuckets = 4)
+    assert(!JFiles.exists(JPaths.get(dir, "_graft_swap_inflight")))
+    assert(probe() === before,
+      "compactIndex after a torn swap must roll back, then compact")
+    // the published meta carries the CALLER-resolved modulus (4), not
+    // DefaultBuckets — a legacy index compacted at its true count must
+    // never come out claiming 64 over a 4-way layout
+    assert(JFiles.readString(JPaths.get(dir, "_graft_index_meta"))
+      .contains("nBuckets=4"))
+    assert(new java.io.File(s"$dir/postings").listFiles()
+      .count(_.getName.startsWith("bucket=")) <= 4)
+    assert(!JFiles.exists(JPaths.get(dir, "tombstones")))
+    // and a legacy index REBUCKET threads its pre-swap modulus the
+    // same way: meta-less, oldBuckets says 4, target 9 — completes,
+    // probes resolve 9 from the fresh meta regardless of fallback
+    JFiles.delete(JPaths.get(dir, "_graft_index_meta"))
+    InvertedIndex.rebucket(spark, dir, newBuckets = 9, oldBuckets = 4)
+    assert(JFiles.readString(JPaths.get(dir, "_graft_index_meta"))
+      .contains("nBuckets=9"))
+    assert(probe() === before)
+  }
+
   test("bm25: monotone in tf, bounded by idf·(k1+1) equivalent, ties by doc_id") {
     val docs = Seq(
       (1L, "q q q q filler filler filler filler"),

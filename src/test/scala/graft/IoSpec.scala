@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import graft.io.{CsvSources, ManagedParquetTable, TrainingExport, XlsxSource}
+import graft.io.{ConcurrentWriteException, CsvSources, ManagedParquetTable, TrainingExport, XlsxSource}
 import graft.etl.Schemas
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StructField, StructType}
@@ -47,15 +47,19 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == 1)
   }
 
-  test("CAS commit: two writers racing the same version — one fails " +
-      "loudly, nothing is silently lost, the table stays consistent") {
+  test("CAS commit: two READ-MODIFY-WRITE writers racing the same " +
+      "version — one fails loudly (no auto-rebase for rewrites), " +
+      "nothing is silently lost, the table stays consistent") {
     val t = new ManagedParquetTable(spark, tmp("mptcas") + "/tbl")
     t.append(Seq((0L, "seed")).toDF("id", "v"))
     val rounds = 8
-    // barrier-sync two writers so both enter append() on the SAME
+    // barrier-sync two OVERWRITE writers so both derive from the SAME
     // snapshot version each round: both stage a segment, both CAS the
     // same version — exactly one must win, the other must throw the
-    // loud single-writer violation (never silently erase the winner)
+    // loud single-writer violation (never silently erase the winner).
+    // Overwrite is the read-modify-write shape: its staged result
+    // replaces the snapshot it was derived from, so the engine must
+    // NOT rebase it — only the caller can re-derive.
     val barrier = new java.util.concurrent.CyclicBarrier(2)
     val committed = new java.util.concurrent.atomic.AtomicLong(0)
     val collided = new java.util.concurrent.atomic.AtomicLong(0)
@@ -65,11 +69,10 @@ class IoSpec extends SparkSpec {
       for (r <- 0 until rounds) {
         barrier.await()
         try {
-          t.append(Seq((idBase + r, s"w$idBase-$r")).toDF("id", "v"))
+          t.overwrite(Seq((idBase + r, s"w$idBase-$r")).toDF("id", "v"))
           committed.incrementAndGet()
         } catch {
-          case e: IllegalStateException
-              if e.getMessage.contains("concurrent writer") =>
+          case e: graft.io.ConcurrentWriteException =>
             collided.incrementAndGet()
           case e: Throwable => unexpected.add(e)
         }
@@ -81,66 +84,133 @@ class IoSpec extends SparkSpec {
     assert(collided.get() >= 1,
       "barrier-synced writers never collided — the race window was " +
         "not exercised")
-    // consistency: every winning commit's row is present exactly once,
-    // every loser's row absent; version advanced once per winner
-    assert(t.read().count() == 1 + committed.get())
+    // consistency: version advanced once per winner; the table holds
+    // exactly the LAST winner's single row (each commit overwrote)
     assert(t.version == 1 + committed.get())
-    assert(t.read().select(col("id")).distinct().count() ==
-      1 + committed.get())
+    assert(t.read().count() == 1)
     // losers' stranded staging segments are unreferenced: vacuum with
     // no grace reclaims them and the table still reads
     t.vacuum(graceMs = 0L)
-    assert(t.read().count() == 1 + committed.get())
+    assert(t.read().count() == 1)
   }
 
-  test("CAS commit: sustained multi-writer chaos — four unsynchronized " +
-      "writers retrying through collisions all converge; every landed " +
-      "commit is present exactly once and the version count equals the " +
-      "landed commits") {
+  test("OCC auto-rebase: barrier-raced BLIND appends never surface a " +
+      "collision — the engine rebases onto the new head and re-CASes; " +
+      "both writers land every round, exactly once each") {
+    val t = new ManagedParquetTable(spark, tmp("mptocc") + "/tbl")
+    t.append(Seq((0L, "seed")).toDF("id", "v"))
+    val rounds = 8
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val unexpected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def writer(idBase: Long) = new Thread(() => {
+      for (r <- 0 until rounds) {
+        barrier.await()
+        // ZERO manual retries: a blind append must absorb the race
+        try t.append(Seq((idBase + r, s"w$idBase-$r")).toDF("id", "v"))
+        catch { case e: Throwable => unexpected.add(e) }
+      }
+    })
+    val (a, b) = (writer(1000), writer(2000))
+    a.start(); b.start(); a.join(); b.join()
+    assert(unexpected.isEmpty,
+      s"append surfaced a failure despite auto-rebase: ${unexpected.peek()}")
+    // every append landed exactly once; version advanced once per append
+    assert(t.version == 1 + 2L * rounds)
+    assert(t.read().count() == 1 + 2L * rounds)
+    assert(t.read().select(col("id")).distinct().count() ==
+      1 + 2L * rounds, "a rebased append must land exactly once")
+  }
+
+  test("OCC chaos: four unsynchronized appenders with ZERO manual " +
+      "retries all converge through the auto-rebase; every append is " +
+      "present exactly once and the version equals the append count") {
     val path = tmp("mptchaos") + "/tbl"
     val writers = 4; val perWriter = 8
-    val landed = new java.util.concurrent.atomic.AtomicLong(0)
-    val collisions = new java.util.concurrent.atomic.AtomicLong(0)
     val unexpected =
       new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
     def writer(w: Long) = new Thread(() => {
       // own instance per thread over the same path — the cross-process
-      // deployment shape; the retry loop is the documented reaction to
-      // the loud single-writer violation (re-read the head, re-derive,
-      // re-commit)
+      // deployment shape; NO retry loop anywhere: a blind append owns
+      // its own OCC (re-read head, re-CAS) inside the engine
       val t = new ManagedParquetTable(spark, path)
       for (r <- 0 until perWriter) {
-        var done = false; var tries = 0
-        while (!done) {
-          tries += 1
-          if (tries > 200) { unexpected.add(new IllegalStateException(
-            s"writer $w commit $r did not land in 200 tries")); done = true }
-          else try {
-            t.append(Seq((w * 1000 + r, s"w$w-$r")).toDF("id", "v"))
-            landed.incrementAndGet(); done = true
-          } catch {
-            case e: IllegalStateException
-                if e.getMessage.contains("concurrent writer") =>
-              collisions.incrementAndGet()
-            case e: Throwable => unexpected.add(e); done = true
-          }
-        }
+        try t.append(Seq((w * 1000 + r, s"w$w-$r")).toDF("id", "v"))
+        catch { case e: Throwable => unexpected.add(e) }
       }
     })
     val ts = (0 until writers).map(w => writer(w.toLong))
     ts.foreach(_.start()); ts.foreach(_.join())
-    assert(unexpected.isEmpty, s"non-CAS failure: ${unexpected.peek()}")
-    assert(landed.get() == writers.toLong * perWriter)
+    assert(unexpected.isEmpty, s"append failed despite auto-rebase: " +
+      s"${unexpected.peek()}")
+    val n = writers.toLong * perWriter
     val t = new ManagedParquetTable(spark, path)
-    assert(t.version == landed.get(),
-      s"version ${t.version} != landed ${landed.get()} " +
-        s"(collisions seen: ${collisions.get()})")
-    assert(t.read().count() == landed.get())
-    assert(t.read().select(col("id")).distinct().count() == landed.get(),
-      "a retried commit must land exactly once")
-    // stranded loser segments are unreferenced garbage, reclaimable
+    assert(t.version == n, s"version ${t.version} != appends $n")
+    assert(t.read().count() == n)
+    assert(t.read().select(col("id")).distinct().count() == n,
+      "a rebased append must land exactly once")
     t.vacuum(graceMs = 0L)
-    assert(t.read().count() == landed.get())
+    assert(t.read().count() == n)
+  }
+
+  test("OCC mixed chaos: appenders (no retries) racing a COMPACTOR " +
+      "(read-modify-write, loud loser, caller-side retry) converge — " +
+      "no append is lost to a compaction landing around it and no " +
+      "compaction resurrects pre-compaction segments") {
+    val path = tmp("mptmixed") + "/tbl"
+    val t0 = new ManagedParquetTable(spark, path)
+    t0.append(Seq((-1L, "seed")).toDF("id", "v"))
+    val writers = 3; val perWriter = 6
+    val unexpected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val compactions = new java.util.concurrent.atomic.AtomicLong(0)
+    val compactorDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def appender(w: Long) = new Thread(() => {
+      val t = new ManagedParquetTable(spark, path)
+      for (r <- 0 until perWriter) {
+        // an append must rebase THROUGH an interleaved compaction: the
+        // compactor's commit replaced every prior segment, and the
+        // rebase lands this append's fresh segment on the compacted
+        // head — both histories serialize
+        try t.append(Seq((w * 1000 + r, s"w$w-$r")).toDF("id", "v"))
+        catch { case e: Throwable => unexpected.add(e) }
+      }
+    })
+    val compactor = new Thread(() => {
+      val t = new ManagedParquetTable(spark, path)
+      for (_ <- 0 until 4) {
+        // rewrites still fail loudly; the compactor retries by
+        // RE-DERIVING (compact() re-reads the snapshot each call) —
+        // the documented caller-side OCC for read-modify-write
+        var done = false; var tries = 0
+        while (!done && tries < 100) {
+          tries += 1
+          try { t.compact(targetFiles = 1); compactions.incrementAndGet(); done = true }
+          catch {
+            case _: ConcurrentWriteException => // stale head: re-derive
+            case e: Throwable => unexpected.add(e); done = true
+          }
+        }
+        if (!done) unexpected.add(new IllegalStateException(
+          "compactor starved: 100 re-derivations all lost"))
+      }
+      compactorDone.set(true)
+    })
+    val as = (0 until writers).map(w => appender(w.toLong))
+    as.foreach(_.start()); compactor.start()
+    as.foreach(_.join()); compactor.join()
+    assert(unexpected.isEmpty, s"mixed chaos failure: ${unexpected.peek()}")
+    assert(compactions.get() == 4L)
+    val t = new ManagedParquetTable(spark, path)
+    val n = 1L + writers.toLong * perWriter
+    assert(t.read().count() == n,
+      s"rows ${t.read().count()} != expected $n — an append was lost " +
+        "to a compaction (or double-landed)")
+    assert(t.read().select(col("id")).distinct().count() == n)
+    // versions: 1 seed + every append + every landed compaction
+    assert(t.version == n + compactions.get())
+    t.vacuum(graceMs = 0L)
+    assert(t.read().count() == n)
   }
 
   test("CAS commit: a writer that died between its CAS publish and the " +
