@@ -47,6 +47,57 @@ case class LangIdExpr(child: Expression, markers: Seq[(String, Seq[String])])
     copy(child = c)
 }
 
+/** [[LangIdExpr]] with a CONFIDENCE the curation gate can threshold:
+  * struct (lang, conf_permille) where conf_permille is the winning
+  * language's share of ALL marker hits, as an exact per-mille
+  * (round-half-away in pure integer arithmetic — the [[graft.queries.Exact.roundDiv]]
+  * formula, so a DuckDB oracle replays it bit-for-bit). A text hitting
+  * only English markers scores 1000; one split evenly between English
+  * and French scores 500 — the hard argmax label alone can't tell
+  * those apart, and a training-data gate wants to DROP the ambiguous
+  * one, not coin-flip it. No marker hit at all → ("unknown", 0).
+  * Same marker sets, same tokenization, same first-listed tie rule as
+  * the unscored kernel: the label field always equals [[LangIdExpr]]. */
+case class LangIdScoredExpr(child: Expression,
+    markers: Seq[(String, Seq[String])]) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("lang", StringType, nullable = false),
+    StructField("conf_permille", IntegerType, nullable = false)))
+
+  @transient private lazy val markerSets: Array[(UTF8String, Set[String])] =
+    markers.map { case (l, ms) => (UTF8String.fromString(l), ms.toSet) }.toArray
+  @transient private lazy val unknown = UTF8String.fromString("unknown")
+
+  def kernel(v: UTF8String): InternalRow = {
+    val toks = TextKernels.tokenize(v).toSet
+    var bestIdx = -1
+    var bestScore = 0
+    var total = 0L
+    var i = 0
+    while (i < markerSets.length) {
+      var score = 0
+      val ms = markerSets(i)._2
+      toks.foreach(t => if (ms.contains(t)) score += 1)
+      total += score
+      // strict '>' keeps the first-listed language on ties
+      if (score > bestScore) { bestScore = score; bestIdx = i }
+      i += 1
+    }
+    if (bestIdx < 0) InternalRow(unknown, 0)
+    else InternalRow(markerSets(bestIdx)._1,
+      ((2000L * bestScore + total) / (2L * total)).toInt)
+  }
+  override def nullSafeEval(v: Any): Any = kernel(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("langIdScored", this,
+      classOf[LangIdScoredExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+  override def prettyName: String = "graft_lang_id_scored"
+  override protected def withNewChildInternal(c: Expression): LangIdScoredExpr =
+    copy(child = c)
+}
+
 /** One-pass text statistics struct:
   * (n_tokens, n_distinct, sum_token_len, n_stopword_tokens,
   *  n_chars, n_punct_chars, n_nonalpha_chars).
@@ -112,6 +163,8 @@ object TextStatsExpressions {
 
   def lang_id(text: Column): Column =
     column(LangIdExpr(expression(text), TextFunctions.LangMarkers))
+  def lang_id_scored(text: Column): Column =
+    column(LangIdScoredExpr(expression(text), TextFunctions.LangMarkers))
   def text_stats(text: Column): Column =
     column(TextStatsExpr(expression(text), TextFunctions.EnStopwords))
 }

@@ -254,7 +254,26 @@ final class IncrementalAggView(
           "(decomposable kinds: count, sum, min, max, hll)")
     } :+ count(lit(1)).as(RowN)
     val pd = s"pfile-${System.nanoTime()}"
-    readFiles(rel)
+    // schema evolution: a window's files see only their slice of the
+    // table's merged schema — a batch written before a widening lacks
+    // the new column, and grouping/aggregating the raw subset would
+    // throw (or shape the partials differently from a rebuild over
+    // read(), which null-fills table-wide). Null-fill exactly the
+    // columns this view consumes, typed from the table's own schema;
+    // sum/min/max skip nulls and count(col) ignores them, so the
+    // maintained state stays ≡ the one-shot aggregate. A column the
+    // TABLE itself has never seen still fails loudly.
+    val src = readFiles(rel)
+    val have = src.columns.toSet
+    val needed = (groupCols ++ aggs.map(_.inputCol).filter(_.nonEmpty))
+      .distinct.filterNot(have)
+    val aligned = needed.foldLeft(src) { (d, n) =>
+      val f = table.read().schema.fields.find(_.name == n).getOrElse(
+        sys.error(s"view at $viewPath aggregates column '$n' that " +
+          s"no file of table $tablePath carries"))
+      d.withColumn(n, lit(null).cast(f.dataType))
+    }
+    aligned
       .groupBy((SrcCol +: groupCols).map(col): _*)
       .agg(exprs.head, exprs.tail: _*)
       .write.mode("overwrite").parquet(s"$viewPath/$pd")

@@ -1511,9 +1511,33 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
           "left_semi")
         .drop("__graft_f", "__graft_r")
         .withColumn("_change_type", lit("delete")))
-    Seq(inserts, fileDeletes, dvDeletes).flatten
+    alignToSnapshotSchema(Seq(inserts, fileDeletes, dvDeletes).flatten
       .reduceOption(_.unionByName(_, allowMissingColumns = true))
-      .getOrElse(read().withColumn("_change_type", lit("insert")).limit(0))
+      .getOrElse(read().withColumn("_change_type", lit("insert")).limit(0)))
+  }
+
+  /** Present a change-feed window in the TABLE's current merged schema
+    * — exactly as [[read]] shows the same rows. A window's own files
+    * see only their slice of an EVOLVED schema: a batch written before
+    * a widening lacks the new column (a maintainer folding the raw
+    * subset would throw on it, or worse, silently aggregate a frame
+    * shaped differently from the table it mirrors), and a removed
+    * file can carry a column no live file has. Null-fill the missing
+    * ones (what mergeSchema does table-wide), project away the
+    * obsolete ones, keep `_change_type`. No-op (and free) when the
+    * window's schema already matches. An empty snapshot (nothing to
+    * align to) passes through. */
+  private def alignToSnapshotSchema(df: DataFrame): DataFrame = {
+    if (snapshot().map(_._2).getOrElse(Seq.empty).isEmpty) return df
+    val tbl = read().schema
+    if (tbl.fields.map(_.name).toSeq == df.columns.toSeq.filter(_ != "_change_type"))
+      return df
+    val have = df.columns.toSet
+    val filled = tbl.fields.foldLeft(df)((d, f) =>
+      if (have(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType)))
+    filled.select(tbl.fields.map(f => col(f.name)).toSeq :+
+      col("_change_type"): _*)
   }
 
   /** Time travel: the table as of delta-log `version` (0-based — the

@@ -13,9 +13,11 @@ object Text {
 
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
 
-  /** DuckDB fragment: whitespace tokens of lowercased text. */
-  private val SqlToks =
-    "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x != '')"
+  /** DuckDB fragment: whitespace tokens of a lowercased column. */
+  private def sqlToksOf(c: String): String =
+    s"list_filter(string_split_regex(lower(trim($c)), '\\s+'), x -> x != '')"
+
+  private val SqlToks = sqlToksOf("text")
 
   val tokenStats: GQuery = GQuery(
     "t1_token_stats",
@@ -168,6 +170,40 @@ object Text {
               CASE WHEN m = 0 THEN 'unknown'
                    WHEN s_en = m THEN 'en' WHEN s_fr = m THEN 'fr'
                    WHEN s_es = m THEN 'es' ELSE 'de' END AS lang_guess
+            FROM mx ORDER BY doc_id"""))
+
+  /** t3 with the confidence a curation gate thresholds: the winning
+    * language's share of all marker hits as an exact per-mille (integer
+    * round-half-away — [[graft.queries.Exact.roundDiv]]), 0 for
+    * unknown. The label column must equal t3's verbatim; e4 consumes
+    * the threshold form. */
+  val langIdScoredQ: GQuery = GQuery(
+    "t3b_lang_id_scored",
+    (s, d) => {
+      val sc = graft.expressions.TextStatsExpressions
+        .lang_id_scored(col("text"))
+      docs(s, d)
+        .select(col("doc_id"), sc.getField("lang").as("lang_guess"),
+          sc.getField("conf_permille").cast("long").as("conf_permille"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, list_distinct($SqlToks) AS ts
+              FROM documents),
+            sc AS (SELECT doc_id,
+              len(list_intersect(ts, ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+              len(list_intersect(ts, ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+              len(list_intersect(ts, ['el','la','los','las','y','de','que','es','en','por'])) AS s_es,
+              len(list_intersect(ts, ['der','die','das','und','ist','von','mit','den','nicht','ein'])) AS s_de
+              FROM t),
+            mx AS (SELECT *, greatest(s_en, s_fr, s_es, s_de) AS m,
+              s_en + s_fr + s_es + s_de AS tot FROM sc)
+            SELECT doc_id,
+              CASE WHEN m = 0 THEN 'unknown'
+                   WHEN s_en = m THEN 'en' WHEN s_fr = m THEN 'fr'
+                   WHEN s_es = m THEN 'es' ELSE 'de' END AS lang_guess,
+              CAST(CASE WHEN m = 0 THEN 0
+                ELSE ${Exact.roundDivSqlPos("1000 * m", "tot")} END
+                AS BIGINT) AS conf_permille
             FROM mx ORDER BY doc_id"""))
 
   val fingerprintQ: GQuery = GQuery(
@@ -1290,6 +1326,205 @@ object Text {
               CAST(sum(nt) AS BIGINT) AS n_tokens
             FROM w GROUP BY split, shard ORDER BY split, shard"""))
 
+  /** e4: e3's capstone with the curation stages a production
+    * pretraining feed actually runs between the quality gate and the
+    * chunker — each stage an already-gated operator, composed here so
+    * the ONE-PASS-PER-STAGE shape and the export invariants survive
+    * the full chain:
+    *   tagged ingest (replayed batch must no-op)
+    *   → scored lang gate (t3b's confidence threshold, not the bare
+    *     argmax label) + token floor
+    *   → exact dedup (d1)
+    *   → NEAR-DUP dedup (d11's SimHash value-graph — doc pairs never
+    *     materialize)
+    *   → benchmark decontamination (d13's Bloom prefilter + exact
+    *     semi-join; bench slice = full-corpus doc_id % 89 == 0)
+    *   → PII redaction (t10's planted-PII protocol — chunking then
+    *     runs over the REDACTED text, so a redaction regression
+    *     breaks the final token accounting, not just a side column)
+    *   → chunk → hash-stable split → capacity packing → JSONL shard
+    *     export with on-disk row-count verification → manifest derived
+    *     FROM the shards.
+    * The oracle replays the identical chain in SQL (the proven CTEs of
+    * e3 + d10/d11 + d13 + t10 composed over the same subsets). */
+  val curatedPipelineQ: GQuery = GQuery(
+    "e4_curated_pipeline",
+    (s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_e4").toString
+      val t = new graft.io.ManagedParquetTable(s, s"$root/docs")
+      val src = docs(s, d).select(col("doc_id"), col("text"))
+      for (b <- 0 to 2)
+        graft.streaming.BronzeIngest.indexedIngestBatch(t,
+          src.where(col("doc_id") % 3 === b), b.toLong, "e4", Nil)
+      val v = t.version
+      graft.streaming.BronzeIngest.indexedIngestBatch(t,
+        src.where(col("doc_id") % 3 === 2), 2L, "e4", Nil)
+      require(t.version == v, "replayed ingest batch must not re-append")
+      val corpus = t.read()
+      val sc = graft.expressions.TextStatsExpressions
+        .lang_id_scored(col("text"))
+      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+      val gated = corpus
+        .filter(sc.getField("lang") === "en" &&
+          sc.getField("conf_permille") >= lit(500) &&
+          st.getField("n_tokens") >= lit(20))
+        .select(col("doc_id"), col("text"))
+      val exact = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+      // conservative near-dup radius for the capstone: the synthetic
+      // corpus is template-generated, and dist<=3 collapses the gated
+      // set to a handful of docs — dist<=1 keeps the tail stages fed
+      // (d11 still gates the aggressive radius standalone)
+      val near = graft.dedup.Dedup.simhashDedup(exact, maxDist = 1)
+      val bench = corpus.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id"), col("text"))
+      val train = near.filter(col("doc_id") % 89 =!= 0)
+      val clean = graft.dedup.Dedup.bloomDecontaminate(train, bench,
+        expectedItems = 1L << 18)
+      val red = clean.select(col("doc_id"),
+        graft.text.TextFunctions.redactPii(concat(col("text"),
+          lit(" reach user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-123-4567 or 10.0.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"))).as("red"))
+      val chunks = chunkDocuments(red, "red", chunkTokens = 32, overlap = 8)
+        .withColumn("shard", col("doc_id") % 8)
+        .withColumn("split", {
+          val b = pmod(pmod(col("doc_id") * lit(2654435761L),
+            lit(1000000007L)), lit(100L))
+          when(b < 90, lit("train")).when(b < 95, lit("valid"))
+            .otherwise(lit("test"))
+        })
+      val packed = graft.operators.Packing.packSequences(
+        chunks, "n_chunk_tokens",
+        concat_ws("/", col("split"), col("shard")),
+        Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
+      val payload = packed.drop("red")
+      val written = graft.io.TrainingExport.writeJsonlShards(
+        payload, keyCol = "doc_id", nShards = 8, path = s"$root/shards")
+      val onDisk = s.read.textFile(s"$root/shards").count()
+      require(onDisk == written,
+        s"export shards hold $onDisk rows, the write pass observed $written")
+      s.read.schema(payload.schema).json(s"$root/shards")
+        .groupBy(col("split"), col("shard"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_chunks"),
+          (max(col("seq_id")) + 1).as("n_seqs"),
+          sum(col("n_chunk_tokens").cast("long")).as("n_tokens"))
+        .orderBy(col("split"), col("shard"))
+    },
+    Some(raw"""WITH RECURSIVE
+            t0 AS (SELECT doc_id, text, $SqlToks AS toks FROM documents),
+            sc AS (SELECT doc_id, text, toks,
+              len(list_intersect(list_distinct(toks),
+                ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+              len(list_intersect(list_distinct(toks),
+                ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+              len(list_intersect(list_distinct(toks),
+                ['el','la','los','las','y','de','que','es','en','por'])) AS s_es,
+              len(list_intersect(list_distinct(toks),
+                ['der','die','das','und','ist','von','mit','den','nicht','ein'])) AS s_de
+              FROM t0),
+            gated AS (SELECT doc_id, text, toks FROM (
+              SELECT *, greatest(s_en, s_fr, s_es, s_de) AS m,
+                s_en + s_fr + s_es + s_de AS tot FROM sc)
+              WHERE m > 0 AND s_en = m
+                AND ${Exact.roundDivSqlPos("1000 * m", "tot")} >= 500
+                AND len(toks) >= 20),
+            ex AS (SELECT doc_id, text, toks FROM (
+              SELECT doc_id, text, toks, row_number() OVER (
+                PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+                ORDER BY doc_id) AS rn
+              FROM gated) WHERE rn = 1),
+            hs AS (SELECT doc_id,
+              list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok, ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 4294967296)) AS hs
+              FROM ex),
+            sh AS (SELECT doc_id,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(32), b ->
+                  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT) END)),
+                    (a2, v) -> a2 + v) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                (a2, v) -> a2 + v) AS sh
+              FROM hs),
+            vals AS (SELECT DISTINCT sh AS v FROM sh),
+            banded AS (SELECT v, b AS band, (v >> (b*8)) & 255 AS slice
+              FROM vals, unnest(range(4)) AS u(b)),
+            vp AS (SELECT DISTINCT l.v AS v_a, r.v AS v_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.slice = r.slice AND l.v < r.v
+              WHERE bit_count(xor(l.v, r.v)) <= 1),
+            vedges AS (SELECT v_a AS s, v_b AS d FROM vp
+                       UNION SELECT v_b, v_a FROM vp),
+            vreach(v, lab) AS (
+              SELECT s, s FROM vedges
+              UNION
+              SELECT e.s, r.lab FROM vedges e JOIN vreach r ON e.d = r.v),
+            vcomp AS (SELECT v, min(lab) AS vlab FROM vreach GROUP BY v),
+            nd AS (SELECT min(doc_id) AS doc_id
+              FROM sh LEFT JOIN vcomp ON sh.sh = vcomp.v
+              GROUP BY coalesce(vcomp.vlab, sh.sh)),
+            shing AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS shs
+              FROM t0),
+            bench AS (SELECT DISTINCT unnest(shs) AS s FROM shing
+                      WHERE doc_id % 89 = 0),
+            cont AS (SELECT DISTINCT y.doc_id FROM (
+                SELECT s2.doc_id, unnest(s2.shs) AS s FROM shing s2
+                JOIN nd USING (doc_id) WHERE s2.doc_id % 89 <> 0) y
+              JOIN bench USING (s)),
+            clean AS (SELECT ex.doc_id, ex.text FROM ex
+              JOIN nd USING (doc_id)
+              WHERE ex.doc_id % 89 <> 0
+                AND ex.doc_id NOT IN (SELECT doc_id FROM cont)),
+            aug AS (SELECT doc_id,
+              text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 or 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) AS t
+              FROM clean),
+            red AS (SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                AS red
+              FROM aug),
+            rt AS (SELECT doc_id, ${sqlToksOf("red")} AS rtoks FROM red),
+            n AS (SELECT doc_id, rtoks,
+              greatest(CAST(ceil((len(rtoks) - 8) / 24.0) AS BIGINT), 1)
+                AS n_chunks FROM rt),
+            c AS (SELECT doc_id, rtoks, CAST(i AS BIGINT) AS chunk_idx
+              FROM n, unnest(range(n_chunks)) AS u(i)),
+            ch AS (SELECT doc_id, chunk_idx,
+              CAST(len(rtoks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT)
+                AS nt FROM c),
+            sp AS (SELECT doc_id, chunk_idx, nt,
+              CAST(doc_id % 8 AS BIGINT) AS shard,
+              CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+                   THEN 'train'
+                   WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95
+                   THEN 'valid' ELSE 'test' END AS split
+              FROM ch),
+            w AS (SELECT *, sum(nt) OVER (PARTITION BY split, shard
+                ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+                AS cum_excl FROM sp)
+            SELECT split, shard,
+              CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+              count(*) AS n_chunks,
+              CAST(max(cum_excl // 64) + 1 AS BIGINT) AS n_seqs,
+              CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM w GROUP BY split, shard ORDER BY split, shard"""))
+
   /** t19: the BASIS-TRACKED maintainer end to end — a managed document
     * table commits three windows (initial corpus, late append, DV +
     * rewriting deletes) and `IncrementalInvertedIndex.refresh()` folds
@@ -1348,5 +1583,6 @@ object Text {
       sequencePackingQ, tfIdfQ, vocabQ, redactQ, repetitionQ, mixtureQ,
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
       bm25Q, bm25IndexedQ, multiPhraseQ, hybridRrfQ, indexRefreshQ,
-      hybridRecallQ, hybridRecallMpQ, trainingPipelineQ)
+      hybridRecallQ, hybridRecallMpQ, trainingPipelineQ, langIdScoredQ,
+      curatedPipelineQ)
 }

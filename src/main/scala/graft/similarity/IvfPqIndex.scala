@@ -356,6 +356,42 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
       idCol, shards)
   }
 
+  /** Telemetry-driven maintenance recommendations — one
+    * [[graft.io.MaintenanceAction]] per policy threshold crossed,
+    * empty when the index needs nothing; the IVF-PQ sibling of
+    * [[graft.text.InvertedIndex.maintenancePlan]]. Signals come from
+    * the lists table's own manifest (segment count — per-window
+    * appends accumulate dirs whose listing/stats overhead every probe
+    * plan pays) and dv bookkeeping (live tombstone entries — each
+    * one's sidecar is opened per scan); a torn reorg preempts as the
+    * only row. No code scan, pollable per ingest window. */
+  def maintenancePlan(
+      policy: IvfPqMaintenancePolicy = IvfPqMaintenancePolicy()):
+      Seq[graft.io.MaintenanceAction] = {
+    import graft.io.MaintenanceAction
+    if (Files.exists(reorgMarker))
+      return Seq(MaintenanceAction("recoverReorg", "reorg_marker", 1L,
+        0L, 0L, "interrupted reorg: roll back to the committed " +
+          "pre-reorg index (re-running reorg() also recovers on entry)"))
+    val out = Seq.newBuilder[MaintenanceAction]
+    if (table.exists) {
+      val segs = table.deltaSnapshotFiles()
+        .map(_.split("/")(0)).distinct
+      if (segs.size >= policy.maxListSegments)
+        out += MaintenanceAction("compactLists", "list_segments",
+          segs.size.toLong, policy.maxListSegments.toLong, 0L,
+          "per-window appends accumulated segment dirs; " +
+            "table.compact() folds them in one dataChange=false commit")
+      val dvn = table.liveDvEntries(segs).size
+      if (dvn >= policy.maxLiveDvEntries)
+        out += MaintenanceAction("compactDeletes", "live_dv_entries",
+          dvn.toLong, policy.maxLiveDvEntries.toLong, 0L,
+          "every live tombstone entry's sidecar is opened per probe " +
+            "scan; compactDeletes folds over-threshold segments")
+    }
+    out.result()
+  }
+
   /** The probe plan's file-skipping decision for `queries` at
     * `nprobe`: (files the scan opens, total live index files) —
     * exposed so tests/metrics can assert probes stay list-local. */
@@ -370,3 +406,14 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     (kept.size, total)
   }
 }
+
+/** Thresholds for [[IncrementalIvfPqIndex.maintenancePlan]]. Defaults
+  * size for a large deployment; tests pass tighter bounds.
+  * `maxListSegments` bounds the lists table's segment-dir count (probe
+  * planning lists every live segment's stats sidecar);
+  * `maxLiveDvEntries` bounds the tombstone entries a scan must open
+  * (refresh() already folds them at its own 0.3 threshold — the plan
+  * surfaces a table whose refresh cadence has not kept up). */
+final case class IvfPqMaintenancePolicy(
+    maxListSegments: Int = 32,
+    maxLiveDvEntries: Int = 16)

@@ -1201,6 +1201,92 @@ object InvertedIndex {
     compactCore(spark, path, oldBuckets, Some(newBuckets))
   }
 
+  /** Thresholds for [[maintenancePlan]]. Defaults size for a large
+    * deployment; tests (and small corpora) pass tighter bounds.
+    *   - `maxFilesPerBucket`: probe fan-in bound — every appended
+    *     window adds ≤1 file per touched bucket, so this is the
+    *     compaction cadence expressed as a measurable instead of a
+    *     fixed schedule.
+    *   - `maxTombstonePermille`: dead-weight bound — tombstoned docs
+    *     still sit in the postings files every probe reads.
+    *   - `minDocsPerBucket`/`maxDocsPerBucket`: the band outside which
+    *     the build-time modulus no longer fits the corpus (monster
+    *     probe scans above, per-bucket listing overhead below);
+    *     `targetDocsPerBucket` sizes the suggested new modulus. */
+  final case class IndexMaintenancePolicy(
+      maxFilesPerBucket: Int = 8,
+      maxTombstonePermille: Long = 200L,
+      minDocsPerBucket: Long = 256L,
+      maxDocsPerBucket: Long = 1L << 20,
+      targetDocsPerBucket: Long = 1L << 18)
+
+  /** Telemetry-driven maintenance recommendations for the index at
+    * `path` — one [[graft.io.MaintenanceAction]] per policy threshold
+    * crossed, empty when the index needs nothing. All signals come
+    * from the index's own sidecars (marker files, bucket listings,
+    * the corpus footer, the tombstone sidecar): no postings scan, so
+    * a scheduler can poll this per ingest window. Recovery preempts:
+    * a torn swap (or torn generations) is returned as the ONLY row —
+    * sizing signals over a layout in doubt would be garbage, and no
+    * reorg can run until recovery anyway. The lifecycle differential
+    * drives its reorgs FROM this plan (IndexLifecycleSpec), so the
+    * policy is load-bearing, not advisory prose. */
+  def maintenancePlan(spark: SparkSession, path: String,
+      nBuckets: Int = DefaultBuckets,
+      policy: IndexMaintenancePolicy = IndexMaintenancePolicy()):
+      Seq[graft.io.MaintenanceAction] = {
+    import graft.io.MaintenanceAction
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(swapMarker(path)))
+      return Seq(MaintenanceAction("recoverSwap", "swap_marker", 1L, 0L,
+        0L, "interrupted layout swap: roll back to the committed " +
+          "pre-swap index (compactIndex/rebucket also recover on entry)"))
+    val gens = inflightGens(spark, path)
+    if (gens.nonEmpty)
+      return Seq(MaintenanceAction("repairIndex", "inflight_generations",
+        gens.size.toLong, 0L, 0L,
+        s"uncommitted generation(s) ${gens.sorted.mkString(",")} gate " +
+          "every mutating call; probes stay correct meanwhile"))
+    val out = Seq.newBuilder[MaintenanceAction]
+    val nb = indexBuckets(spark, path, nBuckets)
+    val files = listBucketFiles(spark, s"$path/postings", None)
+    val maxPb =
+      if (files.isEmpty) 0
+      else files.groupBy(_.split("/")(0)).valuesIterator.map(_.size).max
+    if (maxPb >= policy.maxFilesPerBucket)
+      out += MaintenanceAction("compactIndex", "files_per_bucket_max",
+        maxPb.toLong, policy.maxFilesPerBucket.toLong, 0L,
+        "append windows accumulated per-commit files; probes open " +
+          "every file of a probed bucket")
+    val liveDocs = corpusStats(spark, path).collect()(0).getLong(0)
+    val nTomb = tombstones(spark, path).map(_.count()).getOrElse(0L)
+    if (nTomb > 0) {
+      val perm = 1000L * nTomb / (liveDocs + nTomb)
+      if (perm >= policy.maxTombstonePermille)
+        out += MaintenanceAction("compactIndex", "tombstone_permille",
+          perm, policy.maxTombstonePermille, 0L,
+          s"$nTomb tombstoned docs still sit in the postings every " +
+            "probe reads; compaction folds them out")
+    }
+    val dpb = if (nb <= 0) 0L else liveDocs / nb
+    val tooBig = dpb > policy.maxDocsPerBucket
+    val tooSmall = nb > 1 && dpb < policy.minDocsPerBucket
+    if (tooBig || tooSmall) {
+      val suggested = math.max(1L,
+        (liveDocs + policy.targetDocsPerBucket - 1) /
+          policy.targetDocsPerBucket)
+      if (suggested != nb)
+        out += MaintenanceAction("rebucket", "docs_per_bucket", dpb,
+          if (tooBig) policy.maxDocsPerBucket else policy.minDocsPerBucket,
+          suggested,
+          s"modulus $nb no longer fits $liveDocs live docs; rebucket " +
+            s"to $suggested (subsumes compaction — same one-pass rewrite)")
+    }
+    out.result()
+  }
+
   /** Live names a layout swap replaces or drops; each is ASIDED to a
     * `.pre` twin inside the marker window (rename, never delete) so a
     * mid-swap death rolls back by restoring the twins — the retrieval

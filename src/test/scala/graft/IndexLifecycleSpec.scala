@@ -91,6 +91,16 @@ class IndexLifecycleSpec extends SparkSpec {
     check("w0")
     val growth = collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var maxEver = 0
+    // policy sized to the fixture: compaction pressure at 6 files per
+    // bucket; the corpus (~20 docs growing past ~100 live) outgrows
+    // 15 docs/bucket at least once, so the rebucket leg is exercised
+    // BY the policy, not by a scripted cadence
+    val pol = InvertedIndex.IndexMaintenancePolicy(
+      maxFilesPerBucket = 6, maxTombstonePermille = 300,
+      minDocsPerBucket = 3, maxDocsPerBucket = 15,
+      targetDocsPerBucket = 12)
+    var compactions = 0
+    var rebuckets = 0
     for (w <- 1 to 52) {
       rnd.nextInt(10) match {
         case n if n < 6 => // append a fresh batch (the streaming norm)
@@ -118,22 +128,34 @@ class IndexLifecycleSpec extends SparkSpec {
       // must not break the basis (the maintainer refreshes every
       // window, so the basis always sits inside the retained tail)
       if (w % 9 == 0) src.vacuum(graceMs = 0L, retainVersions = Some(12L))
-      // index-layer compaction keeps probe fan-in flat: without it,
-      // every append window adds one file per touched bucket
-      if (w % 10 == 0) {
-        InvertedIndex.compactIndex(spark, s"$root/idx", nBuckets = nb)
-        assert(maxFilesPerBucket() == 1,
-          s"window $w: compaction must fold every bucket to one file")
-      }
-      // layout reorg at its own cadence: the corpus "outgrows" (or
-      // shrinks under) its build-time bucket count and re-shards —
-      // probes and the maintainer must resolve each new modulus from
-      // the meta and stay oracle-exact across every switch
-      if (w % 17 == 0) {
-        InvertedIndex.rebucket(spark, s"$root/idx",
-          newBuckets = if ((w / 17) % 2 == 1) 7 else 3)
-        assert(maxFilesPerBucket() == 1,
-          s"window $w: rebucket must fold every bucket to one file")
+      // index maintenance is POLICY-driven, not a fixed cadence: the
+      // plan reads the index's own sidecars and the loop runs exactly
+      // what it recommends — files-per-bucket pressure compacts, a
+      // corpus outgrowing its modulus re-shards to the plan's
+      // suggested bucket count (probes and the maintainer must resolve
+      // each new modulus from the meta and stay oracle-exact)
+      InvertedIndex.maintenancePlan(spark, s"$root/idx", nBuckets = nb,
+          policy = pol).foreach { a =>
+        a.action match {
+          case "rebucket" =>
+            InvertedIndex.rebucket(spark, s"$root/idx",
+              newBuckets = a.suggestion.toInt)
+            rebuckets += 1
+          case "compactIndex" =>
+            // the rebucket above already folded everything; a second
+            // compaction is harmless but pointless — run it only if
+            // the signal still stands
+            if (InvertedIndex.maintenancePlan(spark, s"$root/idx",
+                nBuckets = nb, policy = pol)
+                .exists(_.action == "compactIndex")) {
+              InvertedIndex.compactIndex(spark, s"$root/idx",
+                nBuckets = nb)
+              compactions += 1
+              assert(maxFilesPerBucket() == 1,
+                s"window $w: compaction must fold every bucket to one file")
+            }
+          case other => fail(s"unexpected recommendation $other")
+        }
       }
       val mf = maxFilesPerBucket()
       maxEver = math.max(maxEver, mf)
@@ -143,12 +165,21 @@ class IndexLifecycleSpec extends SparkSpec {
     info(s"files-per-bucket by window: ${growth.map {
       case (w, f) => s"$w:$f" }.mkString(" ")}")
     info(s"max files-per-bucket ever: $maxEver")
-    // O(1) bound: between 10-window compaction cadences at most ~10
-    // append commits land, each adding at most one file per bucket —
-    // the ceiling is the cadence, never corpus size or history length
-    assert(maxEver <= 13,
-      s"files-per-bucket must stay bounded by the compaction cadence, " +
+    info(s"policy-driven maintenance: $compactions compactions, " +
+      s"$rebuckets rebuckets")
+    // O(1) bound, now POLICY-expressed: each window adds at most one
+    // file per touched bucket and the plan compacts at the threshold,
+    // so the ceiling is the policy knob — never corpus size or
+    // history length
+    assert(maxEver <= pol.maxFilesPerBucket,
+      s"files-per-bucket must stay bounded by the policy threshold, " +
         s"got $maxEver")
+    // the policy must actually FIRE both legs over 52 windows — a plan
+    // that never recommends anything would trivially 'pass'
+    assert(compactions >= 2,
+      s"file pressure must trigger compactions, got $compactions")
+    assert(rebuckets >= 1,
+      s"corpus growth must trigger a policy rebucket, got $rebuckets")
   }
 
   private def runHistory(seed: Int, dir: String): Unit = {

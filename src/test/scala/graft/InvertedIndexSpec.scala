@@ -706,6 +706,66 @@ class InvertedIndexSpec extends SparkSpec {
     assert(probe() === before)
   }
 
+  test("maintenancePlan: each signal fires when its fixture crosses the " +
+      "threshold and clears after the recommended action runs; a torn " +
+      "swap preempts as the only row") {
+    import graft.text.InvertedIndex.IndexMaintenancePolicy
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_invidx_mp").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+    val pol = IndexMaintenancePolicy(maxFilesPerBucket = 3,
+      maxTombstonePermille = 200, minDocsPerBucket = 1,
+      maxDocsPerBucket = 1000000, targetDocsPerBucket = 5)
+    def plan(p: IndexMaintenancePolicy = pol) =
+      InvertedIndex.maintenancePlan(spark, dir, nBuckets = 4, policy = p)
+    InvertedIndex.buildIndex(docs.where($"doc_id" % 4 === 0),
+      "text", "doc_id", dir, nBuckets = 4)
+    assert(plan().isEmpty, s"fresh index needs nothing: ${plan()}")
+    // append windows accumulate one file per touched bucket
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 4 === 1),
+      "text", "doc_id", dir, nBuckets = 4)
+    InvertedIndex.appendDocs(docs.where($"doc_id" % 4 === 2),
+      "text", "doc_id", dir, nBuckets = 4)
+    val p1 = plan()
+    assert(p1.exists(a => a.action == "compactIndex" &&
+      a.metric == "files_per_bucket_max" && a.value >= 3),
+      s"3 commits = 3 files/bucket must recommend compaction: $p1")
+    InvertedIndex.compactIndex(spark, dir, nBuckets = 4)
+    assert(plan().isEmpty, "compaction satisfies the plan")
+    // tombstone pressure
+    InvertedIndex.deleteDocs(docs.where($"doc_id" % 4 === 0 &&
+      $"doc_id" % 3 <= 1), "doc_id", dir)
+    val p2 = plan()
+    assert(p2.exists(a => a.action == "compactIndex" &&
+      a.metric == "tombstone_permille" && a.value >= 200),
+      s"~2/3 tombstoned must recommend compaction: $p2")
+    InvertedIndex.compactIndex(spark, dir, nBuckets = 4)
+    assert(plan().isEmpty)
+    // bucket sizing: tighten the band so the live corpus overflows it;
+    // the suggestion is sized by targetDocsPerBucket
+    val tight = pol.copy(maxDocsPerBucket = 2)
+    val live = InvertedIndex.corpusStats(spark, dir)
+      .collect()(0).getLong(0)
+    val p3 = plan(tight)
+    val rb = p3.find(_.action == "rebucket")
+    assert(rb.isDefined && rb.get.metric == "docs_per_bucket" &&
+      rb.get.suggestion == (live + 4) / 5,
+      s"live=$live under max=2/bucket must recommend rebucket: $p3")
+    InvertedIndex.rebucket(spark, dir,
+      newBuckets = rb.get.suggestion.toInt, oldBuckets = 4)
+    assert(plan(tight.copy(maxDocsPerBucket = 5)).isEmpty,
+      "the suggested modulus sits inside the widened band")
+    // a torn swap preempts everything else
+    val marker = new java.io.File(s"$dir/_graft_swap_inflight")
+    assert(marker.createNewFile())
+    val p4 = plan()
+    assert(p4.map(_.action) == Seq("recoverSwap"),
+      s"recovery must be the ONLY row over a torn layout: $p4")
+    InvertedIndex.recoverSwap(spark, dir)
+    assert(plan(tight.copy(maxDocsPerBucket = 5)).isEmpty)
+  }
+
   test("bm25: monotone in tf, bounded by idf·(k1+1) equivalent, ties by doc_id") {
     val docs = Seq(
       (1L, "q q q q filler filler filler filler"),

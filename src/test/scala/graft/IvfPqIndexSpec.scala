@@ -401,4 +401,57 @@ class IvfPqIndexSpec extends SparkSpec {
       M, Ksub, k = 10))
     assert(pruned == full)
   }
+
+  test("maintenancePlan: segment and tombstone pressure fire at their " +
+      "thresholds and clear after the recommended actions; a torn " +
+      "reorg preempts as the only row") {
+    import graft.similarity.IvfPqMaintenancePolicy
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_mp").toString
+    val src = new ManagedParquetTable(spark, s"$root/t")
+    val idx = new IncrementalIvfPqIndex(spark, s"$root/t", s"$root/idx",
+      m = M, ksub = Ksub, dim = Dim)
+    val pol = IvfPqMaintenancePolicy(maxListSegments = 4,
+      maxLiveDvEntries = 2)
+    val cents = e.filter($"vec_id" < 16)
+    val cbs = pqTrain(e, m = M, ksub = Ksub, iters = 0, dim = Dim)
+    idx.train(cents, cbs)
+    assert(idx.maintenancePlan(pol).isEmpty, "untouched index: empty plan")
+    // per-window appends accumulate lists-table segments
+    for (w <- 0 until 4) {
+      src.append(e.filter($"vec_id" % 4 === w))
+      idx.refresh()
+    }
+    val p1 = idx.maintenancePlan(pol)
+    assert(p1.exists(a => a.action == "compactLists" &&
+      a.metric == "list_segments" && a.value >= 4),
+      s"4 append windows must recommend a lists compaction: $p1")
+    idx.table.compact()
+    assert(idx.maintenancePlan(pol).isEmpty,
+      "compact() satisfies the plan")
+    // tombstone entries: forged directly on the lists table —
+    // refresh()'s in-line compactDeletes(0.3) usually keeps entries
+    // bounded; the signal exists for a table whose refresh cadence
+    // lapsed while foreign dv commits landed
+    val live = idx.read().select($"vec_id").as[Long]
+      .collect().sorted.toSeq
+    idx.table.deleteMatchingDV(Seq(live(0)).toDF("vec_id"), Seq("vec_id"))
+    idx.table.deleteMatchingDV(Seq(live(1)).toDF("vec_id"), Seq("vec_id"))
+    val p2 = idx.maintenancePlan(pol)
+    assert(p2.exists(a => a.action == "compactDeletes" &&
+      a.metric == "live_dv_entries" && a.value >= 2),
+      s"2 live dv entries must recommend compactDeletes: $p2")
+    // any positive threshold folds here: the forged entries tombstone
+    // 2 rows of the single compacted segment, a tiny live fraction
+    idx.table.compactDeletes(0.0001)
+    assert(idx.maintenancePlan(pol).isEmpty,
+      "a full compactDeletes clears the tombstone signal")
+    // a torn reorg preempts everything else
+    val marker = new java.io.File(s"$root/idx/_graft_reorg_inflight")
+    assert(marker.createNewFile())
+    val p3 = idx.maintenancePlan(pol)
+    assert(p3.map(_.action) == Seq("recoverReorg"),
+      s"recovery must be the ONLY row over a torn reorg: $p3")
+    assert(marker.delete())
+  }
 }

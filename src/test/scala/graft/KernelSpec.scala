@@ -97,6 +97,33 @@ class KernelSpec extends SparkSpec {
     assert(diff.isEmpty)
   }
 
+  test("lang-id-scored: label always equals the unscored kernel; " +
+      "confidence goldens — ambiguous text scores below the gate " +
+      "threshold the hard argmax would wave through") {
+    import spark.implicits._
+    val T = graft.expressions.TextStatsExpressions
+    // label parity on the whole corpus
+    val diff = docs.select(
+      T.lang_id_scored(col("text")).getField("lang").as("a"),
+      T.lang_id(col("text")).as("b")).filter(col("a") =!= col("b"))
+    assert(diff.isEmpty)
+    // goldens: conf_permille = roundDiv(1000·best, Σ all marker hits)
+    val got = Seq(
+      "the and of to is in",  // 6 en hits, nothing else → 1000
+      "the and la le",        // en 2, fr 2 (tie→en first), es 1 → 2000/5
+      "le la les et",         // fr 4, es 1 → 4000/5
+      "xyz qwerty")           // no marker anywhere
+      .toDF("text")
+      .select(T.lang_id_scored(col("text")).as("s"))
+      .select(col("s.lang"), col("s.conf_permille"))
+      .as[(String, Int)].collect().toSeq
+    assert(got === Seq(("en", 1000), ("en", 400), ("fr", 800),
+      ("unknown", 0)))
+    // the e4 gate's point: conf >= 500 drops the 400-permille
+    // ambiguous doc that lang == 'en' alone would keep
+    assert(got(1)._2 < 500 && got(0)._2 >= 500)
+  }
+
   test("text-stats kernel reproduces the HOF ratios on all documents") {
     val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
     val diff = docs.select(

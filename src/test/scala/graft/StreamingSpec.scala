@@ -1266,4 +1266,79 @@ class StreamingSpec extends SparkSpec {
     assertFresh("after the post-reorg batch")
     wide.unpersist()
   }
+
+  test("ST16 schema evolution through the maintained-index sink: a " +
+      "WIDENED batch refreshes every maintainer incrementally and " +
+      "maintained stays ≡ rebuilt; a NARROWED batch (missing the MV's " +
+      "sum source) null-fills exactly as the table read does — no " +
+      "silent wrong aggregates, no full rebuild") {
+    import graft.io.{IncrementalAggView, IndexMaintainer, ManagedParquetTable}
+    import graft.io.IncrementalAggView.AggSpec
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st16").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val mv = new IncrementalAggView(spark, s"$dir/docs", s"$dir/mv",
+      Seq("cat"), Seq(AggSpec("count", "", "n_docs"),
+        AggSpec("sum", "n_chars", "chars")))
+    val retrieval = new IncrementalInvertedIndex(spark, s"$dir/docs",
+      s"$dir/idx", nBuckets = 4)
+    val mix: Seq[IndexMaintainer] = Seq(retrieval, mv)
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text", ($"doc_id" % 5).as("cat"),
+        $"n_chars".cast("long").as("n_chars"))
+    val q = "hash join table"
+    def checkAll(where: String): Unit = {
+      // MV: maintained state == one-shot aggregate of the table read
+      // (which null-fills evolved columns table-wide — the reference
+      // semantics both paths must share)
+      val maintained = mv.read().as[(Long, Long, Long)].collect().toSet
+      val rebuilt = t.read().groupBy($"cat")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("chars"))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(maintained == rebuilt, s"mv != rebuild $where")
+      // retrieval: indexed probe == direct scorer over the live docs
+      val got = InvertedIndex.bm25TopKIndexed(spark, s"$dir/idx", q,
+        k = 10, nBuckets = 4).as[(Long, Long, Long, Long)].collect().toSeq
+      val ref = InvertedIndex.bm25TopK(t.read().select($"doc_id", $"text"),
+        "text", "doc_id", q, k = 10)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === ref, s"index != direct scorer $where")
+    }
+    // batch 0: the original schema — full builds
+    BronzeIngest.indexedIngestBatch(t, base.where($"doc_id" % 3 === 0),
+      0L, "st16", mix)
+    assert(Seq[IndexMaintainer](retrieval, mv)
+      .forall(_.lastRefresh == "full"))
+    checkAll("after batch 0")
+    // batch 1 WIDENS the schema mid-stream: a new `source` column
+    BronzeIngest.indexedIngestBatch(t,
+      base.where($"doc_id" % 3 === 1)
+        .withColumn("source", concat(lit("s"), $"doc_id" % 7)),
+      1L, "st16", mix)
+    assert(Seq[IndexMaintainer](retrieval, mv)
+      .forall(_.lastRefresh == "incremental"),
+      "a widened batch must fold incrementally, not rebuild")
+    // the table presents the union schema; pre-widening rows null-fill
+    assert(t.read().columns.contains("source"))
+    assert(t.read().where($"doc_id" % 3 === 0 &&
+      $"source".isNotNull).count() == 0)
+    checkAll("after the widened batch")
+    // batch 2 NARROWS: the MV's sum source column is absent — the
+    // partial pass must null-fill it (sum skips nulls) exactly like a
+    // rebuild over read() would, never throw, never silently misfold
+    BronzeIngest.indexedIngestBatch(t,
+      base.where($"doc_id" % 3 === 2).drop("n_chars"), 2L, "st16", mix)
+    assert(Seq[IndexMaintainer](retrieval, mv)
+      .forall(_.lastRefresh == "incremental"))
+    assert(t.read().where($"doc_id" % 3 === 2 &&
+      $"n_chars".isNotNull).count() == 0,
+      "narrowed rows read back null-filled")
+    checkAll("after the narrowed batch")
+    // a view over a column NO file has ever carried still fails loudly
+    val ghost = new IncrementalAggView(spark, s"$dir/docs", s"$dir/mv2",
+      Seq("cat"), Seq(AggSpec("sum", "no_such_col", "x")))
+    val ex = intercept[RuntimeException] { ghost.refresh() }
+    assert(ex.getMessage.contains("no_such_col"))
+  }
 }
