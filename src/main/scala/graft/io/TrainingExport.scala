@@ -39,6 +39,12 @@ object TrainingExport {
       .repartition(nShards, col(keyCol))
       .select(col("_json").as("value"))
       .write.mode("overwrite").text(path)
-    obs.get("rows").asInstanceOf[Long]
+    // a provably-EMPTY input is a legal export (a fully-filtered
+    // curation run writes zero shards): AQE propagates the empty
+    // relation through the plan and the CollectMetrics node is
+    // eliminated with it, so the observation completes with NO metrics
+    // — absent means 0 here, never a lost count (any row that reached
+    // the writer passed through the observe node)
+    obs.get.get("rows").map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 }

@@ -814,6 +814,14 @@ class IoSpec extends SparkSpec {
       .json(out3)
     assert(back.as[(Long, String, String)].collect().sortBy(_._1)
       .toSeq == rows)
+    // a provably-EMPTY export is legal (a fully-filtered curation run):
+    // returns 0 instead of tripping over the AQE-eliminated
+    // observation, and the output dir reads back as zero rows
+    val outEmpty = tmp("jsonl_empty")
+    val nEmpty = TrainingExport.writeJsonlShards(
+      df.filter(col("doc_id") < 0), "doc_id", 4, outEmpty)
+    assert(nEmpty == 0L)
+    assert(spark.read.textFile(outEmpty).count() == 0L)
   }
 
   /** Extract doc_id from a JSONL line without a JSON library. */

@@ -71,7 +71,10 @@ def main():
 
     # HEAD detail = the LAST head run (same window as the last anchor);
     # the anchor object carries every sample of both series so a judge
-    # can see the within-session spread, not just one division
+    # can see the within-session spread, not just one division.
+    # The anchor ALSO lands in BENCH_ANCHOR.json: graft.Bench re-attaches
+    # it on every BENCH_DETAIL.json rewrite, so the driver's own
+    # round-close bench run cannot clobber the calibration.
     detail = dict(head_series[-1])
     detail["anchor"] = {
         "commit": anchor_commit,
@@ -90,6 +93,8 @@ def main():
             sum(h["query_total"] for h in head_series) /
             sum(a["query_total"] for a in anchor_series), 4),
     }
+    with open(f"{REPO}/BENCH_ANCHOR.json", "w") as f:
+        json.dump(detail["anchor"], f)
     with open(f"{REPO}/BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f)
     print(f"[anchor] ratio_total={detail['anchor']['ratio_total']} "
