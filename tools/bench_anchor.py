@@ -61,13 +61,19 @@ def main():
     subprocess.run(["sbt", "-batch", "compile"], cwd=REPO, check=True,
                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
 
+    # alternate within-pair order (H,A then A,H): on a host whose load
+    # decays or grows monotonically through the session, a fixed order
+    # biases whichever side always runs first — alternating cancels the
+    # first-order drift out of the pooled ratio
     head_series, anchor_series = [], []
     for i in range(runs):
-        print(f"[anchor] pair {i + 1}/{runs}: HEAD ...", flush=True)
-        head_series.append(run_bench(REPO, sf_dir))
-        print(f"[anchor] pair {i + 1}/{runs}: anchor {anchor_commit} ...",
-              flush=True)
-        anchor_series.append(run_bench(CLONE, sf_dir))
+        order = [("HEAD", REPO, head_series),
+                 (f"anchor {anchor_commit}", CLONE, anchor_series)]
+        if i % 2 == 1:
+            order.reverse()
+        for label, tree, series in order:
+            print(f"[anchor] pair {i + 1}/{runs}: {label} ...", flush=True)
+            series.append(run_bench(tree, sf_dir))
 
     # HEAD detail = the LAST head run (same window as the last anchor);
     # the anchor object carries every sample of both series so a judge
