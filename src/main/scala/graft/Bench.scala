@@ -119,13 +119,30 @@ object Bench {
     // BENCH_ANCHOR.json; re-attach it here so the anchor survives
     // every later Bench rewrite of BENCH_DETAIL.json (the driver's
     // round-close run included) — a judge divides HEAD/anchor from the
-    // same window instead of re-deriving the host factor
+    // same window instead of re-deriving the host factor. The file is
+    // VALIDATED before splicing (an empty/truncated anchor must not
+    // corrupt the detail JSON) and carries the HEAD commit it measured
+    // ("head_commit", written by the tool) so a reader can detect a
+    // calibration that predates later commits instead of silently
+    // trusting a stale ratio.
     val anchor = {
       val p = Paths.get("BENCH_ANCHOR.json")
-      if (Files.exists(p))
-        s""","anchor":${new String(Files.readAllBytes(p),
-          StandardCharsets.UTF_8).trim}"""
-      else ""
+      if (!Files.exists(p)) ""
+      else {
+        val raw = new String(Files.readAllBytes(p),
+          StandardCharsets.UTF_8).trim
+        val ok =
+          try {
+            new com.fasterxml.jackson.databind.ObjectMapper()
+              .readTree(raw).isObject
+          } catch { case scala.util.control.NonFatal(_) => false }
+        if (ok) s""","anchor":$raw"""
+        else {
+          System.err.println(
+            s"[bench] BENCH_ANCHOR.json is not a JSON object — skipped")
+          ""
+        }
+      }
     }
     Files.write(Paths.get("BENCH_DETAIL.json"),
       s"""{"metric":"total","value":${fmt(total)},"setup_total":${fmt(setupTotal)},"query_total":${fmt(queryTotal)},"unit":"sec","n":${results.size},"queries":$detail,"split":$split,"sf":"$sfDir"$anchor}"""

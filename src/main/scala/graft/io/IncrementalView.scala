@@ -267,8 +267,11 @@ final class IncrementalAggView(
     val have = src.columns.toSet
     val needed = (groupCols ++ aggs.map(_.inputCol).filter(_.nonEmpty))
       .distinct.filterNot(have)
+    // one manifest resolution + footer-merge schema inference for the
+    // whole fold, not one per missing column
+    lazy val tblSchema = table.read().schema
     val aligned = needed.foldLeft(src) { (d, n) =>
-      val f = table.read().schema.fields.find(_.name == n).getOrElse(
+      val f = tblSchema.fields.find(_.name == n).getOrElse(
         sys.error(s"view at $viewPath aggregates column '$n' that " +
           s"no file of table $tablePath carries"))
       d.withColumn(n, lit(null).cast(f.dataType))

@@ -682,19 +682,19 @@ object Text {
     (s, d) =>
       docs(s, d)
         .select(col("doc_id"),
-          pmod(pmod(col("doc_id") * lit(2654435761L), lit(1000000007L)),
-            lit(100L)).cast("long").as("bucket"))
+          pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) * lit(2654435761L),
+            lit(1000000007L)), lit(100L)).cast("long").as("bucket"))
         .withColumn("split",
           when(col("bucket") < 90, lit("train"))
             .when(col("bucket") < 95, lit("valid"))
             .otherwise(lit("test")))
         .orderBy(col("doc_id")),
     Some("""SELECT doc_id,
-              CAST((doc_id * 2654435761) % 1000000007 % 100 AS BIGINT)
+              CAST((doc_id % 1000000007 * 2654435761) % 1000000007 % 100 AS BIGINT)
                 AS bucket,
-              CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+              CASE WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 90
                    THEN 'train'
-                   WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95
+                   WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 95
                    THEN 'valid' ELSE 'test' END AS split
             FROM documents ORDER BY doc_id"""))
 
@@ -1250,8 +1250,12 @@ object Text {
         chunkTokens = 32, overlap = 8)
         .withColumn("shard", col("doc_id") % 8)
         .withColumn("split", {
-          val b = pmod(pmod(col("doc_id") * lit(2654435761L),
-            lit(1000000007L)), lit(100L))
+          // doc_id is reduced mod p BEFORE the Knuth multiply: the raw
+          // product wraps Spark's Long silently for doc_id ≳ 3.5e9 while
+          // DuckDB raises on BIGINT overflow — reduce-first keeps both
+          // sides exact ((p-1)·2654435761 < 2^63) at ANY id range
+          val b = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) *
+            lit(2654435761L), lit(1000000007L)), lit(100L))
           when(b < 90, lit("train")).when(b < 95, lit("valid"))
             .otherwise(lit("test"))
         })
@@ -1310,9 +1314,9 @@ object Text {
                 AS nt FROM c),
             sp AS (SELECT doc_id, chunk_idx, nt,
               CAST(doc_id % 8 AS BIGINT) AS shard,
-              CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+              CASE WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 90
                    THEN 'train'
-                   WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95
+                   WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 95
                    THEN 'valid' ELSE 'test' END AS split
               FROM ch),
             w AS (SELECT *, sum(nt) OVER (PARTITION BY split, shard
@@ -1389,8 +1393,12 @@ object Text {
       val chunks = chunkDocuments(red, "red", chunkTokens = 32, overlap = 8)
         .withColumn("shard", col("doc_id") % 8)
         .withColumn("split", {
-          val b = pmod(pmod(col("doc_id") * lit(2654435761L),
-            lit(1000000007L)), lit(100L))
+          // doc_id is reduced mod p BEFORE the Knuth multiply: the raw
+          // product wraps Spark's Long silently for doc_id ≳ 3.5e9 while
+          // DuckDB raises on BIGINT overflow — reduce-first keeps both
+          // sides exact ((p-1)·2654435761 < 2^63) at ANY id range
+          val b = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) *
+            lit(2654435761L), lit(1000000007L)), lit(100L))
           when(b < 90, lit("train")).when(b < 95, lit("valid"))
             .otherwise(lit("test"))
         })
@@ -1509,9 +1517,9 @@ object Text {
                 AS nt FROM c),
             sp AS (SELECT doc_id, chunk_idx, nt,
               CAST(doc_id % 8 AS BIGINT) AS shard,
-              CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 < 90
+              CASE WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 90
                    THEN 'train'
-                   WHEN (doc_id * 2654435761) % 1000000007 % 100 < 95
+                   WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 95
                    THEN 'valid' ELSE 'test' END AS split
               FROM ch),
             w AS (SELECT *, sum(nt) OVER (PARTITION BY split, shard

@@ -81,9 +81,20 @@ def main():
     # The anchor ALSO lands in BENCH_ANCHOR.json: graft.Bench re-attaches
     # it on every BENCH_DETAIL.json rewrite, so the driver's own
     # round-close bench run cannot clobber the calibration.
+    # the HEAD commit actually measured: later commits make the anchor
+    # stale, and without this field a reader cannot tell — graft.Bench
+    # re-attaches the anchor verbatim on every BENCH_DETAIL rewrite
+    head_commit = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=REPO, check=True,
+        capture_output=True, text=True).stdout.strip()
+    head_dirty = subprocess.run(
+        ["git", "status", "--porcelain"], cwd=REPO, check=True,
+        capture_output=True, text=True).stdout.strip() != ""
     detail = dict(head_series[-1])
     detail["anchor"] = {
         "commit": anchor_commit,
+        "head_commit": head_commit,
+        "head_dirty": head_dirty,
         "sf": sf_dir,
         "head_samples": [
             {"value": h["value"], "query_total": h["query_total"],
