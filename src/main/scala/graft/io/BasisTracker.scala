@@ -26,6 +26,32 @@ trait IndexMaintainer {
     * scan from (BronzeIngest.indexedIngestBatch: a replayed batch's
     * commit tag cannot predate the basis its own refresh published). */
   def basis: Option[Long]
+
+  /** Telemetry-driven maintenance recommendations for the maintained
+    * artifact — each maintainer surfaces its own `maintenancePlan`
+    * through the one trait so a sink can poll ANY mix of indexes
+    * without knowing their internals (the closing of the policy loop:
+    * `BronzeIngest.indexedIngestBatch(maintenanceEvery = N)` executes
+    * these at production cadence). Empty = nothing to do — the default
+    * for maintainers with no reorg surface (the MVs fold their own
+    * partials per refresh). Recovery rows (action starting with
+    * "recover", or "repairIndex") follow the plan contract: they
+    * arrive as the ONLY row and must run before anything else. */
+  def maintenancePlan(): Seq[MaintenanceAction] = Seq.empty
+
+  /** Execute one recommended row of [[maintenancePlan]]. A maintainer
+    * that returns a row must know how to run it; anything else fails
+    * loudly rather than silently dropping scheduled maintenance. */
+  def runMaintenance(a: MaintenanceAction): Unit =
+    sys.error(s"maintainer has no maintenance action '${a.action}'")
+
+  /** Cheap recovery probe (marker-file existence, O(1)): true when a
+    * torn layout gates the next mutating call and [[maintenancePlan]]
+    * would return a recovery row. The sink's policy loop checks this
+    * EVERY batch — recovery cannot wait for the maintenance cadence,
+    * because refresh() over a torn layout fails loudly — while the
+    * full (listing-priced) plan only runs every N batches. */
+  def needsRecovery(): Boolean = false
 }
 
 /** The basis protocol every incremental index maintainer shares

@@ -138,10 +138,16 @@ final class IncrementalAggView(
   def refresh(): Unit = {
     // version + lineage BEFORE the file snapshot (the order every
     // maintainer uses): the published basis must never be newer than
-    // the snapshot the fold covered — a stale basis merely replays
-    val headV = table.version - 1
+    // the snapshot the fold covered — a stale basis merely replays.
+    // Clamped to the MIRROR-proven head (see
+    // IncrementalInvertedIndex.refresh): with uncoordinated writers a
+    // foreign commit's mirror entry can be in flight right now, and
+    // the bounded file snapshot below must name the same state the
+    // published basis claims.
+    val headV = math.min(table.version - 1, table.mirrorStableVersion)
+    if (headV < 0) { lastRefresh = "noop"; return }
     val lineage = table.tableId
-    val nowFiles = table.deltaSnapshotFiles().toSet
+    val nowFiles = table.deltaSnapshotFiles(Some(headV)).toSet
     require(nowFiles.nonEmpty, s"table at $tablePath has no data files")
     val how = tracker.refreshTo(headV, lineage) {
       // no recorded basis ≠ no state: a PRE-BASIS legacy view still

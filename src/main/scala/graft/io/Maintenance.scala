@@ -23,3 +23,35 @@ final case class MaintenanceAction(
     threshold: Long,
     suggestion: Long,
     detail: String)
+
+/** Thresholds for [[ManagedParquetTable.maintenancePlan]] — the TABLE
+  * layer's policy, sibling of `InvertedIndex.IndexMaintenancePolicy`
+  * and `IvfPqMaintenancePolicy`. Defaults size for a large deployment
+  * (128 MiB target files, Delta-ish knobs); tests and small fixtures
+  * pass tighter bounds.
+  *   - `maxLiveFiles` / `maxSmallFilePermille` + `smallFileBytes`:
+  *     the compact() cadence as a measurable — every append commits
+  *     ≥1 file, and scan planning, stats pruning, and footer reads
+  *     all pay per live file; `targetFileBytes` sizes the suggested
+  *     post-compaction file count.
+  *   - `maxLiveDvEntries` / `maxTombstonePermille`: the
+  *     compactDeletes() cadence — every live dv entry's sidecar is
+  *     opened per scan, and tombstoned rows are read-and-dropped on
+  *     every pass over their files.
+  *   - `maxMirrorLag`: commits the delta-log mirror is allowed to
+  *     trail the manifest before repairMirror() is recommended (the
+  *     change feed and every basis-tracked maintainer fail loudly on
+  *     a mirror gap; checkpoint freshness follows the mirror, so this
+  *     is also the checkpoint-staleness bound).
+  *   - `maxStaleObjects`: unreferenced segment dirs + superseded CAS
+  *     commit files + orphaned dv bookkeeping before vacuum() is
+  *     recommended — dead weight every listing pays for. */
+final case class TableMaintenancePolicy(
+    maxLiveFiles: Int = 512,
+    smallFileBytes: Long = 16L << 20,
+    maxSmallFilePermille: Long = 500L,
+    targetFileBytes: Long = 128L << 20,
+    maxLiveDvEntries: Int = 64,
+    maxTombstonePermille: Long = 200L,
+    maxMirrorLag: Long = 0L,
+    maxStaleObjects: Int = 64)

@@ -950,6 +950,133 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Telemetry-driven maintenance recommendations for THIS table — the
+    * busiest artifact finally gets the same policy surface its derived
+    * indexes got (`InvertedIndex.maintenancePlan`,
+    * `IncrementalIvfPqIndex.maintenancePlan`): one
+    * [[MaintenanceAction]] per threshold crossed, empty when the table
+    * needs nothing, so compact / compactDeletes / vacuum /
+    * repairMirror cadence is a measured decision instead of the
+    * operator's guesswork. Every signal is metadata-only — manifest
+    * resolution, directory listings, and parquet FOOTER row counts
+    * (the same cost class [[compactDeletes]]' own planning pays; no
+    * data page is ever read), and the footer sweeps only run when a
+    * cheaper listing says they could matter (a delete-free table pays
+    * pure listings). Ordering: a mirror gap is reported FIRST — the
+    * change feed and every basis-tracked maintainer fail loudly on
+    * one, and checkpoint freshness follows the mirror — but it does
+    * not preempt the file/tombstone rows (reads and commits are
+    * unaffected by a lagging mirror, unlike an index's torn swap).
+    * An unreadable table (manifest naming segment dirs that are gone)
+    * preempts as the only row: sizing signals over a table in doubt
+    * are garbage. */
+  def maintenancePlan(
+      policy: TableMaintenancePolicy = TableMaintenancePolicy()):
+      Seq[MaintenanceAction] = {
+    val snap = snapshot()
+    if (snap.isEmpty) return Seq.empty // nothing committed: no upkeep
+    val (ver, segs) = snap.get
+    // corruption preempts as the only row (metadata-only check: a
+    // manifest naming a segment dir that is gone means the snapshot
+    // cannot read — no sizing signal over it is trustworthy)
+    val missingSegs = segs.count(s => !Files.isDirectory(Paths.get(path, s)))
+    if (missingSegs > 0)
+      return Seq(MaintenanceAction("repair", "missing_segments",
+        missingSegs.toLong, 0L, 0L,
+        s"$missingSegs live segment dir(s) named by the manifest are " +
+          "gone; repair() moves the table aside"))
+    val out = Seq.newBuilder[MaintenanceAction]
+    // mirror/checkpoint staleness: newest mirror entry vs the newest
+    // expected number (manifest version - 1; mirror numbers are
+    // 0-based). Entries below the retention floor were pruned, not
+    // lost, so only the head-side gap counts as lag.
+    val newestMirror = listDir(deltaLogDir).map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json")).map(_.dropRight(5).toLong)
+      .maxOption.getOrElse(-1L)
+    val mirrorLag = (ver - 1L) - newestMirror
+    if (mirrorLag > policy.maxMirrorLag)
+      out += MaintenanceAction("repairMirror", "mirror_lag", mirrorLag,
+        policy.maxMirrorLag, 0L,
+        "delta-log mirror trails the manifest (writer died between " +
+          "commit and mirror write); change-feed consumers and " +
+          "basis-tracked maintainers fail loudly on the gap, and " +
+          "checkpoints only advance with the mirror")
+    // live-file pressure: count + small-file histogram from the
+    // segment listings (sizes come with the listing; no file opened)
+    val files = segs.flatMap(segmentFiles)
+    val nFiles = files.size
+    val small = files.count(_._2 < policy.smallFileBytes)
+    val smallPerm = if (nFiles == 0) 0L else 1000L * small / nFiles
+    if (nFiles >= policy.maxLiveFiles ||
+        (nFiles > 1 && smallPerm >= policy.maxSmallFilePermille)) {
+      val totalBytes = files.map(_._2).sum
+      val target = math.max(1L,
+        (totalBytes + policy.targetFileBytes - 1) / policy.targetFileBytes)
+      if (target < nFiles)
+        out += MaintenanceAction("compact", "live_files", nFiles.toLong,
+          if (nFiles >= policy.maxLiveFiles) policy.maxLiveFiles.toLong
+          else policy.maxSmallFilePermille, target,
+          s"$nFiles live files ($smallPerm‰ under " +
+            s"${policy.smallFileBytes} B); every scan plan, stats " +
+            s"prune, and footer sweep pays per file — compact to " +
+            s"~$target files of ~${policy.targetFileBytes} B")
+    }
+    // tombstone pressure: entry count from the manifest alone; the
+    // footer sweep (dv rows / live rows) runs only when entries exist
+    val liveDv = liveDvEntries(segs)
+    if (liveDv.nonEmpty) {
+      val dvRows = liveDv.map(parseDv).map(_.dir).distinct.map { d =>
+        listDir(dvRoot.resolve(d))
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => footerRowCount(s"_graft_dv/$d/${p.getFileName}")).sum
+      }.sum
+      val liveRows = files.map(f => footerRowCount(f._1)).sum
+      val perm = if (liveRows == 0) 1000L else 1000L * dvRows / liveRows
+      if (liveDv.size >= policy.maxLiveDvEntries ||
+          perm >= policy.maxTombstonePermille)
+        out += MaintenanceAction("compactDeletes",
+          if (liveDv.size >= policy.maxLiveDvEntries) "live_dv_entries"
+          else "tombstone_permille",
+          if (liveDv.size >= policy.maxLiveDvEntries) liveDv.size.toLong
+          else perm,
+          if (liveDv.size >= policy.maxLiveDvEntries)
+            policy.maxLiveDvEntries.toLong
+          else policy.maxTombstonePermille, 0L,
+          s"${liveDv.size} live dv entries / $dvRows tombstoned rows " +
+            s"($perm‰ of $liveRows physical): every scan opens each " +
+            "entry's sidecar and reads-then-drops the dead rows")
+    }
+    // reclaimable dead weight: everything vacuum() would delete today
+    // (grace elided — the plan reports pressure, vacuum enforces age)
+    val liveSet = segs.toSet
+    val staleSegs = listDir(Paths.get(path))
+      .map(_.getFileName.toString)
+      .count(n => n.startsWith("seg-") && !liveSet(n))
+    val ptrVer =
+      if (!Files.exists(manifest)) -1L
+      else """"version":(\d+)""".r
+        .findFirstMatchIn(Files.readString(manifest))
+        .map(_.group(1).toLong).getOrElse(-1L)
+    val staleCommits = listDir(commitsDir).map(_.getFileName.toString)
+      .count(n => n.startsWith(".tmp.") ||
+        (n.matches("\\d{20}\\.json") && n.dropRight(5).toLong < ptrVer))
+    val (_, refFiles) = dvState
+    val refSet = refFiles.toSet
+    val staleDvlog = listDir(dvlogDir)
+      .count(p => !refSet(p.getFileName.toString))
+    val refDvDirs = dvEntries.map(parseDv(_).dir).toSet
+    val staleDvDirs = listDir(dvRoot)
+      .count(p => !refDvDirs(p.getFileName.toString))
+    val stale = staleSegs + staleCommits + staleDvlog + staleDvDirs
+    if (stale >= policy.maxStaleObjects)
+      out += MaintenanceAction("vacuum", "stale_objects", stale.toLong,
+        policy.maxStaleObjects.toLong, 0L,
+        s"$staleSegs dead segment dirs + $staleCommits superseded " +
+          s"commit files + ${staleDvlog + staleDvDirs} orphaned dv " +
+          "artifacts: unreferenced weight every listing walks past")
+    out.result()
+  }
+
   /** W1's DELETE shape, narrowed to the segments that actually contain
     * matching rows (real Delta's file-granular copy-on-write): one scan
     * finds the hit files, only THEIR segments are rewritten, and a
@@ -1472,10 +1599,55 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * consumers that need net-row changes anti-join the two sides;
     * consumers of append-only tables (the ingest norm) get exact row
     * inserts with no rewrite noise. */
-  def changesSince(version: Long): DataFrame = {
+  /** The newest delta-log version the MIRROR can prove: the largest
+    * mirror entry number reachable contiguously from the retention
+    * floor (one directory listing). With uncoordinated OCC writers a
+    * just-landed foreign commit's mirror entry may still be IN FLIGHT
+    * for a few milliseconds — a maintainer that derives its fold head
+    * from the manifest in that window publishes a basis claiming rows
+    * the change feed cannot yet serve, and the window is lost forever.
+    * Folding to THIS head instead leaves the in-flight tail for the
+    * next trigger (ST18 chaos-proves the protocol). −1 when no mirror
+    * entry exists yet. */
+  def mirrorStableVersion: Long = {
+    val nums = listDir(deltaLogDir).map(_.getFileName.toString)
+      .filter(_.matches("\\d{20}\\.json")).map(_.dropRight(5).toLong)
+      .sorted
+    if (nums.isEmpty) -1L
+    else {
+      var h = nums.head
+      nums.drop(1).foreach(n => if (n == h + 1) h = n)
+      h
+    }
+  }
+
+  def changesSince(version: Long): DataFrame =
+    changesSinceCore(version, None)
+
+  /** [[changesSince]] bounded at mirror version `upTo` (inclusive) —
+    * the window (version, upTo] exactly. The maintainer protocol:
+    * fold `changesSince(basis, head)` with
+    * `head = min(version - 1, mirrorStableVersion)` so the fold and
+    * the basis it publishes name the SAME provable state even while
+    * other writers are mid-commit. */
+  def changesSince(version: Long, upTo: Long): DataFrame =
+    changesSinceCore(version, Some(upTo))
+
+  private def changesSinceCore(version: Long,
+      upTo: Option[Long]): DataFrame = {
     val before = deltaSnapshotFiles(Some(version)).toSet
-    val now = deltaSnapshotFiles().toSet
-    val dvs = dvEntries
+    val now = upTo match {
+      case Some(h) => deltaSnapshotFiles(Some(h)).toSet
+      case None => deltaSnapshotFiles().toSet
+    }
+    // tombstone visibility matches the bound: "current" means ≤ upTo
+    // when bounded, so a dv commit landing above the bound stays in
+    // its own later window
+    val dvAll = dvEntries
+    val dvs = upTo match {
+      case Some(h) => dvAll.filter(_.split(":", 2)(0).toLong <= h)
+      case None => dvAll
+    }
     val dvAtV = dvs.filter(_.split(":", 2)(0).toLong <= version)
     val dvNew = dvs.filter(_.split(":", 2)(0).toLong > version)
     // inserts: rows of files added since, as visible NOW (all current

@@ -61,7 +61,9 @@ import graft.io.ManagedParquetTable
 final class IncrementalIvfPqIndex(spark: SparkSession,
     sourcePath: String, indexPath: String, m: Int, ksub: Int, dim: Int,
     idCol: String = "vec_id", vecCol: String = "embedding",
-    rowsPerFile: Long = 100000L) extends graft.io.IndexMaintainer {
+    rowsPerFile: Long = 100000L,
+    maintenancePolicy: IvfPqMaintenancePolicy = IvfPqMaintenancePolicy())
+    extends graft.io.IndexMaintainer {
 
   private def source = new ManagedParquetTable(spark, sourcePath)
 
@@ -188,7 +190,9 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     if (Files.exists(reorgMarker)) recoverReorg()
     require(isTrained, s"index at $indexPath is not trained")
     moveCount = 0
-    val headV = source.version - 1
+    // mirror-proven head (see refresh): read() below may serve a few
+    // rows past it — they replay idempotently on the next refresh
+    val headV = math.min(source.version - 1, source.mirrorStableVersion)
     val lineage = source.tableId
     val live = source.read()
     val sample = trainOn.getOrElse(live)
@@ -309,18 +313,22 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
       .sortWithinPartitions("centroid_id", idCol)
   }
 
-  /** Bring the index up to the source table's current version. */
+  /** Bring the index up to the source table's mirror-proven version
+    * (head clamped to `mirrorStableVersion` — see
+    * IncrementalInvertedIndex.refresh for the OCC race this closes). */
   def refresh(): Unit = {
     requireNoReorg()
     require(isTrained, s"index at $indexPath must be trained before refresh")
     val (cents, cbs) = (centroids, codebooks)
-    lastRefresh = tracker.refreshTo(source.version - 1, source.tableId) {
+    val head = math.min(source.version - 1, source.mirrorStableVersion)
+    if (head < 0) { lastRefresh = "noop"; return }
+    lastRefresh = tracker.refreshTo(head, source.tableId) {
       val full = source.read()
       val nFull = full.select(col(idCol)).count()
       table.overwrite(clustered(VectorFunctions.ivfPqEncode(
         full, cents, cbs, m, ksub, dim, idCol, vecCol), nFull))
     } { b =>
-      val ch = source.changesSince(b)
+      val ch = source.changesSince(b, head)
       val ins = ch.filter(col("_change_type") === "insert")
         .drop("_change_type")
       val delKeys = ch.filter(col("_change_type") === "delete")
@@ -391,6 +399,31 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     }
     out.result()
   }
+
+  /** The trait-surfaced form against this instance's
+    * `maintenancePolicy` — what a sink's policy loop polls
+    * (`BronzeIngest.indexedIngestBatch(maintenanceEvery = N)`). */
+  override def maintenancePlan(): Seq[graft.io.MaintenanceAction] =
+    maintenancePlan(maintenancePolicy)
+
+  override def runMaintenance(a: graft.io.MaintenanceAction): Unit =
+    a.action match {
+      case "recoverReorg" => recoverReorg()
+      case "compactLists" =>
+        // fold segments but KEEP the lists centroid-clustered: a flat
+        // repartition would merge every centroid into every file and
+        // quietly turn probe-time file skipping off
+        val rows = table.read().count()
+        table.compact(
+          targetFiles = math.max(1L, (rows + rowsPerFile - 1)
+            / rowsPerFile).toInt,
+          zCols = Seq("centroid_id"))
+      case "compactDeletes" => table.compactDeletes()
+      case other => super.runMaintenance(a)
+    }
+
+  /** O(1) marker probe — see [[graft.io.IndexMaintainer.needsRecovery]]. */
+  override def needsRecovery(): Boolean = Files.exists(reorgMarker)
 
   /** The probe plan's file-skipping decision for `queries` at
     * `nprobe`: (files the scan opens, total live index files) —

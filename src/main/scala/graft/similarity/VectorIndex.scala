@@ -59,15 +59,19 @@ final class IncrementalVectorIndex(spark: SparkSession,
 
   def read(): DataFrame = table.read()
 
-  /** Bring the index up to the source table's current version. */
+  /** Bring the index up to the source table's mirror-proven version
+    * (head clamped to `mirrorStableVersion` — see
+    * IncrementalInvertedIndex.refresh for the OCC race this closes). */
   def refresh(): Unit = {
     // newest delta-log mirror version: manifest versions are 1-based,
     // mirror file numbers 0-based, so head mirror = manifest - 1
-    lastRefresh = tracker.refreshTo(source.version - 1, source.tableId) {
+    val head = math.min(source.version - 1, source.mirrorStableVersion)
+    if (head < 0) { lastRefresh = "noop"; return }
+    lastRefresh = tracker.refreshTo(head, source.tableId) {
       table.overwrite(
         VectorFunctions.buildQuantizedIndex(source.read(), idCol, vecCol))
     } { b =>
-      val ch = source.changesSince(b)
+      val ch = source.changesSince(b, head)
       val ins = ch.filter(col("_change_type") === "insert")
         .drop("_change_type")
       val delKeys = ch.filter(col("_change_type") === "delete")

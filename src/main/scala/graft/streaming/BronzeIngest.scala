@@ -335,7 +335,8 @@ object BronzeIngest {
     * requires mirror retention to exceed the sink's downtime. */
   def indexedIngestBatch(table: graft.io.ManagedParquetTable,
       batch: DataFrame, batchId: Long, appId: String,
-      maintainers: Seq[graft.io.IndexMaintainer]): Unit = {
+      maintainers: Seq[graft.io.IndexMaintainer],
+      maintenanceEvery: Int = 0): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val tag = s"graft-stream:$appId:$batchId"
     // filename: appId sanitized for readability PLUS a CONTENT hash
@@ -427,7 +428,24 @@ object BronzeIngest {
     // gap before folding, or the indexes stay loudly stuck.
     if (table.exists) {
       table.repairMirror()
-      maintainers.foreach(_.refresh())
+      maintainers.foreach { m =>
+        // the POLICY LOOP (maintenanceEvery > 0 turns it on): recovery
+        // first and on EVERY batch — a torn swap/reorg left by a
+        // maintenance death gates refresh() loudly, so it cannot wait
+        // for the cadence; the probe is O(1) marker existence, and the
+        // recovery plan row it unlocks is computed via the plan's own
+        // early return (no listings paid on healthy batches)
+        if (maintenanceEvery > 0 && m.needsRecovery())
+          m.maintenancePlan().foreach(m.runMaintenance)
+        m.refresh()
+        // routine maintenance at the configured cadence, AFTER the
+        // refresh so the plan sizes the window just folded. Each
+        // recommended action runs under the maintainer's own in-flight
+        // gating; a death inside one leaves the marker the next
+        // batch's recovery probe finds.
+        if (maintenanceEvery > 0 && (batchId + 1) % maintenanceEvery == 0)
+          m.maintenancePlan().foreach(m.runMaintenance)
+      }
     }
   }
 

@@ -40,7 +40,9 @@ import graft.io.{BasisTracker, ManagedParquetTable}
 final class IncrementalInvertedIndex(spark: SparkSession,
     sourcePath: String, indexPath: String,
     textCol: String = "text", idCol: String = "doc_id",
-    nBuckets: Int = InvertedIndex.DefaultBuckets)
+    nBuckets: Int = InvertedIndex.DefaultBuckets,
+    policy: InvertedIndex.IndexMaintenancePolicy =
+      InvertedIndex.IndexMaintenancePolicy())
     extends graft.io.IndexMaintainer {
 
   private def source = new ManagedParquetTable(spark, sourcePath)
@@ -53,10 +55,20 @@ final class IncrementalInvertedIndex(spark: SparkSession,
 
   def basis: Option[Long] = tracker.basis
 
-  /** Bring the index up to the source table's current version. */
+  /** Bring the index up to the source table's mirror-proven version.
+    * The fold head is clamped to [[ManagedParquetTable
+    * .mirrorStableVersion]]: with uncoordinated OCC writers a foreign
+    * commit's mirror entry can be in flight at this instant, and a
+    * manifest-derived head would publish a basis past rows the feed
+    * cannot serve yet — the in-flight tail folds next trigger. */
   def refresh(): Unit = {
-    lastRefresh = tracker.refreshTo(source.version - 1, source.tableId) {
-      // buildIndex overwrites wholesale and clears any stale gate
+    val head = math.min(source.version - 1, source.mirrorStableVersion)
+    if (head < 0) { lastRefresh = "noop"; return }
+    lastRefresh = tracker.refreshTo(head, source.tableId) {
+      // buildIndex overwrites wholesale and clears any stale gate.
+      // read() serves the manifest state, possibly AHEAD of `head` —
+      // the overshoot merely replays idempotently next window
+      // (appendDocs anti-joins live membership)
       InvertedIndex.buildIndex(source.read(), textCol, idCol,
         indexPath, nBuckets)
     } { b =>
@@ -66,8 +78,38 @@ final class IncrementalInvertedIndex(spark: SparkSession,
       // provably safe to run unprompted
       if (InvertedIndex.needsRepair(spark, indexPath))
         InvertedIndex.repairIndex(spark, indexPath)
-      InvertedIndex.applyChanges(source.changesSince(b), textCol,
+      InvertedIndex.applyChanges(source.changesSince(b, head), textCol,
         idCol, indexPath, nBuckets)
     }
   }
+
+  /** [[InvertedIndex.maintenancePlan]] through the maintainer trait,
+    * against THIS instance's policy — what lets a sink poll a mixed
+    * fleet of maintainers without knowing index internals. Empty
+    * before the first refresh builds the index (there is nothing to
+    * size yet). */
+  override def maintenancePlan(): Seq[graft.io.MaintenanceAction] =
+    if (!java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(indexPath))) Seq.empty
+    else InvertedIndex.maintenancePlan(spark, indexPath, nBuckets, policy)
+
+  override def runMaintenance(a: graft.io.MaintenanceAction): Unit =
+    a.action match {
+      case "recoverSwap" => InvertedIndex.recoverSwap(spark, indexPath)
+      case "repairIndex" => InvertedIndex.repairIndex(spark, indexPath)
+      case "compactIndex" =>
+        InvertedIndex.compactIndex(spark, indexPath, nBuckets)
+      case "rebucket" =>
+        InvertedIndex.rebucket(spark, indexPath, a.suggestion.toInt)
+      case other => super.runMaintenance(a)
+    }
+
+  /** O(1) marker probe: a torn swap gates applyChanges loudly, so the
+    * sink must learn about it before every refresh, not on the
+    * maintenance cadence. (Torn GENERATIONS need no probe here —
+    * refresh() already repairs them in-window.) */
+  override def needsRecovery(): Boolean =
+    java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(indexPath)) &&
+      InvertedIndex.needsSwapRecovery(spark, indexPath)
 }

@@ -1305,6 +1305,15 @@ object InvertedIndex {
     * [[compactIndex]]/[[rebucket]] call this themselves on a leftover
     * marker, so explicit recovery is only needed to restore PROBE
     * service without re-running the reorg. */
+  /** True when a leftover swap marker gates the index — the O(1)
+    * probe a per-batch policy loop affords (the full
+    * [[maintenancePlan]] pays listings + the corpus-scalar read). */
+  def needsSwapRecovery(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(swapMarker(path))
+  }
+
   def recoverSwap(spark: SparkSession, path: String): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path)

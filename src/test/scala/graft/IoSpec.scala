@@ -1693,4 +1693,98 @@ class IoSpec extends SparkSpec {
     assert(t.read().count() == wantLive.size + 99)
     assert(t.readAt(head).count() == wantLive.size)
   }
+
+  test("table maintenancePlan: each signal crosses its threshold in a " +
+      "fixture and the recommended action clears it") {
+    import graft.io.TableMaintenancePolicy
+    val dir = tmp("mplan") + "/tbl"
+    val t = new ManagedParquetTable(spark, dir)
+    val pol = TableMaintenancePolicy(
+      maxLiveFiles = 4,
+      smallFileBytes = 1L << 20,       // every fixture file is "small"
+      maxSmallFilePermille = 1001L,    // histogram leg off: count leg drives
+      targetFileBytes = 1L << 30,      // suggestion folds to one file
+      maxLiveDvEntries = 3,
+      maxTombstonePermille = 300L,
+      maxMirrorLag = 0L,
+      maxStaleObjects = 6)
+    def plan() = t.maintenancePlan(pol)
+
+    assert(plan().isEmpty, "uncommitted table needs nothing")
+
+    // --- live-file pressure → compact, sized by targetFileBytes
+    for (i <- 0 until 5)
+      t.append(Seq((i, s"v$i")).toDF("id", "v").repartition(1))
+    val pCompact = plan()
+    val c = pCompact.find(_.action == "compact").getOrElse(
+      fail(s"5 files ≥ 4 must recommend compact, got $pCompact"))
+    assert(c.metric == "live_files" && c.value == 5L &&
+      c.threshold == 4L && c.suggestion == 1L)
+    t.compact(targetFiles = c.suggestion.toInt)
+    assert(!plan().exists(_.action == "compact"),
+      "compaction must clear the live-file signal")
+
+    // --- the compaction's dead weight → vacuum (5 dead seg dirs + 5
+    // superseded commit files ≥ 6); grace-0 vacuum clears it
+    val v = plan().find(_.action == "vacuum").getOrElse(
+      fail(s"post-compact garbage must recommend vacuum, got ${plan()}"))
+    assert(v.metric == "stale_objects" && v.value >= 6L &&
+      v.threshold == 6L)
+    t.vacuum(graceMs = 0L)
+    assert(!plan().exists(_.action == "vacuum"),
+      "vacuum must clear the stale-object signal")
+
+    // --- tombstone fraction → compactDeletes via tombstone_permille
+    // (one dv entry < maxLiveDvEntries, but 4 of 10 rows dead = 400‰)
+    t.overwrite((0 until 10).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1))
+    t.deleteWhereDV(col("id") < 4)
+    val pPerm = plan().find(_.action == "compactDeletes").getOrElse(
+      fail(s"400‰ tombstones must recommend compactDeletes, got ${plan()}"))
+    assert(pPerm.metric == "tombstone_permille" && pPerm.value == 400L &&
+      pPerm.threshold == 300L)
+    t.compactDeletes(0.01)
+    assert(!plan().exists(_.action == "compactDeletes"),
+      "the reorg must fold the tombstones out of the signal")
+
+    // --- dv ENTRY count → compactDeletes via live_dv_entries (three
+    // one-row deletes stay under 300‰ but cross the entry bound)
+    t.overwrite((0 until 20).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1))
+    for (i <- 0 until 3) t.deleteMatchingDV(Seq(i).toDF("id"), Seq("id"))
+    val pEnt = plan().find(_.action == "compactDeletes").getOrElse(
+      fail(s"3 dv entries ≥ 3 must recommend compactDeletes, got ${plan()}"))
+    assert(pEnt.metric == "live_dv_entries" && pEnt.value == 3L &&
+      pEnt.threshold == 3L)
+    t.compactDeletes(0.01)
+    assert(!plan().exists(_.action == "compactDeletes"))
+
+    // --- mirror gap → repairMirror; healing clears it
+    val newest = Files.list(Paths.get(s"$dir/_delta_log")).iterator()
+    val mj = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    newest.forEachRemaining(p =>
+      if (p.getFileName.toString.matches("\\d{20}\\.json")) mj += p)
+    Files.delete(mj.maxBy(_.getFileName.toString))
+    val pm = plan().find(_.action == "repairMirror").getOrElse(
+      fail(s"a mirror gap must recommend repairMirror, got ${plan()}"))
+    assert(pm.metric == "mirror_lag" && pm.value == 1L && pm.threshold == 0L)
+    t.repairMirror()
+    assert(!plan().exists(_.action == "repairMirror"),
+      "healing must clear the mirror-lag signal")
+
+    // --- corruption preempts as the ONLY row even with other pressure
+    for (i <- 0 until 6)
+      t.append(Seq((100 + i, "x")).toDF("id", "v").repartition(1))
+    assert(plan().exists(_.action == "compact"), "pressure re-built")
+    val liveSeg = Files.list(Paths.get(dir)).iterator()
+    val segs = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]
+    liveSeg.forEachRemaining(p =>
+      if (p.getFileName.toString.startsWith("seg-")) segs += p)
+    val victim = segs.maxBy(_.getFileName.toString)
+    victim.toFile.listFiles().foreach(_.delete()); Files.delete(victim)
+    val pr = plan()
+    assert(pr.map(_.action) == Seq("repair"),
+      s"a missing live segment must preempt every sizing row, got $pr")
+    assert(pr.head.metric == "missing_segments" && pr.head.value >= 1L)
+  }
 }

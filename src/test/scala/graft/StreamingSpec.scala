@@ -1341,4 +1341,242 @@ class StreamingSpec extends SparkSpec {
     val ex = intercept[RuntimeException] { ghost.refresh() }
     assert(ex.getMessage.contains("no_such_col"))
   }
+
+  test("ST17 policy loop closed: the sink itself executes each " +
+      "maintainer's maintenancePlan at cadence — file pressure " +
+      "compacts, corpus growth rebuckets, a forged torn swap recovers " +
+      "on the very next batch, a replayed batch inside the maintenance " +
+      "window stays exactly-once, and every index ≡ its rebuild") {
+    import graft.io.{IndexMaintainer, ManagedParquetTable}
+    import graft.similarity.{IncrementalIvfPqIndex, IvfPqMaintenancePolicy,
+      VectorFunctions}
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st17").toString
+    val t = new ManagedParquetTable(spark, s"$dir/docs")
+    val wide = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text")
+      .join(Tables.embeddings(spark, sf)
+        .select($"vec_id".as("doc_id"), $"embedding"), Seq("doc_id"))
+      .limit(144)
+      .cache()
+    val (m, ksub, dim) = (4, 16, 64)
+    // tight policy: a 12-window fixture crosses the bands a year of
+    // production windows crosses at the defaults
+    val retrieval = new IncrementalInvertedIndex(spark, s"$dir/docs",
+      s"$dir/ridx", nBuckets = 2,
+      policy = InvertedIndex.IndexMaintenancePolicy(
+        maxFilesPerBucket = 3, maxTombstonePermille = 150L,
+        minDocsPerBucket = 1L, maxDocsPerBucket = 30L,
+        targetDocsPerBucket = 20L))
+    val ivfpq = new IncrementalIvfPqIndex(spark, s"$dir/docs",
+      s"$dir/vidx", m = m, ksub = ksub, dim = dim, idCol = "doc_id",
+      maintenancePolicy = IvfPqMaintenancePolicy(
+        maxListSegments = 3, maxLiveDvEntries = 2))
+    ivfpq.train(
+      wide.limit(16).select($"doc_id", $"embedding"),
+      VectorFunctions.pqTrain(wide, m = m, ksub = ksub, iters = 0,
+        dim = dim, idCol = "doc_id"))
+    val mix: Seq[IndexMaintainer] = Seq(retrieval, ivfpq)
+    val all = wide.collect().toSeq
+    def batchDf(lo: Int, hi: Int) =
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        all.slice(lo, hi), 2), wide.schema)
+    def filesPerBucketMax(): Int = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(s"$dir/ridx/postings")
+      if (!Files.isDirectory(p)) return 0
+      val s = Files.list(p)
+      try {
+        val byBucket = s.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("bucket="))
+          .map(p => p.toFile.listFiles()
+            .count(_.getName.endsWith(".parquet"))).toSeq
+        if (byBucket.isEmpty) 0 else byBucket.max
+      } finally s.close()
+    }
+    def bucketCount(): Int = {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(s"$dir/ridx/postings")
+      if (!Files.isDirectory(p)) return 0
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .count(_.getFileName.toString.startsWith("bucket="))
+      finally s.close()
+    }
+    def assertFresh(where: String): Unit = {
+      val live = t.read()
+      val ref = Files.createTempDirectory("graft_st17_ref").toString
+      InvertedIndex.buildIndex(live.select($"doc_id", $"text"),
+        "text", "doc_id", ref, nBuckets = 5)
+      def bm(p: String) = InvertedIndex.bm25TopKIndexed(spark, p,
+        "hash join table", k = 20)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(bm(s"$dir/ridx") === bm(ref), s"retrieval != rebuild $where")
+      def vkey(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getSeq[Int](2).toList)
+      val vMaint = ivfpq.read()
+        .select($"doc_id", $"centroid_id", $"codes")
+        .collect().map(vkey).toSet
+      val vRebuilt = VectorFunctions.ivfPqEncode(live, ivfpq.centroids,
+          ivfpq.codebooks, m, ksub, dim, idCol = "doc_id")
+        .select($"doc_id", $"centroid_id", $"codes")
+        .collect().map(vkey).toSet
+      assert(vMaint == vRebuilt, s"ivfpq != rebuild $where")
+    }
+    var sawFilePressure = false
+    var sawRebucket = false
+    val every = 4
+    for (b <- 0 until 12) {
+      val batch = batchDf(b * 12, (b + 1) * 12)
+      // tombstone pressure mid-run: a foreign DV delete between
+      // triggers (the shape a CDC purge leaves behind)
+      if (b == 7) {
+        val victims = t.read().select($"doc_id").as[Long]
+          .collect().sorted.take(18)
+        t.deleteMatchingDV(victims.toSeq.toDF("doc_id"), Seq("doc_id"))
+      }
+      // forge a torn swap mid-stream (a maintenance death between the
+      // marker write and the first aside): the NEXT batch — cadence or
+      // not — must recover before it folds, or applyChanges is gated
+      if (b == 5) {
+        Files.createFile(
+          java.nio.file.Paths.get(s"$dir/ridx/_graft_swap_inflight"))
+        assert(retrieval.needsRecovery(), "forged marker must be seen")
+      }
+      val preCadence = (b + 1) % every == 0
+      if (preCadence && retrieval.maintenancePlan()
+          .exists(_.metric == "files_per_bucket_max"))
+        sawFilePressure = true
+      val preBuckets = bucketCount()
+      BronzeIngest.indexedIngestBatch(t, batch, b.toLong, "st17", mix,
+        maintenanceEvery = every)
+      if (b == 5) {
+        assert(!retrieval.needsRecovery(),
+          "the sink must recover the torn swap on the very next batch")
+        assert(retrieval.lastRefresh == "incremental",
+          "recovery must not force a rebuild")
+      }
+      if (preCadence) {
+        // the cadence batch executed the plan: pressure rows are gone
+        val plan = retrieval.maintenancePlan()
+        assert(!plan.exists(_.metric == "files_per_bucket_max"),
+          s"batch $b left file pressure standing: $plan")
+        assert(filesPerBucketMax() <= 3,
+          s"files-per-bucket ${filesPerBucketMax()} above the policy bound")
+        val vplan = ivfpq.maintenancePlan()
+        assert(vplan.isEmpty, s"batch $b left IVF-PQ pressure: $vplan")
+        if (bucketCount() > preBuckets) sawRebucket = true
+      }
+      // kill+replay INSIDE a maintenance window: the cadence batch 7
+      // re-presents (at-least-once delivery); the tag skips the
+      // append, refresh noops, and re-running the (now empty) plan
+      // must not disturb the maintained layout
+      if (b == 7) {
+        val v = t.version
+        BronzeIngest.indexedIngestBatch(t, batch, b.toLong, "st17", mix,
+          maintenanceEvery = every)
+        assert(t.version == v, "replayed batch must not re-append")
+        assertFresh("after the replayed cadence batch")
+      }
+    }
+    assert(sawFilePressure,
+      "the fixture never built file pressure — thresholds too loose")
+    assert(sawRebucket,
+      "corpus growth never fired a policy rebucket through the sink")
+    assert(bucketCount() > 2,
+      s"postings still under the construction-time modulus")
+    assert(mix.flatMap(_.basis).distinct.size == 1,
+      "after a clean window every maintainer is current to ONE basis")
+    assertFresh("at end of the policy-driven run")
+    wide.unpersist()
+  }
+
+  test("ST18 two uncoordinated streaming writers, one table: " +
+      "checkpointed sinks with distinct tag namespaces append " +
+      "concurrently (OCC auto-rebase, zero retry code) while a " +
+      "compactor races both; exactly-once holds per stream under " +
+      "mid-run replay AND a post-run replay of either sink's last " +
+      "batch, and a maintained index ≡ rebuild over the merged table") {
+    import graft.io.{IndexMaintainer, ManagedParquetTable}
+    import graft.text.{IncrementalInvertedIndex, InvertedIndex}
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_st18").toString
+    val path = s"$dir/docs"
+    val t = new ManagedParquetTable(spark, path)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").limit(120).collect().toSeq
+    val schema = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").schema
+    def slice(lo: Int, hi: Int) = spark.createDataFrame(
+      spark.sparkContext.parallelize(docs.slice(lo, hi), 2), schema)
+    // sink A owns the maintained index (single-writer contract for the
+    // INDEX); the TABLE takes appends from both sinks plus a compactor
+    val retrieval = new IncrementalInvertedIndex(spark, path,
+      s"$dir/ridx", nBuckets = 4)
+    val perSink = 6; val batchRows = 10
+    val unexpected =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    def sink(appId: String, base: Int,
+        mix: Seq[IndexMaintainer]) = new Thread(() => {
+      try {
+        val tt = new ManagedParquetTable(spark, path)
+        for (b <- 0 until perSink) {
+          val df = slice(base + b * batchRows, base + (b + 1) * batchRows)
+          BronzeIngest.indexedIngestBatch(tt, df, b.toLong, appId, mix)
+          // at-least-once delivery: every second batch re-presents
+          // immediately — the tag must absorb it mid-race
+          if (b % 2 == 1)
+            BronzeIngest.indexedIngestBatch(tt, df, b.toLong, appId, mix)
+        }
+      } catch { case e: Throwable => unexpected.add(e) }
+    })
+    val compactor = new Thread(() => {
+      try {
+        val tt = new ManagedParquetTable(spark, path)
+        var landed = 0
+        while (landed < 3) {
+          try { tt.compact(targetFiles = 2); landed += 1 }
+          catch {
+            case _: graft.io.ConcurrentWriteException => () // re-derive
+            case _: IllegalArgumentException => () // table not born yet
+          }
+          Thread.sleep(30)
+        }
+      } catch { case e: Throwable => unexpected.add(e) }
+    })
+    val a = sink("st18-a", 0, Seq(retrieval))
+    val b = sink("st18-b", 60, Nil)
+    a.start(); b.start(); compactor.start()
+    a.join(); b.join(); compactor.join()
+    assert(unexpected.isEmpty,
+      s"uncoordinated writers surfaced: ${unexpected.peek()}")
+    // exactly-once per stream: every doc landed once, none lost to a
+    // compaction landing around it
+    assert(t.read().count() == 120,
+      s"rows ${t.read().count()} != 120 — replay duplicated or a " +
+        "compaction ate an append")
+    assert(t.read().select($"doc_id").distinct().count() == 120)
+    // POST-run kill/replay of EITHER sink's final batch: the floor
+    // sidecar + tag recognize it even after the interleaved foreign
+    // commits (the other sink's appends, the compactions)
+    val v = t.version
+    BronzeIngest.indexedIngestBatch(t,
+      slice(50, 60), (perSink - 1).toLong, "st18-a", Seq(retrieval))
+    BronzeIngest.indexedIngestBatch(t,
+      slice(110, 120), (perSink - 1).toLong, "st18-b", Nil)
+    assert(t.version == v, "a replayed final batch must not re-append")
+    // the maintained index trails the MERGED table (sink A's refresh
+    // folds sink B's and the compactor's windows too): catch it up
+    // once more, then demand parity with a fresh rebuild
+    retrieval.refresh()
+    val ref = Files.createTempDirectory("graft_st18_ref").toString
+    InvertedIndex.buildIndex(t.read().select($"doc_id", $"text"),
+      "text", "doc_id", ref, nBuckets = 5)
+    def bm(p: String) = InvertedIndex.bm25TopKIndexed(spark, p,
+      "hash join table", k = 20)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(bm(s"$dir/ridx") === bm(ref),
+      "maintained index != rebuild over the merged two-writer table")
+  }
 }

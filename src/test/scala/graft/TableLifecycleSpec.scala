@@ -71,6 +71,92 @@ class TableLifecycleSpec extends SparkSpec {
         s"$LongHistories long histories — lengthen them")
   }
 
+  test("policy-driven maintenance: a 40-window ingest runs compact/" +
+      "compactDeletes/vacuum FROM maintenancePlan; bounds hold and " +
+      "read() stays oracle-exact throughout") {
+    import graft.io.TableMaintenancePolicy
+    val dir = Files.createTempDirectory("graft_mplan_lc").toString + "/t"
+    val t = new ManagedParquetTable(spark, dir)
+    val rnd = new scala.util.Random(7)
+    // tight bounds so a 40-window fixture crosses every band the way a
+    // year of production windows crosses the defaults
+    val pol = TableMaintenancePolicy(
+      maxLiveFiles = 6, smallFileBytes = 1L << 20,
+      maxSmallFilePermille = 1001L, targetFileBytes = 1L << 30,
+      maxLiveDvEntries = 3, maxTombstonePermille = 250L,
+      maxMirrorLag = 0L, maxStaleObjects = 12)
+    val oracle = scala.collection.mutable.Map.empty[Long, Long]
+    var nextId = 0L
+    var nCompact, nCdel, nVac = 0
+    var maxFilesAfter = 0
+    // LIVE files (manifest-resolved): dead segs awaiting vacuum are
+    // not scan cost, and the policy bound is about what a scan pays
+    def liveFileCount(): Int = t.deltaSnapshotFiles().size
+    def check(tag: String): Unit = {
+      val got = t.read().select("id", "v").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1).toSeq
+      assert(got == oracle.toSeq.sortBy(_._1), s"diverged at $tag")
+    }
+    for (w <- 1 to 40) {
+      val batch = (0 until (1 + rnd.nextInt(4))).map { _ =>
+        val r = (nextId, rnd.nextInt(1000).toLong); nextId += 1; r
+      }
+      t.append(batch.toDF("id", "v").repartition(1))
+      batch.foreach { case (i, v) => oracle(i) = v }
+      if (rnd.nextInt(3) == 0 && oracle.nonEmpty) {
+        val victims = rnd.shuffle(oracle.keys.toSeq)
+          .take(1 + rnd.nextInt(3))
+        t.deleteMatchingDV(victims.toDF("id"), Seq("id"))
+        victims.foreach(oracle.remove)
+      }
+      // the loop runs exactly what the plan recommends — cadence is
+      // the policy's, not a scripted schedule
+      t.maintenancePlan(pol).foreach { a =>
+        a.action match {
+          case "compact" =>
+            t.compact(targetFiles = a.suggestion.toInt); nCompact += 1
+          case "compactDeletes" => t.compactDeletes(0.01); nCdel += 1
+          case "vacuum" => t.vacuum(graceMs = 0L); nVac += 1
+          case "repairMirror" => t.repairMirror()
+          case other => fail(s"window $w: unexpected recommendation $other")
+        }
+      }
+      maxFilesAfter = math.max(maxFilesAfter, liveFileCount())
+      if (w % 8 == 0) check(s"w$w")
+    }
+    check("final")
+    info(s"policy fired: $nCompact compactions, $nCdel delete-reorgs, " +
+      s"$nVac vacuums; max live files after maintenance $maxFilesAfter")
+    // post-maintenance live files stay bounded by the policy knob —
+    // never history length
+    assert(maxFilesAfter <= pol.maxLiveFiles,
+      s"live files after maintenance must stay ≤ ${pol.maxLiveFiles}, " +
+        s"got $maxFilesAfter")
+    // every leg must actually FIRE over 40 windows
+    assert(nCompact >= 2, s"file pressure never compacted ($nCompact)")
+    assert(nCdel >= 1, s"tombstone pressure never reorged ($nCdel)")
+    assert(nVac >= 1, s"dead weight never vacuumed ($nVac)")
+    // final sweeps CONVERGE: each action can create work for the next
+    // (a compaction leaves dead segs for vacuum), but a bounded number
+    // of rounds must end with nothing recommended
+    var rounds = 0
+    while (t.maintenancePlan(pol).nonEmpty && rounds < 4) {
+      t.maintenancePlan(pol).foreach { a =>
+        a.action match {
+          case "compact" => t.compact(targetFiles = a.suggestion.toInt)
+          case "compactDeletes" => t.compactDeletes(0.01)
+          case "vacuum" => t.vacuum(graceMs = 0L)
+          case "repairMirror" => t.repairMirror()
+          case other => fail(s"final sweep: unexpected $other")
+        }
+      }
+      rounds += 1
+    }
+    assert(t.maintenancePlan(pol).isEmpty,
+      s"plan must converge to empty (ran $rounds sweep rounds)")
+    check("after final sweep")
+  }
+
   /** Runs one seeded history and its full-version-axis differential;
     * returns whether retention actually pruned this history's log. */
   private def runHistory(seed: Int, dir: String, maxOps: Int,
