@@ -541,13 +541,17 @@ object Advanced {
                   (SELECT dang FROM d$i) // (SELECT n FROM nn))) // 1000
                   AS rank_micro
               FROM nodes n2 LEFT JOIN s$i USING (node))"""
-      Some(s"""WITH ed AS (SELECT DISTINCT o_custkey AS src,
+      // ed/nodes/deg are MATERIALIZED: each unrolled iteration names
+      // them again, and DuckDB's default CTE inlining re-runs the
+      // 60M-row fact join per reference at sf10 (observed: a >70 GB
+      // temp spill); pinning them computes the edge set once (~1 GB)
+      Some(s"""WITH ed AS MATERIALIZED (SELECT DISTINCT o_custkey AS src,
                 l_suppkey + 1000000 AS dst
               FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-            nodes AS (SELECT src AS node FROM ed
+            nodes AS MATERIALIZED (SELECT src AS node FROM ed
               UNION SELECT dst FROM ed),
-            deg AS (SELECT src AS node, count(*) AS outdeg FROM ed
-              GROUP BY 1),
+            deg AS MATERIALIZED (SELECT src AS node, count(*) AS outdeg
+              FROM ed GROUP BY 1),
             nn AS (SELECT count(*) AS n FROM nodes),
             r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro
               FROM nodes),

@@ -354,6 +354,90 @@ object DedupGates {
             WHERE c.cluster_id IS NULL OR c.cluster_id = d.doc_id
             ORDER BY d.doc_id"""))
 
+  /** d12b: d12 AGGREGATE-EXACT (the d6b protocol) with a
+    * DuckDB-feasible oracle at the scale tiers. d12's doc-level oracle
+    * deliberately ignores the engine's class decomposition (that is
+    * its point — the decomposition must be invisible) but its
+    * signature HOFs run per DOC, which exceeds the 40-minute budget at
+    * sf10's 500k docs. THIS oracle decomposes the same chain over
+    * DISTINCT token streams — candidate bands, Jaccard verify, and the
+    * reachability closure all on one representative per class, doc
+    * survivors expanded at the end (validated row-identical against
+    * the doc-level oracle at sf0.01/sf0.1) — and collapses the output
+    * to count + exact id sum + an order-free modular id signature.
+    * The empty-shingle edge is preserved exactly: docs of a <3-token
+    * class pair with NOTHING (Jaccard over empty sets is 0), so every
+    * member survives individually, not just the class min. */
+  val minhashDedupAgg: GQuery = {
+    val sig = pmod(pmod(col("doc_id"), lit(1000000007L)) *
+      lit(2654435761L), lit(1000000007L))
+    GQuery(
+      "d12b_minhash_dedup_agg",
+      (s, d) => D.minhashDedup(docs(s, d), threshold = 0.2)
+        .agg(count(lit(1)).as("n_survivors"),
+          coalesce(sum(col("doc_id")), lit(0L)).as("sum_id"),
+          coalesce(sum(sig), lit(0L)).as("id_sig")),
+      Some(s"""WITH RECURSIVE
+            t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
+            cls AS (SELECT array_to_string(toks, chr(31)) AS key,
+              min(doc_id) AS rep FROM t GROUP BY 1),
+            rt AS (SELECT c.rep AS doc_id, t.toks
+              FROM cls c JOIN t ON t.doc_id = c.rep),
+            shs2 AS (SELECT doc_id,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS s3
+              FROM rt),
+            hsh AS (SELECT doc_id, list_transform(s3,
+                g -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(g, ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 1000000007)) AS shs
+              FROM shs2),
+            sig AS (SELECT doc_id, list_transform(range(8), i ->
+                CASE WHEN len(shs) = 0 THEN -1
+                ELSE list_min(list_transform(shs,
+                  h -> ((2654435761 * (i+1)) % 1000000007 * h
+                        + (40503 * (i+1) * 69069) % 1000000007) % 1000000007))
+                END) AS sig
+              FROM hsh),
+            bands AS (SELECT doc_id, b AS band,
+              CAST(sig[b*2+1] AS VARCHAR) || ':' || CAST(sig[b*2+2] AS VARCHAR)
+                AS bucket_key
+              FROM sig, unnest(range(4)) AS u(b)),
+            cand AS (SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              FROM bands l JOIN bands r
+                ON l.band = r.band AND l.bucket_key = r.bucket_key
+              WHERE l.doc_id < r.doc_id),
+            pairs AS (SELECT id_a, id_b
+              FROM cand JOIN shs2 a ON cand.id_a = a.doc_id
+                        JOIN shs2 b ON cand.id_b = b.doc_id
+              WHERE CASE WHEN len(list_distinct(a.s3 || b.s3)) = 0 THEN 0.0
+                  ELSE CAST(len(list_intersect(a.s3, b.s3)) AS DOUBLE)
+                       / len(list_distinct(a.s3 || b.s3)) END >= 0.2),
+            edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                      UNION SELECT id_b, id_a FROM pairs),
+            reach(id, lab) AS (
+              SELECT src, src FROM edges
+              UNION
+              SELECT e.src, r.lab FROM edges e JOIN reach r ON e.dst = r.id),
+            comp AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+            cstate AS (SELECT c.rep, c.key, s.s3, comp.cluster_id
+              FROM cls c JOIN shs2 s ON s.doc_id = c.rep
+              LEFT JOIN comp ON comp.id = c.rep),
+            surv AS (
+              SELECT min(rep) AS doc_id FROM cstate WHERE len(s3) > 0
+              GROUP BY coalesce(cluster_id, rep)
+              UNION ALL
+              SELECT d.doc_id FROM documents d JOIN t USING (doc_id)
+                JOIN cstate cs ON array_to_string(t.toks, chr(31)) = cs.key
+              WHERE len(cs.s3) = 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_survivors,
+              CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS sum_id,
+              CAST(coalesce(sum((doc_id % 1000000007 * 2654435761)
+                % 1000000007), 0) AS BIGINT) AS id_sig
+            FROM surv"""))
+  }
+
   private val SqlSimhashSurvivors: String =
     s"""WITH RECURSIVE t AS (SELECT doc_id, $SqlToks AS toks FROM documents),
             hs AS (SELECT doc_id,
@@ -654,6 +738,6 @@ object DedupGates {
     exact, minhashSig, jaccardAdjacent, minhashPairs, simhashQ, simhashPairs,
     simhashPairsAgg,
     dedupClusters, decontaminateQ, incrementalQ, simhashClusters,
-    simhashDedupQ, minhashDedupQ, bloomDecontaminateQ, duplicatePassagesQ,
-    dedupReport, overlapFractionQ, substringDedupQ)
+    simhashDedupQ, minhashDedupQ, minhashDedupAgg, bloomDecontaminateQ,
+    duplicatePassagesQ, dedupReport, overlapFractionQ, substringDedupQ)
 }

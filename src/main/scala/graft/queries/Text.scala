@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GQuery, Tables}
 import graft.text.TextFunctions._
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines, gate-checked on
@@ -1223,6 +1223,82 @@ object Text {
     * (replay must not re-append) are require()d in the gate body
     * because the manifest alone cannot distinguish a duplicate the
     * dedup stage would silently eat. */
+  /** The hash-stable split column every capstone shares (c4). doc_id
+    * reduces mod p BEFORE the Knuth multiply: the raw product wraps
+    * Spark's Long silently for doc_id ≳ 3.5e9 while DuckDB raises on
+    * BIGINT overflow — reduce-first keeps both sides exact
+    * ((p−1)·2654435761 < 2^63) at ANY id range. */
+  private def splitCol: org.apache.spark.sql.Column = {
+    val b = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) *
+      lit(2654435761L), lit(1000000007L)), lit(100L))
+    when(b < 90, lit("train")).when(b < 95, lit("valid"))
+      .otherwise(lit("test"))
+  }
+
+  /** e3's curation chain, corpus → packed sequences — ONE definition
+    * shared by the e3 gate (which wraps it in the ingest fixture and
+    * JSONL export) and PlanSpec's structural lock, so the plan the
+    * spec pins is the plan the capstone actually runs. */
+  private[graft] def trainingChain(corpus: DataFrame): DataFrame = {
+    val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+    val lang = graft.expressions.TextStatsExpressions.lang_id(col("text"))
+    val gated = corpus
+      .withColumn("_nt", st.getField("n_tokens"))
+      .filter(lang === "en" && col("_nt") >= lit(20))
+    val unique = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+    val chunks = chunkDocuments(
+      unique.select(col("doc_id"), col("text")), "text",
+      chunkTokens = 32, overlap = 8)
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("split", splitCol)
+    graft.operators.Packing.packSequences(
+      chunks, "n_chunk_tokens",
+      concat_ws("/", col("split"), col("shard")),
+      Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
+  }
+
+  /** e4's curated chain, corpus → packed sequences — shared by the e4
+    * gate (fixture + export; radius 1, bench slice `% 89`), the e4b
+    * aggregate gate (radius 2, bench slice `% 1997`), and PlanSpec's
+    * structural lock. Both knobs are data-density choices, not
+    * semantics: the tiled scale tiers give every distinct text ~1000
+    * clones, so ANY id-keyed bench slice contains a clone of every
+    * text at scale and decontamination correctly empties the corpus
+    * (the d13 finding) — e4b keys its slice on the TEXT (md5 prefix),
+    * which is invariant under tiling, so the surviving set is
+    * tier-stable and the scale oracle proves real rows, not zeros. */
+  private[graft] def curatedChain(corpus: DataFrame, maxDist: Int,
+      benchPred: org.apache.spark.sql.Column =
+        col("doc_id") % 89 === 0): DataFrame = {
+    val sc = graft.expressions.TextStatsExpressions
+      .lang_id_scored(col("text"))
+    val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
+    val gated = corpus
+      .filter(sc.getField("lang") === "en" &&
+        sc.getField("conf_permille") >= lit(500) &&
+        st.getField("n_tokens") >= lit(20))
+      .select(col("doc_id"), col("text"))
+    val exact = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
+    val near = graft.dedup.Dedup.simhashDedup(exact, maxDist = maxDist)
+    val bench = corpus.filter(benchPred)
+      .select(col("doc_id"), col("text"))
+    val train = near.filter(!benchPred)
+    val clean = graft.dedup.Dedup.bloomDecontaminate(train, bench,
+      expectedItems = 1L << 18)
+    val red = clean.select(col("doc_id"),
+      graft.text.TextFunctions.redactPii(concat(col("text"),
+        lit(" reach user"), col("doc_id").cast("string"),
+        lit("@example.com or 555-123-4567 or 10.0.0."),
+        pmod(col("doc_id"), lit(256)).cast("string"))).as("red"))
+    val chunks = chunkDocuments(red, "red", chunkTokens = 32, overlap = 8)
+      .withColumn("shard", col("doc_id") % 8)
+      .withColumn("split", splitCol)
+    graft.operators.Packing.packSequences(
+      chunks, "n_chunk_tokens",
+      concat_ws("/", col("split"), col("shard")),
+      Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
+  }
+
   val trainingPipelineQ: GQuery = GQuery(
     "e3_training_pipeline",
     (s, d) => {
@@ -1239,30 +1315,7 @@ object Text {
       graft.streaming.BronzeIngest.indexedIngestBatch(t,
         src.where(col("doc_id") % 3 === 2), 2L, "e3", Nil)
       require(t.version == v, "replayed ingest batch must not re-append")
-      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
-      val lang = graft.expressions.TextStatsExpressions.lang_id(col("text"))
-      val gated = t.read()
-        .withColumn("_nt", st.getField("n_tokens"))
-        .filter(lang === "en" && col("_nt") >= lit(20))
-      val unique = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
-      val chunks = chunkDocuments(
-        unique.select(col("doc_id"), col("text")), "text",
-        chunkTokens = 32, overlap = 8)
-        .withColumn("shard", col("doc_id") % 8)
-        .withColumn("split", {
-          // doc_id is reduced mod p BEFORE the Knuth multiply: the raw
-          // product wraps Spark's Long silently for doc_id ≳ 3.5e9 while
-          // DuckDB raises on BIGINT overflow — reduce-first keeps both
-          // sides exact ((p-1)·2654435761 < 2^63) at ANY id range
-          val b = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) *
-            lit(2654435761L), lit(1000000007L)), lit(100L))
-          when(b < 90, lit("train")).when(b < 95, lit("valid"))
-            .otherwise(lit("test"))
-        })
-      val packed = graft.operators.Packing.packSequences(
-        chunks, "n_chunk_tokens",
-        concat_ws("/", col("split"), col("shard")),
-        Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
+      val packed = trainingChain(t.read())
       // the pipeline ends at FILES a training loader reads, not at a
       // summary: export the packed chunk rows (chunk_text, never the
       // full source document) as key-stable JSONL shards, verify the
@@ -1365,47 +1418,13 @@ object Text {
       graft.streaming.BronzeIngest.indexedIngestBatch(t,
         src.where(col("doc_id") % 3 === 2), 2L, "e4", Nil)
       require(t.version == v, "replayed ingest batch must not re-append")
-      val corpus = t.read()
-      val sc = graft.expressions.TextStatsExpressions
-        .lang_id_scored(col("text"))
-      val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
-      val gated = corpus
-        .filter(sc.getField("lang") === "en" &&
-          sc.getField("conf_permille") >= lit(500) &&
-          st.getField("n_tokens") >= lit(20))
-        .select(col("doc_id"), col("text"))
-      val exact = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
-      // conservative near-dup radius for the capstone: the synthetic
-      // corpus is template-generated, and dist<=3 collapses the gated
-      // set to a handful of docs — dist<=1 keeps the tail stages fed
-      // (d11 still gates the aggressive radius standalone)
-      val near = graft.dedup.Dedup.simhashDedup(exact, maxDist = 1)
-      val bench = corpus.filter(col("doc_id") % 89 === 0)
-        .select(col("doc_id"), col("text"))
-      val train = near.filter(col("doc_id") % 89 =!= 0)
-      val clean = graft.dedup.Dedup.bloomDecontaminate(train, bench,
-        expectedItems = 1L << 18)
-      val red = clean.select(col("doc_id"),
-        graft.text.TextFunctions.redactPii(concat(col("text"),
-          lit(" reach user"), col("doc_id").cast("string"),
-          lit("@example.com or 555-123-4567 or 10.0.0."),
-          pmod(col("doc_id"), lit(256)).cast("string"))).as("red"))
-      val chunks = chunkDocuments(red, "red", chunkTokens = 32, overlap = 8)
-        .withColumn("shard", col("doc_id") % 8)
-        .withColumn("split", {
-          // doc_id is reduced mod p BEFORE the Knuth multiply: the raw
-          // product wraps Spark's Long silently for doc_id ≳ 3.5e9 while
-          // DuckDB raises on BIGINT overflow — reduce-first keeps both
-          // sides exact ((p-1)·2654435761 < 2^63) at ANY id range
-          val b = pmod(pmod(pmod(col("doc_id"), lit(1000000007L)) *
-            lit(2654435761L), lit(1000000007L)), lit(100L))
-          when(b < 90, lit("train")).when(b < 95, lit("valid"))
-            .otherwise(lit("test"))
-        })
-      val packed = graft.operators.Packing.packSequences(
-        chunks, "n_chunk_tokens",
-        concat_ws("/", col("split"), col("shard")),
-        Seq(col("doc_id"), col("chunk_idx")), capacity = 64)
+      // conservative near-dup radius for the capstone fixture: the
+      // synthetic corpus is template-generated and dist<=3 collapses
+      // the gated set to a handful of docs — dist<=1 keeps the tail
+      // stages fed (e4b gates the same chain at radius 2, d11 the
+      // aggressive radius standalone, and DedupSpec proves the k+1 ⊆ k
+      // survivor monotonicity that makes the knob order-safe)
+      val packed = curatedChain(t.read(), maxDist = 1)
       val payload = packed.drop("red")
       val written = graft.io.TrainingExport.writeJsonlShards(
         payload, keyCol = "doc_id", nShards = 8, path = s"$root/shards")
@@ -1533,6 +1552,193 @@ object Text {
               CAST(sum(nt) AS BIGINT) AS n_tokens
             FROM w GROUP BY split, shard ORDER BY split, shard"""))
 
+  /** e4b: the curated CHAIN aggregate-exact at a SECOND near-dup
+    * radius — the two evidence gaps the e4 gate left open, closed in
+    * one gate:
+    *   - e4 pins maxDist = 1 for fixture-density reasons; this gate
+    *     runs the identical relational chain (scored-lang gate → exact
+    *     dedup → SimHash value-graph near-dup → Bloom decontamination
+    *     → PII redaction → chunk → split → pack → per-(split, shard)
+    *     accounting) at maxDist = 2 and a TEXT-keyed bench slice
+    *     (md5-prefix — see [[curatedChain]]: the tiled scale tiers
+    *     saturate any id-keyed slice and the chain would prove only
+    *     zeros; text-keying makes the survivor set tier-stable), so the
+    *     production knobs have their own oracle row (DedupSpec adds
+    *     the general k+1 ⊆ k survivor monotonicity proof). The
+    *     ingest/export fixture is deliberately NOT repeated here — e4
+    *     owns it; this gate isolates the data transformations so it
+    *     stays cheap enough to oracle at sf10.
+    *   - the oracle is the d6b protocol applied to the whole capstone:
+    *     O(1) output (group count, exact sums, and an order-free
+    *     modular polynomial signature binding each (split, shard)
+    *     group to its four measures), and the SQL decomposes every
+    *     per-text HOF (lang scores, simhash, shingles) over DISTINCT
+    *     texts before re-joining doc_ids — relationally identical
+    *     (validated row-exact against e4's composed CTEs at
+    *     sf0.01/sf0.1), but DuckDB-feasible at sf10's 500k docs,
+    *     where the tiled corpus holds ~5k distinct texts and the
+    *     undecomposed form exceeds the 40-minute budget. */
+  val curatedChainAggQ: GQuery = {
+    val P = 1000000007L
+    GQuery(
+      "e4b_curated_chain_agg",
+      (s, d) => {
+        val packed = curatedChain(
+          docs(s, d).select(col("doc_id"), col("text")), maxDist = 2,
+          benchPred = substring(md5(col("text")), 1, 2) === "00")
+        val grouped = packed
+          .groupBy(col("split"), col("shard"))
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            (max(col("seq_id")) + 1).as("n_seqs"),
+            sum(col("n_chunk_tokens").cast("long")).as("n_tokens"))
+        val k = (when(col("split") === "train", lit(0L))
+          .when(col("split") === "valid", lit(1L))
+          .otherwise(lit(2L)) * lit(8L) + col("shard").cast("long"))
+        val sig = pmod(pmod(pmod(pmod(
+          k * lit(1048573L) + col("n_docs"), lit(P)) *
+            lit(1048573L) + col("n_chunks"), lit(P)) *
+            lit(1048573L) + col("n_seqs"), lit(P)) *
+            lit(1048573L) + col("n_tokens"), lit(P))
+        grouped.agg(count(lit(1)).as("n_groups"),
+          coalesce(sum(col("n_docs")), lit(0L)).as("sum_docs"),
+          coalesce(sum(col("n_chunks")), lit(0L)).as("sum_chunks"),
+          coalesce(sum(col("n_seqs")), lit(0L)).as("sum_seqs"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("sum_tokens"),
+          coalesce(sum(sig), lit(0L)).as("group_sig"))
+      },
+      Some(raw"""WITH RECURSIVE
+            dt AS (SELECT DISTINCT text FROM documents),
+            t0 AS MATERIALIZED (SELECT text, $SqlToks AS toks FROM dt),
+            sc AS (SELECT text, toks,
+              len(list_intersect(list_distinct(toks),
+                ['the','and','of','to','is','in','that','it','for','with'])) AS s_en,
+              len(list_intersect(list_distinct(toks),
+                ['le','la','les','et','de','un','une','est','que','pour'])) AS s_fr,
+              len(list_intersect(list_distinct(toks),
+                ['el','la','los','las','y','de','que','es','en','por'])) AS s_es,
+              len(list_intersect(list_distinct(toks),
+                ['der','die','das','und','ist','von','mit','den','nicht','ein'])) AS s_de
+              FROM t0),
+            gt AS (SELECT text, toks FROM (
+              SELECT *, greatest(s_en, s_fr, s_es, s_de) AS m,
+                s_en + s_fr + s_es + s_de AS tot FROM sc)
+              WHERE m > 0 AND s_en = m
+                AND ${Exact.roundDivSqlPos("1000 * m", "tot")} >= 500
+                AND len(toks) >= 20),
+            gfp AS MATERIALIZED (SELECT text, toks,
+              md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM gt),
+            ex0 AS (SELECT g.fp, min(d.doc_id) AS doc_id
+              FROM documents d JOIN gfp g USING (text) GROUP BY g.fp),
+            ex AS MATERIALIZED (SELECT e.doc_id, d.text
+              FROM ex0 e JOIN documents d USING (doc_id)),
+            hs AS (SELECT text, list_transform(toks, tok ->
+                list_reduce(list_prepend(CAST(0 AS BIGINT),
+                  list_transform(string_split(tok, ''),
+                    c -> CAST(ord(c) AS BIGINT))),
+                  (h, c) -> (h * 31 + c) % 4294967296)) AS hs
+              FROM gfp),
+            sh0 AS MATERIALIZED (SELECT text,
+              list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(range(32), b ->
+                  CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN CAST(1 AS BIGINT)
+                           ELSE CAST(-1 AS BIGINT) END)),
+                    (a2, v) -> a2 + v) > 0
+                  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END)),
+                (a2, v) -> a2 + v) AS sh
+              FROM hs),
+            sh AS (SELECT ex.doc_id, sh0.sh FROM ex JOIN sh0 USING (text)),
+            vals AS (SELECT DISTINCT sh AS v FROM sh),
+            banded AS (SELECT v, b AS band, (v >> (b*8)) & 255 AS slice
+              FROM vals, unnest(range(4)) AS u(b)),
+            vp AS (SELECT DISTINCT l.v AS v_a, r.v AS v_b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.slice = r.slice AND l.v < r.v
+              WHERE bit_count(xor(l.v, r.v)) <= 2),
+            vedges AS (SELECT v_a AS s, v_b AS d FROM vp
+                       UNION SELECT v_b, v_a FROM vp),
+            vreach(v, lab) AS (
+              SELECT s, s FROM vedges
+              UNION
+              SELECT e.s, r.lab FROM vedges e JOIN vreach r ON e.d = r.v),
+            vcomp AS (SELECT v, min(lab) AS vlab FROM vreach GROUP BY v),
+            nd AS (SELECT min(doc_id) AS doc_id
+              FROM sh LEFT JOIN vcomp ON sh.sh = vcomp.v
+              GROUP BY coalesce(vcomp.vlab, sh.sh)),
+            shing0 AS MATERIALIZED (SELECT text,
+              list_distinct(list_transform(range(greatest(len(toks) - 2, 0)),
+                j -> array_to_string(toks[j+1:j+3], ' '))) AS shs
+              FROM t0),
+            bencht AS (SELECT DISTINCT text FROM documents
+              WHERE substr(md5(text), 1, 2) = '00'),
+            bench AS (SELECT DISTINCT unnest(shs) AS s
+              FROM shing0 JOIN bencht USING (text)),
+            ndx AS MATERIALIZED (SELECT nd.doc_id, d.text
+              FROM nd JOIN documents d USING (doc_id)),
+            cont AS (SELECT DISTINCT y.doc_id FROM (
+                SELECT n2.doc_id, unnest(s0.shs) AS s FROM ndx n2
+                JOIN shing0 s0 USING (text)
+                WHERE substr(md5(n2.text), 1, 2) <> '00') y
+              JOIN bench USING (s)),
+            clean AS (SELECT n2.doc_id, n2.text FROM ndx n2
+              WHERE substr(md5(n2.text), 1, 2) <> '00'
+                AND n2.doc_id NOT IN (SELECT doc_id FROM cont)),
+            aug AS (SELECT doc_id,
+              text || ' reach user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com or 555-123-4567 or 10.0.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) AS t
+              FROM clean),
+            red AS (SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+                '\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b', '<PHONE>', 'g'),
+                '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g')
+                AS red
+              FROM aug),
+            rt AS (SELECT doc_id, ${sqlToksOf("red")} AS rtoks FROM red),
+            n AS (SELECT doc_id, rtoks,
+              greatest(CAST(ceil((len(rtoks) - 8) / 24.0) AS BIGINT), 1)
+                AS n_chunks FROM rt),
+            c AS (SELECT doc_id, rtoks, CAST(i AS BIGINT) AS chunk_idx
+              FROM n, unnest(range(n_chunks)) AS u(i)),
+            ch AS (SELECT doc_id, chunk_idx,
+              CAST(len(rtoks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT)
+                AS nt FROM c),
+            sp AS (SELECT doc_id, chunk_idx, nt,
+              CAST(doc_id % 8 AS BIGINT) AS shard,
+              CASE WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 90
+                   THEN 'train'
+                   WHEN (doc_id % 1000000007 * 2654435761) % 1000000007 % 100 < 95
+                   THEN 'valid' ELSE 'test' END AS split
+              FROM ch),
+            w AS (SELECT *, sum(nt) OVER (PARTITION BY split, shard
+                ORDER BY doc_id, chunk_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - nt
+                AS cum_excl FROM sp),
+            grouped AS (SELECT split, shard,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                count(*) AS n_chunks,
+                CAST(max(cum_excl // 64) + 1 AS BIGINT) AS n_seqs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens
+              FROM w GROUP BY split, shard)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups,
+              CAST(coalesce(sum(n_docs), 0) AS BIGINT) AS sum_docs,
+              CAST(coalesce(sum(n_chunks), 0) AS BIGINT) AS sum_chunks,
+              CAST(coalesce(sum(n_seqs), 0) AS BIGINT) AS sum_seqs,
+              CAST(coalesce(sum(n_tokens), 0) AS BIGINT) AS sum_tokens,
+              CAST(coalesce(sum((((((CASE split WHEN 'train' THEN 0
+                    WHEN 'valid' THEN 1 ELSE 2 END * 8 + shard)
+                * 1048573 + n_docs) % 1000000007 * 1048573 + n_chunks)
+                % 1000000007 * 1048573 + n_seqs) % 1000000007
+                * 1048573 + n_tokens) % 1000000007), 0) AS BIGINT)
+                AS group_sig
+            FROM grouped"""))
+  }
+
   /** t19: the BASIS-TRACKED maintainer end to end — a managed document
     * table commits three windows (initial corpus, late append, DV +
     * rewriting deletes) and `IncrementalInvertedIndex.refresh()` folds
@@ -1592,5 +1798,5 @@ object Text {
       curriculumQ, budgetSelectQ, splitAssignQ, surprisalQ, phraseIndexQ,
       bm25Q, bm25IndexedQ, multiPhraseQ, hybridRrfQ, indexRefreshQ,
       hybridRecallQ, hybridRecallMpQ, trainingPipelineQ, langIdScoredQ,
-      curatedPipelineQ)
+      curatedPipelineQ, curatedChainAggQ)
 }

@@ -414,4 +414,26 @@ class DedupSpec extends SparkSpec {
       .select(langId(col("text"))).as[String].collect()
     assert(got.sameElements(Array("en", "fr", "de", "unknown")))
   }
+
+  test("simhashDedup radius monotonicity: survivors at dist<=k+1 are a " +
+      "subset of survivors at dist<=k, and strictly fewer somewhere " +
+      "across the fixture — the e4/e4b radius knob is order-safe") {
+    // a larger radius only MERGES clusters, and a merged cluster's
+    // min-id was one of its parts' min-ids, so the survivor set can
+    // only shrink as the knob loosens — the property that makes the
+    // production radius a tuning choice instead of a correctness one
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val surv = (0 to 3).map { k =>
+      k -> D.simhashDedup(docs, maxDist = k)
+        .select(col("doc_id")).as[Long].collect().toSet
+    }.toMap
+    for (k <- 0 to 2) {
+      assert(surv(k + 1).subsetOf(surv(k)),
+        s"dist<=${k + 1} kept a doc dist<=$k dropped: " +
+          s"${(surv(k + 1) -- surv(k)).take(5)}")
+    }
+    assert(surv(3).size < surv(0).size,
+      "the fixture never exercised a merge across the radius range")
+  }
 }

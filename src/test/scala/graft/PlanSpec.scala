@@ -219,6 +219,45 @@ class PlanSpec extends SparkSpec {
     assert(ex.size <= 3, s"q21 planned ${ex.size} exchanges:\n$ex")
   }
 
+  test("capstone chains are plan-locked: corpus scan count and " +
+      "exchange inventory pinned for e3's and e4's shared chain " +
+      "builders — a fusion regression (an extra corpus re-scan, an " +
+      "unplanned shuffle) now fails structurally, not by wall-clock") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the SAME functions the e3/e4 gates execute (Text.trainingChain /
+    // Text.curatedChain) — the gates wrap them in the ingest fixture
+    // and JSONL export, which plan-lock separately as IO, not plan
+    val corpus = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    def corpusScans(df: DataFrame) = scans(df)
+      .count(_.metadata("Location").contains("documents"))
+    def exchanges(df: DataFrame) = df.queryExecution.sparkPlan.collect {
+      case e: ShuffleExchangeExec => e
+    }.size
+    val e3 = queries.Text.trainingChain(corpus)
+    // e3's chain touches the corpus exactly ONCE: gate → dedup window
+    // → chunk explode → pack windows are one fused lineage
+    assert(corpusScans(e3) == 1,
+      s"e3 chain re-scans the corpus: ${corpusScans(e3)} scans")
+    // exchange inventory: dedup's fingerprint window + the (split,
+    // shard) pack windows — a constant, never data-dependent
+    val e3Ex = exchanges(e3)
+    assert(e3Ex <= 4, s"e3 chain exchange inventory grew to $e3Ex")
+    val e4 = queries.Text.curatedChain(corpus, maxDist = 1)
+    // e4's chain names the corpus THREE times by design — the gated
+    // mainline, the bench slice fed to the Bloom build, and the bench
+    // side of the exact decontamination join; anything above that is
+    // a stage re-reading what it should have flowed
+    val e4Scans = corpusScans(e4)
+    assert(e4Scans <= 4, s"e4 chain corpus scans grew to $e4Scans")
+    val e4Ex = exchanges(e4)
+    assert(e4Ex <= 12, s"e4 chain exchange inventory grew to $e4Ex")
+    // radius must not change the plan SHAPE (only the verify constant)
+    val e4w = queries.Text.curatedChain(corpus, maxDist = 3)
+    assert(corpusScans(e4w) == e4Scans && exchanges(e4w) == e4Ex,
+      "the near-dup radius changed the chain's plan shape")
+  }
+
   test("gate queries keep pushdown through their own plans (p8, w2)") {
     val p8 = SparkEntry.queries("p8_watermark_filter")(spark, sf)
     val p8scan = scans(p8).find(_.metadata("Location").contains("events"))
