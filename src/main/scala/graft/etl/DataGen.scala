@@ -109,16 +109,20 @@ object DataGen {
     import java.awt.image.BufferedImage
     val w = imageWidth(id); val h = imageHeight(id)
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // every row is identical: build it once, blit per row (setRGB per
+    // pixel pays a color-model conversion per call — same pixels)
+    val row = new Array[Int](w)
+    var x = 0
+    while (x < w) {
+      val lum =
+        if (id % 2 == 0) 128
+        else math.round(255.0 * x / (w - 1)).toInt
+      row(x) = (lum << 16) | (lum << 8) | lum
+      x += 1
+    }
     var y = 0
     while (y < h) {
-      var x = 0
-      while (x < w) {
-        val lum =
-          if (id % 2 == 0) 128
-          else math.round(255.0 * x / (w - 1)).toInt
-        img.setRGB(x, y, (lum << 16) | (lum << 8) | lum)
-        x += 1
-      }
+      img.setRGB(0, y, w, 1, row, 0, w)
       y += 1
     }
     val baos = new java.io.ByteArrayOutputStream()

@@ -385,11 +385,10 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val stats = segmentFiles(seg).flatMap { case (rel, _) =>
       FileStats.footerStats(spark, s"$path/$rel", rel)
     }
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(FileStats.toRows(stats), 1),
-      FileStats.schema)
-    df.coalesce(1).write.mode("overwrite")
-      .parquet(statsDir.resolve(seg).toString)
+    // sidecar rows are planning state (O(files × cols)); write them on
+    // the driver — a Spark job here costs a full plan/schedule round
+    // trip per COMMIT for a one-row-group file
+    SidecarIo.writeStats(statsDir.resolve(seg), stats)
     stats
   }
 
@@ -748,11 +747,27 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     dvFrame(entries).select("__graft_f").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
 
-  /** Tombstone set of the given dv entries as (__graft_f, __graft_r). */
-  private def dvFrame(entries: Seq[String]): DataFrame =
-    spark.read.parquet(entries.map(e =>
-        s"$path/_graft_dv/${parseDv(e).dir}"): _*)
-      .toDF("__graft_f", "__graft_r")
+  /** Tombstone set of the given dv entries as (__graft_f, __graft_r).
+    * Size-gated driver-local load: a small tombstone set (the common
+    * case — dv commits are O(matched rows) and compactDeletes folds
+    * them) comes back as a LocalRelation, so the read path's anti-join
+    * broadcasts it WITHOUT the separate broadcast-build Spark job a
+    * parquet-scan child needs (BroadcastExchange over LocalTableScan
+    * collects driver-side). Every managed read with live tombstones
+    * was paying that ~100-300 ms job; large dv sets keep the
+    * distributed scan unchanged. */
+  private def dvFrame(entries: Seq[String]): DataFrame = {
+    val dirs = entries.map(e => Paths.get(path, "_graft_dv", parseDv(e).dir))
+    if (SidecarIo.parquetBytes(dirs) <= ManagedParquetTable.DvLocalBytes) {
+      import scala.jdk.CollectionConverters._
+      val rows: java.util.List[Row] = SidecarIo
+        .readDvPairs(dirs, spark.sessionState.newHadoopConf())
+        .map(p => Row(p._1, p._2): Row).asJava
+      spark.createDataFrame(rows, ManagedParquetTable.dvSchema)
+    } else
+      spark.read.parquet(dirs.map(_.toString): _*)
+        .toDF("__graft_f", "__graft_r")
+  }
 
   /** Scan segment dirs with deletion vectors applied (anti-join on the
     * (file, row) tombstone set — AQE broadcasts it when small). With
@@ -761,10 +776,24 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       keepPos: Boolean): DataFrame =
     scanPaths(segs.map(s => s"$path/$s"), dvs, keepPos)
 
+  /** Merged read schema of an immutable path set, inferred once and
+    * cached process-wide (segment dirs are nanotime-unique and never
+    * mutate, so the key can never alias different content). The
+    * mergeSchema footer sweep is O(files) DRIVER work; every read()
+    * was re-paying it — a lifecycle gate doing dozens of reads spent
+    * seconds re-merging identical footers. Metadata cache only (the
+    * snapshot-cache Delta/Iceberg keep); no data or results cached. */
+  private def mergedSchemaOf(paths: Seq[String]): StructType = {
+    val cache = ManagedParquetTable.schemaCache
+    if (cache.size > 4096) cache.clear()
+    cache.computeIfAbsent(paths.sorted.mkString(" "),
+      _ => spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
+  }
+
   /** As [[scanSegments]] for explicit file/dir paths under the table. */
   private[io] def scanPaths(paths: Seq[String], dvs: Seq[String],
       keepPos: Boolean): DataFrame = {
-    val base = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    val base = spark.read.schema(mergedSchemaOf(paths)).parquet(paths: _*)
     if (dvs.isEmpty && !keepPos) return base
     val withPos = posCols.foldLeft(base) { case (df, (n, c)) =>
       df.withColumn(n, c)
@@ -821,10 +850,19 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     val dir = s"dv-${System.nanoTime()}"
     doomedRows.write.mode("overwrite").parquet(s"$path/_graft_dv/$dir")
     // the touched segments are recorded in the entry so later reads
-    // can prove it inert once every one of them is rewritten/dropped
-    val touched = spark.read.parquet(s"$path/_graft_dv/$dir")
-      .select(col("__graft_f")).distinct()
-      .collect().map(_.getString(0).split("/")(0)).distinct.sorted
+    // can prove it inert once every one of them is rewritten/dropped;
+    // same size-gated driver-local read as dvFrame (one less job per
+    // dv commit in the common small-tombstone case)
+    val dvDirPath = Paths.get(path, "_graft_dv", dir)
+    val touched =
+      if (SidecarIo.parquetBytes(Seq(dvDirPath)) <=
+          ManagedParquetTable.DvLocalBytes)
+        SidecarIo.readDvPairs(Seq(dvDirPath),
+            spark.sessionState.newHadoopConf())
+          .map(_._1.split("/")(0)).distinct.sorted.toArray
+      else spark.read.parquet(dvDirPath.toString)
+        .select(col("__graft_f")).distinct()
+        .collect().map(_.getString(0).split("/")(0)).distinct.sorted
     // the entry records the MIRROR version this commit creates (commit
     // files are 0-based and count manifest commits), so readAt can
     // scope tombstones to any historical version
@@ -1922,6 +1960,23 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
       Files.walk(p).sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
     }
+}
+
+object ManagedParquetTable {
+  /** Process-wide merged-schema cache keyed by the (immutable,
+    * nanotime-unique) path set of a scan — see `mergedSchemaOf`. */
+  private[io] val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  /** Size gate for loading dv tombstone sidecars driver-side (see
+    * `dvFrame`): below this total parquet size the set becomes a
+    * LocalRelation; above it the distributed scan path is kept. */
+  private[io] val DvLocalBytes = 8L << 20
+
+  private[io] val dvSchema = StructType(Seq(
+    StructField("__graft_f", StringType, nullable = false),
+    StructField("__graft_r",
+      org.apache.spark.sql.types.LongType, nullable = false)))
 }
 
 /** S16 XLSX source (reference: gold/bronzeToGold.py:88-113 reads the HR

@@ -36,6 +36,15 @@ object Multimodal {
     def features(payload: Array[Byte]): Array[Float]
     /** 64-bit perceptual hash (dHash for images). */
     def phash(payload: Array[Byte]): Long
+    /** All three in one call — the per-row hot path. Codecs whose
+      * feature/hash derivations share an expensive decode override
+      * this to decode ONCE (same outputs by construction); the default
+      * just delegates. */
+    def decodeAll(payload: Array[Byte]):
+        (Int, Int, Int, String, Array[Float], Long) = {
+      val (n, w, h, fmt) = decodeMeta(payload)
+      (n, w, h, fmt, features(payload), phash(payload))
+    }
   }
 
   /** Deterministic fake codec for payloads the JDK cannot decode
@@ -111,9 +120,12 @@ object Multimodal {
       img
     }
 
-    /** tw×th block-mean grayscale grid in [0,255], row-major. */
-    private def grayGrid(img: BufferedImage, tw: Int, th: Int): Array[Double] = {
-      val w = img.getWidth; val h = img.getHeight
+    /** tw×th block-mean grayscale grid in [0,255], row-major, over a
+      * pre-fetched ARGB pixel array (ONE bulk getRGB per image instead
+      * of a color-model conversion per pixel). Accumulation order is
+      * unchanged — identical doubles to the per-pixel form. */
+    private def grayGridPx(px: Array[Int], w: Int, h: Int,
+        tw: Int, th: Int): Array[Double] = {
       val out = new Array[Double](tw * th)
       var ty = 0
       while (ty < th) {
@@ -126,7 +138,7 @@ object Multimodal {
           while (y < y1 && y < h) {
             var x = x0
             while (x < x1 && x < w) {
-              val rgb = img.getRGB(x, y)
+              val rgb = px(y * w + x)
               sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
                 (rgb & 0xff) * 114) / 1000.0
               n += 1; x += 1
@@ -141,11 +153,16 @@ object Multimodal {
       out
     }
 
+    private def pixelsOf(img: BufferedImage): Array[Int] =
+      img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth)
+
+    private def grayGrid(img: BufferedImage, tw: Int, th: Int): Array[Double] =
+      grayGridPx(pixelsOf(img), img.getWidth, img.getHeight, tw, th)
+
     def features(payload: Array[Byte]): Array[Float] =
       grayGrid(decode(payload), 4, 4).map(v => (v / 255.0).toFloat)
 
-    def phash(payload: Array[Byte]): Long = {
-      val g = grayGrid(decode(payload), 9, 8)
+    private def phashOf(g: Array[Double]): Long = {
       var bits = 0L
       var y = 0
       while (y < 8) {
@@ -157,6 +174,26 @@ object Multimodal {
         y += 1
       }
       bits
+    }
+
+    def phash(payload: Array[Byte]): Long =
+      phashOf(grayGrid(decode(payload), 9, 8))
+
+    /** The hot path: ONE full decode + ONE pixel fetch serve both the
+      * feature grid and the dHash grid (the split API decoded the
+      * payload twice per row); header meta is read from the decoded
+      * image's own dimensions plus the format probe, which is
+      * header-only. Outputs are bit-identical to the split calls —
+      * same grids, same fold order. */
+    override def decodeAll(payload: Array[Byte]):
+        (Int, Int, Int, String, Array[Float], Long) = {
+      val (n, w, h, fmt) = decodeMeta(payload)
+      val img = decode(payload)
+      val px = pixelsOf(img)
+      val feats = grayGridPx(px, img.getWidth, img.getHeight, 4, 4)
+        .map(v => (v / 255.0).toFloat)
+      val ph = phashOf(grayGridPx(px, img.getWidth, img.getHeight, 9, 8))
+      (n, w, h, fmt, feats, ph)
     }
   }
 
@@ -174,9 +211,8 @@ object Multimodal {
       // per-partition codec binding happens here (once per task)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val (n, w, h, fmt) = codec.decodeMeta(payload)
-        Row.fromSeq(r.toSeq ++ Seq(n, w, h, fmt, codec.phash(payload),
-          codec.features(payload).toSeq))
+        val (n, w, h, fmt, feats, ph) = codec.decodeAll(payload)
+        Row.fromSeq(r.toSeq ++ Seq(n, w, h, fmt, ph, feats.toSeq))
       }
     }
   }

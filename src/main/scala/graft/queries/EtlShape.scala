@@ -115,12 +115,16 @@ object EtlShape {
     "m3_audio_decode",
     (s, d) => {
       val enc = udf((id: Long) => graft.etl.DataGen.audioBytes(id))
-      // no m2-style fan-out: these micro-payloads decode in ~40 µs each
-      // (all 5k in 0.2 s single-threaded, AudioProbe-measured), so an
-      // extra shuffle buys nothing — the natural scan layout suffices
-      // here and a corpus-scale scan is already wide
+      // m2-style fan-out: the id list comes off ONE parquet file (1-2
+      // scan partitions at bench scale), so without a spread the whole
+      // encode+container-parse chain runs serially on one core —
+      // measured ~2.5 s at sf0.1 vs ~0.4 s spread (the earlier "no
+      // fan-out needed" note predated the regenerated corpus). The
+      // shuffle moves only (doc_id) longs; at corpus scale the scan is
+      // already wide and repartitionForBlobs governs.
       val assets = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
         .withColumn("payload", enc(col("doc_id")))
       graft.multimodal.Multimodal.decodeAudio(assets, "payload")
         .select(col("doc_id"),

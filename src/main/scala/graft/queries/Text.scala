@@ -1273,12 +1273,31 @@ object Text {
     val sc = graft.expressions.TextStatsExpressions
       .lang_id_scored(col("text"))
     val st = graft.expressions.TextStatsExpressions.text_stats(col("text"))
-    val gated = corpus
+    // Decide on small rows, attach the payload once (guide §8): the
+    // scored-lang gate and the exact-dup fingerprint are ID-level
+    // decisions, so ONE corpus pass computes them projected to
+    // (doc_id, fp), the min-id winner per fingerprint persists as an
+    // id set, and the payload re-attaches by row-local semi-join.
+    // The previous stacked form re-evaluated the gate kernels and the
+    // dedup window up to 4x per run — once per eager boundary (the CC
+    // cutover collect, the Bloom sketch build) and twice through the
+    // decontamination anti-join's two arms. Survivor semantics are
+    // exactDedup's: same fingerprint, same min-id winner rule.
+    val gatedFp = corpus
       .filter(sc.getField("lang") === "en" &&
         sc.getField("conf_permille") >= lit(500) &&
         st.getField("n_tokens") >= lit(20))
+      .select(col("doc_id"),
+        md5(normalizedText(col("text"))).as("_fp"))
+    val exactW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_fp")).orderBy(col("doc_id"))
+    val exactIds = gatedFp
+      .withColumn("_rn", row_number().over(exactW))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exact = corpus.join(exactIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
-    val exact = graft.dedup.Dedup.exactDedup(gated, "text", "doc_id")
     val near = graft.dedup.Dedup.simhashDedup(exact, maxDist = maxDist)
     val bench = corpus.filter(benchPred)
       .select(col("doc_id"), col("text"))

@@ -333,13 +333,19 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
         .drop("_change_type")
       val delKeys = ch.filter(col("_change_type") === "delete")
         .select(col(idCol))
+      // ONE aggregate answers the emptiness probe AND the insert count
+      // (the isEmpty + count pair each re-ran the change-feed subtree,
+      // broadcast builds included — guide §1.2: fewer actions)
+      val counts = ch.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIns = counts.getOrElse("insert", 0L)
+      val nDel = counts.getOrElse("delete", 0L)
       // window keys drop FIRST (deletes ∪ re-inserted ids, one dv
       // commit), then fresh encodings append — pure appends delete
       // nothing, rewrites net to replace, a crash-replayed window
       // converges (same protocol as IncrementalVectorIndex)
       val dropKeys = delKeys.union(ins.select(col(idCol))).distinct()
-      if (!dropKeys.isEmpty) table.deleteMatchingDV(dropKeys, Seq(idCol))
-      val nIns = ins.select(col(idCol)).count()
+      if (nDel + nIns > 0) table.deleteMatchingDV(dropKeys, Seq(idCol))
       if (nIns > 0)
         table.append(clustered(VectorFunctions.ivfPqEncode(
           ins, cents, cbs, m, ksub, dim, idCol, vecCol), nIns))

@@ -76,13 +76,20 @@ final class IncrementalVectorIndex(spark: SparkSession,
         .drop("_change_type")
       val delKeys = ch.filter(col("_change_type") === "delete")
         .select(col(idCol))
+      // ONE aggregate answers both emptiness probes (the two isEmpty
+      // calls each re-ran the change-feed subtree, broadcast builds
+      // included — guide §1.2: fewer actions over the same subtree)
+      val counts = ch.groupBy(col("_change_type")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nIns = counts.getOrElse("insert", 0L)
+      val nDel = counts.getOrElse("delete", 0L)
       // the window's keys drop FIRST (deletes ∪ re-inserted ids, one
       // dv commit), then fresh encodings append: pure appends delete
       // nothing (new keys match no live row → no commit), rewrites
       // net to replace, and a crash-replayed window converges
       val dropKeys = delKeys.union(ins.select(col(idCol))).distinct()
-      if (!dropKeys.isEmpty) table.deleteMatchingDV(dropKeys, Seq(idCol))
-      if (!ins.isEmpty)
+      if (nDel + nIns > 0) table.deleteMatchingDV(dropKeys, Seq(idCol))
+      if (nIns > 0)
         table.append(
           VectorFunctions.buildQuantizedIndex(ins, idCol, vecCol))
       table.compactDeletes(0.3)

@@ -203,10 +203,10 @@ object InvertedIndex {
       graft.io.FileStats.footerStats(spark, s"$path/$rel", rel)
         .filter(_.col == "token")
     }.flatten
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(graft.io.FileStats.toRows(rows), 1),
-      graft.io.FileStats.schema)
-      .write.mode("append").parquet(sp)
+    // driver-direct sidecar append (planning state, O(files) rows) —
+    // the Spark job the old append-parquet write paid per maintenance
+    // call was pure plan/schedule overhead
+    graft.io.SidecarIo.appendStats(java.nio.file.Paths.get(sp), rows)
     fresh
   }
 
@@ -1146,11 +1146,15 @@ object InvertedIndex {
       .select(col(idCol), col(textCol))
     val del = changes.where(col("_change_type") === "delete")
       .select(col(idCol), col(textCol))
+    // ONE aggregate answers both emptiness probes (each isEmpty re-ran
+    // the change-feed subtree, broadcast builds included)
+    val counts = changes.groupBy(col("_change_type")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
     // deletes FIRST: the tombstones stamp the pre-append generation, so
     // the appends (same doc id or not) stay live — a rewriting table
     // commit's survivor rows (delete + insert pairs) round-trip
-    if (!del.isEmpty) deleteDocs(del, idCol, path, nBuckets)
-    if (!ins.isEmpty) appendDocs(ins, textCol, idCol, path, nBuckets)
+    if (counts.getOrElse("delete", 0L) > 0) deleteDocs(del, idCol, path, nBuckets)
+    if (counts.getOrElse("insert", 0L) > 0) appendDocs(ins, textCol, idCol, path, nBuckets)
   }
 
   /** REORG the index: rewrite every bucket to its LIVE postings
