@@ -24,6 +24,15 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // the status stores retain per-job/stage/execution state at UI
+      // defaults (1000 each) even with the UI off; across a 176-gate
+      // loop that is thousands of retained plan graphs + metrics —
+      // pure driver heap/listener-bus weight with no reader. Caps are
+      // NOT scale knobs (they bound bookkeeping, not data paths).
+      .config("spark.ui.retainedJobs", "64")
+      .config("spark.ui.retainedStages", "128")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "16")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the catalog's few global windows are audited-tiny (PlanSpec fails

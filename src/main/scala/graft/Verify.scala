@@ -24,6 +24,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same status-store caps as Bench: the 176-query loop otherwise
+      // accumulates thousands of retained executions' plan graphs
+      .config("spark.ui.retainedJobs", "64")
+      .config("spark.ui.retainedStages", "128")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.sql.ui.retainedExecutions", "16")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // allowlisted-tiny global windows only (PlanSpec-gated) — silence

@@ -158,8 +158,20 @@ object DataGen {
     * arithmetic an oracle can replay), RIFF-encoded through
     * javax.sound.sampled so the decoder exercises a genuine JDK audio
     * container parse, not a byte-slice stub. */
+  /** WAV writer provider resolved ONCE per JVM: AudioSystem.write
+    * re-resolves its provider list under the global JDK13Services lock
+    * on every call, which serializes a 32-task encode stage (the same
+    * lock Multimodal.readPcm's cached readers avoid on the decode
+    * side). The provider's write() itself is stateless per call. */
+  private lazy val wavWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
   def audioBytes(id: Long): Array[Byte] = {
-    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
     val sr = audioSampleRate(id)
     val n = audioNumSamples(id)
     val a = audioAmplitude(id)
@@ -176,7 +188,9 @@ object DataGen {
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val baos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    wavWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(throw new IllegalStateException("no JDK WAVE writer"))
+      .write(ais, AudioFileFormat.Type.WAVE, baos)
     baos.toByteArray
   }
 }

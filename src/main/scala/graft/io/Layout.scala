@@ -329,6 +329,22 @@ object FileStats {
   def deadFiles(spark: SparkSession, statsDirs: Seq[String],
       conjuncts: Seq[Conjunct]): Set[String] = {
     import org.apache.spark.sql.Encoders
+    // size-gated driver-local probe: stats sidecars are O(files × cols)
+    // planning rows, tiny for all but massive tables — evaluating the
+    // prune driver-side skips a full groupByKey job per readWhere call.
+    // Oversized/unreadable sidecars keep the distributed path (which
+    // stays the 100 TB shape: prune work scales out, names of dead
+    // files are all that reaches the driver).
+    SidecarIo.readLocalRows(
+        statsDirs.map(java.nio.file.Paths.get(_)),
+        spark.sessionState.newHadoopConf()) match {
+      case Some((sch, rows)) if sch.fieldNames.sameElements(schema.fieldNames) =>
+        return rows.map(fromRow).groupBy(_.file).collect {
+          case (f, cs) if !conjuncts.forall(
+            mayMatch(cs.map(c => c.col -> c).toMap, _)) => f
+        }.toSet
+      case _ => ()
+    }
     val cs = spark.sparkContext.broadcast(conjuncts)
     spark.read.schema(schema).parquet(statsDirs: _*)
       .groupByKey((r: Row) => r.getString(0))(Encoders.STRING)

@@ -100,6 +100,90 @@ object SidecarIo {
       }
     }.sum
 
+  /** Generic driver-local read of a SMALL flat-schema parquet dir set
+    * into Spark Rows — the LocalRelation feeder for sidecar consumers
+    * (index tombstones, stats-prune probes) whose per-read Spark job
+    * was pure overhead. Returns None (caller falls back to the
+    * distributed read) when: total size exceeds `maxBytes`, the part
+    * schemas disagree, or any field is outside the supported flat
+    * primitives (int32/int64/float/double/boolean/binary-utf8). */
+  def readLocalRows(dirs: Seq[Path], conf: Configuration,
+      maxBytes: Long = 4L << 20):
+      Option[(org.apache.spark.sql.types.StructType,
+        Seq[org.apache.spark.sql.Row])] = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    if (parquetBytes(dirs) > maxBytes) return None
+    val parts = dirs.filter(Files.isDirectory(_)).flatMap { d =>
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toList
+      finally s.close()
+    }
+    if (parts.isEmpty) return None
+    def schemaOf(p: Path): MessageType = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new HadoopPath(p.toString), conf))
+      try r.getFooter.getFileMetaData.getSchema finally r.close()
+    }
+    val msg = schemaOf(parts.head)
+    if (parts.tail.exists(p => schemaOf(p) != msg)) return None
+    val fields = msg.getFields.asScala.toSeq
+    val sparkFields = fields.map { f =>
+      if (!f.isPrimitive || f.isRepetition(
+          org.apache.parquet.schema.Type.Repetition.REPEATED)) return None
+      val pt = f.asPrimitiveType()
+      val ann = pt.getLogicalTypeAnnotation
+      val dt: DataType = (pt.getPrimitiveTypeName, ann) match {
+        case (INT32, null) => IntegerType
+        case (INT64, null) => LongType
+        case (INT32, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if a.getBitWidth == 32 && a.isSigned => IntegerType
+        case (INT64, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+            if a.getBitWidth == 64 && a.isSigned => LongType
+        case (FLOAT, null) => FloatType
+        case (DOUBLE, null) => DoubleType
+        case (BOOLEAN, null) => BooleanType
+        case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+          StringType
+        case _ => return None
+      }
+      StructField(f.getName, dt,
+        nullable = !f.isRepetition(
+          org.apache.parquet.schema.Type.Repetition.REQUIRED))
+    }
+    val out = Seq.newBuilder[Row]
+    for (p <- parts) {
+      val r: ParquetReader[Group] = ParquetReader
+        .builder(new GroupReadSupport(), new HadoopPath(p.toString))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          val vals = sparkFields.indices.map { i =>
+            if (g.getFieldRepetitionCount(i) == 0) null
+            else sparkFields(i).dataType match {
+              case IntegerType => g.getInteger(i, 0)
+              case LongType => g.getLong(i, 0)
+              case FloatType => g.getFloat(i, 0)
+              case DoubleType => g.getDouble(i, 0)
+              case BooleanType => g.getBoolean(i, 0)
+              case StringType => g.getString(i, 0)
+              case other => sys.error(s"unreachable: $other")
+            }
+          }
+          out += Row.fromSeq(vals)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    Some((org.apache.spark.sql.types.StructType(sparkFields), out.result()))
+  }
+
   /** Read (file, row) tombstone pairs from dv sidecar dirs on the
     * driver — no Spark job. Caller gates on [[parquetBytes]]; the
     * distributed scan remains the path for large tombstone sets. */

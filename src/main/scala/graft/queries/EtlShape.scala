@@ -82,9 +82,17 @@ object EtlShape {
       // comes off ONE parquet file (1-2 partitions at bench scale) —
       // spread the ids first so codec work uses every core. At corpus
       // scale the scan is already wide and repartitionForBlobs governs.
+      // The ordered-output contract is established BEFORE the codec:
+      // a post-decode orderBy's range exchange executes its child
+      // twice (sampling pass + shuffle pass — every image decoded 2x);
+      // range-sorting the bare id frame costs two scans of a LONG
+      // column instead, and the codec stages are order-preserving
+      // (narrow maps), so the emitted row order is identical.
       val assets = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
         .withColumn("payload", enc(col("doc_id")))
       graft.multimodal.Multimodal
         .decodeAndFeaturize(assets, "payload",
@@ -93,7 +101,6 @@ object EtlShape {
           col("width").cast("long").as("width"),
           col("height").cast("long").as("height"),
           col("format"), col("phash"))
-        .orderBy(col("doc_id"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
               CAST(16 + (doc_id * 7) % 48 AS BIGINT) AS width,
@@ -124,8 +131,12 @@ object EtlShape {
       // already wide and repartitionForBlobs governs.
       val assets = Tables.documents(s, d)
         .select(col("doc_id").cast("long").as("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
+        .repartitionByRange(s.sparkContext.defaultParallelism,
+          col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
         .withColumn("payload", enc(col("doc_id")))
+      // ordered-output contract established before the codec — see m2:
+      // a post-decode orderBy would decode every payload twice
       graft.multimodal.Multimodal.decodeAudio(assets, "payload")
         .select(col("doc_id"),
           col("sample_rate").cast("long").as("sample_rate"),
@@ -133,7 +144,6 @@ object EtlShape {
           col("peak").cast("long").as("peak"),
           col("rms"),
           col("n_frames").cast("long").as("n_frames"))
-        .orderBy(col("doc_id"))
     },
     Some("""SELECT CAST(doc_id AS BIGINT) AS doc_id,
               CAST(8000 * (1 + doc_id % 2) AS BIGINT) AS sample_rate,

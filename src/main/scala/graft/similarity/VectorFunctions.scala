@@ -453,6 +453,32 @@ object VectorFunctions {
       metric: String = "cosine"): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim ($dim) must split into m ($m) equal subspaces")
     val sd = dim / m
+    if (iters == 0) {
+      // init-only training: each of the m per-subspace kmeansFit calls
+      // would collect the SAME k lowest-id rows (init = lowest ids,
+      // zero Lloyd passes) — one collect of the full vectors serves
+      // every subspace, sliced driver-side. Values are identical:
+      // cast-then-slice ≡ slice-then-cast element-wise, and code order
+      // (row_number by centroid_id = ascending id) is the collect
+      // order. m+1 Spark jobs become 1.
+      val spark = corpus.sparkSession
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val init = corpus
+        .select(col(idCol).cast("long").as("_id"),
+          transform(col(vecCol), x => x.cast("double")).as("_v"))
+        .orderBy(col("_id")).limit(ksub).collect()
+      val rows = for {
+        s <- 0 until m
+        (r, j) <- init.zipWithIndex
+      } yield Row(s, j, r.getSeq[Double](1).slice(s * sd, (s + 1) * sd))
+      import scala.jdk.CollectionConverters._
+      return spark.createDataFrame(rows.asJava, StructType(Seq(
+        StructField("sub", IntegerType, nullable = false),
+        StructField("code", IntegerType, nullable = false),
+        StructField("centroid", ArrayType(DoubleType, containsNull = false),
+          nullable = false))))
+    }
     val subs = (0 until m).map { s =>
       kmeansFit(
         corpus.select(col(idCol),

@@ -1130,8 +1130,21 @@ object InvertedIndex {
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(p)) Some(spark.read.parquet(p.toString)) else None
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return None
+    // size-gated driver-local load (same device as the table layer's
+    // dv sidecars): the tombstone set is small by contract between
+    // compactions, and a LocalRelation lets every consumer's broadcast
+    // anti-join build driver-side instead of paying a scan job + a
+    // broadcast-build job per maintenance/probe call
+    graft.io.SidecarIo.readLocalRows(
+        Seq(java.nio.file.Paths.get(path, "tombstones")), conf) match {
+      case Some((schema, rows)) =>
+        import scala.jdk.CollectionConverters._
+        Some(spark.createDataFrame(rows.asJava, schema))
+      case None => Some(spark.read.parquet(p.toString))
+    }
   }
 
   /** Maintain the index from a managed document table's change feed
