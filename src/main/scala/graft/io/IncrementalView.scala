@@ -210,9 +210,8 @@ final class IncrementalAggView(
           // consolidate to one dir of trusted rows
           val keep = (m.basis & nowFiles) -- dvTouched
           val cd = s"pfile-${System.nanoTime()}"
-          val trusted = readPartials(dirs)
-            .join(broadcast(filesDf(keep.toSeq.sorted)), Seq(SrcCol),
-              "left_semi")
+          val trusted = srcFilter(readPartials(dirs),
+            keep.toSeq.sorted, keep = true)
           newPd.map(pd => trusted.unionByName(
               spark.read.parquet(s"$viewPath/$pd")))
             .getOrElse(trusted)
@@ -321,6 +320,23 @@ final class IncrementalAggView(
     names.toDF(SrcCol)
   }
 
+  /** Keep (or drop) partial rows whose [[SrcCol]] is in `names` — a
+    * DRIVER-known file-name set. As a literal `isInCollection`
+    * predicate (Catalyst compiles it to an O(1)-per-row InSet) there
+    * is no join node and no broadcast build: even a LocalTableScan
+    * broadcast child submits a collect job, and the MV fold paid one
+    * per semi/anti-join per refresh. Very large sets fall back to the
+    * broadcast join so the plan never embeds an unbounded literal
+    * (SrcCol is metadata-derived and never null, so semi ≡ IN and
+    * anti ≡ NOT IN exactly). */
+  private def srcFilter(p: DataFrame, names: Seq[String],
+      keep: Boolean): DataFrame =
+    if (names.size <= IncrementalAggView.MaxInSetFiles) {
+      val pred = col(SrcCol).isInCollection(names)
+      p.where(if (keep) pred else !pred)
+    } else p.join(broadcast(filesDf(names)), Seq(SrcCol),
+      if (keep) "left_semi" else "left_anti")
+
   /** Removal maintenance without touching the table: subtract the
     * removed files' partials; re-merge from surviving partials only
     * the groups whose min/max/sketch a removed row could have set. */
@@ -329,12 +345,9 @@ final class IncrementalAggView(
     // partials dirs can hold rows for files superseded long ago —
     // always restrict to the basis being maintained
     val p = readPartials(dirs)
-    val inBasis = p.join(broadcast(filesDf(basis.toSeq.sorted)),
-      Seq(SrcCol), "left_semi")
-    val removedP = inBasis.join(broadcast(filesDf(removed.toSeq.sorted)),
-      Seq(SrcCol), "left_semi")
-    val survivingP = inBasis.join(broadcast(filesDf(removed.toSeq.sorted)),
-      Seq(SrcCol), "left_anti")
+    val inBasis = srcFilter(p, basis.toSeq.sorted, keep = true)
+    val removedP = srcFilter(inBasis, removed.toSeq.sorted, keep = true)
+    val survivingP = srcFilter(inBasis, removed.toSeq.sorted, keep = false)
     // collapse removed partials to one row per group, prefixed
     val rPrefixed = collapse(removedP).select(
       stateCols.map(c => col(c).as(s"__r_$c")): _*)
@@ -390,8 +403,7 @@ final class IncrementalAggView(
     // like the table's own small-file problem → compact periodically
     val dirs = if (pdirs.size < 16) pdirs else {
       val cd = s"pfile-${System.nanoTime()}"
-      readPartials(pdirs)
-        .join(broadcast(filesDf(basis.toSeq.sorted)), Seq(SrcCol), "left_semi")
+      srcFilter(readPartials(pdirs), basis.toSeq.sorted, keep = true)
         .write.mode("overwrite").parquet(s"$viewPath/$cd")
       Seq(cd)
     }
@@ -475,6 +487,11 @@ object IncrementalAggView {
   private final case class Manifest(
     state: String, basis: Set[String], partials: Seq[String],
     tableDvs: Seq[String])
+
+  /** Name-count gate above which a file-set filter stays a broadcast
+    * semi/anti-join instead of an isInCollection literal (plan-size
+    * bound; see `srcFilter`). */
+  private[io] val MaxInSetFiles = 10000
 }
 
 /** JOIN-aware incremental materialized view: fact ⟕ broadcast dims →

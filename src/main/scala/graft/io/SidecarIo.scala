@@ -100,19 +100,23 @@ object SidecarIo {
       }
     }.sum
 
-  /** Generic driver-local read of a SMALL flat-schema parquet dir set
-    * into Spark Rows — the LocalRelation feeder for sidecar consumers
-    * (index tombstones, stats-prune probes) whose per-read Spark job
-    * was pure overhead. Returns None (caller falls back to the
-    * distributed read) when: total size exceeds `maxBytes`, the part
-    * schemas disagree, or any field is outside the supported flat
-    * primitives (int32/int64/float/double/boolean/binary-utf8). */
+  /** Generic driver-local read of a SMALL parquet dir set into Spark
+    * Rows — the LocalRelation feeder for sidecar consumers (index
+    * tombstones, stats-prune probes, frozen quantizer artifacts) whose
+    * per-read Spark job was pure overhead. Supported fields: flat
+    * primitives (int32/int64/float/double/boolean/binary-utf8) and
+    * LIST-of-primitive columns in the standard 3-level layout Spark
+    * writes (the frozen centroid/codebook schemas). Returns None
+    * (caller falls back to the distributed read) when: total size
+    * exceeds `maxBytes`, the part schemas disagree, or any field is
+    * outside that set. */
   def readLocalRows(dirs: Seq[Path], conf: Configuration,
       maxBytes: Long = 4L << 20):
       Option[(org.apache.spark.sql.types.StructType,
         Seq[org.apache.spark.sql.Row])] = {
     import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Type.Repetition
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
@@ -133,29 +137,75 @@ object SidecarIo {
     val msg = schemaOf(parts.head)
     if (parts.tail.exists(p => schemaOf(p) != msg)) return None
     val fields = msg.getFields.asScala.toSeq
-    val sparkFields = fields.map { f =>
-      if (!f.isPrimitive || f.isRepetition(
-          org.apache.parquet.schema.Type.Repetition.REPEATED)) return None
-      val pt = f.asPrimitiveType()
-      val ann = pt.getLogicalTypeAnnotation
-      val dt: DataType = (pt.getPrimitiveTypeName, ann) match {
-        case (INT32, null) => IntegerType
-        case (INT64, null) => LongType
+    def primType(pt: PrimitiveType): Option[DataType] =
+      (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+        case (INT32, null) => Some(IntegerType)
+        case (INT64, null) => Some(LongType)
         case (INT32, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
-            if a.getBitWidth == 32 && a.isSigned => IntegerType
+            if a.getBitWidth == 32 && a.isSigned => Some(IntegerType)
         case (INT64, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
-            if a.getBitWidth == 64 && a.isSigned => LongType
-        case (FLOAT, null) => FloatType
-        case (DOUBLE, null) => DoubleType
-        case (BOOLEAN, null) => BooleanType
+            if a.getBitWidth == 64 && a.isSigned => Some(LongType)
+        case (FLOAT, null) => Some(FloatType)
+        case (DOUBLE, null) => Some(DoubleType)
+        case (BOOLEAN, null) => Some(BooleanType)
         case (BINARY, _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
-          StringType
-        case _ => return None
+          Some(StringType)
+        case _ => None
       }
-      StructField(f.getName, dt,
-        nullable = !f.isRepetition(
-          org.apache.parquet.schema.Type.Repetition.REQUIRED))
+    def readPrim(dt: DataType, g: Group, i: Int): Any = dt match {
+      case IntegerType => g.getInteger(i, 0)
+      case LongType => g.getLong(i, 0)
+      case FloatType => g.getFloat(i, 0)
+      case DoubleType => g.getDouble(i, 0)
+      case BooleanType => g.getBoolean(i, 0)
+      case StringType => g.getString(i, 0)
+      case other => sys.error(s"unreachable: $other")
     }
+    // per-field (schema, extractor); extractor is called only when the
+    // field's repetition count in the row group is > 0
+    val built: Seq[(StructField, (Group, Int) => Any)] = fields.map { f =>
+      if (f.isRepetition(Repetition.REPEATED)) return None
+      val nullable = !f.isRepetition(Repetition.REQUIRED)
+      if (f.isPrimitive) {
+        primType(f.asPrimitiveType()) match {
+          case Some(dt) =>
+            (StructField(f.getName, dt, nullable),
+              (g: Group, i: Int) => readPrim(dt, g, i))
+          case None => return None
+        }
+      } else {
+        // LIST-of-primitive, 3-level standard layout only:
+        //   optional group f (LIST) { repeated group list {
+        //     optional/required <prim> element } }
+        val gt = f.asGroupType()
+        val isList = gt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.ListLogicalTypeAnnotation]
+        if (!isList || gt.getFieldCount != 1) return None
+        val rep = gt.getType(0)
+        if (rep.isPrimitive || !rep.isRepetition(Repetition.REPEATED))
+          return None
+        val repG = rep.asGroupType()
+        if (repG.getFieldCount != 1 || !repG.getType(0).isPrimitive)
+          return None
+        val ept = repG.getType(0).asPrimitiveType()
+        primType(ept) match {
+          case Some(edt) =>
+            val containsNull = !ept.isRepetition(Repetition.REQUIRED)
+            (StructField(f.getName, ArrayType(edt, containsNull), nullable),
+              (g: Group, i: Int) => {
+                val outer = g.getGroup(i, 0)
+                val n = outer.getFieldRepetitionCount(0)
+                (0 until n).map { j =>
+                  val e = outer.getGroup(0, j)
+                  if (e.getFieldRepetitionCount(0) == 0) null
+                  else readPrim(edt, e, 0)
+                }
+              })
+          case None => return None
+        }
+      }
+    }
+    val sparkFields = built.map(_._1)
     val out = Seq.newBuilder[Row]
     for (p <- parts) {
       val r: ParquetReader[Group] = ParquetReader
@@ -164,17 +214,9 @@ object SidecarIo {
       try {
         var g = r.read()
         while (g != null) {
-          val vals = sparkFields.indices.map { i =>
+          val vals = built.indices.map { i =>
             if (g.getFieldRepetitionCount(i) == 0) null
-            else sparkFields(i).dataType match {
-              case IntegerType => g.getInteger(i, 0)
-              case LongType => g.getLong(i, 0)
-              case FloatType => g.getFloat(i, 0)
-              case DoubleType => g.getDouble(i, 0)
-              case BooleanType => g.getBoolean(i, 0)
-              case StringType => g.getString(i, 0)
-              case other => sys.error(s"unreachable: $other")
-            }
+            else built(i)._2(g, i)
           }
           out += Row.fromSeq(vals)
           g = r.read()

@@ -742,10 +742,26 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
 
   /** Distinct table-relative files named by the given dv entries —
     * the files whose visibility a tombstone commit changed. Driver-
-    * bounded by live file count, like every file list here. */
+    * bounded by live file count, like every file list here. Served
+    * from the driver-local pair read when the set is size-gated small
+    * (no Spark job at all); the distributed distinct remains for
+    * large sets. */
   private[io] def dvTouchedFiles(entries: Seq[String]): Seq[String] =
-    dvFrame(entries).select("__graft_f").distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+    dvLocalPairs(entries) match {
+      case Some(pairs) => pairs.map(_._1).distinct.sorted
+      case None => dvFrame(entries).select("__graft_f").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+    }
+
+  /** The dv entries' (file, row) pairs read driver-side, when the
+    * sidecar bytes pass the [[ManagedParquetTable.DvLocalBytes]] gate;
+    * None → caller uses the distributed scan. */
+  private def dvLocalPairs(entries: Seq[String]): Option[Seq[(String, Long)]] = {
+    val dirs = entries.map(e => Paths.get(path, "_graft_dv", parseDv(e).dir))
+    if (SidecarIo.parquetBytes(dirs) <= ManagedParquetTable.DvLocalBytes)
+      Some(SidecarIo.readDvPairs(dirs, spark.sessionState.newHadoopConf()))
+    else None
+  }
 
   /** Tombstone set of the given dv entries as (__graft_f, __graft_r).
     * Size-gated driver-local load: a small tombstone set (the common
@@ -756,18 +772,19 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     * collects driver-side). Every managed read with live tombstones
     * was paying that ~100-300 ms job; large dv sets keep the
     * distributed scan unchanged. */
-  private def dvFrame(entries: Seq[String]): DataFrame = {
-    val dirs = entries.map(e => Paths.get(path, "_graft_dv", parseDv(e).dir))
-    if (SidecarIo.parquetBytes(dirs) <= ManagedParquetTable.DvLocalBytes) {
-      import scala.jdk.CollectionConverters._
-      val rows: java.util.List[Row] = SidecarIo
-        .readDvPairs(dirs, spark.sessionState.newHadoopConf())
-        .map(p => Row(p._1, p._2): Row).asJava
-      spark.createDataFrame(rows, ManagedParquetTable.dvSchema)
-    } else
-      spark.read.parquet(dirs.map(_.toString): _*)
-        .toDF("__graft_f", "__graft_r")
-  }
+  private def dvFrame(entries: Seq[String]): DataFrame =
+    dvLocalPairs(entries) match {
+      case Some(pairs) =>
+        import scala.jdk.CollectionConverters._
+        val rows: java.util.List[Row] =
+          pairs.map(p => Row(p._1, p._2): Row).asJava
+        spark.createDataFrame(rows, ManagedParquetTable.dvSchema)
+      case None =>
+        val dirs = entries.map(e =>
+          Paths.get(path, "_graft_dv", parseDv(e).dir))
+        spark.read.parquet(dirs.map(_.toString): _*)
+          .toDF("__graft_f", "__graft_r")
+    }
 
   /** Scan segment dirs with deletion vectors applied (anti-join on the
     * (file, row) tombstone set — AQE broadcasts it when small). With
@@ -786,8 +803,60 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
   private def mergedSchemaOf(paths: Seq[String]): StructType = {
     val cache = ManagedParquetTable.schemaCache
     if (cache.size > 4096) cache.clear()
-    cache.computeIfAbsent(paths.sorted.mkString(" "),
-      _ => spark.read.option("mergeSchema", "true").parquet(paths: _*).schema)
+    cache.computeIfAbsent(paths.sorted.mkString(" "), _ =>
+      try driverMergedSchema(paths)
+      catch {
+        case scala.util.control.NonFatal(_) => spark.read
+          .option("mergeSchema", "true").parquet(paths: _*).schema
+      })
+  }
+
+  /** The footer-merge inference performed WHOLLY on the driver: Spark's
+    * own `mergeSchemasInParallel` submits a Spark job unconditionally
+    * (even for a two-file set), and cache misses here happen once per
+    * fresh snapshot — a lifecycle gate was paying ~12 schema-inference
+    * jobs per run. Fidelity matches Spark's inference exactly: each
+    * footer's serialized Spark schema property is preferred (what
+    * Spark's own `readSchemaFromFooter` prefers), falling back to
+    * converting the parquet MessageType under the session conf; the
+    * fold is the same `StructType.merge`. Large file sets throw and
+    * keep the distributed inference (driver footer IO stays bounded
+    * the same way the stats-sidecar sweep is). */
+  private def driverMergedSchema(paths: Seq[String]): StructType = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val conf = spark.sessionState.newHadoopConf()
+    val files: Seq[HPath] = paths.flatMap { p =>
+      val hp = new HPath(p)
+      val fs = hp.getFileSystem(conf)
+      val st = fs.getFileStatus(hp)
+      if (st.isDirectory)
+        fs.listStatus(hp).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")
+            && !s.getPath.getName.startsWith("_")
+            && !s.getPath.getName.startsWith("."))
+          .map(_.getPath)
+      else Seq(hp)
+    }
+    require(files.nonEmpty, s"no parquet files under $paths")
+    require(files.size <= 64,
+      "large file set: use the distributed inference")
+    val schemas = files.map { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf))
+      try {
+        val fm = r.getFooter.getFileMetaData
+        Option(fm.getKeyValueMetaData
+            .get("org.apache.spark.sql.parquet.row.metadata")) match {
+          case Some(json) =>
+            org.apache.spark.sql.types.DataType.fromJson(json)
+              .asInstanceOf[StructType]
+          case None => org.apache.spark.sql.graft.SchemaBridge
+            .convert(spark, fm.getSchema)
+        }
+      } finally r.close()
+    }
+    schemas.distinct
+      .reduceLeft(org.apache.spark.sql.graft.SchemaBridge.merge(spark, _, _))
   }
 
   /** As [[scanSegments]] for explicit file/dir paths under the table. */
@@ -800,8 +869,35 @@ final class ManagedParquetTable(spark: SparkSession, val path: String) {
     }
     val filtered =
       if (dvs.isEmpty) withPos
-      else withPos.join(dvFrame(dvs), Seq("__graft_f", "__graft_r"),
-        "left_anti")
+      else dvLocalPairs(dvs) match {
+        case Some(pairs)
+            if pairs.size <= ManagedParquetTable.DvPredicateMaxEntries =>
+          // a TINY tombstone set applies as a row-local literal
+          // predicate — no join node, no broadcast build (even a
+          // LocalTableScan broadcast child submits a collect job), no
+          // exchange for AQE to materialize. Strictly equivalent to
+          // the anti-join: drop a row iff its (file, row) pair is
+          // tombstoned (try_element_at → null on an untouched file →
+          // coalesce keeps the row). The entry gate bounds the
+          // per-row probe cost (GetMapValue is a linear scan): above
+          // it the hash-building anti-join below stays the plan.
+          import org.apache.spark.sql.functions.{array_contains, coalesce, not, try_element_at}
+          import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType}
+          val byFile = pairs.groupBy(_._1).view
+            .mapValues(_.map(_._2)).toMap
+          val mLit = org.apache.spark.sql.graft.ColumnBridge.column(
+            org.apache.spark.sql.catalyst.expressions.Literal.create(
+              byFile, MapType(StringType,
+                ArrayType(LongType, containsNull = false),
+                valueContainsNull = false)))
+          withPos.filter(not(coalesce(
+            array_contains(try_element_at(mLit, col("__graft_f")),
+              col("__graft_r")),
+            lit(false))))
+        case _ =>
+          withPos.join(dvFrame(dvs), Seq("__graft_f", "__graft_r"),
+            "left_anti")
+      }
     if (keepPos) filtered else filtered.drop("__graft_f", "__graft_r")
   }
 
@@ -1972,6 +2068,13 @@ object ManagedParquetTable {
     * `dvFrame`): below this total parquet size the set becomes a
     * LocalRelation; above it the distributed scan path is kept. */
   private[io] val DvLocalBytes = 8L << 20
+
+  /** Entry gate for applying a dv tombstone set as a row-local literal
+    * predicate instead of an anti-join (see `scanPaths`): GetMapValue
+    * probes the literal map linearly per row, so only a tiny set may
+    * ride as a predicate; between this and [[DvLocalBytes]] the set
+    * anti-joins as a LocalRelation, above both it scans distributed. */
+  private[io] val DvPredicateMaxEntries = 1024
 
   private[io] val dvSchema = StructType(Seq(
     StructField("__graft_f", StringType, nullable = false),

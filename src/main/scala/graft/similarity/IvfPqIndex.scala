@@ -110,14 +110,37 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     // them directly (ivfPqEncode/ivfPqProbes) must refuse too
     requireNoReorg()
     require(isTrained, s"index at $indexPath is not trained")
-    spark.read.parquet(centroidsDir.toString)
+    frozenFrame(centroidsDir)
   }
 
   def codebooks: DataFrame = {
     requireNoReorg()
     require(isTrained, s"index at $indexPath is not trained")
-    spark.read.parquet(codebooksDir.toString)
+    frozenFrame(codebooksDir)
   }
+
+  /** The frozen artifacts are quantizer DRIVER state by design — every
+    * consumer either collects them into a literal (codebooks →
+    * collectCodebook) or broadcasts them (centroids into the assign
+    * cross-join) — yet a `spark.read.parquet` here made each refresh/
+    * probe pay a scan job per read plus a broadcast-build job per
+    * consuming join. Size-gated driver-local load into a LocalRelation
+    * (same device as the dv/tombstone sidecars): the collect becomes
+    * job-free and a BroadcastExchange over LocalTableScan builds
+    * driver-side with no job. The gate (32 MB — generous for nlist×dim
+    * + m·ksub·(dim/m) doubles) keeps a distributed fallback, though an
+    * artifact that large would already be breaking the broadcast
+    * consumers. Values are bit-identical: same parquet bytes, same
+    * IEEE floats, row order immaterial to every consumer (codebooks
+    * key by (sub, code); centroid joins are argmax-by-id). */
+  private def frozenFrame(dir: Path): DataFrame =
+    graft.io.SidecarIo.readLocalRows(Seq(dir),
+        spark.sessionState.newHadoopConf(), maxBytes = 32L << 20) match {
+      case Some((schema, rows)) =>
+        import scala.jdk.CollectionConverters._
+        spark.createDataFrame(rows.asJava, schema)
+      case None => spark.read.parquet(dir.toString)
+    }
 
   /** Immutable-publish: write to a temp dir, atomic-rename into place.
     * A crash mid-write leaves only the temp dir (never a half-visible
@@ -224,8 +247,8 @@ final class IncrementalIvfPqIndex(spark: SparkSession,
     writeFrozen(newCents, stageC)
     writeFrozen(newCbs.select(col("sub"), col("code"), col("centroid")),
       stageB)
-    val cents2 = spark.read.parquet(stageC.toString)
-    val cbs2 = spark.read.parquet(stageB.toString)
+    val cents2 = frozenFrame(stageC)
+    val cbs2 = frozenFrame(stageB)
     val nFull = live.select(col(idCol)).count()
     // the expensive pass: re-encode the whole live table into the
     // STAGED lists table — the live lists keep serving probes

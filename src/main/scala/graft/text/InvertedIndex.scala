@@ -425,7 +425,12 @@ object InvertedIndex {
     val p = new org.apache.hadoop.fs.Path(s"$path/doclen")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return docs // fresh build path: batch defines the dtype
-    val stored = spark.read.parquet(p.toString).schema("doc_id").dataType
+    // ONE footer read resolves the stored dtype (it is uniform across
+    // the sidecar by construction — this very guard enforces it); the
+    // previous spark.read.parquet(root) paid a partition-discovery /
+    // schema-inference pass over all dbucket dirs per maintenance call
+    val stored = storedIdType(spark, path).getOrElse(
+      spark.read.parquet(p.toString).schema("doc_id").dataType)
     val batchT = docs.schema(idCol).dataType
     if (batchT == stored) docs
     else {
@@ -436,6 +441,50 @@ object InvertedIndex {
           "a lossy cast could silently alias distinct ids; cast the " +
           "batch to the indexed dtype explicitly")
       docs.withColumn(idCol, col(idCol).cast(stored))
+    }
+  }
+
+  /** doc_id's stored dtype off ONE doclen parquet footer (driver IO,
+    * no Spark job); None → caller falls back to the distributed
+    * schema-inference read (exotic dtype, empty sidecar). */
+  private def storedIdType(spark: SparkSession, path: String):
+      Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.types._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"$path/doclen")
+    val fs = dir.getFileSystem(conf)
+    val file = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+      .sortBy(_.getPath.getName).iterator
+      .flatMap(d => fs.listStatus(d.getPath).toSeq)
+      .find(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    file.flatMap { f =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf))
+      val msg = try r.getFooter.getFileMetaData.getSchema finally r.close()
+      if (!msg.containsField("doc_id")) None
+      else {
+        val t = msg.getType(msg.getFieldIndex("doc_id"))
+        if (!t.isPrimitive) None
+        else {
+          import org.apache.parquet.schema.LogicalTypeAnnotation
+          import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+          val pt = t.asPrimitiveType()
+          (pt.getPrimitiveTypeName, pt.getLogicalTypeAnnotation) match {
+            case (INT32, null) => Some(IntegerType)
+            case (INT64, null) => Some(LongType)
+            case (INT32, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                if a.getBitWidth == 32 && a.isSigned => Some(IntegerType)
+            case (INT64, a: LogicalTypeAnnotation.IntLogicalTypeAnnotation)
+                if a.getBitWidth == 64 && a.isSigned => Some(LongType)
+            case (BINARY,
+                _: LogicalTypeAnnotation.StringLogicalTypeAnnotation) =>
+              Some(StringType)
+            case _ => None
+          }
+        }
+      }
     }
   }
 
@@ -1117,15 +1166,7 @@ object InvertedIndex {
           .where(col("dbucket").isin(bs: _*))
       case None => spark.read.parquet(s"$path/doclen")
     }
-    val dlsCommitted = dls.where(col("gen") < lit(committed))
-    tombstones(spark, path) match {
-      case None => dlsCommitted
-      case Some(ts) =>
-        dlsCommitted.join(
-          broadcast(ts.select(col("doc_id").as("__td"), col("gen").as("__tg"))),
-          col("doc_id") === col("__td") && col("gen") < col("__tg"),
-          "left_anti")
-    }
+    killTombstoned(spark, path, dls.where(col("gen") < lit(committed)))
   }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -1144,6 +1185,64 @@ object InvertedIndex {
         import scala.jdk.CollectionConverters._
         Some(spark.createDataFrame(rows.asJava, schema))
       case None => Some(spark.read.parquet(p.toString))
+    }
+  }
+
+  /** Entry gate for applying the tombstone set as a row-local literal
+    * predicate instead of an anti-join: GetMapValue probes the map
+    * literal linearly per row, so only a tiny set may ride as a
+    * predicate; above it the broadcast anti-join stays the plan. */
+  private val TombstonePredicateMaxEntries = 1024
+
+  /** Driver-local tombstone rows as (doc_id, dl, gen) plus the
+    * doc_id DataType, when the sidecar passes the size gate. */
+  private def tombstonesLocal(spark: SparkSession, path: String):
+      Option[(org.apache.spark.sql.types.DataType,
+        Seq[(Any, Option[Long], Long)])] =
+    graft.io.SidecarIo.readLocalRows(
+        Seq(java.nio.file.Paths.get(path, "tombstones")),
+        spark.sessionState.newHadoopConf()).map { case (schema, rows) =>
+      val di = schema.fieldIndex("doc_id")
+      val dli = schema.fieldIndex("dl")
+      val gi = schema.fieldIndex("gen")
+      (schema(di).dataType, rows.map(r => (r.get(di),
+        if (r.isNullAt(dli)) None else Some(r.getLong(dli)),
+        r.getLong(gi))))
+    }
+
+  /** Apply the generation-scoped tombstone kill to `df` (which must
+    * carry doc_id and gen): a row-local literal predicate when the set
+    * is tiny — map doc_id → max tombstone gen; no join node, no
+    * broadcast build job (even a LocalTableScan broadcast child submits
+    * a collect job), nothing for AQE to materialize — else the
+    * broadcast anti-join. Strictly equivalent: a row is dead iff
+    * gen < SOME tombstone gen of its doc ⟺ gen < max(tombstone gens);
+    * try_element_at yields null for an untombstoned doc and coalesce
+    * keeps the row. */
+  private def killTombstoned(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+      return df
+    tombstonesLocal(spark, path) match {
+      case Some((idType, rows))
+          if rows.size <= TombstonePredicateMaxEntries =>
+        val maxGen: Map[Any, Long] = rows.groupBy(_._1).view
+          .mapValues(_.map(_._3).max).toMap
+        val mLit = org.apache.spark.sql.graft.ColumnBridge.column(
+          org.apache.spark.sql.catalyst.expressions.Literal.create(
+            maxGen, org.apache.spark.sql.types.MapType(idType,
+              org.apache.spark.sql.types.LongType,
+              valueContainsNull = false)))
+        df.filter(!coalesce(
+          col("gen") < try_element_at(mLit, col("doc_id")), lit(false)))
+      case _ =>
+        val ts = tombstones(spark, path).get
+        df.join(
+          broadcast(ts.select(col("doc_id").as("__td"),
+            col("gen").as("__tg"))),
+          col("doc_id") === col("__td") && col("gen") < col("__tg"),
+          "left_anti")
     }
   }
 
@@ -1370,22 +1469,14 @@ object InvertedIndex {
     // (the swap completed; cleanup didn't) — sweep before re-staging
     SwapNames.foreach(n => fs.delete(new Path(s"$path/$n.pre"), true))
     val committed = generation(spark, path) // one footer read for both passes
-    val livePost = {
+    val livePost =
       // committed generations only — same contract as probes: torn
       // rows must never be folded into the compacted (gen-0) state
-      val post = spark.read.parquet(s"$path/postings")
-        .where(col("gen") < lit(committed))
-      tombstones(spark, path) match {
-        case None => post
-        case Some(ts) =>
-          post.join(
-            broadcast(ts.select(col("doc_id").as("__td"),
-              col("gen").as("__tg"))),
-            col("doc_id") === col("__td") && col("gen") < col("__tg"),
-            "left_anti")
-      }
-    }.select(col("token"), col("doc_id"), col("pos"), col("dl"),
-      lit(0L).as("gen"))
+      killTombstoned(spark, path,
+        spark.read.parquet(s"$path/postings")
+          .where(col("gen") < lit(committed)))
+        .select(col("token"), col("doc_id"), col("pos"), col("dl"),
+          lit(0L).as("gen"))
     writeBuckets(livePost, s"$path/postings.compact", nb)
     liveDocLens(spark, path, None, Some(committed))
       .select(col("doc_id"), col("dl"), lit(0L).as("gen"),
@@ -1477,6 +1568,23 @@ object InvertedIndex {
     }
   }
 
+  /** Live corpus scalars (n_docs, n_tokens) resolved fully DRIVER-side
+    * when both the corpus footer and a size-gated local tombstone read
+    * are available — lets a probe inline them as literal columns
+    * instead of cross-joining a broadcast one-row frame (whose build
+    * is a Spark job per probe). Same arithmetic as
+    * [[corpusStatsFrom]]. */
+  private def corpusScalarsLocal(spark: SparkSession, path: String,
+      footer: Option[(Long, Long, Long)]): Option[(Long, Long)] =
+    footer.flatMap { case (_, n, t) =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+      if (!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p))
+        Some((n, t))
+      else tombstonesLocal(spark, path).map { case (_, rows) =>
+        (n - rows.size, t - rows.flatMap(_._2).sum)
+      }
+    }
+
   /** Query-term postings from a persisted index: bucket-pruned,
     * file-skipped inside the buckets via the token min/max sidecar,
     * token filter pushed to parquet, tombstoned docs anti-joined out
@@ -1500,18 +1608,9 @@ object InvertedIndex {
       indexBuckets(spark, path, nBuckets))
       .where(col("gen") < lit(committed))
       .select(col("token"), col("doc_id"), col("pos"), col("dl"), col("gen"))
-    val live = tombstones(spark, path) match {
-      case None => post
-      case Some(ts) =>
-        // generation-scoped: a tombstone kills only OLDER postings of
-        // its doc (equi on doc_id + gen guard — BroadcastHashJoin with
-        // a residual condition, tombstone lists are probe-small)
-        post.join(
-          broadcast(ts.select(col("doc_id").as("__td"), col("gen").as("__tg"))),
-          col("doc_id") === col("__td") && col("gen") < col("__tg"),
-          "left_anti")
-    }
-    live.drop("gen")
+    // generation-scoped: a tombstone kills only OLDER postings of its
+    // doc — literal predicate when tiny, broadcast anti-join otherwise
+    killTombstoned(spark, path, post).drop("gen")
   }
 
   /** BM25 top-k served ENTIRELY from the persisted index: reads the
@@ -1533,9 +1632,15 @@ object InvertedIndex {
     val tf = post.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    tf
-      .join(broadcast(df), "token")
-      .crossJoin(broadcast(corpusStatsFrom(spark, path, footer)))
+    val withCorpus = corpusScalarsLocal(spark, path, footer) match {
+      // scalars known on the driver → literal columns (no one-row
+      // broadcast build job per probe); else the broadcast cross-join
+      case Some((n, t)) => tf.join(broadcast(df), "token")
+        .withColumn("__n", lit(n)).withColumn("__t", lit(t))
+      case None => tf.join(broadcast(df), "token")
+        .crossJoin(broadcast(corpusStatsFrom(spark, path, footer)))
+    }
+    withCorpus
       .withColumn("__s",
         expr("(((__n * 1000) div df) * (tf * 22 * __t)) div " +
           "(10 * __t * tf + 3 * __t + 9 * dl * __n)"))

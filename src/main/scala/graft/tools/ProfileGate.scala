@@ -26,19 +26,55 @@ object ProfileGate {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // StageInfo.shuffleDepId is private[spark]; reflection is fine in a
+    // measurement-only tool
+    val shuffleDepIdField = {
+      val f = classOf[org.apache.spark.scheduler.StageInfo]
+        .getDeclaredField("shuffleDepId")
+      f.setAccessible(true); f
+    }
+    def shuffleDepIdOf(s: org.apache.spark.scheduler.StageInfo): Option[_] =
+      shuffleDepIdField.get(s).asInstanceOf[Option[_]]
+
+    // a compact signature of what the job's stages compute: the distinct
+    // operator scope names of their RDDs (scan/exchange/join kinds)
+    def scopeSig(e: SparkListenerJobStart): String =
+      e.stageInfos.flatMap(_.rddInfos).flatMap(_.scope.map(_.name))
+        .distinct.sorted.mkString(",")
+
     final case class J(id: Int, site: String, t0: Long, var ms: Long)
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, J]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         // attribute via the result stage's callsite: the first graft
-        // frame in its details stack, else the stage name
+        // frame in its details stack, else the job's captured
+        // callSite.long property (future-submitted broadcast/AQE-stage
+        // jobs inherit the submitting action's thread-locals), else the
+        // stage name
         val si = e.stageInfos.sortBy(-_.stageId).headOption
-        val site = si.map { s =>
-          s.details.linesIterator
+        def graftFrame(text: String): Option[String] =
+          text.linesIterator
             .find(l => l.contains("graft.") && !l.contains("ProfileGate"))
             .map(_.trim.stripPrefix("at "))
-            .getOrElse(s.name.takeWhile(_ != '\n'))
-        }.getOrElse("?")
+        // future-submitted jobs (no graft frame anywhere): classify by
+        // framework frames so broadcast builds and AQE shuffle-stage
+        // materializations are counted separately
+        def classify(s: org.apache.spark.scheduler.StageInfo): String =
+          // a map-stage job (submitMapStage: its top stage carries a
+          // shuffleDepId) is an AQE shuffle-stage materialization; a
+          // future-submitted collect job is a broadcast build
+          if (shuffleDepIdOf(s).isDefined)
+            "future:aqe-shuffle-stage [" + scopeSig(e) + "]"
+          else if (s.name.contains("CompletableFuture"))
+            "future:broadcast-build [" + scopeSig(e) + "]"
+          else "future:" + s.name.takeWhile(_ != '\n')
+        val site = si.flatMap(s => graftFrame(s.details))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.long")))
+            .flatMap(graftFrame)
+            .map("future@" + _))
+          .orElse(si.map(classify))
+          .getOrElse("?")
         jobs.put(e.jobId, J(e.jobId, site, System.nanoTime(), -1L))
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = {
