@@ -191,24 +191,98 @@ object VectorFunctions {
     ivfAssignKeeping(corpus, centroids, idCol, vecCol)
       .select(col(idCol), col("centroid_id"), col("sim"))
 
+  /** Driver-collected centroid set for the row-local assignment fold:
+    * (id-as-long, vector-as-doubles) ascending by id, plus the original
+    * id dtype (the output casts back losslessly). None when the id
+    * dtype is non-integral — the window fallback keeps Spark's own
+    * ordering semantics for exotic key types. The double conversion is
+    * value-exact for float/int sources, and the score kernels promote
+    * elements to double anyway, so scores are bit-identical. */
+  private def collectCentroids(centroids: DataFrame, idCol: String,
+      vecCol: String): Option[(org.apache.spark.sql.types.DataType,
+        Seq[(Long, Seq[Double])])] = {
+    import org.apache.spark.sql.types._
+    val idT = centroids.schema(idCol).dataType
+    idT match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val rows = centroids.select(col(idCol).cast("long"),
+          transform(col(vecCol), x => x.cast("double"))).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq))
+          .toSeq.sortBy(_._1)
+        Some((idT, rows))
+      case _ => None
+    }
+  }
+
+  /** ROW-LOCAL argbest fold over a centroid literal sorted ascending by
+    * id: returns struct(sim, cid, cv) of the best-scoring centroid.
+    * Strict comparison + ascending iteration reproduces the window
+    * form's (score, centroid_id) tiebreak exactly (first best wins =
+    * lowest id); a row whose scores are all null keeps the sentinel
+    * (callers map it back to the window's null). The point: the
+    * crossJoin+window assignment duplicated every corpus row — payload
+    * included — nlist× through the window's exchange; the fold assigns
+    * in the scan projection with NO shuffle at all (the same shape
+    * [[pqCodesExpr]] already uses for the PQ codebooks). */
+  private def assignFold(v: Column, cents: Seq[(Long, Seq[Double])],
+      score: (Column, Column) => Column, pickMax: Boolean): Column = {
+    import org.apache.spark.sql.types._
+    require(cents.nonEmpty, "no centroids")
+    val st = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cv", ArrayType(DoubleType, containsNull = false),
+        nullable = false)))
+    val centLit = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        cents.map(c => org.apache.spark.sql.Row(c._1, c._2)),
+        ArrayType(st, containsNull = false)))
+    // unreachable by any real score: cosine ∈ [-1, 1]; sqDist ≥ 0
+    val sentinel = if (pickMax) lit(-2.0) else lit(Double.MaxValue)
+    val first = element_at(centLit, 1)
+    aggregate(centLit,
+      struct(sentinel.cast("double").as("sim"),
+        first("cid").as("cid"), first("cv").as("cv")),
+      (acc, e) => {
+        val s = score(v, e("cv"))
+        val better = if (pickMax) s > acc("sim") else s < acc("sim")
+        when(better,
+          struct(s.as("sim"), e("cid").as("cid"), e("cv").as("cv")))
+          .otherwise(acc)
+      })
+  }
+
   /** [[ivfAssign]] WITHOUT the final projection: every corpus column
     * (in particular the embedding) rides through alongside centroid_id
     * and sim. Consumers needing the vector after assignment (ivfTopK)
     * take it from here in the SAME corpus pass — re-joining the
     * assignment back to the corpus on id would shuffle every embedding
-    * payload a second time for nothing. */
+    * payload a second time for nothing. Assignment itself is the
+    * row-local [[assignFold]] (no shuffle; the previous window form
+    * shipped every row nlist× through an exchange); the window
+    * fallback remains for non-integral centroid id dtypes. */
   private def ivfAssignKeeping(corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String): DataFrame = {
-    val c = centroids.select(col(idCol).as("centroid_id"),
-      col(vecCol).as("cv"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("centroid_id"))
-    corpus.crossJoin(broadcast(c))
-      .withColumn("sim", round(cosine(col(vecCol), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn", "cv")
-  }
+      idCol: String, vecCol: String): DataFrame =
+    collectCentroids(centroids, idCol, vecCol) match {
+      case Some((idT, cents)) if cents.nonEmpty =>
+        val best = assignFold(col(vecCol), cents,
+          (v, cv) => round(cosine(v, cv), 6), pickMax = true)
+        corpus.withColumn("__best", best)
+          .withColumn("centroid_id", col("__best")("cid").cast(idT))
+          // all-null scores degrade to the window's null sim
+          .withColumn("sim", when(col("__best")("sim") === lit(-2.0),
+            lit(null).cast("double")).otherwise(col("__best")("sim")))
+          .drop("__best")
+      case _ =>
+        val c = centroids.select(col(idCol).as("centroid_id"),
+          col(vecCol).as("cv"))
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("sim").desc, col("centroid_id"))
+        corpus.crossJoin(broadcast(c))
+          .withColumn("sim", round(cosine(col(vecCol), col("cv")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn", "cv")
+    }
 
   /** IVF search: queries probe their `nprobe` closest centroids and
     * rank only vectors assigned to those lists — the classic
@@ -692,19 +766,32 @@ object VectorFunctions {
     * equal code bytes comes from. One corpus pass (broadcast-centroid
     * argmax, row-local subtraction); the corpus never shuffles. */
   def ivfResiduals(corpus: DataFrame, centroids: DataFrame,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = centroids.select(col(idCol).as("centroid_id"),
-      col(vecCol).as("cv"))
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("sim").desc, col("centroid_id"))
-    corpus.select(col(idCol), col(vecCol)).crossJoin(broadcast(c))
-      .withColumn("sim", round(cosine(col(vecCol), col("cv")), 6))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"),
-        zip_with(col(vecCol), col("cv"),
-          (a, b) => a.cast("double") - b.cast("double")).as(vecCol))
-  }
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    collectCentroids(centroids, idCol, vecCol) match {
+      case Some((idT, cents)) if cents.nonEmpty =>
+        // row-local assign + subtract in one projection (no shuffle);
+        // the winning centroid vector rides in the fold's accumulator
+        val best = assignFold(col(vecCol), cents,
+          (v, cv) => round(cosine(v, cv), 6), pickMax = true)
+        corpus.select(col(idCol), col(vecCol))
+          .withColumn("__best", best)
+          .select(col(idCol),
+            col("__best")("cid").cast(idT).as("centroid_id"),
+            zip_with(col(vecCol), col("__best")("cv"),
+              (a, b) => a.cast("double") - b.cast("double")).as(vecCol))
+      case _ =>
+        val c = centroids.select(col(idCol).as("centroid_id"),
+          col(vecCol).as("cv"))
+        val w = Window.partitionBy(col(idCol))
+          .orderBy(col("sim").desc, col("centroid_id"))
+        corpus.select(col(idCol), col(vecCol)).crossJoin(broadcast(c))
+          .withColumn("sim", round(cosine(col(vecCol), col("cv")), 6))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col(idCol), col("centroid_id"),
+            zip_with(col(vecCol), col("cv"),
+              (a, b) => a.cast("double") - b.cast("double")).as(vecCol))
+    }
 
   /** [[pqTrain]] over IVF residuals instead of raw vectors — the
     * codebook half of residual IVF-PQ. Trains by L2 (not cosine):
@@ -794,21 +881,20 @@ object VectorFunctions {
       .limit(k).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     for (_ <- 0 until iters) {
-      val cdf = toDf(centroids)
-        .select(col("centroid_id"), col("centroid").as("_cv"))
       // cosine clusters direction (raw embeddings); l2 clusters
       // position (residuals — the Lloyd's objective PQ reconstruction
-      // error actually minimizes). Same rounded-score + id tiebreak.
-      val w = Window.partitionBy(col("_id")).orderBy(
-        if (metric == "cosine") col("sim").desc else col("sim").asc,
-        col("centroid_id"))
-      val scoreExpr =
-        if (metric == "cosine") round(cosine(col("_v"), col("_cv")), 6)
-        else round(sqDist(col("_v"), col("_cv")), 6)
-      val assigned = base.crossJoin(broadcast(cdf))
-        .withColumn("sim", scoreExpr)
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-        .select(col("centroid_id"), col("_id"), col("_v"))
+      // error actually minimizes). Same rounded-score + id tiebreak —
+      // assignment is the row-local [[assignFold]] against the driver's
+      // own centroid state (it was ALREADY a Seq here): the previous
+      // crossJoin+window shipped every vector k× through an exchange
+      // per Lloyd iteration.
+      val best = assignFold(col("_v"), centroids.sortBy(_._1),
+        if (metric == "cosine") (v, cv) => round(cosine(v, cv), 6)
+        else (v, cv) => round(sqDist(v, cv), 6),
+        pickMax = metric == "cosine")
+      val assigned = base.withColumn("__best", best)
+        .select(col("__best")("cid").as("centroid_id"), col("_id"),
+          col("_v"))
       val upd = assigned
         .select(col("centroid_id"), col("_id"), posexplode(col("_v")))
         .groupBy(col("centroid_id"), col("pos"))
