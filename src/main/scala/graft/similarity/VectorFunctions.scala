@@ -239,15 +239,20 @@ object VectorFunctions {
     // unreachable by any real score: cosine ∈ [-1, 1]; sqDist ≥ 0
     val sentinel = if (pickMax) lit(-2.0) else lit(Double.MaxValue)
     val first = element_at(centLit, 1)
-    aggregate(centLit,
+    // score each centroid ONCE via transform, then fold the scored
+    // array — referencing the score in both the comparison and the
+    // kept struct inside one lambda would evaluate the kernel twice
+    // per step (HOF lambdas get no common-subexpression elimination)
+    val scored = transform(centLit, e =>
+      struct(score(v, e("cv")).as("sim"), e("cid").as("cid"),
+        e("cv").as("cv")))
+    aggregate(scored,
       struct(sentinel.cast("double").as("sim"),
         first("cid").as("cid"), first("cv").as("cv")),
       (acc, e) => {
-        val s = score(v, e("cv"))
-        val better = if (pickMax) s > acc("sim") else s < acc("sim")
-        when(better,
-          struct(s.as("sim"), e("cid").as("cid"), e("cv").as("cv")))
-          .otherwise(acc)
+        val better =
+          if (pickMax) e("sim") > acc("sim") else e("sim") < acc("sim")
+        when(better, e).otherwise(acc)
       })
   }
 
